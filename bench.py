@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is collected (or counted, for large results) so the full
+plan executes; per-query wall time includes planning + execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sparkstreamingproject_spark.queries import REGISTRY  # noqa: E402
+from sparkstreamingproject_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline set: the flagship + one per operator family, weighted toward
+# the scale-sensitive ops (joins, windows, dedup, similarity)
+HEADLINE = [
+    "split_5way_log",
+    "agg_pricing_summary",
+    "join_shipping_priority",
+    "join_local_supplier_volume",
+    "join_broadcast_dim_enrich",
+    "kv_zset_ops",
+    "window_running_sum",
+    "ts_tumbling_window",
+    "ts_sliding_window",
+    "ts_session_window",
+    "dim_upsert_kv",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "sim_topk_bruteforce",
+    "dedup_embedding_cosine",
+    "text_word_freq",
+    "text_quality_score",
+    "json_parse",
+]
+
+# results larger than this are counted, not collected (driver memory)
+COLLECT_LIMIT_ROWS = 2_000_000
+
+
+def main() -> None:
+    spark = get_spark("sparkstreamingproject-bench")
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+
+    # warm the JVM + parquet footers with one tiny action
+    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        if n <= COLLECT_LIMIT_ROWS:
+            df.collect()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

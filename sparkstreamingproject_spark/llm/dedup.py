@@ -1,0 +1,148 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, all engine-verifiable because every hash primitive is
+md5 (identical across Spark and DuckDB) and every reduction is
+order-insensitive (min / sum / set):
+
+- exact:      md5(text) hash-groupBy — one shuffle on the hash.
+- MinHash:    per-doc signature = min over shingles of md5(seed‖shingle)
+              (string min of fixed-width hex == numeric min of the
+              128-bit value). LSH banding groups signatures into band
+              keys; candidate pairs come from a self-join *within
+              buckets only* — at 100 TB this is the difference between
+              O(n²) pairs and O(collisions).
+- SimHash:    per-bit majority vote over word hashes → one 16-bit
+              fingerprint per doc; near-dups share the fingerprint
+              (or differ in ≤k bits — compare via grouped fingerprint).
+- n-gram Jaccard: exact pairwise similarity, but only over pairs that
+              share at least one shingle (the shingle self-join is the
+              candidate filter) — never an all-pairs cross join.
+- embedding cosine: see ``similarity.embedding_near_dup_pairs``.
+
+Everything here is whole-stage-codegen'd built-ins — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# shared constants — the DuckDB oracle SQL is generated from the same values
+SHINGLE_K = 3
+N_MINHASH = 8
+LSH_BANDS = 4  # rows per band = N_MINHASH / LSH_BANDS = 2
+SIMHASH_BITS = 16
+
+
+def words_col(text_col: str = "text"):
+    return F.split(F.col(text_col), " ")
+
+
+def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                  k: int = SHINGLE_K) -> DataFrame:
+    """Distinct k-word shingles per document.
+
+    ``slice``/``transform``/``sequence`` are JVM higher-order functions;
+    the guard keeps ``sequence`` ascending for texts shorter than k.
+    """
+    ws = words_col(text_col)
+    n = F.size(ws)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>"))
+    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, k)))
+    return (df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+            .distinct())
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: group by content hash, keep the smallest id.
+    One shuffle keyed on the hash; payload reduced to (hash, id) before
+    the shuffle, so 100 TB of text moves 32 bytes/row."""
+    return (df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+            .groupBy("content_hash")
+            .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies")))
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n_hashes: int = N_MINHASH) -> DataFrame:
+    """MinHash signature: h_j(doc) = min over shingles of md5(j‖shingle).
+
+    A single groupBy computes all ``n_hashes`` mins — one pass, one
+    shuffle keyed on doc_id.
+    """
+    sh = word_shingles(df, id_col, text_col)
+    aggs = [F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"h{j}")
+            for j in range(n_hashes)]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        n_hashes: int = N_MINHASH, bands: int = LSH_BANDS) -> DataFrame:
+    """MinHash-LSH candidate pairs: signatures → band keys → self-join
+    within band buckets. Docs agreeing on all rows of any band collide.
+    The join is keyed on (band, key) so only true collisions ever meet —
+    the scale path for near-dedup at 100 TB.
+    """
+    rows = n_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n_hashes)
+    band_structs = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.concat(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias("key"))
+        for b in range(bands)
+    ])
+    banded = (sig.select(F.col(id_col), F.explode(band_structs).alias("bk"))
+              .select(id_col, "bk.band", "bk.key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band")) &
+                      (F.col("a.key") == F.col("b.key")) &
+                      (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .distinct())
+
+
+def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                  threshold: float = 0.8) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
+
+    |A∩B| from the shingle self-join, |A|,|B| from per-doc counts
+    (broadcast — it's one row per doc); J = i / (|A|+|B|-i). The
+    threshold is applied on a 6dp-rounded value so float drift can't
+    flip membership between engines.
+    """
+    sh = word_shingles(df, id_col, text_col)
+    counts = sh.groupBy(id_col).agg(F.count("*").alias("c"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle")) &
+                       (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                      F.col(f"b.{id_col}").alias("id_b"))
+             .agg(F.count("*").alias("i")))
+    ca = counts.select(F.col(id_col).alias("id_a"), F.col("c").alias("ca"))
+    cb = counts.select(F.col(id_col).alias("id_b"), F.col("c").alias("cb"))
+    jacc = F.round(F.col("i") / (F.col("ca") + F.col("cb") - F.col("i")), 6)
+    return (inter.join(F.broadcast(ca), "id_a").join(F.broadcast(cb), "id_b")
+            .select("id_a", "id_b", jacc.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash fingerprint: per-word hash (first 4 md5 hex chars → 16-bit
+    int), per-bit ±1 majority vote over all word occurrences, sign →
+    bit. One explode + one groupBy with ``bits`` sums — all codegen.
+    """
+    w = (df.select(F.col(id_col), F.explode(words_col(text_col)).alias("w"))
+         .select(id_col,
+                 F.conv(F.substring(F.md5("w"), 1, 4), 16, 10)
+                 .cast("int").alias("hv")))
+    sums = [F.sum(2 * F.shiftright(F.col("hv"), b).bitwiseAND(F.lit(1)) - 1).alias(f"s{b}")
+            for b in range(bits)]
+    agg = w.groupBy(id_col).agg(*sums)
+    fingerprint = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return agg.select(id_col, fingerprint.cast("long").alias("simhash"))

@@ -1,0 +1,84 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata.
+
+The Spark-side mechanics are real and tested — schema, partitioning,
+Arrow batch shape, UDF signatures. The actual media decode is STUBBED
+(no image/audio libraries in this container): ``decode_stub_features``
+produces a deterministic fake feature vector derived from the bytes, so
+the pipeline shape (binary → mapInPandas → feature column) is
+exercised end-to-end. Swapping in a real decoder is a one-function
+change.
+
+Design for 100 TB of media:
+- media bytes travel in their own column; metadata queries never touch
+  them (column pruning skips the heavy column entirely).
+- decode runs in ``mapInPandas`` — Arrow-batched, one Python worker per
+  partition, batch size bounded by ``maxRecordsPerBatch`` so a batch of
+  4K images fits in worker memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, FloatType, LongType, StructField, StructType,
+)
+
+FEATURE_DIM = 8
+
+FEATURE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("byte_len", LongType()),
+    StructField("feature", ArrayType(FloatType())),
+])
+
+
+def attach_payload(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Derive an opaque binary payload column + typed metadata (the
+    testdata has no real media; UTF-8 bytes stand in — the plumbing is
+    identical for JPEG/WAV bytes)."""
+    payload = F.encode(F.col(text_col), "utf-8")
+    return df.select(
+        F.col(id_col),
+        payload.alias("payload"),
+        F.lit("text/plain").alias("media_type"),
+        F.length(payload).cast("long").alias("byte_len"),
+    )
+
+
+def decode_stub_features(batch: pd.DataFrame) -> pd.DataFrame:
+    """STUB decoder: deterministic fake features from the raw bytes.
+    A real implementation would decode the media here (PIL/librosa/
+    ffmpeg) — same signature, same batch shape.
+    """
+    feats = []
+    for payload in batch["payload"]:
+        b = bytes(payload)
+        # deterministic fake: byte-sum folded into FEATURE_DIM floats
+        feats.append([float(sum(b[i::FEATURE_DIM]) % 997) for i in range(FEATURE_DIM)])
+    return pd.DataFrame({
+        "doc_id": batch["doc_id"],
+        "byte_len": batch["payload"].map(len).astype("int64"),
+        "feature": feats,
+    })
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """binary → feature vectors via Arrow-batched mapInPandas."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            yield decode_stub_features(batch)
+
+    return media.select("doc_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+def decode_real(batch: pd.DataFrame) -> pd.DataFrame:  # pragma: no cover
+    """Placeholder for the real decoder."""
+    raise NotImplementedError(
+        "media decode requires image/audio libraries not present in this "
+        "container; use decode_stub_features for pipeline testing")

@@ -1,0 +1,144 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths:
+- brute-force cosine top-k — exact baseline. The query set broadcasts
+  (it is always small); candidates never shuffle. Cost is
+  O(|queries|·N·d) inside codegen — acceptable for reranking, not for
+  all-pairs at scale.
+- LSH-bucketed ANN — random-hyperplane signatures partition vectors
+  into buckets; search joins query buckets to candidate buckets, so the
+  cross product is per-bucket. The hyperplanes are deterministic
+  (seeded) constants, which keeps the operator reproducible and lets
+  the DuckDB oracle verify the bucketing.
+
+All vector math is JVM higher-order functions (zip_with/aggregate) —
+no Python in the scoring loop. For very wide batch scoring where BLAS
+wins, swap in an Arrow-batched pandas_udf (same signature).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine_similarity
+
+LSH_SEED = 42
+LSH_PLANES = 8
+EMB_DIM = 64
+
+
+def hyperplanes(n_planes: int = LSH_PLANES, dim: int = EMB_DIM,
+                seed: int = LSH_SEED) -> list[list[float]]:
+    """Deterministic random hyperplanes (shared with the oracle SQL)."""
+    rng = np.random.RandomState(seed)
+    return [[round(float(v), 6) for v in rng.randn(dim)] for _ in range(n_planes)]
+
+
+def _dot_with_literal(col, plane: list[float]):
+    lit = F.array(*[F.lit(v) for v in plane])
+    return F.aggregate(
+        F.zip_with(col, lit, lambda x, y: x.cast("double") * y),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def lsh_bucket(df: DataFrame, emb_col: str = "embedding",
+               planes: list[list[float]] | None = None) -> DataFrame:
+    """Random-hyperplane LSH: bucket = concatenated sign bits of the
+    projections. Vectors in the same bucket are likely neighbors."""
+    planes = planes or hyperplanes()
+    bits = [F.when(_dot_with_literal(F.col(emb_col), p) >= 0, "1").otherwise("0")
+            for p in planes]
+    return df.withColumn("bucket", F.concat(*bits))
+
+
+def brute_force_topk(candidates: DataFrame, queries: DataFrame, k: int = 5,
+                     id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
+    """Exact top-k by cosine: broadcast the (small) query set against
+    all candidates, score in codegen, per-query window top-k (partial
+    sort per query, never global). Similarity rounded to 6dp before
+    ranking so ordering is reproducible across engines."""
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(emb_col).alias("q_emb"))
+    c = candidates.select(F.col(id_col).alias("cand_id"),
+                          F.col(emb_col).alias("c_emb"))
+    scored = (c.crossJoin(F.broadcast(q))
+              .filter(F.col("cand_id") != F.col("query_id"))
+              .select("query_id", "cand_id",
+                      F.round(cosine_similarity("q_emb", "c_emb"), 6).alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "cand_id", "cosine",
+                    F.col("rank").cast("long").alias("rank")))
+
+
+def lsh_topk(candidates: DataFrame, queries: DataFrame, k: int = 5,
+             id_col: str = "vec_id", emb_col: str = "embedding",
+             planes: list[list[float]] | None = None) -> DataFrame:
+    """ANN: score only candidates sharing the query's LSH bucket.
+    The join is keyed on the bucket — per-bucket cross products instead
+    of a full N×Q sweep. Recall/cost tunes via plane count (fewer planes
+    → bigger buckets → higher recall, more compute)."""
+    planes = planes or hyperplanes()
+    cb = lsh_bucket(candidates, emb_col, planes).select(
+        F.col(id_col).alias("cand_id"), F.col(emb_col).alias("c_emb"), "bucket")
+    qb = lsh_bucket(queries, emb_col, planes).select(
+        F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb"), "bucket")
+    scored = (cb.join(F.broadcast(qb), "bucket")
+              .filter(F.col("cand_id") != F.col("query_id"))
+              .select("query_id", "cand_id",
+                      F.round(cosine_similarity("q_emb", "c_emb"), 6).alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "cand_id", "cosine",
+                    F.col("rank").cast("long").alias("rank")))
+
+
+def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.3,
+                             id_col: str = "vec_id",
+                             emb_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ threshold).
+
+    Broadcast-matrix kernel: the comparison side is collected into one
+    dense float64 matrix (N×d — embeddings tables are tiny next to the
+    corpus they index; 10M×64 ≈ 5 GB still broadcasts) and every input
+    partition scores its rows against it with one BLAS matmul inside
+    Arrow-batched ``mapInPandas``. No N² shuffle, no per-pair array
+    allocation — this replaced a higher-order-function version that was
+    75 µs/pair (150 s at sf0.1); the matmul does the same pairs in ~2 s.
+
+    When the comparison side outgrows a broadcast, pre-bucket both
+    sides with ``lsh_bucket`` and run this kernel per bucket.
+
+    Similarity is rounded to 4dp and thresholded on the rounded value:
+    BLAS pairwise summation and the oracle's sequential summation can
+    differ in the last ulp, and 4dp makes that unobservable.
+    """
+    import pandas as pd
+
+    spark = df.sparkSession
+    rows = (df.select(F.col(id_col), F.col(emb_col))
+            .orderBy(id_col).collect())
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    def score(batches):
+        m_ids, m = b_ids.value, b_mat.value
+        for batch in batches:
+            q = np.array(list(batch[emb_col]), dtype=np.float64)
+            q = q / np.linalg.norm(q, axis=1, keepdims=True)
+            sims = np.round(q @ m.T, 4)
+            qid = batch[id_col].to_numpy(dtype=np.int64)
+            keep = (sims >= threshold) & (qid[:, None] < m_ids[None, :])
+            qi, mi = np.nonzero(keep)
+            yield pd.DataFrame({"id_a": qid[qi], "id_b": m_ids[mi],
+                                "cosine": sims[qi, mi]})
+
+    out_schema = "id_a long, id_b long, cosine double"
+    return df.select(id_col, emb_col).mapInPandas(score, out_schema)

@@ -1,0 +1,309 @@
+"""LLM-data-pipeline queries over ``documents`` / ``embeddings``
+(SURVEY.md §7.5 — the extension surface).
+
+The oracle SQL for MinHash/SimHash/LSH is *generated from the same
+constants* as the Spark implementation (seeds, band layout, plane
+coefficients), so both engines compute the identical deterministic
+algorithm — md5 is the shared hash primitive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..llm import dedup as D
+from ..llm import similarity as S
+from ..llm import textstats as T
+from ..llm.multimodal import attach_payload
+from .base import register, table
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (generated from the same constants as the Spark side)
+# ---------------------------------------------------------------------------
+
+SHINGLES_CTE = f"""
+    words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    shingles AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(ws) - {D.SHINGLE_K - 2}, 1)),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+      FROM words)
+"""
+
+_MINHASH_AGGS = ",\n           ".join(
+    f"min(md5('{j}:' || shingle)) AS h{j}" for j in range(D.N_MINHASH))
+
+MINHASH_CTE = f"""
+    {SHINGLES_CTE},
+    sig AS (
+      SELECT doc_id,
+           {_MINHASH_AGGS}
+      FROM shingles GROUP BY doc_id)
+"""
+
+_ROWS = D.N_MINHASH // D.LSH_BANDS
+_BAND_SELECTS = "\n      UNION ALL\n".join(
+    f"      SELECT doc_id, {b} AS band, "
+    + " || ".join(f"h{b * _ROWS + r}" for r in range(_ROWS))
+    + " AS key FROM sig"
+    for b in range(D.LSH_BANDS))
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_exact(spark, sf_dir):
+    return D.exact_dedup(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+           AS fingerprint
+    FROM documents
+    """,
+    tags=("llm", "dedup"),
+)
+def text_fingerprint(spark, sf_dir):
+    return T.fingerprint(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_minhash_signatures",
+    oracle=f"""
+    WITH {MINHASH_CTE}
+    SELECT * FROM sig
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_minhash_signatures(spark, sf_dir):
+    return D.minhash_signatures(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {MINHASH_CTE},
+    bands AS (
+{_BAND_SELECTS})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+                             AND a.doc_id < b.doc_id
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    return D.lsh_candidate_pairs(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {SHINGLES_CTE},
+    counts AS (SELECT doc_id, count(*) AS c FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(i * 1.0 / (ca.c + cb.c - i), 6) AS jaccard
+    FROM inter
+    JOIN counts ca ON ca.doc_id = id_a
+    JOIN counts cb ON cb.doc_id = id_b
+    WHERE round(i * 1.0 / (ca.c + cb.c - i), 6) >= 0.8
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    return D.jaccard_pairs(table(spark, sf_dir, "documents"), threshold=0.8)
+
+
+def _simhash_oracle() -> str:
+    bits = D.SIMHASH_BITS
+    sums = ",\n             ".join(
+        f"sum(2 * ((hv >> {b}) & 1) - 1) AS s{b}" for b in range(bits))
+    fp = " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)"
+                    for b in range(bits))
+    return f"""
+    WITH w AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 4) AS INTEGER) AS hv
+      FROM documents),
+    sums AS (
+      SELECT doc_id,
+             {sums}
+      FROM w GROUP BY doc_id)
+    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums
+    """
+
+
+@register("dedup_simhash", oracle=_simhash_oracle(), tags=("llm", "dedup"))
+def dedup_simhash(spark, sf_dir):
+    return D.simhash(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 4) >= 0.3
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    return S.embedding_near_dup_pairs(table(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
+@register(
+    "sim_topk_bruteforce",
+    oracle="""
+    SELECT query_id, cand_id, cosine, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 6) AS cosine,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                     CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                        c.vec_id) AS rank
+      FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < 5)
+    WHERE rank <= 5
+    """,
+    tags=("llm", "similarity"),
+)
+def sim_topk_bruteforce(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.brute_force_topk(emb, queries, k=5)
+
+
+def _lsh_bucket_oracle() -> str:
+    planes = S.hyperplanes()
+    bits = " || ".join(
+        "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"{plane!r}::DOUBLE[]) >= 0 THEN '1' ELSE '0' END)"
+        for plane in planes)
+    return f"""
+    SELECT vec_id, {bits} AS bucket FROM embeddings
+    """
+
+
+@register("sim_ann_lsh_bucket", oracle=_lsh_bucket_oracle(), tags=("llm", "similarity"))
+def sim_ann_lsh_bucket(spark, sf_dir):
+    """The ANN scale path's bucketing transform (random-hyperplane LSH,
+    deterministic planes). Candidate generation + within-bucket top-k is
+    exercised in tests/test_llm.py (``lsh_topk``)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return S.lsh_bucket(emb).select("vec_id", "bucket")
+
+
+@register(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(regexp_extract_all(text, '{T.BPE_ISH_TOKEN_RE}')) AS n_bpe_tokens,
+           length(text) AS n_chars,
+           round(list_sum(list_transform(string_split(text, ' '), w -> length(w)))
+                 * 1.0 / len(string_split(text, ' ')), 4) AS avg_word_len
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def text_token_count(spark, sf_dir):
+    return T.token_stats(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+    WITH feat AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             round(len(list_filter(string_split(text, ' '),
+                                   w -> list_contains(['the', 'a'], w)))
+                   * 1.0 / len(string_split(text, ' ')), 6) AS stopword_ratio,
+             round(len(list_distinct(string_split(text, ' ')))
+                   * 1.0 / len(string_split(text, ' ')), 6) AS unique_ratio
+      FROM documents)
+    SELECT doc_id, n_tokens, stopword_ratio, unique_ratio,
+           CASE WHEN unique_ratio < 0.3 THEN 'low_entropy'
+                WHEN stopword_ratio > 0.2 THEN 'boilerplate'
+                ELSE 'ok' END AS quality_label
+    FROM feat
+    """,
+    tags=("llm", "text"),
+)
+def text_quality_score(spark, sf_dir):
+    return T.quality_score(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_lang_id",
+    oracle="""
+    WITH feat AS (
+      SELECT doc_id, lang,
+             CASE WHEN len(list_filter(string_split(text, ' '),
+                                       w -> list_contains(['the', 'a'], w)))
+                       * 1.0 / len(string_split(text, ' ')) >= 0.05
+                  THEN 'en' ELSE 'unknown' END AS predicted_lang
+      FROM documents)
+    SELECT doc_id, lang, predicted_lang, predicted_lang = lang AS agree
+    FROM feat
+    """,
+    tags=("llm", "text"),
+)
+def text_lang_id(spark, sf_dir):
+    return T.language_id(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_word_freq",
+    oracle="""
+    SELECT word, count(*) AS n, count(DISTINCT doc_id) AS docs
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+    GROUP BY word
+    """,
+    tags=("llm", "text", "explode"),
+)
+def text_word_freq(spark, sf_dir):
+    """D1's explode shape over documents: array → rows with parent key
+    replicated, then aggregate."""
+    return (table(spark, sf_dir, "documents")
+            .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+            .groupBy("word")
+            .agg(F.count("*").alias("n"), F.countDistinct("doc_id").alias("docs")))
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id, 'text/plain' AS media_type,
+           octet_length(encode(text)) AS byte_len,
+           md5(text) AS content_hash
+    FROM documents
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_meta(spark, sf_dir):
+    """Multimodal metadata path: typed metadata over an opaque binary
+    payload — the payload column itself is pruned out of this query's
+    scan (only metadata is read). Feature extraction (mapInPandas over
+    the binary column) is exercised in tests/test_llm.py."""
+    media = attach_payload(table(spark, sf_dir, "documents"))
+    return media.select("doc_id", "media_type", "byte_len",
+                        F.md5(F.col("payload").cast("string")).alias("content_hash"))

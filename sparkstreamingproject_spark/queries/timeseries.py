@@ -1,0 +1,145 @@
+"""Event-time queries — batch-equivalent semantics of the streaming ops
+(SURVEY.md §2.F gaps: watermark, tumbling/sliding/session windows,
+dedup; §5.1 strategy: every streaming op is designed batch-first so the
+DuckDB oracle can verify it, then the same expression runs under
+``readStream`` — see ``streaming/windows.py`` and tests/test_streaming.py).
+
+Time discipline (see queries/base.py): ``events.ts`` is a true UTC
+instant; every output here is an epoch *integer* (seconds or micros),
+computed with ``unix_micros`` arithmetic on the Spark side and
+``epoch()``/``epoch_us()`` on the DuckDB side — machine-timezone-proof
+by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .base import register, table
+
+US_PER_S = 1_000_000
+
+
+def _bucket_epoch(col, width_s: int):
+    """Epoch-aligned bucket start, in whole seconds (BIGINT)."""
+    width_us = width_s * US_PER_S
+    return (F.unix_micros(col) - F.unix_micros(col) % width_us) / US_PER_S
+
+
+@register(
+    "ts_tumbling_window",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS ws_epoch,
+           event_type,
+           count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("time", "streaming-equivalent"),
+)
+def ts_tumbling_window(spark, sf_dir):
+    """Tumbling 1-hour window aggregation — the batch semantics of
+    ``groupBy(window(ts, '1 hour'))``; at 100 TB this is a plain hash
+    aggregation whose key includes the time bucket."""
+    return (table(spark, sf_dir, "events")
+            .groupBy(_bucket_epoch(F.col("ts"), 3600).cast("long").alias("ws_epoch"),
+                     "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+                 .cast("double").alias("total_value")))
+
+
+@register(
+    "ts_sliding_window",
+    oracle="""
+    SELECT ws_epoch, count(*) AS n, count(DISTINCT user_id) AS users
+    FROM (
+      SELECT CAST(floor(epoch(ts) / 1800) * 1800 - 1800 * o.off AS BIGINT) AS ws_epoch,
+             user_id
+      FROM events CROSS JOIN (VALUES (0), (1)) AS o(off))
+    GROUP BY ws_epoch
+    """,
+    tags=("time", "streaming-equivalent"),
+)
+def ts_sliding_window(spark, sf_dir):
+    """Sliding window (1 h length, 30 min slide): every event lands in
+    exactly 2 buckets. Expressed by explicit bucket replication (the
+    same expansion ``window(ts,'1 hour','30 minutes')`` performs).
+    Replication factor = len/slide — the real cost driver at scale."""
+    ev = table(spark, sf_dir, "events")
+    return (ev.select(_bucket_epoch(F.col("ts"), 1800).cast("long").alias("base"),
+                      "user_id",
+                      F.explode(F.array(F.lit(0), F.lit(1))).alias("off"))
+            .select((F.col("base") - 1800 * F.col("off")).alias("ws_epoch"), "user_id")
+            .groupBy("ws_epoch")
+            .agg(F.count("*").alias("n"),
+                 F.countDistinct("user_id").alias("users")))
+
+
+@register(
+    "ts_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 1 DAY
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, epoch_us(min(ts)) AS session_start_us, count(*) AS n_events
+    FROM numbered GROUP BY user_id, session_id
+    """,
+    tags=("time", "streaming-equivalent"),
+)
+def ts_session_window(spark, sf_dir):
+    """Session window (1-day gap) via ``session_window`` — Spark merges
+    events closer than the gap; the oracle reproduces it with
+    gaps-and-islands. Session start surfaces as epoch micros (instant,
+    not wall time)."""
+    return (table(spark, sf_dir, "events")
+            .groupBy(F.session_window("ts", "1 day").alias("sw"), "user_id")
+            .agg(F.count("*").alias("n_events"))
+            .select("user_id",
+                    F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+                    "n_events"))
+
+
+@register(
+    "ts_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=("time", "streaming-equivalent"),
+)
+def ts_dedup(spark, sf_dir):
+    """Batch semantics of streaming ``dropDuplicates([user_id,
+    event_type])`` (keep-any ⇒ compare the distinct key set)."""
+    return table(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+
+
+@register(
+    "ts_watermark_recent",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS epoch_day, count(*) AS n
+    FROM events
+    WHERE ts >= (SELECT max(ts) - INTERVAL 7 DAY FROM events)
+    GROUP BY 1
+    """,
+    tags=("time", "streaming-equivalent"),
+)
+def ts_watermark_recent(spark, sf_dir):
+    """Watermark analog: only events within 7 days of the max event time
+    survive — the batch shape of ``withWatermark('ts', '7 days')`` late-
+    data dropping. The scalar max broadcasts; day buckets are epoch-day
+    integers (UTC)."""
+    ev = table(spark, sf_dir, "events")
+    cutoff = ev.agg((F.max("ts") - F.expr("INTERVAL 7 DAYS")).alias("cutoff"))
+    return (ev.join(F.broadcast(cutoff))
+            .filter(F.col("ts") >= F.col("cutoff"))
+            .groupBy(F.floor(F.unix_micros("ts") / (86400 * US_PER_S))
+                     .cast("long").alias("epoch_day"))
+            .agg(F.count("*").alias("n")))

@@ -1,0 +1,66 @@
+"""SparkSession builders with scale-tuned defaults.
+
+The reference hand-tunes parallelism (local[2] = Kafka partition count,
+``OdsBaseLogApp.scala:24``) and connection amortization; here the same
+concerns are expressed as Spark confs: AQE for runtime re-planning
+(shuffle coalescing, broadcast conversion, skew-join splitting),
+sensible shuffle partitioning, Arrow for any Python boundary.
+
+At 100 TB these defaults matter more than any operator code:
+- AQE coalesces the 32 (locally) / thousands (cluster) of shuffle
+  partitions down to actual data volume, and converts sort-merge joins
+  to broadcast when the runtime side is small.
+- ``maxPartitionBytes`` keeps scan tasks ~128 MB so a 100 TB table
+  becomes ~800k well-sized tasks instead of a few huge ones.
+- Arrow keeps the (rare) Python-UDF boundary vectorized.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def configure(builder: SparkSession.Builder, shuffle_partitions: int | None = None) -> SparkSession.Builder:
+    """Apply engine defaults to any SparkSession builder."""
+    sp = shuffle_partitions or default_parallelism()
+    return (
+        builder.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(sp))
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.autoBroadcastJoinThreshold", "67108864")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+
+
+def get_spark(app_name: str = "sparkstreamingproject-spark",
+              master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) the engine SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` — in cluster
+    deployment the master comes from spark-submit and this arg is None.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_GRAFT_CPUS" in os.environ or master is None:
+        builder = builder.master(master or f"local[{default_parallelism()}]")
+    spark = configure(builder, shuffle_partitions).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def ensure_utc(spark: SparkSession) -> SparkSession:
+    """Force deterministic event-time semantics on an externally-built
+    session (the verify driver builds its own). Runtime-settable."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark

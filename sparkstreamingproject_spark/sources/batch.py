@@ -1,0 +1,33 @@
+"""Batch sources (SURVEY.md §2.A, op A3).
+
+Parquet is the primary storage format (plays the role the reference
+gives Kafka topics + Redis/HBase tables). Scans are declarative so
+Catalyst applies predicate pushdown, column pruning, and partition
+pruning — at 100 TB the difference between scanning 3 columns of one
+date partition and scanning everything.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from ..schemas import TABLES
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_json_lines(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """JSON-lines with a declared schema (never schema inference — an
+    extra full pass at scale)."""
+    return spark.read.schema(schema).json(path)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}

@@ -1,0 +1,66 @@
+"""E2/E3/F3: the CDC fact/dim router (``OdsBaseDbApp.scala:76-182``).
+
+Fact rows are tagged with their dynamic topic (``upper(table)_op``) and
+written to a topic-partitioned sink; dim rows are upserted
+last-write-wins into per-table parquet dimension tables.
+
+F3 (per-batch re-read of routing config, ``OdsBaseDbApp.scala:82-99``):
+the config loader runs inside ``foreachBatch``, so edits to the config
+file take effect on the next micro-batch without a restart — the same
+dynamic-reconfiguration property the reference gets from re-reading
+Redis sets each batch, minus the external service.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.routing import dim_rows, map_cdc_optype
+from .dim_upsert import upsert_dim_parquet
+
+
+def load_routing_config(path: str) -> tuple[list[str], list[str]]:
+    """Routing config as a JSON file {"fact_tables": [...],
+    "dim_tables": [...]} — the FACT:TABLES / DIM:TABLES analog."""
+    with open(path) as f:
+        cfg = json.load(f)
+    return list(cfg.get("fact_tables", [])), list(cfg.get("dim_tables", []))
+
+
+def route_cdc_batch(batch: DataFrame, batch_id: int, out_dir: str,
+                    config_path: str) -> None:
+    fact_tables, dim_tables = load_routing_config(config_path)  # F3: per batch
+    batch.persist()
+    try:
+        if fact_tables:
+            fact = (batch
+                    .withColumn("op", map_cdc_optype())
+                    .filter(F.col("op").isNotNull())
+                    .filter(F.col("table").isin(*fact_tables))
+                    .select(F.concat(F.upper("table"), F.lit("_"), F.col("op"))
+                            .alias("topic"),
+                            F.to_json("data").alias("value")))
+            (fact.write.mode("append").partitionBy("topic")
+             .parquet(f"{out_dir}/facts"))
+        if dim_tables:
+            dims = dim_rows(batch, dim_tables)
+            for t in dim_tables:
+                one = dims.filter(F.col("table") == t)
+                upsert_dim_parquet(one, f"{out_dir}/dim/{t}",
+                                   key_cols=["id"], version_col="ts")
+    finally:
+        batch.unpersist()
+
+
+def route_cdc_stream(cdc_stream: DataFrame, out_dir: str, checkpoint: str,
+                     config_path: str, trigger_seconds: int = 5):
+    os.makedirs(out_dir, exist_ok=True)
+    return (cdc_stream.writeStream
+            .foreachBatch(lambda b, i: route_cdc_batch(b, i, out_dir, config_path))
+            .option("checkpointLocation", checkpoint)
+            .trigger(processingTime=f"{trigger_seconds} seconds")
+            .start())
