@@ -76,12 +76,16 @@ def brute_force_topk(candidates: DataFrame, queries: DataFrame, k: int = 5,
 
 def lsh_topk(candidates: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", emb_col: str = "embedding",
-             planes: list[list[float]] | None = None) -> DataFrame:
+             planes: list[list[float]] | None = None,
+             n_planes: int = 4) -> DataFrame:
     """ANN: score only candidates sharing the query's LSH bucket.
     The join is keyed on the bucket — per-bucket cross products instead
     of a full N×Q sweep. Recall/cost tunes via plane count (fewer planes
-    → bigger buckets → higher recall, more compute)."""
-    planes = planes or hyperplanes()
+    → bigger buckets → higher recall, more compute); the default 4
+    planes ≈ N/16 candidates per query. For higher recall at the same
+    cost, use multiple independent plane sets (OR-amplification) and
+    union the candidates."""
+    planes = planes or hyperplanes(n_planes)
     cb = lsh_bucket(candidates, emb_col, planes).select(
         F.col(id_col).alias("cand_id"), F.col(emb_col).alias("c_emb"), "bucket")
     qb = lsh_bucket(queries, emb_col, planes).select(

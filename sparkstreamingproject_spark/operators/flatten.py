@@ -133,8 +133,12 @@ PAGE_LOG_CONTEXT = [
 def start_log(env: DataFrame) -> DataFrame:
     """StartLog (15 cols, ``bean/StartLog.scala:3-21``): C3 filter at
     ``OdsBaseLogApp.scala:174-175``, field extraction ``:174-181``."""
+    ordered_common = ["mid", "user_id", "province_id", "channel", "is_new",
+                      "model", "operate_system", "version_code", "brand"]
+    by_dst = {dst: F.col(f"common.{src}").alias(dst)
+              for src, dst in COMMON_RENAMES.items()}
     return (env.filter(F.col("start").isNotNull())
-            .select(*common_cols(),
+            .select(*[by_dst[f] for f in ordered_common],
                     F.col("start.entry").alias("entry"),
                     F.col("start.open_ad_id").alias("open_ad_id"),
                     F.col("start.loading_time").alias("loading_time_ms"),

@@ -39,4 +39,9 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 
 def has_whole_stage_codegen(df: DataFrame) -> bool:
-    return "WholeStageCodegen" in explain_str(df)
+    """Under AQE, codegen stages exist only in the executed final plan —
+    materialize once, then inspect the executed plan."""
+    df.collect()
+    s = df._jdf.queryExecution().executedPlan().toString()  # type: ignore[attr-defined]
+    # codegen stages print as "*(N) Operator" in plan strings
+    return "WholeStageCodegen" in s or re.search(r"\*\(\d+\) ", s) is not None

@@ -57,10 +57,10 @@ def route_cdc_batch(batch: DataFrame, batch_id: int, out_dir: str,
 
 
 def route_cdc_stream(cdc_stream: DataFrame, out_dir: str, checkpoint: str,
-                     config_path: str, trigger_seconds: int = 5):
+                     config_path: str, trigger_seconds: int | None = 5):
+    from .split import _trigger
     os.makedirs(out_dir, exist_ok=True)
-    return (cdc_stream.writeStream
-            .foreachBatch(lambda b, i: route_cdc_batch(b, i, out_dir, config_path))
-            .option("checkpointLocation", checkpoint)
-            .trigger(processingTime=f"{trigger_seconds} seconds")
-            .start())
+    writer = (cdc_stream.writeStream
+              .foreachBatch(lambda b, i: route_cdc_batch(b, i, out_dir, config_path))
+              .option("checkpointLocation", checkpoint))
+    return _trigger(writer, trigger_seconds).start()

@@ -49,19 +49,26 @@ def write_split_batch(batch: DataFrame, batch_id: int, out_dir: str) -> None:
         batch.unpersist()
 
 
+def _trigger(writer, trigger_seconds: int | None):
+    """None → availableNow (drain-and-stop: tests, backfills);
+    int → the reference's 5-second micro-batch cadence."""
+    if trigger_seconds is None:
+        return writer.trigger(availableNow=True)
+    return writer.trigger(processingTime=f"{trigger_seconds} seconds")
+
+
 def split_log_stream_to_sinks(env_stream: DataFrame, out_dir: str,
-                              checkpoint: str, trigger_seconds: int = 5):
+                              checkpoint: str, trigger_seconds: int | None = 5):
     """Strategy 1: foreachBatch multi-sink (exactly the reference's
     topology, with offsets/commit handled by the checkpoint)."""
-    return (env_stream.writeStream
-            .foreachBatch(lambda b, i: write_split_batch(b, i, out_dir))
-            .option("checkpointLocation", checkpoint)
-            .trigger(processingTime=f"{trigger_seconds} seconds")
-            .start())
+    writer = (env_stream.writeStream
+              .foreachBatch(lambda b, i: write_split_batch(b, i, out_dir))
+              .option("checkpointLocation", checkpoint))
+    return _trigger(writer, trigger_seconds).start()
 
 
 def tagged_split_writer(env_stream: DataFrame, out_dir: str, checkpoint: str,
-                        trigger_seconds: int = 5):
+                        trigger_seconds: int | None = 5):
     """Strategy 2: single tagged pass, partitioned sink. Parent-level
     records only (display/action children need the explode operators —
     run those as their own tagged streams when consumers want them)."""
@@ -70,9 +77,8 @@ def tagged_split_writer(env_stream: DataFrame, out_dir: str, checkpoint: str,
               .when(F.col("start").isNotNull(), TOPIC_START)
               .otherwise("DWD_OTHER"))
     tagged = env_stream.withColumn("topic", label)
-    return (tagged.writeStream.format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", checkpoint)
-            .partitionBy("topic")
-            .trigger(processingTime=f"{trigger_seconds} seconds")
-            .start())
+    writer = (tagged.writeStream.format("parquet")
+              .option("path", out_dir)
+              .option("checkpointLocation", checkpoint)
+              .partitionBy("topic"))
+    return _trigger(writer, trigger_seconds).start()

@@ -1,0 +1,110 @@
+"""LLM-pipeline operator tests beyond the oracle: LSH recall vs brute
+force, MinHash-vs-Jaccard consistency, multimodal plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkstreamingproject_spark.llm.dedup import (
+    exact_dedup, jaccard_pairs, lsh_candidate_pairs, simhash,
+)
+from sparkstreamingproject_spark.llm.multimodal import (
+    FEATURE_DIM, attach_payload, extract_features,
+)
+from sparkstreamingproject_spark.llm.similarity import (
+    brute_force_topk, lsh_bucket, lsh_topk,
+)
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_minhash_lsh_finds_high_jaccard_pairs(spark, sf_dir):
+    """Every pair with Jaccard ≥ 0.9 must appear among LSH candidates
+    (with 4 bands × 2 rows, P[miss] = (1-s²)⁴ ≈ 0.1% at s=0.9)."""
+    docs = _docs(spark, sf_dir)
+    truth = {(r["id_a"], r["id_b"])
+             for r in jaccard_pairs(docs, threshold=0.9).collect()}
+    cand = {(r["id_a"], r["id_b"])
+            for r in lsh_candidate_pairs(docs).collect()}
+    assert truth, "fixture should contain planted near-duplicates"
+    missed = truth - cand
+    assert len(missed) <= max(1, len(truth) // 10), f"LSH missed {missed}"
+
+
+def test_exact_dedup_keeps_min_id(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    dup = docs.union(docs.limit(5))  # plant 5 exact duplicates
+    res = exact_dedup(dup)
+    assert res.filter(F.col("n_copies") == 2).count() == 5
+    assert res.count() == docs.count()
+
+
+def test_simhash_similar_docs_close(spark, sf_dir):
+    """Near-identical docs (Jaccard ≥ 0.95) should have SimHash hamming
+    distance well below random (~8 for 16 bits)."""
+    docs = _docs(spark, sf_dir)
+    pairs = jaccard_pairs(docs, threshold=0.95).limit(20)
+    sh = simhash(docs)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"))
+    joined = pairs.join(a, "id_a").join(b, "id_b").select(
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"))
+    rows = joined.collect()
+    if rows:
+        avg = sum(r["hamming"] for r in rows) / len(rows)
+        assert avg <= 4, f"avg hamming {avg} too high for near-dups"
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, k=5)
+    approx = lsh_topk(emb, queries, k=5)
+    # ANN results must be a subset of the candidate space and
+    # well-formed; recall vs exact is data-dependent — require > 0
+    exact_set = {(r["query_id"], r["cand_id"]) for r in exact.collect()}
+    approx_set = {(r["query_id"], r["cand_id"]) for r in approx.collect()}
+    assert approx_set, "LSH top-k returned nothing"
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall > 0.05, f"recall {recall} suspiciously low"
+
+
+def test_lsh_bucket_deterministic(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    b1 = {r["vec_id"]: r["bucket"] for r in lsh_bucket(emb).select("vec_id", "bucket").collect()}
+    b2 = {r["vec_id"]: r["bucket"] for r in lsh_bucket(emb).select("vec_id", "bucket").collect()}
+    assert b1 == b2
+    assert all(len(v) == 8 and set(v) <= {"0", "1"} for v in b1.values())
+
+
+def test_multimodal_feature_extraction_plumbing(spark, sf_dir):
+    """binary → mapInPandas → typed feature vectors: schema, batch
+    shape, determinism (decode itself is the documented stub)."""
+    docs = _docs(spark, sf_dir).limit(50)
+    media = attach_payload(docs)
+    assert dict(media.dtypes)["payload"] == "binary"
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 50
+    assert all(len(r["feature"]) == FEATURE_DIM for r in rows)
+    assert all(r["byte_len"] > 0 for r in rows)
+    # deterministic across runs
+    again = {r["doc_id"]: r["feature"] for r in extract_features(media).collect()}
+    assert all(again[r["doc_id"]] == r["feature"] for r in rows)
+
+
+def test_payload_pruned_from_metadata_query(spark, sf_dir):
+    """Metadata queries must not read the heavy binary column — the
+    whole point of the multimodal column layout."""
+    docs = _docs(spark, sf_dir)
+    media = attach_payload(docs)
+    meta_only = media.select("doc_id", "media_type")
+    from sparkstreamingproject_spark.plans.inspect import scan_columns
+    cols = scan_columns(meta_only)
+    assert "text" not in cols or cols == []  # payload derives from text

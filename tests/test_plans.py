@@ -1,0 +1,74 @@
+"""Physical-plan quality gates — the 100 TB posture, asserted.
+
+Correct results with a bad plan fail these tests: filters must reach
+the parquet scan, projections must prune the read schema, dim joins
+must broadcast, hot paths must stay in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkstreamingproject_spark.plans.inspect import (
+    explain_str, has_broadcast_join, has_whole_stage_codegen,
+    pushed_filters, scan_columns,
+)
+from sparkstreamingproject_spark.queries import REGISTRY
+
+
+def test_point_lookup_pushes_down(spark, sf_dir):
+    df = REGISTRY["kv_get"].fn(spark, sf_dir)
+    assert "c_custkey" in pushed_filters(df)
+
+
+def test_range_scan_pushes_down(spark, sf_dir):
+    df = REGISTRY["kv_range_scan"].fn(spark, sf_dir)
+    pf = pushed_filters(df)
+    assert "GreaterThanOrEqual" in pf and "LessThan" in pf
+
+
+def test_projection_prunes_scan(spark, sf_dir):
+    df = REGISTRY["source_file_batch"].fn(spark, sf_dir)
+    cols = set(scan_columns(df))
+    assert cols == {"l_orderkey", "l_partkey", "l_quantity"}, cols
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    df = REGISTRY["join_broadcast_dim_enrich"].fn(spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_q5_broadcasts_dims(spark, sf_dir):
+    df = REGISTRY["join_local_supplier_volume"].fn(spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_flagship_stays_in_codegen(spark, sf_dir):
+    df = REGISTRY["split_5way_log"].fn(spark, sf_dir)
+    assert has_whole_stage_codegen(df)
+    assert "BatchEvalPython" not in explain_str(df)  # no row-at-a-time Python
+
+
+def test_no_python_udfs_in_relational_core(spark, sf_dir):
+    for name in ["agg_pricing_summary", "join_shipping_priority",
+                 "window_running_sum", "dedup_minhash_lsh", "dedup_simhash",
+                 "text_quality_score"]:
+        plan = explain_str(REGISTRY[name].fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, f"{name} fell off the JVM path"
+
+
+def test_topn_uses_heap_not_global_sort(spark, sf_dir):
+    df = REGISTRY["sort_limit_topn"].fn(spark, sf_dir)
+    assert "TakeOrderedAndProject" in explain_str(df)
+
+
+def test_date_filter_pushes_down(spark, sf_dir):
+    df = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .filter(F.col("l_shipdate") > "1998-03-15")
+          .select("l_orderkey"))
+    assert "l_shipdate" in pushed_filters(df)
+
+
+def test_codegen_everywhere_cheap(spark, sf_dir):
+    for name in ["json_parse", "ts_tumbling_window", "kv_zset_ops"]:
+        assert has_whole_stage_codegen(REGISTRY[name].fn(spark, sf_dir)), name

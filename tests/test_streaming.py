@@ -1,0 +1,175 @@
+"""Structured Streaming job tests (SURVEY.md §5.3).
+
+Each streaming op is driven with a file-source stream (the Kafka
+stand-in — identical DataFrame surface) under ``availableNow`` triggers,
+and its output asserted against the batch-equivalent computation on the
+same data — the verification strategy SURVEY.md §5 prescribes.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkstreamingproject_spark.operators.flatten import (
+    explode_actions, explode_displays, page_log, start_log, error_log,
+)
+from sparkstreamingproject_spark.operators.routing import (
+    TOPIC_ACTION, TOPIC_DISPLAY, TOPIC_ERROR, TOPIC_PAGE, TOPIC_START,
+)
+from sparkstreamingproject_spark.schemas import CDC_ENVELOPE_SCHEMA, LOG_ENVELOPE_SCHEMA
+from sparkstreamingproject_spark.sources.streams import file_stream
+from sparkstreamingproject_spark.streaming.cdc_router import route_cdc_stream
+from sparkstreamingproject_spark.streaming.dim_upsert import upsert_dim_parquet
+from sparkstreamingproject_spark.streaming.split import (
+    split_log_stream_to_sinks, tagged_split_writer,
+)
+
+from .fixtures import cdc_df, log_envelope_df
+
+
+@pytest.fixture()
+def land_logs(spark, tmp_path):
+    """Write envelope fixtures as the streaming landing zone."""
+    src = str(tmp_path / "land")
+    log_envelope_df(spark, n=200).coalesce(2).write.parquet(src)
+    return src
+
+
+def test_split_5way_stream_matches_batch(spark, tmp_path, land_logs):
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    stream = file_stream(spark, land_logs, LOG_ENVELOPE_SCHEMA)
+    q = split_log_stream_to_sinks(stream, out, ck, trigger_seconds=None)
+    q.awaitTermination(120)
+
+    batch_env = spark.read.parquet(land_logs)
+    expected = {
+        TOPIC_ERROR: error_log(batch_env).count(),
+        TOPIC_PAGE: page_log(batch_env).count(),
+        TOPIC_DISPLAY: explode_displays(batch_env).count(),
+        TOPIC_ACTION: explode_actions(batch_env).count(),
+        TOPIC_START: start_log(batch_env).count(),
+    }
+    for topic, n in expected.items():
+        got = spark.read.parquet(f"{out}/{topic}").count()
+        assert got == n, f"{topic}: stream={got} batch={n}"
+
+
+def test_split_stream_resume_is_incremental(spark, tmp_path, land_logs):
+    """F1/F2: the checkpoint resumes where the last run committed —
+    re-running over the same landing zone adds nothing; new files add
+    exactly their own records (at-least-once, no reprocessing)."""
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    stream = file_stream(spark, land_logs, LOG_ENVELOPE_SCHEMA)
+    split_log_stream_to_sinks(stream, out, ck, trigger_seconds=None).awaitTermination(120)
+    n1 = spark.read.parquet(f"{out}/{TOPIC_PAGE}").count()
+
+    # resume with no new input: nothing re-emitted
+    stream2 = file_stream(spark, land_logs, LOG_ENVELOPE_SCHEMA)
+    split_log_stream_to_sinks(stream2, out, ck, trigger_seconds=None).awaitTermination(120)
+    assert spark.read.parquet(f"{out}/{TOPIC_PAGE}").count() == n1
+
+    # new landing file: only its records appear
+    log_envelope_df(spark, n=40, seed=99).coalesce(1).write.mode("append").parquet(land_logs)
+    stream3 = file_stream(spark, land_logs, LOG_ENVELOPE_SCHEMA)
+    split_log_stream_to_sinks(stream3, out, ck, trigger_seconds=None).awaitTermination(120)
+    n3 = spark.read.parquet(f"{out}/{TOPIC_PAGE}").count()
+    added = page_log(log_envelope_df(spark, n=40, seed=99)).count()
+    assert n3 == n1 + added
+
+
+def test_tagged_split_writer_partitions(spark, tmp_path, land_logs):
+    out = str(tmp_path / "tagged")
+    ck = str(tmp_path / "ck2")
+    stream = file_stream(spark, land_logs, LOG_ENVELOPE_SCHEMA)
+    tagged_split_writer(stream, out, ck, trigger_seconds=None).awaitTermination(120)
+    df = spark.read.parquet(out)
+    topics = {r["topic"] for r in df.select("topic").distinct().collect()}
+    assert TOPIC_ERROR in topics and (TOPIC_PAGE in topics or TOPIC_START in topics)
+    assert df.count() == spark.read.parquet(land_logs).count()
+
+
+def test_cdc_router_facts_and_dims(spark, tmp_path):
+    src = str(tmp_path / "cdc_land")
+    cdc_df(spark, n=100).coalesce(1).write.parquet(src)
+    cfg = tmp_path / "routing.json"
+    cfg.write_text(json.dumps({"fact_tables": ["order_info", "order_detail"],
+                               "dim_tables": ["user_info", "base_province"]}))
+    out = str(tmp_path / "routed")
+    ck = str(tmp_path / "ck3")
+    stream = file_stream(spark, src, CDC_ENVELOPE_SCHEMA)
+    route_cdc_stream(stream, out, ck, str(cfg), trigger_seconds=None).awaitTermination(120)
+
+    batch = spark.read.parquet(src)
+    kept = batch.filter(F.col("type").isin("insert", "update", "bootstrap-insert"))
+    facts = spark.read.parquet(f"{out}/facts")
+    exp_facts = kept.filter(F.col("table").isin("order_info", "order_detail")).count()
+    assert facts.count() == exp_facts
+    # dynamic topic names: UPPER(table)_op
+    topics = {r["topic"] for r in facts.select("topic").distinct().collect()}
+    assert topics <= {"ORDER_INFO_I", "ORDER_INFO_U", "ORDER_DETAIL_I", "ORDER_DETAIL_U"}
+
+    # dim store holds exactly one (latest) row per id
+    dim = spark.read.parquet(f"{out}/dim/user_info")
+    assert dim.groupBy("id").count().filter(F.col("count") > 1).count() == 0
+    # last-write-wins: the stored ts is the max ts per id
+    src_latest = (kept.filter(F.col("table") == "user_info")
+                  .groupBy(F.col("data")["id"].alias("id"))
+                  .agg(F.max("ts").alias("max_ts")))
+    joined = dim.join(src_latest, "id").filter(F.col("ts") != F.col("max_ts"))
+    assert joined.count() == 0
+
+
+def test_dim_upsert_lww_across_batches(spark, tmp_path):
+    """E3 determinism: two successive update batches end in the newest
+    value per key regardless of batch internal order."""
+    table_dir = str(tmp_path / "dim_t")
+    b1 = spark.createDataFrame(
+        [("1", "alice", 100), ("2", "bob", 100)], "id string, name string, ts long")
+    b2 = spark.createDataFrame(
+        [("1", "alice2", 200), ("3", "carol", 150), ("1", "alice3", 50)],
+        "id string, name string, ts long")
+    upsert_dim_parquet(b1, table_dir, ["id"], "ts")
+    upsert_dim_parquet(b2, table_dir, ["id"], "ts")
+    got = {r["id"]: (r["name"], r["ts"]) for r in spark.read.parquet(table_dir).collect()}
+    assert got == {"1": ("alice2", 200), "2": ("bob", 100), "3": ("carol", 150)}
+
+
+def test_windowed_stream_matches_batch(spark, tmp_path):
+    """Tumbling window over a file stream == batch groupBy on the same
+    data (the §5.1 batch-first verification contract)."""
+    from sparkstreamingproject_spark.streaming.windows import tumbling_counts
+    src = str(tmp_path / "ev_land")
+    rows = [(i, 1_700_000_000_000_000 + i * 60_000_000, f"u{i % 5}") for i in range(240)]
+    df = spark.createDataFrame(rows, "event_id long, ts_us long, user string") \
+        .select("event_id", F.timestamp_micros("ts_us").alias("ts"), "user")
+    df.coalesce(1).write.parquet(src)
+
+    stream = file_stream(spark, src, df.schema)
+    out = str(tmp_path / "win_out")
+    ck = str(tmp_path / "ck4")
+    q = (tumbling_counts(stream, "ts", "1 hour", "1 hour")
+         .writeStream.format("parquet").outputMode("append")
+         .option("path", out).option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    batch = (spark.read.parquet(src)
+             .groupBy(F.window("ts", "1 hour").alias("w"))
+             .agg(F.count("*").alias("n"))
+             .select(F.col("w.start").alias("window_start"), "n"))
+    # append mode only emits windows closed by the watermark; every
+    # emitted window must match the batch result exactly
+    diff = got.join(batch, ["window_start"]).filter("got_n != n") \
+        if "got_n" in got.columns else got.alias("g").join(
+            batch.alias("b"), "window_start").filter(F.col("g.n") != F.col("b.n"))
+    assert diff.count() == 0
+    # append mode withholds windows not yet closed by the watermark
+    # (watermark = max event time - 1h ⇒ up to 2 open windows withheld)
+    assert got.count() >= batch.count() - 2
+    assert got.count() >= 1
