@@ -366,3 +366,55 @@ def scalar_functions(spark, sf_dir):
         F.col("n_regionkey").cast("long").alias("region_long"),
         F.coalesce(F.lit(None), F.col("n_name"), F.lit("missing")).alias("coalesced"),
     )
+
+
+# --- G2/E3 kv_put: merge-style upsert --------------------------------------------
+
+
+@register(
+    "kv_put_upsert",
+    oracle="""
+    WITH updates AS (
+      SELECT c_custkey, c_name, round(c_acctbal + 1000.0, 2) AS c_acctbal, 2 AS version
+      FROM customer WHERE c_custkey <= 10),
+    base AS (
+      SELECT c_custkey, c_name, c_acctbal, 1 AS version FROM customer),
+    merged AS (
+      SELECT *, row_number() OVER (PARTITION BY c_custkey
+                                   ORDER BY version DESC) AS rn
+      FROM (SELECT * FROM base UNION ALL SELECT * FROM updates))
+    SELECT c_custkey, c_name, c_acctbal, version
+    FROM merged WHERE rn = 1
+    """,
+    tags=("kv", "upsert"),
+)
+def kv_put_upsert(spark, sf_dir):
+    """G2 single-cell put (``HbaseDML.java:116-124``) generalized to a
+    MERGE-shaped upsert: union(base, updates) → keep highest version
+    per key (the ``operators.kv.kv_upsert`` primitive). One shuffle on
+    the key; at scale this is the CDC-compaction/MERGE INTO pattern."""
+    from ..operators.kv import kv_upsert
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    base = c.withColumn("version", F.lit(1))
+    updates = (c.filter(F.col("c_custkey") <= 10)
+               .withColumn("c_acctbal", F.round(F.col("c_acctbal") + 1000.0, 2))
+               .withColumn("version", F.lit(2)))
+    return kv_upsert(base, updates, ["c_custkey"], "version")
+
+
+# --- G4 kv_delete -----------------------------------------------------------------
+
+
+@register(
+    "kv_delete",
+    oracle="""
+    SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey != 3
+    """,
+    tags=("kv",),
+)
+def kv_delete_q(spark, sf_dir):
+    """G4 delete-by-key (``HbaseDML.java:152-162``) — anti-predicate;
+    on a DML table format this is DELETE WHERE."""
+    from ..operators.kv import kv_delete
+    return (kv_delete(table(spark, sf_dir, "supplier"), "s_suppkey", 3)
+            .select("s_suppkey", "s_name"))
