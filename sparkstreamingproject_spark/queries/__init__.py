@@ -13,5 +13,6 @@ from . import reference_ops  # noqa: E402,F401
 from . import relational  # noqa: E402,F401
 from . import timeseries  # noqa: E402,F401
 from . import llm  # noqa: E402,F401
+from . import extended  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QUERIES", "ORACLES"]
