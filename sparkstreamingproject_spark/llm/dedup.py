@@ -76,13 +76,36 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def pairs_from_postings(df: DataFrame, key_cols: list[str],
+                        id_col: str) -> DataFrame:
+    """Candidate pairs from posting lists: group ids by key, emit all
+    (a < b) combinations per key with array higher-order functions.
+
+    vs a key-keyed self-join this is ONE shuffle instead of two (each
+    join side shuffles) and never materializes the N×N join hash table.
+    The quadratic blow-up on a hot key is inherent to the semantics;
+    at scale, cap posting-list size (drop stop-shingles) before this.
+    Output may contain a pair once per shared key — callers dedup or
+    count as their semantics need.
+    """
+    lists = (df.groupBy(*key_cols)
+             .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
+             .filter(F.size("ids") >= 2))
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> struct(x AS id_a, y AS id_b))))")
+    return (lists.select(F.explode(pair_expr).alias("p"))
+            .select("p.id_a", "p.id_b"))
+
+
 def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text",
                         n_hashes: int = N_MINHASH, bands: int = LSH_BANDS) -> DataFrame:
-    """MinHash-LSH candidate pairs: signatures → band keys → self-join
-    within band buckets. Docs agreeing on all rows of any band collide.
-    The join is keyed on (band, key) so only true collisions ever meet —
-    the scale path for near-dedup at 100 TB.
+    """MinHash-LSH candidate pairs: signatures → band keys → pairs from
+    per-bucket posting lists. Docs agreeing on all rows of any band
+    collide; only true collisions ever meet — the scale path for
+    near-dedup at 100 TB.
     """
     rows = n_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n_hashes)
@@ -93,14 +116,7 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     ])
     banded = (sig.select(F.col(id_col), F.explode(band_structs).alias("bk"))
               .select(id_col, "bk.band", "bk.key"))
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (a.join(b, (F.col("a.band") == F.col("b.band")) &
-                      (F.col("a.key") == F.col("b.key")) &
-                      (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-            .select(F.col(f"a.{id_col}").alias("id_a"),
-                    F.col(f"b.{id_col}").alias("id_b"))
-            .distinct())
+    return pairs_from_postings(banded, ["band", "key"], id_col).distinct()
 
 
 def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
@@ -114,11 +130,10 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     """
     sh = word_shingles(df, id_col, text_col)
     counts = sh.groupBy(id_col).agg(F.count("*").alias("c"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle")) &
-                       (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-             .groupBy(F.col(f"a.{id_col}").alias("id_a"),
-                      F.col(f"b.{id_col}").alias("id_b"))
+    # each shared shingle contributes one pair occurrence → the pair
+    # count IS the intersection size
+    inter = (pairs_from_postings(sh, ["shingle"], id_col)
+             .groupBy("id_a", "id_b")
              .agg(F.count("*").alias("i")))
     ca = counts.select(F.col(id_col).alias("id_a"), F.col("c").alias("ca"))
     cb = counts.select(F.col(id_col).alias("id_b"), F.col("c").alias("cb"))

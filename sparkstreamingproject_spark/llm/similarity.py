@@ -124,8 +124,7 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.3,
     import pandas as pd
 
     spark = df.sparkSession
-    rows = (df.select(F.col(id_col), F.col(emb_col))
-            .orderBy(id_col).collect())
+    rows = df.select(F.col(id_col), F.col(emb_col)).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
