@@ -33,6 +33,26 @@ def anti_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
     return left.join(right, on=on, how="left_anti")
 
 
+def salted_join(left: DataFrame, right: DataFrame, key: str,
+                salt_buckets: int = 8, how: str = "inner") -> DataFrame:
+    """Skew-mitigated equi-join: salt the skewed (left) side's key with
+    a random bucket, replicate the right side across all buckets, join
+    on (key, salt). A hot key that would land on one reducer spreads
+    over ``salt_buckets`` of them.
+
+    AQE's skew-join splitting handles most cases automatically; explicit
+    salting remains for the pathological single-key hot spot (e.g. the
+    null/default key) where even a split partition is one key. Columns
+    returned = left ∪ right (salt dropped).
+    """
+    salt = (F.abs(F.hash(F.monotonically_increasing_id())) % salt_buckets)
+    lsalted = left.withColumn("_salt", salt)
+    rrep = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])))
+    out = lsalted.join(rrep, [key, "_salt"], how)
+    return out.drop("_salt")
+
+
 def dedup_last_per_key(df: DataFrame, key_cols: list[str], version_col: str) -> DataFrame:
     """Keep the newest row per key — used by dim upsert (E3) and CDC
     compaction. Explicit version ordering, not arrival order."""

@@ -246,3 +246,125 @@ def multimodal_payload_b64(spark, sf_dir):
     return d.select("doc_id",
                     b64.alias("payload_b64"),
                     F.length(payload).cast("long").alias("byte_len"))
+
+
+@register(
+    "agg_median_percentiles",
+    oracle="""
+    SELECT c_mktsegment,
+           round(quantile_cont(c_acctbal, 0.25), 4) AS p25,
+           round(quantile_cont(c_acctbal, 0.5), 4) AS median,
+           round(quantile_cont(c_acctbal, 0.75), 4) AS p75,
+           count(*) AS n
+    FROM customer GROUP BY c_mktsegment
+    """,
+    tags=("agg",),
+)
+def agg_median_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (both engines use the
+    same linear-interpolation definition). At extreme scale swap for
+    approx_percentile (t-digest) — same call shape."""
+    c = table(spark, sf_dir, "customer")
+    return (c.groupBy("c_mktsegment")
+            .agg(F.round(F.expr("percentile(c_acctbal, 0.25)"), 4).alias("p25"),
+                 F.round(F.expr("percentile(c_acctbal, 0.5)"), 4).alias("median"),
+                 F.round(F.expr("percentile(c_acctbal, 0.75)"), 4).alias("p75"),
+                 F.count("*").alias("n")))
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+           count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+           count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg",),
+)
+def agg_pivot(spark, sf_dir):
+    """PIVOT with an explicit value list (never let pivot scan for
+    distinct values at scale — that's an extra full pass)."""
+    return (table(spark, sf_dir, "orders")
+            .groupBy("o_orderpriority")
+            .pivot("o_orderstatus", ["O", "F", "P"])
+            .count()
+            .select("o_orderpriority",
+                    F.coalesce("O", F.lit(0)).alias("O"),
+                    F.coalesce("F", F.lit(0)).alias("F"),
+                    F.coalesce("P", F.lit(0)).alias("P")))
+
+
+@register(
+    "explode_with_position",
+    oracle="""
+    SELECT doc_id,
+           unnest(range(0, len(string_split(text, ' ')))) AS pos,
+           unnest(string_split(text, ' ')) AS word
+    FROM documents WHERE doc_id < 50
+    """,
+    tags=("explode",),
+)
+def explode_with_position(spark, sf_dir):
+    """posexplode: array → (position, element) rows — the ordinal
+    variant of D1 (order column in PageDisplayLog is exactly this)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return (d.select("doc_id",
+                     F.posexplode(F.split("text", " ")).alias("pos", "word"))
+            .select("doc_id", F.col("pos").cast("long").alias("pos"), "word"))
+
+
+@register(
+    "null_functions",
+    oracle="""
+    SELECT o_orderkey,
+           nullif(o_orderstatus, 'P') AS st_or_null,
+           coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS st_filled,
+           (o_orderstatus IS DISTINCT FROM 'P') AS not_pending,
+           CASE WHEN o_orderstatus IS NULL THEN 'null' ELSE 'set' END AS null_class
+    FROM orders WHERE o_orderkey <= 300
+    """,
+    tags=("scalar",),
+)
+def null_functions(spark, sf_dir):
+    """Null-handling family (H5 extended): nullif / coalesce /
+    null-safe comparison / null classification."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 300)
+    return o.select(
+        "o_orderkey",
+        F.expr("nullif(o_orderstatus, 'P')").alias("st_or_null"),
+        F.coalesce(F.expr("nullif(o_orderstatus, 'P')"), F.lit("PENDING"))
+        .alias("st_filled"),
+        (~F.col("o_orderstatus").eqNullSafe("P")).alias("not_pending"),
+        F.when(F.col("o_orderstatus").isNull(), "null").otherwise("set")
+        .alias("null_class"),
+    )
+
+
+@register(
+    "sim_ann_ivf_cells",
+    oracle="""
+    WITH cents AS (
+      SELECT vec_id AS cell, embedding AS c_emb FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT e.vec_id, c.cell,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(c.c_emb AS DOUBLE[])), 6) AS sim
+      FROM embeddings e CROSS JOIN cents c),
+    ranked AS (
+      SELECT vec_id, cell,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, cell) AS rn
+      FROM scored)
+    SELECT vec_id, cell FROM ranked WHERE rn = 1
+    """,
+    tags=("llm", "similarity"),
+)
+def sim_ann_ivf_cells(spark, sf_dir):
+    """IVF coarse assignment (the second ANN scale path next to LSH):
+    nearest-centroid cell per vector. Search over nprobe cells is
+    exercised in tests/test_llm.py (ivf_topk recall)."""
+    from ..llm.similarity import ivf_assign
+    emb = table(spark, sf_dir, "embeddings")
+    return ivf_assign(emb).select("vec_id", "cell")

@@ -108,3 +108,16 @@ def test_payload_pruned_from_metadata_query(spark, sf_dir):
     from sparkstreamingproject_spark.plans.inspect import scan_columns
     cols = scan_columns(meta_only)
     assert "text" not in cols or cols == []  # payload derives from text
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    from sparkstreamingproject_spark.llm.similarity import ivf_topk
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id").between(10, 19))
+    exact = brute_force_topk(emb, queries, k=5)
+    approx = ivf_topk(emb, queries, k=5, nprobe=2)
+    exact_set = {(r["query_id"], r["cand_id"]) for r in exact.collect()}
+    approx_set = {(r["query_id"], r["cand_id"]) for r in approx.collect()}
+    assert approx_set
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.3, f"IVF nprobe=2 recall {recall} too low"
