@@ -46,10 +46,6 @@ HEADLINE = [
     "json_parse",
 ]
 
-# results larger than this are counted, not collected (driver memory)
-COLLECT_LIMIT_ROWS = 2_000_000
-
-
 def main() -> None:
     spark = get_spark("sparkstreamingproject-bench")
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
@@ -62,9 +58,8 @@ def main() -> None:
         fn = REGISTRY[name].fn
         t0 = time.perf_counter()
         df = fn(spark, SF_DIR)
-        n = df.count()
-        if n <= COLLECT_LIMIT_ROWS:
-            df.collect()
+        rows = df.collect()  # one full execution, result to driver
+        assert rows is not None
         times[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(times.values()), 3)

@@ -50,7 +50,27 @@ def ORACLES() -> dict[str, str]:
     return {n: s.oracle for n, s in REGISTRY.items() if s.oracle is not None}
 
 
+_TUNED_SESSIONS: set[int] = set()
+
+
+def _tune(spark: SparkSession) -> None:
+    """Apply runtime-settable engine confs to an externally-built
+    session (the verify driver constructs its own SparkSession with
+    library defaults — 200 shuffle partitions, AQE per version default).
+    Idempotent per session."""
+    key = id(spark)
+    if key in _TUNED_SESSIONS:
+        return
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    import os
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    _TUNED_SESSIONS.add(key)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _tune(spark)
     if name == "events":
         # events.parquet stores TIMESTAMP(NANOS) which Spark's reader
         # rejects; read as int64 nanos and floor-divide to micros — the

@@ -307,3 +307,53 @@ def multimodal_meta(spark, sf_dir):
     media = attach_payload(table(spark, sf_dir, "documents"))
     return media.select("doc_id", "media_type", "byte_len",
                         F.md5(F.col("payload").cast("string")).alias("content_hash"))
+
+
+@register(
+    "text_search_match",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+    hits AS (
+      SELECT doc_id, count(*) AS tf, count(DISTINCT word) AS matched_terms
+      FROM words WHERE word IN ('spark', 'join', 'fast', 'window')
+      GROUP BY doc_id)
+    SELECT doc_id, tf, matched_terms
+    FROM hits ORDER BY tf DESC, doc_id LIMIT 20
+    """,
+    tags=("llm", "text", "search"),
+)
+def text_search_match(spark, sf_dir):
+    """Search-style text match (the elasticsearch-dependency surface,
+    SURVEY.md §2.I): term-frequency scoring of a query against the
+    corpus, top-N. At scale the words relation is a materialized
+    inverted index partitioned by term — the query becomes an index
+    probe instead of a corpus scan."""
+    terms = ["spark", "join", "fast", "window"]
+    words = (table(spark, sf_dir, "documents")
+             .select("doc_id", F.explode(F.split("text", " ")).alias("word")))
+    hits = (words.filter(F.col("word").isin(*terms))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("tf"),
+                 F.countDistinct("word").alias("matched_terms")))
+    return hits.orderBy(F.col("tf").desc(), "doc_id").limit(20)
+
+
+@register(
+    "pandas_grouped_zscore",
+    oracle="""
+    SELECT event_id, user_id,
+           round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 4) AS z
+    FROM events
+    WINDOW w AS (PARTITION BY user_id)
+    """,
+    tags=("llm", "pandas"),
+)
+def pandas_grouped_zscore(spark, sf_dir):
+    """applyInPandas grouped-map op verified against the SQL window
+    formulation — the harness that lets genuinely non-SQL per-group
+    Python (model scoring, sklearn transforms) ship with the same
+    verification as JVM operators."""
+    from ..llm.features import zscore_normalize
+    ev = table(spark, sf_dir, "events")
+    return zscore_normalize(ev, "user_id", "event_id", "value")

@@ -1,0 +1,55 @@
+"""Property-based spot checks (SURVEY.md §5.4) with hypothesis."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from sparkstreamingproject_spark.operators.flatten import (
+    explode_displays, pack_json, parse_log_envelope,
+)
+from sparkstreamingproject_spark.schemas import LOG_ENVELOPE_SCHEMA
+
+word = st.text(alphabet="abcdefghij", min_size=1, max_size=8)
+
+
+@st.composite
+def envelope(draw):
+    n_disp = draw(st.integers(0, 4))
+    has_page = draw(st.booleans())
+    return {
+        "common": {k: draw(word) for k in
+                   ["ar", "ba", "ch", "is_new", "md", "mid", "os", "uid", "vc"]},
+        "page": ({"during_time": draw(st.integers(0, 10**6)),
+                  "item": draw(word), "item_type": draw(word),
+                  "last_page_id": draw(st.none() | word),
+                  "page_id": draw(word), "source_type": draw(st.none() | word)}
+                 if has_page else None),
+        "displays": ([{"display_type": draw(word), "item": draw(word),
+                       "item_type": draw(word), "order": str(i),
+                       "pos_id": draw(word)} for i in range(n_disp)]
+                     if has_page and n_disp else None),
+        "actions": None,
+        "start": None,
+        "err": draw(st.none() | st.just('{"code":1}')),
+        "ts": draw(st.integers(10**12, 2 * 10**12)),
+    }
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(envelope(), min_size=1, max_size=8))
+def test_roundtrip_and_explode_invariant(spark, rows):
+    env = spark.createDataFrame(rows, LOG_ENVELOPE_SCHEMA)
+    # to_json ∘ from_json = id on the envelope's parsed fields
+    packed = env.select(F.to_json(F.struct(*env.columns)).alias("value"))
+    reparsed = parse_log_envelope(packed)
+    assert reparsed.count() == env.count()
+    orig_mids = sorted(r["mid"] for r in env.select("common.mid").collect())
+    rt_mids = sorted(r["mid"] for r in reparsed.select("common.mid").collect())
+    assert orig_mids == rt_mids
+    # explode child count == sum of array sizes over page-bearing rows
+    expected = sum(len(r["displays"] or [])
+                   for r in rows if r["page"] is not None)
+    assert explode_displays(env).count() == expected
+    # pack_json emits one JSON line per input row
+    assert pack_json(env.select("ts", "err")).count() == len(rows)
