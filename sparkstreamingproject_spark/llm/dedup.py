@@ -129,10 +129,22 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     flip membership between engines.
     """
     sh = word_shingles(df, id_col, text_col)
-    counts = sh.groupBy(id_col).agg(F.count("*").alias("c"))
+    # one grouping of shingles feeds BOTH per-doc counts and pair
+    # generation — identical subtrees, so Spark reuses the shuffle
+    # (ReusedExchange) instead of re-scanning + re-exploding the corpus
+    lists = (sh.groupBy("shingle")
+             .agg(F.sort_array(F.collect_set(id_col)).alias("ids")))
+    counts = (lists.select(F.explode("ids").alias(id_col))
+              .groupBy(id_col).agg(F.count("*").alias("c")))
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> struct(x AS id_a, y AS id_b))))")
     # each shared shingle contributes one pair occurrence → the pair
     # count IS the intersection size
-    inter = (pairs_from_postings(sh, ["shingle"], id_col)
+    inter = (lists.filter(F.size("ids") >= 2)
+             .select(F.explode(pair_expr).alias("p"))
+             .select("p.id_a", "p.id_b")
              .groupBy("id_a", "id_b")
              .agg(F.count("*").alias("i")))
     ca = counts.select(F.col(id_col).alias("id_a"), F.col("c").alias("ca"))

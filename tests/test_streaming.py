@@ -173,3 +173,26 @@ def test_windowed_stream_matches_batch(spark, tmp_path):
     # (watermark = max event time - 1h ⇒ up to 2 open windows withheld)
     assert got.count() >= batch.count() - 2
     assert got.count() >= 1
+
+
+def test_idempotent_foreach_batch_skips_replay(spark, tmp_path):
+    """Replaying a committed batch_id must not double-write; an
+    uncommitted batch_id must write."""
+    from sparkstreamingproject_spark.streaming.idempotent import (
+        idempotent_foreach_batch,
+    )
+    out = str(tmp_path / "sink")
+    markers = str(tmp_path / "markers")
+    writes = []
+
+    def write(batch_df, batch_id):
+        writes.append(batch_id)
+        batch_df.write.mode("append").parquet(out)
+
+    wrapped = idempotent_foreach_batch(write, markers)
+    df = spark.range(100)
+    wrapped(df, 0)          # first attempt: writes
+    wrapped(df, 0)          # crash-replay of committed batch: skipped
+    wrapped(df, 1)          # next batch: writes
+    assert writes == [0, 1]
+    assert spark.read.parquet(out).count() == 200
