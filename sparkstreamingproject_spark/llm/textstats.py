@@ -72,3 +72,36 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         F.col(id_col),
         F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(ws)))).alias("fingerprint"),
     )
+
+
+def bm25_scores(df: DataFrame, terms: list[str], id_col: str = "doc_id",
+                text_col: str = "text", k1: float = 1.2, b: float = 0.75,
+                digits: int = 4) -> DataFrame:
+    """BM25 ranking of ``terms`` against the corpus.
+
+    Classic Okapi BM25: idf = ln((N - df + 0.5)/(df + 0.5) + 1),
+    score = Σ_t idf_t · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl)).
+
+    Built from two aggregations (term stats, doc lengths) joined
+    broadcast-side — at scale the (doc_id, term, tf) relation is the
+    inverted index, partitioned by term, and a query probes only its
+    terms' postings.
+    """
+    words = df.select(F.col(id_col),
+                      F.explode(F.split(F.col(text_col), " ")).alias("word"))
+    dl = df.select(F.col(id_col),
+                   F.size(F.split(F.col(text_col), " ")).alias("dl"))
+    n_docs = df.count()
+    avgdl = dl.agg(F.avg("dl")).collect()[0][0]
+    tf = (words.filter(F.col("word").isin(*terms))
+          .groupBy(id_col, "word").agg(F.count("*").alias("tf")))
+    dfreq = tf.groupBy("word").agg(F.countDistinct(id_col).alias("df"))
+    idf = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    scored = (tf.join(F.broadcast(dfreq), "word")
+              .join(F.broadcast(dl), id_col)
+              .select(id_col,
+                      (idf * (F.col("tf") * (k1 + 1))
+                       / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / float(avgdl))))
+                      .alias("term_score")))
+    return (scored.groupBy(id_col)
+            .agg(F.round(F.sum("term_score"), digits).alias("bm25")))

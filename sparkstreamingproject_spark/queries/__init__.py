@@ -14,5 +14,6 @@ from . import relational  # noqa: E402,F401
 from . import timeseries  # noqa: E402,F401
 from . import llm  # noqa: E402,F401
 from . import extended  # noqa: E402,F401
+from . import tpch_shapes  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QUERIES", "ORACLES"]

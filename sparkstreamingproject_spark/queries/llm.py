@@ -357,3 +357,40 @@ def pandas_grouped_zscore(spark, sf_dir):
     from ..llm.features import zscore_normalize
     ev = table(spark, sf_dir, "events")
     return zscore_normalize(ev, "user_id", "event_id", "value")
+
+
+BM25_TERMS = ["spark", "join", "fast", "window"]
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+    dl AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+    stats AS (
+      SELECT count(*) AS n_docs, (SELECT avg(dl) FROM dl) AS avgdl FROM documents),
+    tf AS (
+      SELECT doc_id, word, count(*) AS tf FROM words
+      WHERE word IN ({terms}) GROUP BY 1, 2),
+    dfreq AS (SELECT word, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+             ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+               * (tf * (1.2 + 1))
+               / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS term_score
+      FROM tf
+      JOIN dfreq USING (word)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats)
+    SELECT doc_id, round(sum(term_score), 4) AS bm25
+    FROM scored GROUP BY doc_id
+    """
+
+
+@register("text_search_bm25", oracle=_bm25_oracle(), tags=("llm", "text", "search"))
+def text_search_bm25(spark, sf_dir):
+    """Okapi BM25 relevance scoring (the full-text-search surface the
+    reference's elasticsearch dependency implies)."""
+    return T.bm25_scores(table(spark, sf_dir, "documents"), BM25_TERMS)
