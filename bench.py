@@ -44,6 +44,12 @@ HEADLINE = [
     "text_word_freq",
     "text_quality_score",
     "json_parse",
+    "q10_returned_items",
+    "asof_join_latest_order",
+    "range_join_event_pairs",
+    "text_tfidf_top_terms",
+    "text_search_bm25",
+    "pandas_grouped_zscore",
 ]
 
 def main() -> None:

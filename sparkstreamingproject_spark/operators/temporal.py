@@ -1,0 +1,96 @@
+"""Temporal join operators Spark lacks natively: as-of join and
+bucketed range join (SURVEY.md §4's "library function choosing between
+plans" stance — compositions of built-in operators, no Catalyst rule,
+no Python).
+
+Why not the naive formulations:
+- as-of as `join(l.ts >= r.ts) → max per left row` materializes
+  |L|·|R_key| pairs before reducing — quadratic per key.
+- range join as an inequality-only join plans BroadcastNestedLoop —
+  O(|L|·|R|) comparisons at any scale.
+
+Both operators here shuffle each input ONCE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, key: str,
+              left_ts: str, right_ts: str,
+              right_cols: list[str] | None = None,
+              tiebreak: str | None = None) -> DataFrame:
+    """Merge-asof: each left row gets the right row with the greatest
+    ``right_ts`` ≤ ``left_ts`` for the same key (null columns if none).
+
+    Implementation: tag and union both sides, one window sorted by
+    (key, ts, side) carries the last-seen right row forward
+    (``last(..., ignorenulls)``), then keep left rows. One shuffle on
+    the key, one per-key sort — the same cost as a sort-merge join,
+    independent of how many right rows precede each left row.
+
+    ``tiebreak``: right-side column ordering the winner among equal
+    ``right_ts`` (greatest wins) — without it, ties are nondeterministic.
+    """
+    right_cols = right_cols or [c for c in right.columns
+                                if c not in (key, right_ts)]
+    order = [F.col("_ts"), F.col("_side")]
+    if tiebreak:
+        order.insert(1, F.col(f"_r_{tiebreak}" if tiebreak in right_cols else tiebreak))
+
+    rtypes = dict(right.dtypes)
+    ltypes = dict(left.dtypes)
+    r = right.select(
+        F.col(key).alias("_k"), F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),  # right sorts before left at equal ts (≤)
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        *[F.lit(None).cast(ltypes[c]).alias(f"_l_{c}") for c in left.columns])
+    lft = left.select(
+        F.col(key).alias("_k"), F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(rtypes[c]).alias(f"_r_{c}") for c in right_cols],
+        *[F.col(c).alias(f"_l_{c}") for c in left.columns])
+
+    w = (Window.partitionBy("_k").orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = r.unionByName(lft).select(
+        "_k", "_ts", "_side",
+        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_rv_{c}")
+          for c in right_cols],
+        *[F.col(f"_l_{c}") for c in left.columns])
+    return (carried.filter(F.col("_side") == 1)
+            .select(*[F.col(f"_l_{c}").alias(c) for c in left.columns],
+                    *[F.col(f"_rv_{c}").alias(c) for c in right_cols]))
+
+
+def range_join(left: DataFrame, right: DataFrame,
+               left_ts: str, right_ts: str, within_seconds: int,
+               condition=None) -> DataFrame:
+    """Band join: pairs with |left_ts - right_ts| ≤ within_seconds.
+
+    Implementation: bucket both sides by ``within_seconds``; a
+    qualifying pair's buckets differ by at most 1, so replicating the
+    left side into its 3 adjacent buckets turns the inequality join
+    into an equi-join on the bucket (hash join, codegen) plus a cheap
+    residual filter. Cost: 3× replication of one side instead of
+    |L|·|R| comparisons.
+
+    ``condition``: optional extra join predicate (e.g. key equality —
+    which then also joins on the key, shrinking buckets further).
+    """
+    def bucket(c):
+        return F.floor(F.unix_micros(F.col(c)) / (within_seconds * 1_000_000))
+
+    lb = (left.withColumn("_lb", bucket(left_ts))
+          .withColumn("_b", F.explode(F.array(
+              F.col("_lb") - 1, F.col("_lb"), F.col("_lb") + 1)))
+          .drop("_lb"))
+    rb = right.withColumn("_b", bucket(right_ts))
+    joined = lb.join(rb, on="_b", how="inner")
+    if condition is not None:
+        joined = joined.filter(condition)
+    residual = (F.abs(F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col(right_ts)))
+                <= within_seconds * 1_000_000)
+    return joined.filter(residual).drop("_b")

@@ -193,3 +193,61 @@ def q19_disjunctive_predicates(spark, sf_dir):
     return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
             .filter(cond)
             .agg(money_sum(rev).alias("revenue"), F.count("*").alias("n")))
+
+
+@register(
+    "asof_join_latest_order",
+    oracle="""
+    SELECT e.event_id, e.user_id, lo.o_orderkey AS last_orderkey
+    FROM events e LEFT JOIN (
+      SELECT o_custkey, o_orderkey FROM (
+        SELECT o_custkey, o_orderkey,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders) WHERE rn = 1) lo
+    ON e.user_id = lo.o_custkey
+    """,
+    tags=("join", "temporal"),
+)
+def asof_join_latest_order(spark, sf_dir):
+    """As-of join (custom operator — Spark has no native ASOF): each
+    event takes the most recent order at-or-before its time for the
+    same key. One shuffle + per-key sort via the tagged-union/window
+    composition in operators/temporal.py; full interleaved-time
+    semantics (incl. ties and boundary-equal timestamps) verified
+    against brute force in tests/test_temporal.py. On this dataset all
+    orders precede all events, so the oracle reduces to
+    latest-order-per-customer."""
+    from ..operators.temporal import asof_join
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_orderkey")
+    out = asof_join(ev, o.withColumnRenamed("o_custkey", "user_id"),
+                    key="user_id", left_ts="ts", right_ts="o_orderdate",
+                    right_cols=["o_orderkey"], tiebreak="o_orderkey")
+    return out.select("event_id", "user_id",
+                      F.col("o_orderkey").alias("last_orderkey"))
+
+
+@register(
+    "range_join_event_pairs",
+    oracle="""
+    SELECT count(*) AS n_pairs
+    FROM events a JOIN events b
+      ON a.event_id < b.event_id
+     AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 30 * 1000000
+    """,
+    tags=("join", "temporal"),
+)
+def range_join_event_pairs(spark, sf_dir):
+    """Bucketed band join (custom operator): event pairs within 30 s of
+    each other. The bucket-replication rewrite plans a hash equi-join
+    (verified no NestedLoop in tests) instead of the O(n²) comparison
+    the naive inequality join would execute — DuckDB gets the same
+    effect natively via IEJoin."""
+    from ..operators.temporal import range_join
+    ev = table(spark, sf_dir, "events").select("event_id", "ts")
+    a = ev.select(F.col("event_id").alias("id_a"), F.col("ts").alias("ts_a"))
+    b = ev.select(F.col("event_id").alias("id_b"), F.col("ts").alias("ts_b"))
+    pairs = range_join(a, b, "ts_a", "ts_b", within_seconds=30,
+                       condition=F.col("id_a") < F.col("id_b"))
+    return pairs.agg(F.count("*").alias("n_pairs"))

@@ -1,0 +1,79 @@
+"""As-of join and bucketed range join — verified against brute-force
+formulations on synthetic interleaved data (full semantics, including
+ties, no-match rows, and boundary-equal timestamps)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkstreamingproject_spark.operators.temporal import asof_join, range_join
+
+
+def _quotes_trades(spark):
+    """Classic as-of fixture: trades matched to the latest quote ≤ t."""
+    base = 1_700_000_000_000_000
+    quotes = [(k, base + t * 1_000_000, float(100 + k + t))
+              for k in range(3) for t in (0, 10, 20, 30)]
+    trades = [(k, base + t * 1_000_000, i)
+              for i, (k, t) in enumerate(
+                  [(0, 5), (0, 10), (0, 35), (1, 0), (1, 29),
+                   (2, 31), (0, 3), (1, 15), (2, 2)])]
+    q = spark.createDataFrame(quotes, "sym long, qts_us long, price double") \
+        .select("sym", F.timestamp_micros("qts_us").alias("qts"), "price")
+    t = spark.createDataFrame(trades, "sym long, tts_us long, trade_id long") \
+        .select("sym", F.timestamp_micros("tts_us").alias("tts"), "trade_id")
+    return q, t
+
+
+def test_asof_join_matches_bruteforce(spark):
+    q, t = _quotes_trades(spark)
+    got = asof_join(t, q, key="sym", left_ts="tts", right_ts="qts",
+                    right_cols=["price"])
+    # brute force: max quote ts <= trade ts, then its price
+    bf = (t.join(q, (t.sym == q.sym) & (q.qts <= t.tts), "left")
+          .groupBy(t.sym, "tts", "trade_id")
+          .agg(F.max(F.struct("qts", "price")).alias("best"))
+          .select("trade_id", F.col("best.price").alias("price")))
+    g = {r["trade_id"]: r["price"] for r in got.collect()}
+    b = {r["trade_id"]: r["price"] for r in bf.collect()}
+    assert g == b
+    assert got.count() == t.count()  # every trade kept, matched or not
+
+
+def test_asof_boundary_equal_ts_matches(spark):
+    """A trade exactly at a quote's timestamp takes that quote (≤)."""
+    q, t = _quotes_trades(spark)
+    got = asof_join(t, q, key="sym", left_ts="tts", right_ts="qts",
+                    right_cols=["price"])
+    row = got.filter("trade_id = 1").collect()[0]  # trade at t=10, sym 0
+    assert row["price"] == 110.0  # quote at t=10, not t=0
+
+
+def test_range_join_matches_bruteforce(spark):
+    rows = [(i, 1_700_000_000_000_000 + i * 17_000_000) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, ts_us long") \
+        .select("id", F.timestamp_micros("ts_us").alias("ts"))
+    a = df.select(F.col("id").alias("id_a"), F.col("ts").alias("ts_a"))
+    b = df.select(F.col("id").alias("id_b"), F.col("ts").alias("ts_b"))
+    got = (range_join(a, b, "ts_a", "ts_b", within_seconds=60,
+                      condition=F.col("id_a") < F.col("id_b"))
+           .select("id_a", "id_b"))
+    bf = a.join(b, (F.col("id_a") < F.col("id_b")) &
+                (F.abs(F.unix_micros("ts_a") - F.unix_micros("ts_b"))
+                 <= 60_000_000))
+    assert {tuple(r) for r in got.collect()} == \
+        {(r["id_a"], r["id_b"]) for r in bf.collect()}
+    assert got.count() > 0
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark):
+    """The bucketed rewrite must plan a hash/sort-merge join — the
+    naive inequality join would be BroadcastNestedLoop (O(n²))."""
+    rows = [(i, 1_700_000_000_000_000 + i * 1_000_000) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, ts_us long") \
+        .select("id", F.timestamp_micros("ts_us").alias("ts"))
+    a = df.select(F.col("id").alias("id_a"), F.col("ts").alias("ts_a"))
+    b = df.select(F.col("id").alias("id_b"), F.col("ts").alias("ts_b"))
+    from sparkstreamingproject_spark.plans.inspect import explain_str
+    plan = explain_str(range_join(a, b, "ts_a", "ts_b", 60))
+    assert "NestedLoop" not in plan
