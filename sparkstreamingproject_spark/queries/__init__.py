@@ -15,5 +15,6 @@ from . import timeseries  # noqa: E402,F401
 from . import llm  # noqa: E402,F401
 from . import extended  # noqa: E402,F401
 from . import tpch_shapes  # noqa: E402,F401
+from . import tpch_more  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QUERIES", "ORACLES"]
