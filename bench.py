@@ -50,6 +50,11 @@ HEADLINE = [
     "text_tfidf_top_terms",
     "text_search_bm25",
     "pandas_grouped_zscore",
+    "q9_product_profit",
+    "q21_sole_returner",
+    "sketch_hll_distinct",
+    "bloom_semi_join_prune",
+    "text_chunk_windows",
 ]
 
 def main() -> None:

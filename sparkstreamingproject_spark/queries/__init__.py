@@ -16,5 +16,6 @@ from . import llm  # noqa: E402,F401
 from . import extended  # noqa: E402,F401
 from . import tpch_shapes  # noqa: E402,F401
 from . import tpch_more  # noqa: E402,F401
+from . import sketches  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QUERIES", "ORACLES"]

@@ -1,0 +1,119 @@
+"""Behavior tests for sketches, Bloom pruning, sampling, chunking, and
+z-order layout — properties the DuckDB oracle hash-compare cannot
+express (error bounds, false-positive rates, file-level locality)."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkstreamingproject_spark.operators.bloom import (
+    bloom_prune, bloom_semi_join, build_bloom, optimal_params)
+from sparkstreamingproject_spark.operators.zorder import (
+    write_zordered, zorder_key)
+from sparkstreamingproject_spark.queries import REGISTRY
+
+
+def test_bloom_has_no_false_negatives_and_bounded_fp(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    build = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    n = build.count()
+    m_bits, k = optimal_params(n, fpp=0.01)
+    bits = build_bloom(build, "o_orderkey", m_bits, k)
+
+    probe = o.select("o_orderkey")
+    kept = bloom_prune(probe, "o_orderkey", bits, m_bits, k)
+    kept_keys = {r.o_orderkey for r in kept.collect()}
+    true_keys = {r.o_orderkey for r in build.collect()}
+    # every true member survives the filter
+    assert true_keys <= kept_keys
+    # false positives bounded (allow 5x slack on the asymptotic rate)
+    n_non_members = probe.count() - n
+    fp = len(kept_keys - true_keys)
+    assert fp <= max(10, 0.05 * n_non_members)
+
+
+def test_bloom_semi_join_equals_exact_semi_join(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    build = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+             .filter(F.col("o_orderpriority") == "1-URGENT")
+             .select("o_orderkey"))
+    got = (bloom_semi_join(li, build, "l_orderkey", "o_orderkey")
+           .groupBy().count().collect()[0][0])
+    want = (li.join(build, li.l_orderkey == build.o_orderkey, "left_semi")
+            .count())
+    assert got == want
+
+
+def test_sketch_estimates_within_tolerance(spark, sf_dir):
+    """KMV (k=256) and HLL (m=512) both carry ~1/sqrt(k|m) relative
+    error; assert a loose 20% envelope at small SF."""
+    for name in ("sketch_kmv_distinct", "sketch_hll_distinct"):
+        row = REGISTRY[name].fn(spark, sf_dir).collect()[0]
+        est = row[0]
+        exact = row["n_exact"]
+        assert abs(est - exact) / exact < 0.20, (name, est, exact)
+
+
+def test_chunk_windows_cover_every_token_exactly(spark, sf_dir):
+    """Per doc: chunks start at 0, step by the stride, the last chunk
+    ends exactly at the token count, and every length is in (0, 64]."""
+    df = REGISTRY["text_chunk_windows"].fn(spark, sf_dir)
+    bad = df.filter((F.col("tok_len") <= 0) | (F.col("tok_len") > 64)
+                    | (F.col("tok_start") != F.col("chunk_id") * 32)).count()
+    assert bad == 0
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n"))
+    ends = (df.groupBy("doc_id")
+            .agg(F.max(F.col("tok_start") + F.col("tok_len")).alias("end"),
+                 F.min("tok_start").alias("first")))
+    joined = ends.join(docs, "doc_id")
+    assert joined.filter((F.col("end") != F.col("n"))
+                         | (F.col("first") != 0)).count() == 0
+
+
+def test_zorder_key_is_bijective_and_orders_locally(spark):
+    rows = [(x, y) for x in range(0, 64, 7) for y in range(0, 25, 3)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    out = df.select("x", "y", zorder_key(F.col("x"), F.col("y")).alias("z"))
+    collected = out.collect()
+    # bijective on the sample
+    assert len({r.z for r in collected}) == len(rows)
+    # interleave of small coords stays small: both coords < 2^b ⇒ z < 2^2b
+    for r in collected:
+        assert r.z < 4 ** max(r.x.bit_length(), r.y.bit_length(), 1)
+
+
+def test_write_zordered_clusters_both_dimensions(spark, sf_dir, tmp_path):
+    """Each z-ordered output file should cover a small slice of BOTH
+    key ranges — the property that lets parquet min/max stats prune on
+    either predicate. Compare per-file custkey span against the global
+    span."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    path = str(tmp_path / "zordered")
+    write_zordered(c, path, "c_custkey", "c_nationkey", n_files=8)
+    files = glob.glob(f"{path}/part-*.parquet")
+    assert len(files) >= 4
+    global_span = (c.agg(F.max("c_custkey") - F.min("c_custkey"))
+                   .collect()[0][0])
+    spans = []
+    for f in files:
+        mm = (spark.read.parquet(f)
+              .agg(F.min("c_custkey").alias("lo"), F.max("c_custkey").alias("hi"))
+              .collect()[0])
+        spans.append(mm.hi - mm.lo)
+    # average per-file span well below the global span ⇒ files are
+    # clustered, not striped
+    assert sum(spans) / len(spans) < 0.6 * global_span
+
+
+@pytest.mark.parametrize("name", ["sample_hash_bernoulli",
+                                  "sample_stratified_hash",
+                                  "split_train_val_test"])
+def test_sampling_is_deterministic_across_runs(spark, sf_dir, name):
+    fn = REGISTRY[name].fn
+    a = sorted(map(str, fn(spark, sf_dir).collect()))
+    b = sorted(map(str, fn(spark, sf_dir).collect()))
+    assert a == b and len(a) > 0
