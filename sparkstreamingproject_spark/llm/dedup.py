@@ -173,3 +173,38 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         fingerprint = term if fingerprint is None else fingerprint + term
     return agg.select(id_col, fingerprint.cast("long").alias("simhash"))
+
+
+def connected_components(edges: DataFrame, src: str = "id_a",
+                         dst: str = "id_b", max_iter: int = 25) -> DataFrame:
+    """Connected components over an undirected pair graph — the
+    canonicalization step of near-dedup: every document in a near-dup
+    cluster maps to the cluster's minimum doc id, so "keep one per
+    cluster" is a single filter (label == node).
+
+    Iterative min-label propagation: each round, every node takes the
+    min of its own label and its neighbors' labels; converges in
+    O(diameter) rounds. Near-dup graphs are short-chained (diameter a
+    few hops), so this beats the O(log n)-round large-star/small-star
+    scheme in practice while using the same primitives — a self-join
+    and a min-groupBy per round, both AQE-sized shuffles.
+    ``localCheckpoint`` cuts the lineage each round so the plan does
+    not grow exponentially; convergence is detected with an exact
+    changed-label count (one cheap action per round).
+    """
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = sym.localCheckpoint()
+    labels = sym.select("u").distinct().withColumn("label", F.col("u"))
+    for _ in range(max_iter):
+        nbr = (sym.join(labels.withColumnRenamed("u", "v"), "v")
+               .select("u", "label"))
+        new = (nbr.union(labels)
+               .groupBy("u").agg(F.min("label").alias("label"))
+               .localCheckpoint())
+        changed = (new.join(labels.withColumnRenamed("label", "old"), "u")
+                   .filter(F.col("label") < F.col("old")).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels

@@ -204,3 +204,38 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.3,
 
     out_schema = "id_a long, id_b long, cosine double"
     return df.select(id_col, emb_col).mapInPandas(score, out_schema)
+
+
+LSH_TABLES = 3
+LSH_TABLE_PLANES = 10
+
+
+def lsh_multi_table_pairs(df: DataFrame, id_col: str = "vec_id",
+                          emb_col: str = "embedding",
+                          n_tables: int = LSH_TABLES,
+                          planes_per_table: int = LSH_TABLE_PLANES) -> DataFrame:
+    """OR-amplified hyperplane LSH: T independent tables (seeds
+    LSH_SEED+t), candidates = union of per-table bucket collisions.
+
+    A single table with b bits finds a pair with probability
+    (1 - θ/π)^b (θ = angle); OR-ing T tables lifts recall to
+    1-(1-p)^T while the per-table bucket count 2^b keeps buckets — and
+    therefore the quadratic in-bucket pair step — small. That is the
+    knob a 100 TB ANN pass tunes: more tables → recall, more bits →
+    smaller buckets. Pairs come from per-bucket posting lists (one
+    shuffle per nothing extra — the union is map-side; dedup of pairs
+    found by several tables is the final distinct).
+    """
+    from .dedup import pairs_from_postings
+    tables = []
+    for t in range(n_tables):
+        planes = hyperplanes(planes_per_table, seed=LSH_SEED + t)
+        bits = [F.when(_dot_with_literal(F.col(emb_col), p) >= 0, "1")
+                .otherwise("0") for p in planes]
+        tables.append(df.select(F.col(id_col), F.lit(t).alias("tbl"),
+                                F.concat(*bits).alias("bucket")))
+    banded = tables[0]
+    for other in tables[1:]:
+        banded = banded.unionByName(other)
+    return (pairs_from_postings(banded, ["tbl", "bucket"], id_col)
+            .distinct())

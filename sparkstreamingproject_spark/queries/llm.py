@@ -394,3 +394,68 @@ def text_search_bm25(spark, sf_dir):
     """Okapi BM25 relevance scoring (the full-text-search surface the
     reference's elasticsearch dependency implies)."""
     return T.bm25_scores(table(spark, sf_dir, "documents"), BM25_TERMS)
+
+
+@register(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE {MINHASH_CTE},
+    bands AS (
+{_BAND_SELECTS}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+                               AND a.doc_id < b.doc_id),
+    e AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+    walk(u, label) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM e)
+      UNION
+      SELECT e.v, walk.label FROM walk JOIN e ON e.u = walk.u)
+    SELECT u AS doc_id, min(label) AS component FROM walk GROUP BY u
+    """,
+    tags=("llm", "dedup", "graph"),
+)
+def dedup_connected_components(spark, sf_dir):
+    """Near-dup cluster canonicalization: connected components over the
+    MinHash-LSH candidate-pair graph; every clustered document maps to
+    its component's minimum doc_id ("keep doc_id == component" dedups
+    the corpus). Spark runs iterative min-label propagation
+    (llm/dedup.py:connected_components — O(diameter) self-join rounds,
+    lineage cut per round); the oracle computes the same fixpoint with
+    a DuckDB recursive CTE, so even this iterative operator is
+    hash-verified, not rows-only."""
+    pairs = D.lsh_candidate_pairs(table(spark, sf_dir, "documents"))
+    cc = D.connected_components(pairs)
+    return cc.select(F.col("u").alias("doc_id"),
+                     F.col("label").alias("component"))
+
+
+def _lsh_or_oracle() -> str:
+    selects = []
+    for t in range(S.LSH_TABLES):
+        planes = S.hyperplanes(S.LSH_TABLE_PLANES, seed=S.LSH_SEED + t)
+        bits = " || ".join(
+            "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+            f"{p!r}::DOUBLE[]) >= 0 THEN '1' ELSE '0' END)"
+            for p in planes)
+        selects.append(
+            f"SELECT vec_id, {t} AS tbl, {bits} AS bucket FROM embeddings")
+    union = "\n      UNION ALL\n".join(selects)
+    return f"""
+    WITH b AS ({union})
+    SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+    FROM b x JOIN b y
+      ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+    """
+
+
+@register("sim_ann_lsh_or_pairs", oracle=_lsh_or_oracle(),
+          tags=("llm", "similarity"))
+def sim_ann_lsh_or_pairs(spark, sf_dir):
+    """OR-amplified LSH candidate pairs (3 tables × 10 hyperplanes):
+    recall rises as 1-(1-p)^T while per-table buckets stay small — the
+    tunable scale knob for ANN at 100 TB. Recall vs the brute-force
+    neighbor set is asserted in tests/test_llm.py."""
+    emb = table(spark, sf_dir, "embeddings")
+    return S.lsh_multi_table_pairs(emb)

@@ -121,3 +121,28 @@ def test_ivf_topk_recall(spark, sf_dir):
     assert approx_set
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.3, f"IVF nprobe=2 recall {recall} too low"
+
+
+def test_connected_components_fixpoint_and_transitivity(spark):
+    from sparkstreamingproject_spark.llm.dedup import connected_components
+    # two chains and a singleton pair: {1,2,3,4}, {10,11}, {20,21}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)], ["id_a", "id_b"])
+    cc = {r.u: r.label for r in connected_components(edges).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_lsh_or_amplification_improves_recall(spark, sf_dir):
+    """OR-ing independent tables must find at least every pair a single
+    table finds, and (on this data) strictly more."""
+    from sparkstreamingproject_spark.llm.similarity import (
+        LSH_TABLE_PLANES, lsh_multi_table_pairs)
+    emb = _emb(spark, sf_dir)
+    one = {tuple(r) for r in
+           lsh_multi_table_pairs(emb, n_tables=1,
+                                 planes_per_table=LSH_TABLE_PLANES).collect()}
+    three = {tuple(r) for r in
+             lsh_multi_table_pairs(emb, n_tables=3,
+                                   planes_per_table=LSH_TABLE_PLANES).collect()}
+    assert one <= three
+    assert len(three) > len(one)

@@ -23,7 +23,10 @@ def test_every_query_has_rows_or_is_known_empty(spark, sf_dir):
     # queries are allowed to be empty only when the data genuinely has
     # no qualifying rows; flag accidental empties early
     allowed_empty = {"join_left_null_branch", "join_anti", "dedup_minhash_lsh",
-                     "dedup_ngram_jaccard", "dedup_embedding_cosine"}
+                     "dedup_ngram_jaccard", "dedup_embedding_cosine",
+                     # at sf0.001 every above-average-balance customer
+                     # happens to have orders; non-empty from sf0.01 up
+                     "q22_idle_rich_customers"}
     for name, spec in REGISTRY.items():
         n = spec.fn(spark, sf_dir).count()
         if name not in allowed_empty:
