@@ -57,10 +57,12 @@ def build_bloom(build: DataFrame, key: str, m_bits: int, k: int) -> bytes:
             for i in range(k)
         ])).alias("p"))
         .distinct())
+    # Arrow transfer + vectorized bit-set: the driver handles up to m
+    # ints as one columnar batch, not m Row objects
+    idx = pos.toPandas()["p"].to_numpy(dtype=np.int64)
     arr = np.zeros((m_bits + 7) // 8, dtype=np.uint8)
-    for row in pos.collect():
-        p = int(row.p)
-        arr[p >> 3] |= 1 << (p & 7)
+    np.bitwise_or.at(arr, idx >> 3,
+                     (1 << (idx & 7)).astype(np.uint8))
     return arr.tobytes()
 
 

@@ -17,5 +17,6 @@ from . import extended  # noqa: E402,F401
 from . import tpch_shapes  # noqa: E402,F401
 from . import tpch_more  # noqa: E402,F401
 from . import sketches  # noqa: E402,F401
+from . import analytics2  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QUERIES", "ORACLES"]

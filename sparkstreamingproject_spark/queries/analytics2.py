@@ -1,0 +1,157 @@
+"""Frequency sketches, string similarity, and advanced window frames.
+
+Count-Min sketch completes the sketch family (KMV/HLL in
+queries/sketches.py count *distinct*; CMS estimates *per-item
+frequency* in sublinear space). Probe bucket positions are md5-derived
+constants computed once in Python (hashlib.md5 == Spark md5 == DuckDB
+md5) and embedded as literals in BOTH plans, so the whole query is
+integer-exact across engines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from .base import register, table
+from .relational import _dec
+
+# ------------------------------------------------------ Count-Min sketch
+
+CMS_D = 3       # hash rows
+CMS_W = 1024    # counters per row
+CMS_PROBES = ["join", "hash", "row", "batch", "scan", "customer",
+              "column", "filter", "zzz_absent"]
+
+
+def _cms_pos(j: int, word: str) -> int:
+    return int(hashlib.md5(f"cms{j}:{word}".encode()).hexdigest()[:8], 16) % CMS_W
+
+
+def _cms_oracle() -> str:
+    rows = ", ".join(
+        "('{w}', {p})".format(w=w, p=", ".join(
+            str(_cms_pos(j, w)) for j in range(CMS_D)))
+        for w in CMS_PROBES)
+    joins, mins = [], []
+    for j in range(CMS_D):
+        joins.append(
+            f"LEFT JOIN counters c{j} ON c{j}.j = {j} AND c{j}.pos = p.p{j}")
+        mins.append(f"coalesce(c{j}.n, 0)")
+    return f"""
+    WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+    counters AS (
+      SELECT j, CAST(('0x' || substr(md5('cms' || j || ':' || word), 1, 8))
+                     AS BIGINT) % {CMS_W} AS pos, count(*) AS n
+      FROM w CROSS JOIN (SELECT unnest(range(0, {CMS_D})) AS j)
+      GROUP BY 1, 2),
+    probes(word, {", ".join(f"p{j}" for j in range(CMS_D))}) AS (VALUES {rows}),
+    exact AS (SELECT word, count(*) AS n FROM w GROUP BY 1)
+    SELECT p.word, least({", ".join(mins)}) AS cms_est,
+           coalesce(e.n, 0) AS exact_count
+    FROM probes p
+    {chr(10).join(joins)}
+    LEFT JOIN exact e ON e.word = p.word
+    """
+
+
+@register("sketch_cms_frequency", oracle=_cms_oracle(), tags=("sketch", "llm"))
+def sketch_cms_frequency(spark, sf_dir):
+    """Count-Min sketch word frequencies (d=3 rows × w=1024 counters —
+    12 KB regardless of corpus size): counter[j][h_j(word)] += 1 per
+    occurrence, estimate = min_j counter[j][h_j(word)] ≥ truth (classic
+    CMS overestimate; absent words show only hash-collision mass). The
+    counter build is a single explode + groupBy — mergeable partial
+    aggregation, the property that lets a 100 TB corpus reduce to 12 KB
+    on the way INTO the shuffle rather than after it. Probes join via
+    md5-literal positions; counts are integers, so estimate AND truth
+    hash-match the oracle exactly."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split("text", " ")).alias("word"))
+    pos_structs = F.array(*[
+        F.struct(F.lit(j).alias("j"),
+                 (F.conv(F.substring(
+                     F.md5(F.concat(F.lit(f"cms{j}:"), F.col("word"))), 1, 8),
+                     16, 10).cast("long") % CMS_W).alias("pos"))
+        for j in range(CMS_D)])
+    counters = (words.select(F.explode(pos_structs).alias("s"))
+                .groupBy(F.col("s.j").alias("j"), F.col("s.pos").alias("pos"))
+                .agg(F.count("*").alias("n")))
+    probes = spark.createDataFrame(
+        [(w, *[_cms_pos(j, w) for j in range(CMS_D)]) for w in CMS_PROBES],
+        ["word"] + [f"p{j}" for j in range(CMS_D)])
+    out = F.broadcast(probes)
+    for j in range(CMS_D):
+        cj = (counters.filter(F.col("j") == j)
+              .select(F.col("pos").alias(f"pos{j}"), F.col("n").alias(f"n{j}")))
+        out = out.join(cj, out[f"p{j}"] == cj[f"pos{j}"], "left")
+    exact = (words.groupBy("word").agg(F.count("*").alias("ne"))
+             .withColumnRenamed("word", "eword"))
+    est = F.least(*[F.coalesce(F.col(f"n{j}"), F.lit(0))
+                    for j in range(CMS_D)])
+    return (out.join(exact, out.word == exact.eword, "left")
+            .select("word", est.alias("cms_est"),
+                    F.coalesce("ne", F.lit(0)).alias("exact_count")))
+
+
+# --------------------------------------------------- string similarity
+
+@register(
+    "string_levenshtein_pairs",
+    oracle="""
+    WITH n AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM n a JOIN n b ON a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+    tags=("llm", "text", "similarity"),
+)
+def string_levenshtein_pairs(spark, sf_dir):
+    """Edit-distance near-match pairs over the distinct part-name
+    vocabulary — fuzzy string matching as both engines' built-in
+    levenshtein (identical Wagner–Fischer semantics). The distinct()
+    first is the scale move: pair generation runs on |vocabulary|²,
+    not |rows|², and vocabulary is broadcastable. For corpus-scale
+    fuzzy joins, pre-block by length band or first-character before
+    the quadratic step."""
+    names = table(spark, sf_dir, "part").select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    return (a.join(F.broadcast(b), F.col("name_a") < F.col("name_b"))
+            .withColumn("dist", F.levenshtein("name_a", "name_b"))
+            .filter(F.col("dist") <= 3))
+
+
+# ------------------------------------------------ RANGE window frames
+
+@register(
+    "window_range_30d_revenue",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey
+             ORDER BY (CAST(o_orderdate AS DATE) - DATE '1995-01-01')
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+             AS rev_30d
+    FROM orders
+    """,
+    tags=("window",),
+)
+def window_range_30d_revenue(spark, sf_dir):
+    """Trailing-30-day revenue per customer — a RANGE frame (value
+    window, not row window): the frame covers all orders within 30
+    *days*, however many rows that is. Ordering key is integer
+    days-since-epoch-date — timezone-free, so both engines bound the
+    frame identically (see queries/base.py timezone discipline). One
+    shuffle on o_custkey; decimal-exact sums inside the frame."""
+    from pyspark.sql import Window
+    o = table(spark, sf_dir, "orders")
+    days = F.datediff(F.col("o_orderdate"), F.lit("1995-01-01"))
+    w = (Window.partitionBy("o_custkey").orderBy(days.cast("long"))
+         .rangeBetween(-30, 0))
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.round(F.sum(_dec("o_totalprice")).over(w), 2)
+        .cast("double").alias("rev_30d"))

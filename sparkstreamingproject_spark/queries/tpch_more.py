@@ -90,17 +90,25 @@ def q2_best_supplier_per_part(spark, sf_dir):
          .select("p_partkey", "p_brand"))
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation")
-    cand = (_ps(spark, sf_dir)
+    # semi-join the part filter BELOW the distinct: the dedup shuffle
+    # then runs on 1/(50·6) of the pairs instead of the full relation
+    ps = (table(spark, sf_dir, "lineitem")
+          .join(F.broadcast(p.select("p_partkey")),
+                F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+          .select("l_partkey", "l_suppkey").distinct())
+    cand = (ps
             .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
             .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
             .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
             .select("p_partkey", "p_brand", "s_suppkey", "s_name",
                     "s_acctbal", "n_name"))
-    best = (cand.groupBy(F.col("p_partkey").alias("bk"))
-            .agg(F.max("s_acctbal").alias("max_bal")))
-    return (cand.join(F.broadcast(best),
-                      (F.col("p_partkey") == F.col("bk"))
-                      & (F.col("s_acctbal") == F.col("max_bal")))
+    # correlated max as a window over the (post-filter, tiny) candidate
+    # set — one pass; a groupBy + join-back would re-derive `cand` and
+    # with it the full lineitem semi-join subtree
+    from pyspark.sql import Window
+    mx = F.max("s_acctbal").over(Window.partitionBy("p_partkey"))
+    return (cand.withColumn("max_bal", mx)
+            .filter(F.col("s_acctbal") == F.col("max_bal"))
             .select("p_partkey", "p_brand", "s_suppkey", "s_name",
                     "s_acctbal", "n_name")
             .orderBy(F.col("s_acctbal").desc(), "p_partkey", "s_suppkey")

@@ -72,3 +72,27 @@ def test_date_filter_pushes_down(spark, sf_dir):
 def test_codegen_everywhere_cheap(spark, sf_dir):
     for name in ["json_parse", "ts_tumbling_window", "kv_zset_ops"]:
         assert has_whole_stage_codegen(REGISTRY[name].fn(spark, sf_dir)), name
+
+
+def test_q6_predicates_reach_parquet_scan(spark, sf_dir):
+    """Q6 is the pushdown showcase: ship-date band + discount band +
+    quantity bound must all appear as PushedFilters on the scan (at
+    scale these become row-group min/max skips)."""
+    plan = explain_str(REGISTRY["q6_forecast_revenue"].fn(spark, sf_dir))
+    assert "PushedFilters" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    joined = " ".join(pushed)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in joined, f"{col} not pushed: {joined}"
+
+
+def test_kmv_topk_uses_heap_not_global_sort(spark, sf_dir):
+    """The KMV bottom-k must plan as TakeOrdered (per-partition heap +
+    driver merge), never a full sort of the distinct-hash relation."""
+    plan = explain_str(REGISTRY["sketch_kmv_distinct"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_zorder_key_stays_in_codegen(spark, sf_dir):
+    plan = explain_str(REGISTRY["zorder_layout_key"].fn(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
