@@ -459,3 +459,56 @@ def sim_ann_lsh_or_pairs(spark, sf_dir):
     neighbor set is asserted in tests/test_llm.py."""
     emb = table(spark, sf_dir, "embeddings")
     return S.lsh_multi_table_pairs(emb)
+
+
+@register(
+    "curation_pipeline",
+    oracle="""
+    WITH feat AS (
+      SELECT doc_id, lang, n_chars, text,
+             round(len(list_distinct(string_split(text, ' ')))
+                   * 1.0 / len(string_split(text, ' ')), 6) AS unique_ratio,
+             round(len(list_filter(string_split(text, ' '),
+                                   w -> list_contains(['the', 'a'], w)))
+                   * 1.0 / len(string_split(text, ' ')), 6) AS stopword_ratio
+      FROM documents),
+    keep AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 100 AS b
+      FROM feat
+      WHERE unique_ratio >= 0.3 AND stopword_ratio <= 0.2
+        AND doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))),
+    split AS (
+      SELECT lang,
+             CASE WHEN b < 80 THEN 'train'
+                  WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+             n_chars
+      FROM keep)
+    SELECT split, lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+    FROM split GROUP BY split, lang
+    """,
+    tags=("llm", "pipeline"),
+)
+def curation_pipeline(spark, sf_dir):
+    """End-to-end corpus curation — the composition the individual
+    operators exist for: quality gate (entropy + stopword heuristics)
+    → exact-dedup keep-list (min doc_id per content hash, broadcast
+    semi join) → deterministic 80/10/10 split by id hash → per
+    (split, lang) corpus stats. Every stage is map-side except the
+    dedup keep-list (one hash-keyed shuffle) and the final small agg;
+    the whole pipeline is one linear scan of the corpus at 100 TB.
+    Composes quality_score (llm/textstats.py), exact_dedup
+    (llm/dedup.py), and the split bucketing (queries/sketches.py)."""
+    d = table(spark, sf_dir, "documents")
+    q = T.quality_score(d).filter(
+        (F.col("unique_ratio") >= 0.3) & (F.col("stopword_ratio") <= 0.2))
+    keep = (D.exact_dedup(d).select(F.col("keep_id").alias("doc_id")))
+    b = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16, 10).cast("long") % 100)
+    split = (F.when(b < 80, "train").when(b < 90, "val").otherwise("test"))
+    return (d.join(q.select("doc_id"), "doc_id", "left_semi")
+            .join(keep, "doc_id", "left_semi")
+            .groupBy(split.alias("split"), "lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars")))
