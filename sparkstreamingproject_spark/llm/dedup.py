@@ -63,16 +63,37 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
             .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies")))
 
 
+MINHASH_SLICES = 4  # 32-hex md5 → four 8-hex (32-bit) hash slices
+
+
+def minhash_hex(j: int):
+    """Hash function j as an 8-hex-char slice of md5(seed‖shingle):
+    seed = j // 4, slice = j % 4. One md5 evaluation feeds four
+    independent 32-bit hashes — 4× less hashing than one md5 per
+    function, which dominates the signature stage's CPU at scale.
+    Fixed-width lowercase hex compares as the numeric value, so
+    ``min`` over slices is a valid MinHash min."""
+    seed, s = divmod(j, MINHASH_SLICES)
+    return F.substring(
+        F.md5(F.concat(F.lit(f"{seed}:"), F.col("shingle"))), s * 8 + 1, 8)
+
+
+def minhash_hex_sql(j: int) -> str:
+    """The same hash slice as DuckDB SQL (oracle generation)."""
+    seed, s = divmod(j, MINHASH_SLICES)
+    return f"substr(md5('{seed}:' || shingle), {s * 8 + 1}, 8)"
+
+
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n_hashes: int = N_MINHASH) -> DataFrame:
-    """MinHash signature: h_j(doc) = min over shingles of md5(j‖shingle).
+    """MinHash signature: h_j(doc) = min over shingles of the j-th
+    md5-slice hash (see ``minhash_hex``).
 
     A single groupBy computes all ``n_hashes`` mins — one pass, one
     shuffle keyed on doc_id.
     """
     sh = word_shingles(df, id_col, text_col)
-    aggs = [F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"h{j}")
-            for j in range(n_hashes)]
+    aggs = [F.min(minhash_hex(j)).alias(f"h{j}") for j in range(n_hashes)]
     return sh.groupBy(id_col).agg(*aggs)
 
 

@@ -31,7 +31,7 @@ SHINGLES_CTE = f"""
 """
 
 _MINHASH_AGGS = ",\n           ".join(
-    f"min(md5('{j}:' || shingle)) AS h{j}" for j in range(D.N_MINHASH))
+    f"min({D.minhash_hex_sql(j)}) AS h{j}" for j in range(D.N_MINHASH))
 
 MINHASH_CTE = f"""
     {SHINGLES_CTE},
