@@ -141,13 +141,21 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
 
 
 def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                  threshold: float = 0.8) -> DataFrame:
+                  threshold: float = 0.8,
+                  max_postings: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
 
     |A∩B| from the shingle self-join, |A|,|B| from per-doc counts
     (broadcast — it's one row per doc); J = i / (|A|+|B|-i). The
     threshold is applied on a 6dp-rounded value so float drift can't
     flip membership between engines.
+
+    ``max_postings`` drops shingles shared by more than that many docs
+    *before* pair generation — the stop-shingle guard that keeps the
+    per-key quadratic blow-up bounded at corpus scale (a shingle in
+    10k docs would otherwise emit 50M pairs from one key). Both the
+    intersection AND the per-doc sizes are computed over the filtered
+    shingle universe, so the capped Jaccard is internally consistent.
     """
     sh = word_shingles(df, id_col, text_col)
     # one grouping of shingles feeds BOTH per-doc counts and pair
@@ -155,6 +163,8 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     # (ReusedExchange) instead of re-scanning + re-exploding the corpus
     lists = (sh.groupBy("shingle")
              .agg(F.sort_array(F.collect_set(id_col)).alias("ids")))
+    if max_postings is not None:
+        lists = lists.filter(F.size("ids") <= max_postings)
     counts = (lists.select(F.explode("ids").alias(id_col))
               .groupBy(id_col).agg(F.count("*").alias("c")))
     pair_expr = F.expr(

@@ -82,3 +82,30 @@ def decode_real(batch: pd.DataFrame) -> pd.DataFrame:  # pragma: no cover
     raise NotImplementedError(
         "media decode requires image/audio libraries not present in this "
         "container; use decode_stub_features for pipeline testing")
+
+
+FRAME_BYTES = 40   # stand-in frame size (bytes per "frame" of payload)
+FRAME_STRIDE = 4   # sample every 4th frame
+
+
+def frame_sample_plan(df: DataFrame, id_col: str = "doc_id",
+                      frame_bytes: int = FRAME_BYTES,
+                      stride: int = FRAME_STRIDE) -> DataFrame:
+    """Video-style frame sampling *plan*: from each media payload's
+    length, emit the (frame_idx, byte_offset) rows a decoder would
+    fetch — every ``stride``-th frame. The plan is pure integer
+    arithmetic on metadata (map-only explode; the payload column is
+    never read — column pruning drops it), which is exactly how a
+    100 TB video corpus schedules decode work without touching bytes:
+    the decode itself happens downstream in mapInPandas
+    (``decode_stub_features``) only for the planned offsets.
+    """
+    nf = (F.col("byte_len") / frame_bytes).cast("long")
+    idx = F.when(nf > 0,
+                 F.sequence(F.lit(0), ((nf - 1) / stride).cast("long"))
+                 ).otherwise(F.array().cast("array<long>"))
+    return (df.select(F.col(id_col), F.col("byte_len"), nf.alias("n_frames"),
+                      F.explode(idx).alias("i"))
+            .select(id_col, "n_frames",
+                    (F.col("i") * stride).alias("frame_idx"),
+                    (F.col("i") * stride * frame_bytes).alias("byte_offset")))

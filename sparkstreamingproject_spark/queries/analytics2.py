@@ -155,3 +155,36 @@ def window_range_30d_revenue(spark, sf_dir):
         "o_orderkey", "o_custkey",
         F.round(F.sum(_dec("o_totalprice")).over(w), 2)
         .cast("double").alias("rev_30d"))
+
+
+@register(
+    "window_first_last_nth",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_price,
+           nth_value(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window",),
+)
+def window_first_last_nth(spark, sf_dir):
+    """first/last/nth_value navigation functions per customer order
+    history. last_value needs the full-partition frame (the default
+    frame stops at CURRENT ROW — a classic cross-engine gotcha, pinned
+    explicitly here); ordering is tie-broken by key so both engines
+    pick identical rows. Raw stored doubles pass through unrounded
+    (bit-identical)."""
+    from pyspark.sql import Window
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(wfull).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"))

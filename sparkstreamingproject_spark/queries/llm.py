@@ -512,3 +512,65 @@ def curation_pipeline(spark, sf_dir):
             .groupBy(split.alias("split"), "lang")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_chars").alias("total_chars")))
+
+
+@register(
+    "dedup_jaccard_capped",
+    oracle=f"""
+    WITH {SHINGLES_CTE},
+    capped AS (
+      SELECT shingle FROM shingles GROUP BY shingle HAVING count(*) <= 5),
+    sh AS (SELECT s.doc_id, s.shingle FROM shingles s
+           JOIN capped USING (shingle)),
+    counts AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(i * 1.0 / (ca.c + cb.c - i), 6) AS jaccard
+    FROM inter
+    JOIN counts ca ON ca.doc_id = id_a
+    JOIN counts cb ON cb.doc_id = id_b
+    WHERE round(i * 1.0 / (ca.c + cb.c - i), 6) >= 0.5
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_jaccard_capped(spark, sf_dir):
+    """DF-capped Jaccard: shingles shared by more than 5 docs are
+    dropped before pair generation — the stop-shingle guard that bounds
+    the per-key quadratic pair blow-up at corpus scale (llm/dedup.py:
+    jaccard_pairs(max_postings=...)). Similarity is computed over the
+    filtered shingle universe on BOTH engines, so the capped scores
+    hash-match."""
+    return D.jaccard_pairs(table(spark, sf_dir, "documents"),
+                           threshold=0.5, max_postings=5)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+    SELECT doc_id, n_frames, i * {4} AS frame_idx,
+           i * {4 * 40} AS byte_offset
+    FROM (
+      SELECT doc_id, n_frames,
+             unnest(range(0, CASE WHEN n_frames <= 0 THEN 0
+                                  ELSE (n_frames - 1) // {4} + 1 END)) AS i
+      FROM (SELECT doc_id, octet_length(encode(text)) // {40} AS n_frames
+            FROM documents))
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Frame-sampling plan over media payloads (every 4th frame of
+    40-byte frames): emits (frame_idx, byte_offset) fetch rows from
+    metadata ONLY — the payload column is pruned from the scan, which
+    is how a 100 TB video corpus schedules decode work without reading
+    bytes. Decode itself is the mapInPandas stub
+    (llm/multimodal.py:decode_stub_features)."""
+    from ..llm.multimodal import attach_payload, frame_sample_plan
+    d = attach_payload(table(spark, sf_dir, "documents"))
+    return frame_sample_plan(d).select(
+        "doc_id", "n_frames",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("byte_offset").cast("long").alias("byte_offset"))
