@@ -188,3 +188,128 @@ def window_first_last_nth(spark, sf_dir):
         F.first("o_totalprice").over(w).alias("first_price"),
         F.last("o_totalprice").over(wfull).alias("last_price"),
         F.nth_value("o_totalprice", 2).over(w).alias("second_price"))
+
+
+# --------------------------------------------- skew / reshaping / SQL depth
+
+@register(
+    "join_salted_skew",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag
+    """,
+    tags=("join", "scale"),
+)
+def join_salted_skew(spark, sf_dir):
+    """Salted equi-join (operators/relational.py:salted_join): the
+    left side's key is salted over 8 buckets and the right side
+    replicated ×8, so a pathological hot key spreads across 8 reducers
+    instead of stalling one. Semantically identical to the plain join
+    the oracle runs — salting is a physical rewrite. AQE skew-split
+    handles most skew automatically; explicit salting remains for the
+    single-hot-key case (null/default keys) AQE cannot split."""
+    from ..operators.relational import salted_join
+    li = table(spark, sf_dir, "lineitem")
+    o = (table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderpriority") == "1-URGENT")
+         .select(F.col("o_orderkey").alias("l_orderkey")))
+    joined = salted_join(li, o, "l_orderkey", salt_buckets=8)
+    return (joined.groupBy("l_returnflag")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum(_dec("l_extendedprice")), 2).cast("double")
+                 .alias("total_price")))
+
+
+@register(
+    "unpivot_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, metric, value
+    FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+                 l_discount, l_tax
+          FROM lineitem WHERE l_orderkey < 100)
+    UNPIVOT (value FOR metric IN (l_quantity, l_extendedprice,
+                                  l_discount, l_tax))
+    """,
+    tags=("reshape",),
+)
+def unpivot_measures(spark, sf_dir):
+    """UNPIVOT (wide → long): the four lineitem measures melt into
+    (metric, value) rows — the inverse of agg_pivot. Spark's unpivot
+    is a zero-shuffle map-side expansion (like explode); values are
+    raw stored doubles, bit-identical across engines."""
+    li = (table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_orderkey") < 100)
+          .select("l_orderkey", "l_linenumber", "l_quantity",
+                  "l_extendedprice", "l_discount", "l_tax"))
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric", "value")
+
+
+@register(
+    "gaps_islands_orderkeys",
+    oracle="""
+    WITH keys AS (SELECT DISTINCT o_orderkey FROM orders),
+    grp AS (
+      SELECT o_orderkey,
+             o_orderkey - row_number() OVER (ORDER BY o_orderkey) AS g
+      FROM keys)
+    SELECT min(o_orderkey) AS island_start, max(o_orderkey) AS island_end,
+           count(*) AS island_len
+    FROM grp GROUP BY g
+    """,
+    tags=("window", "sql"),
+)
+def gaps_islands_orderkeys(spark, sf_dir):
+    """Gaps-and-islands: maximal runs of consecutive orderkeys via the
+    classic key − row_number() grouping constant. The global-ordered
+    row_number is the scale caveat: one ordering pass (range-partitioned
+    sort), then the island grouping shuffles on the derived constant.
+    Integer-only — exact everywhere."""
+    from pyspark.sql import Window
+    keys = table(spark, sf_dir, "orders").select("o_orderkey").distinct()
+    g = (F.col("o_orderkey")
+         - F.row_number().over(Window.orderBy("o_orderkey")))
+    return (keys.withColumn("g", g)
+            .groupBy("g")
+            .agg(F.min("o_orderkey").alias("island_start"),
+                 F.max("o_orderkey").alias("island_end"),
+                 F.count("*").alias("island_len"))
+            .drop("g"))
+
+
+@register(
+    "agg_argmax_customer",
+    oracle="""
+    WITH m AS (SELECT c_nationkey AS nk, max(c_acctbal) AS top_acctbal
+               FROM customer GROUP BY c_nationkey)
+    SELECT nk AS c_nationkey, min(c_custkey) AS top_custkey, top_acctbal
+    FROM customer JOIN m
+      ON c_nationkey = nk AND c_acctbal = top_acctbal
+    GROUP BY nk, top_acctbal
+    """,
+    tags=("agg", "subquery"),
+)
+def agg_argmax_customer(spark, sf_dir):
+    """arg-max per group: the customer holding each nation's maximum
+    balance. Deliberately NOT max_by/arg_max — those are
+    nondeterministic under ties (a real cross-engine divergence, and
+    neither engine accepts a composite tiebreak value here). Instead:
+    max per group, broadcast join-back on the (raw, bit-identical)
+    double, min(custkey) among holders — deterministic by
+    construction. The join-back side is |groups| rows → broadcast."""
+    c = table(spark, sf_dir, "customer")
+    m = (c.groupBy(F.col("c_nationkey").alias("nk"))
+         .agg(F.max("c_acctbal").alias("top_acctbal")))
+    return (c.join(F.broadcast(m),
+                   (c.c_nationkey == m.nk)
+                   & (c.c_acctbal == m.top_acctbal))
+            .groupBy("nk", "top_acctbal")
+            .agg(F.min("c_custkey").alias("top_custkey"))
+            .select(F.col("nk").alias("c_nationkey"),
+                    "top_custkey", "top_acctbal"))
