@@ -143,3 +143,102 @@ def ts_watermark_recent(spark, sf_dir):
             .groupBy(F.floor(F.unix_micros("ts") / (86400 * US_PER_S))
                      .cast("long").alias("epoch_day"))
             .agg(F.count("*").alias("n")))
+
+
+@register(
+    "ts_user_retention",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             epoch_us(ts) // 86400000000 AS day
+      FROM events)
+    SELECT a.day AS day, count(*) AS retained_users
+    FROM act a JOIN act b
+      ON a.user_id = b.user_id AND b.day = a.day + 1
+    GROUP BY a.day
+    """,
+    tags=("time", "analytics"),
+)
+def ts_user_retention(spark, sf_dir):
+    """Next-day retention: users active on day d AND d+1, per day —
+    the product-analytics staple. Activity reduces to DISTINCT (user,
+    day) before the self-join, so the join input is bounded by
+    users×days, not events; the self-join shuffles once on user_id.
+    Days are epoch-integer (event-time tz discipline: never output
+    wall timestamps from the events table)."""
+    ev = table(spark, sf_dir, "events")
+    act = (ev.select("user_id",
+                     (F.unix_micros(F.col("ts")) / 86400000000)
+                     .cast("long").alias("day"))
+           .distinct())
+    nxt = act.select(F.col("user_id").alias("uid_b"),
+                     (F.col("day") - 1).alias("day_b"))
+    return (act.join(nxt, (act.user_id == nxt.uid_b)
+                     & (act.day == nxt.day_b))
+            .groupBy("day")
+            .agg(F.count("*").alias("retained_users")))
+
+
+@register(
+    "ts_funnel_view_purchase",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(epoch_us(ts)) AS first_view_us
+      FROM events WHERE event_type = 'view' GROUP BY user_id),
+    p AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS first_purchase_us
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase'
+        AND epoch_us(e.ts) > v.first_view_us
+        AND epoch_us(e.ts) <= v.first_view_us + 86400000000
+      GROUP BY e.user_id)
+    SELECT v.user_id, v.first_view_us, p.first_purchase_us
+    FROM v JOIN p ON v.user_id = p.user_id
+    """,
+    tags=("time", "analytics"),
+)
+def ts_funnel_view_purchase(spark, sf_dir):
+    """Two-step funnel: first 'view' followed by a 'purchase' within
+    24 hours, per user — sequential-event matching as two aggregates +
+    a time-band join (no per-user sort, no window over raw events).
+    All event times are epoch-microsecond integers; at scale both
+    aggregates and the join share the user_id shuffle key."""
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    v = (ev.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min(us).alias("first_view_us")))
+    pe = (ev.filter(F.col("event_type") == "purchase")
+          .select("user_id", us.alias("p_us"))
+          .withColumnRenamed("user_id", "uid_p"))
+    p = (pe.join(v, (pe.uid_p == v.user_id)
+                 & (pe.p_us > v.first_view_us)
+                 & (pe.p_us <= v.first_view_us + 86400000000))
+         .groupBy("uid_p").agg(F.min("p_us").alias("first_purchase_us")))
+    return (v.join(p, v.user_id == p.uid_p)
+            .select("user_id", "first_view_us", "first_purchase_us"))
+
+
+@register(
+    "json_props_extract",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+           round(CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                      AS DOUBLE) / count(*), 4) AS k_avg
+    FROM events GROUP BY event_type
+    """,
+    tags=("json", "agg"),
+)
+def json_props_extract(spark, sf_dir):
+    """Ad-hoc JSON path extraction from the events ``props`` column
+    (SURVEY §2.B1's dynamic-schema side: get_json_object for paths not
+    in the declared schema) aggregated per event type. Integer sums
+    exact; avg via the sum-then-divide discipline."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (ev.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum(k).alias("k_sum"),
+                 F.round(F.sum(k).cast("double") / F.count("*"), 4)
+                 .alias("k_avg")))
