@@ -19,4 +19,65 @@ from . import tpch_more  # noqa: E402,F401
 from . import sketches  # noqa: E402,F401
 from . import analytics2  # noqa: E402,F401
 
+# --- driver-window ordering --------------------------------------------------
+# The verify driver checks the FIRST 50 registry entries per round
+# (CORRECTNESS_r01.json == first 50 of insertion order). Round 1 checked
+# the reference_ops/relational/timeseries/early-llm surface; round 2's
+# window therefore front-loads: the two round-1 hash-fails (now fixed),
+# four green canaries to catch regressions, the explode-shaped queries
+# (SURVEY §2 D1/D2 had no driver row), then every previously-unchecked
+# query in priority order (TPC-H, sketches/sampling, LLM families).
+# Queries past the window keep local pytest-oracle coverage
+# (tests/test_oracle_parity.py) and rotate in next round.
+_ROUND2_WINDOW = [
+    # round-1 FAIL rows, fixed (HUGEINT-sum oracle casts)
+    "json_parse", "json_props_extract",
+    # canaries (green in r01; re-check for regressions)
+    "source_file_batch", "split_5way_log", "agg_pricing_summary",
+    "dedup_minhash_lsh",
+    # explode-shaped (D1/D2 — reference's table-generating op)
+    "text_word_freq", "explode_with_position",
+    # TPC-H shapes (q1/q3/q5 variants were green in r01 as agg_/join_*)
+    "q2_best_supplier_per_part", "q6_forecast_revenue",
+    "q7_volume_between_nations", "q8_market_share", "q9_product_profit",
+    "q10_returned_items", "q11_important_stock_value",
+    "q12_priority_by_status", "q13_customer_order_distribution",
+    "q14_promo_share", "q15_top_supplier", "q16_supplier_count_by_part",
+    "q17_small_quantity_revenue", "q18_large_volume_customers",
+    "q19_disjunctive_predicates", "q20_excess_shippers",
+    "q21_sole_returner", "q22_idle_rich_customers",
+    "asof_join_latest_order", "range_join_event_pairs",
+    # sketches / sampling / layout
+    "sketch_kmv_distinct", "sketch_hll_distinct", "sketch_cms_frequency",
+    "bloom_semi_join_prune", "sample_hash_bernoulli",
+    "sample_stratified_hash", "split_train_val_test",
+    "text_chunk_windows", "zorder_layout_key",
+    # LLM families without a driver row yet
+    "text_quality_score", "text_lang_id", "text_search_match",
+    "text_search_bm25", "text_tfidf_top_terms", "pandas_grouped_zscore",
+    "dedup_connected_components", "sim_ann_lsh_or_pairs",
+    "sim_ann_ivf_cells", "curation_pipeline", "multimodal_meta",
+    "multimodal_frame_sample", "multimodal_payload_b64",
+    # positions 50+: next-up if the driver cap is larger than 50
+    "dedup_jaccard_capped", "sql_entrypoint_correlated",
+    "scalar_subquery_filter", "window_percent_ntile", "agg_grouping_sets",
+    "agg_filtered_conditional", "string_functions", "date_functions",
+    "agg_median_percentiles", "agg_pivot", "null_functions",
+    "join_salted_skew", "unpivot_measures", "gaps_islands_orderkeys",
+    "agg_argmax_customer", "window_range_30d_revenue",
+    "window_first_last_nth", "string_levenshtein_pairs",
+]
+
+
+def _reorder() -> None:
+    missing = [n for n in _ROUND2_WINDOW if n not in REGISTRY]
+    assert not missing, f"window names not registered: {missing}"
+    ordered = {n: REGISTRY[n] for n in _ROUND2_WINDOW}
+    ordered.update((n, s) for n, s in REGISTRY.items() if n not in ordered)
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
+
+
+_reorder()
+
 __all__ = ["REGISTRY", "QUERIES", "ORACLES"]

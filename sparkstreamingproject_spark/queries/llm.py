@@ -485,7 +485,8 @@ def sim_ann_lsh_or_pairs(spark, sf_dir):
                   WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
              n_chars
       FROM keep)
-    SELECT split, lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+    SELECT split, lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM split GROUP BY split, lang
     """,
     tags=("llm", "pipeline"),

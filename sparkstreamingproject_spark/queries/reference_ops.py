@@ -45,7 +45,8 @@ def source_file_batch(spark, sf_dir):
     "json_parse",
     oracle="""
     SELECT event_type,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
            count(*) AS n
     FROM events GROUP BY event_type
     """,

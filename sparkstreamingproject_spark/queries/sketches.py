@@ -247,7 +247,7 @@ def sample_stratified_hash(spark, sf_dir):
     SELECT CASE WHEN b < 80 THEN 'train'
                 WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
            count(*) AS n_docs,
-           sum(n_chars) AS total_chars
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM (
       SELECT n_chars,
              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))

@@ -223,7 +223,8 @@ def ts_funnel_view_purchase(spark, sf_dir):
     oracle="""
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_sum,
            round(CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
                       AS DOUBLE) / count(*), 4) AS k_avg
     FROM events GROUP BY event_type
