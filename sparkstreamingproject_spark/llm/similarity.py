@@ -160,21 +160,39 @@ def ivf_topk(candidates: DataFrame, queries: DataFrame, k: int = 5,
                     F.col("rank").cast("long").alias("rank")))
 
 
+BROADCAST_MAX_BYTES = 512 << 20  # dense f64 matrix cap for the exact kernel
+
+
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.3,
                              id_col: str = "vec_id",
-                             emb_col: str = "embedding") -> DataFrame:
+                             emb_col: str = "embedding",
+                             broadcast_max_bytes: int = BROADCAST_MAX_BYTES) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ threshold).
 
-    Broadcast-matrix kernel: the comparison side is collected into one
-    dense float64 matrix (N×d — embeddings tables are tiny next to the
-    corpus they index; 10M×64 ≈ 5 GB still broadcasts) and every input
+    Size-guarded: one cheap aggregate (count + vector width) sizes the
+    dense f64 matrix the exact kernel would broadcast. Under the cap →
+    exact broadcast-matmul kernel; over it → the LSH-bucketed kernel
+    (``_near_dup_bucketed``), which never materializes anything on the
+    driver. The guard means no unbounded ``collect()`` exists on this
+    path at any data size — at billions of vectors the bucketed plan is
+    chosen automatically.
+    """
+    head = df.select(F.count("*").alias("n"),
+                     F.first(F.size(emb_col)).alias("d")).first()
+    n, d = head["n"] or 0, head["d"] or 0
+    if n * d * 8 <= broadcast_max_bytes:
+        return _near_dup_broadcast(df, threshold, id_col, emb_col)
+    return _near_dup_bucketed(df, threshold, id_col, emb_col)
+
+
+def _near_dup_broadcast(df: DataFrame, threshold: float,
+                        id_col: str, emb_col: str) -> DataFrame:
+    """Exact kernel: the comparison side becomes one dense float64
+    matrix (bounded by the caller's size guard) and every input
     partition scores its rows against it with one BLAS matmul inside
     Arrow-batched ``mapInPandas``. No N² shuffle, no per-pair array
     allocation — this replaced a higher-order-function version that was
     75 µs/pair (150 s at sf0.1); the matmul does the same pairs in ~2 s.
-
-    When the comparison side outgrows a broadcast, pre-bucket both
-    sides with ``lsh_bucket`` and run this kernel per bucket.
 
     Similarity is rounded to 4dp and thresholded on the rounded value:
     BLAS pairwise summation and the oracle's sequential summation can
@@ -204,6 +222,53 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.3,
 
     out_schema = "id_a long, id_b long, cosine double"
     return df.select(id_col, emb_col).mapInPandas(score, out_schema)
+
+
+def _lsh_params(threshold: float, target_recall: float = 0.8,
+                max_tables: int = 16) -> tuple[int, int]:
+    """(planes_per_table, n_tables) hitting ``target_recall`` for pairs
+    at exactly ``threshold`` cosine. Per-plane collision probability is
+    p = 1 - θ/π; a b-plane table collides with p^b and T OR-ed tables
+    reach 1-(1-p^b)^T. Maximize b (buckets = 2^b — more planes → smaller
+    buckets → smaller per-bucket quadratic) subject to T ≤ max_tables:
+    high thresholds get many planes/few tables (cheap, tiny buckets);
+    loose thresholds trade tables for recall. Pairs above the threshold
+    collide strictly more often, so target_recall is a floor."""
+    import math
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    for b in range(16, 1, -1):
+        pb = p ** b
+        if pb >= 1.0:
+            return b, 1
+        t = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pb))
+        if t <= max_tables:
+            return b, t
+    return 2, max_tables
+
+
+def _near_dup_bucketed(df: DataFrame, threshold: float,
+                       id_col: str, emb_col: str) -> DataFrame:
+    """Scale kernel: OR-amplified hyperplane LSH proposes candidate
+    pairs (per-bucket posting lists — one shuffle, never all-pairs),
+    then each candidate is re-scored EXACTLY by joining the embeddings
+    back on both ids. Fully distributed: the only driver traffic is the
+    job itself. Approximate in recall (pairs whose buckets never
+    collide in any table are missed — table/plane counts are solved
+    from the threshold by ``_lsh_params`` to floor recall at ~0.8),
+    exact in precision (every emitted cosine is the true value, same
+    4dp rounding as the broadcast kernel)."""
+    planes_per_table, n_tables = _lsh_params(threshold)
+    cand = lsh_multi_table_pairs(df, id_col, emb_col,
+                                 n_tables=n_tables,
+                                 planes_per_table=planes_per_table)
+    a = df.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("emb_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("emb_b"))
+    return (cand.join(a, "id_a").join(b, "id_b")
+            .select("id_a", "id_b",
+                    F.round(cosine_similarity("emb_a", "emb_b"), 4).alias("cosine"))
+            .filter(F.col("cosine") >= threshold)
+            .select(F.col("id_a").cast("long"), F.col("id_b").cast("long"),
+                    "cosine"))
 
 
 LSH_TABLES = 3

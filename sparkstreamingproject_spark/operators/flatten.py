@@ -74,8 +74,12 @@ def clean_log(env: DataFrame) -> DataFrame:
 
 def page_log(env: DataFrame) -> DataFrame:
     """PageLog (16 cols, ``bean/PageLog.scala:3-20``): one row per
-    envelope with a page block (C2 filter, ``OdsBaseLogApp.scala:117-119``)."""
-    return (env.filter(F.col("page").isNotNull())
+    non-error envelope with a page block (C2 filter,
+    ``OdsBaseLogApp.scala:117-119``). Err records are excluded — the
+    reference extracts page/start/display/action inside the ELSE branch
+    of the err check (``OdsBaseLogApp.scala:97-100``), so an err record
+    goes to the error topic ONLY."""
+    return (clean_log(env).filter(F.col("page").isNotNull())
             .select(*_ordered_context(), F.col("ts")))
 
 
@@ -96,8 +100,9 @@ def explode_displays(env: DataFrame) -> DataFrame:
     fields replicated (``OdsBaseLogApp.scala:136-153``,
     ``bean/PageDisplayLog.scala:3-28``). ``explode`` (not outer) drops
     null/empty arrays — that is exactly the C4 guard at ``:137``.
+    Err records excluded (else-branch semantics, ``:97-100``).
     """
-    return (env.filter(F.col("page").isNotNull())
+    return (clean_log(env).filter(F.col("page").isNotNull())
             .select(*_ordered_context(), F.col("ts"),
                     F.explode("displays").alias("d"))
             .select(*[c for c in PAGE_LOG_CONTEXT],
@@ -111,8 +116,9 @@ def explode_displays(env: DataFrame) -> DataFrame:
 
 def explode_actions(env: DataFrame) -> DataFrame:
     """D2: one row per ``actions`` element (``OdsBaseLogApp.scala:156-169``,
-    ``bean/PageActionLog.scala:3-27``)."""
-    return (env.filter(F.col("page").isNotNull())
+    ``bean/PageActionLog.scala:3-27``). Err records excluded
+    (else-branch semantics, ``:97-100``)."""
+    return (clean_log(env).filter(F.col("page").isNotNull())
             .select(*_ordered_context(), F.col("ts"),
                     F.explode("actions").alias("a"))
             .select(*[c for c in PAGE_LOG_CONTEXT],
@@ -132,12 +138,13 @@ PAGE_LOG_CONTEXT = [
 
 def start_log(env: DataFrame) -> DataFrame:
     """StartLog (15 cols, ``bean/StartLog.scala:3-21``): C3 filter at
-    ``OdsBaseLogApp.scala:174-175``, field extraction ``:174-181``."""
+    ``OdsBaseLogApp.scala:174-175``, field extraction ``:174-181``.
+    Err records excluded (else-branch semantics, ``:97-100``)."""
     ordered_common = ["mid", "user_id", "province_id", "channel", "is_new",
                       "model", "operate_system", "version_code", "brand"]
     by_dst = {dst: F.col(f"common.{src}").alias(dst)
               for src, dst in COMMON_RENAMES.items()}
-    return (env.filter(F.col("start").isNotNull())
+    return (clean_log(env).filter(F.col("start").isNotNull())
             .select(*[by_dst[f] for f in ordered_common],
                     F.col("start.entry").alias("entry"),
                     F.col("start.open_ad_id").alias("open_ad_id"),

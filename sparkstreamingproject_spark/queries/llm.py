@@ -108,10 +108,14 @@ def dedup_minhash_lsh(spark, sf_dir):
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH {SHINGLES_CTE},
-    counts AS (SELECT doc_id, count(*) AS c FROM shingles GROUP BY doc_id),
+    capped AS (
+      SELECT shingle FROM shingles GROUP BY shingle HAVING count(*) <= 50),
+    sh AS (SELECT s.doc_id, s.shingle FROM shingles s
+           JOIN capped USING (shingle)),
+    counts AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-      FROM shingles a JOIN shingles b
+      FROM sh a JOIN sh b
         ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2)
     SELECT id_a, id_b,
@@ -124,7 +128,15 @@ def dedup_minhash_lsh(spark, sf_dir):
     tags=("llm", "dedup"),
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    return D.jaccard_pairs(table(spark, sf_dir, "documents"), threshold=0.8)
+    """Headline n-gram Jaccard runs CAPPED by default (max_postings=50):
+    a shingle shared by >50 docs is a stop-shingle — it contributes
+    ~nothing to a 0.8-similarity decision but emits O(df²) candidate
+    pairs (10k-doc shingle → 50M pairs from one key), which is the
+    scale-killer at corpus size. Both engines compute similarity over
+    the identically filtered shingle universe. Uncapped semantics
+    remain available via jaccard_pairs(max_postings=None)."""
+    return D.jaccard_pairs(table(spark, sf_dir, "documents"),
+                           threshold=0.8, max_postings=50)
 
 
 def _simhash_oracle() -> str:

@@ -71,12 +71,23 @@ def tagged_split_writer(env_stream: DataFrame, out_dir: str, checkpoint: str,
                         trigger_seconds: int | None = 5):
     """Strategy 2: single tagged pass, partitioned sink. Parent-level
     records only (display/action children need the explode operators —
-    run those as their own tagged streams when consumers want them)."""
-    label = (F.when(F.col("err").isNotNull(), TOPIC_ERROR)
-              .when(F.col("page").isNotNull(), TOPIC_PAGE)
-              .when(F.col("start").isNotNull(), TOPIC_START)
-              .otherwise("DWD_OTHER"))
-    tagged = env_stream.withColumn("topic", label)
+    run those as their own tagged streams when consumers want them).
+
+    A record can belong to SEVERAL output streams: the reference
+    extracts the start block independently of the page block
+    (``OdsBaseLogApp.scala:174-188``), so a page+start record emits a
+    PageLog row AND a StartLog row — hence an array of labels exploded
+    into one row per matching topic. Err stays exclusive (the page/
+    start extraction is inside the err check's else branch, ``:97-100``).
+    """
+    labels = (
+        F.when(F.col("err").isNotNull(), F.array(F.lit(TOPIC_ERROR)))
+        .otherwise(F.array_compact(F.array(
+            F.when(F.col("page").isNotNull(), TOPIC_PAGE),
+            F.when(F.col("start").isNotNull(), TOPIC_START)))))
+    labels = F.when(F.size(labels) == 0,
+                    F.array(F.lit("DWD_OTHER"))).otherwise(labels)
+    tagged = env_stream.withColumn("topic", F.explode(labels))
     writer = (tagged.writeStream.format("parquet")
               .option("path", out_dir)
               .option("checkpointLocation", checkpoint)

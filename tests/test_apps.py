@@ -22,10 +22,14 @@ def test_ods_base_log_app(spark, tmp_path):
     q = ods_base_log.run(args, spark)
     q.awaitTermination(120)
     env = spark.read.parquet(src)
+    # err records route exclusively to the error topic
+    # (else-branch semantics, OdsBaseLogApp.scala:97-100)
     assert (spark.read.parquet(f"{out}/{TOPIC_PAGE}").count()
-            == env.filter(F.col("page").isNotNull()).count())
+            == env.filter(F.col("err").isNull()
+                          & F.col("page").isNotNull()).count())
     assert (spark.read.parquet(f"{out}/{TOPIC_START}").count()
-            == env.filter(F.col("start").isNotNull()).count())
+            == env.filter(F.col("err").isNull()
+                          & F.col("start").isNotNull()).count())
 
 
 def test_ods_base_db_app(spark, tmp_path):

@@ -21,14 +21,17 @@ def test_page_log_schema_and_counts(spark):
     env = log_envelope_df(spark)
     pl = page_log(env)
     assert pl.columns == PAGE_LOG_FIELDS
-    assert pl.count() == env.filter(F.col("page").isNotNull()).count()
+    # err records are excluded (else-branch routing, OdsBaseLogApp.scala:97-100)
+    assert pl.count() == env.filter(F.col("err").isNull()
+                                    & F.col("page").isNotNull()).count()
 
 
 def test_start_log_schema(spark):
     env = log_envelope_df(spark)
     sl = start_log(env)
     assert sl.columns == START_LOG_FIELDS
-    assert sl.count() == env.filter(F.col("start").isNotNull()).count()
+    assert sl.count() == env.filter(F.col("err").isNull()
+                                    & F.col("start").isNotNull()).count()
 
 
 def test_explode_display_invariant(spark):
@@ -36,7 +39,7 @@ def test_explode_display_invariant(spark):
     env = log_envelope_df(spark)
     dl = explode_displays(env)
     assert dl.columns == PAGE_DISPLAY_LOG_FIELDS
-    expected = (env.filter(F.col("page").isNotNull())
+    expected = (env.filter(F.col("err").isNull() & F.col("page").isNotNull())
                 .agg(F.sum(F.coalesce(F.size("displays"), F.lit(0))))
                 .collect()[0][0])
     assert dl.count() == expected
@@ -46,7 +49,7 @@ def test_explode_action_invariant(spark):
     env = log_envelope_df(spark)
     al = explode_actions(env)
     assert al.columns == PAGE_ACTION_LOG_FIELDS
-    expected = (env.filter(F.col("page").isNotNull())
+    expected = (env.filter(F.col("err").isNull() & F.col("page").isNotNull())
                 .agg(F.sum(F.coalesce(F.size("actions"), F.lit(0))))
                 .collect()[0][0])
     assert al.count() == expected

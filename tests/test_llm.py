@@ -132,6 +132,27 @@ def test_connected_components_fixpoint_and_transitivity(spark):
     assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
 
 
+def test_near_dup_bucketed_path_no_collect(spark, sf_dir):
+    """Forcing the size guard to 0 bytes must route near-dup pairs
+    through the distributed LSH-bucketed kernel: every emitted pair is
+    exact-precision (same cosine, 4dp) and a subset of the broadcast
+    kernel's output, with usable recall on this data."""
+    from sparkstreamingproject_spark.llm.similarity import (
+        embedding_near_dup_pairs)
+    emb = _emb(spark, sf_dir)
+    exact = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in embedding_near_dup_pairs(emb, threshold=0.3).collect()}
+    bucketed = {(r["id_a"], r["id_b"]): r["cosine"]
+                for r in embedding_near_dup_pairs(
+                    emb, threshold=0.3, broadcast_max_bytes=0).collect()}
+    assert bucketed, "bucketed kernel returned nothing"
+    assert set(bucketed) <= set(exact), "bucketed emitted a non-exact pair"
+    for k, v in bucketed.items():
+        assert abs(v - exact[k]) < 1e-9, f"cosine mismatch on {k}"
+    recall = len(bucketed) / len(exact)
+    assert recall >= 0.3, f"bucketed recall {recall:.2f} too low"
+
+
 def test_lsh_or_amplification_improves_recall(spark, sf_dir):
     """OR-ing independent tables must find at least every pair a single
     table finds, and (on this data) strictly more."""

@@ -47,9 +47,11 @@ def test_roundtrip_and_explode_invariant(spark, rows):
     orig_mids = sorted(r["mid"] for r in env.select("common.mid").collect())
     rt_mids = sorted(r["mid"] for r in reparsed.select("common.mid").collect())
     assert orig_mids == rt_mids
-    # explode child count == sum of array sizes over page-bearing rows
+    # explode child count == sum of array sizes over non-err
+    # page-bearing rows (err routes exclusively to the error stream)
     expected = sum(len(r["displays"] or [])
-                   for r in rows if r["page"] is not None)
+                   for r in rows
+                   if r["page"] is not None and r["err"] is None)
     assert explode_displays(env).count() == expected
     # pack_json emits one JSON line per input row
     assert pack_json(env.select("ts", "err")).count() == len(rows)

@@ -83,6 +83,9 @@ def test_split_stream_resume_is_incremental(spark, tmp_path, land_logs):
 
 
 def test_tagged_split_writer_partitions(spark, tmp_path, land_logs):
+    """Strategy 2 emits one row per (record, matching topic): err
+    exclusively to ERROR; page+start records to BOTH topics
+    (OdsBaseLogApp.scala:174-188 extracts start independently of page)."""
     out = str(tmp_path / "tagged")
     ck = str(tmp_path / "ck2")
     stream = file_stream(spark, land_logs, LOG_ENVELOPE_SCHEMA)
@@ -90,7 +93,45 @@ def test_tagged_split_writer_partitions(spark, tmp_path, land_logs):
     df = spark.read.parquet(out)
     topics = {r["topic"] for r in df.select("topic").distinct().collect()}
     assert TOPIC_ERROR in topics and (TOPIC_PAGE in topics or TOPIC_START in topics)
-    assert df.count() == spark.read.parquet(land_logs).count()
+
+    env = spark.read.parquet(land_logs)
+    err = F.col("err").isNotNull()
+    n_err = env.filter(err).count()
+    n_page = env.filter(~err & F.col("page").isNotNull()).count()
+    n_start = env.filter(~err & F.col("start").isNotNull()).count()
+    n_other = env.filter(~err & F.col("page").isNull()
+                         & F.col("start").isNull()).count()
+    by_topic = {r["topic"]: r["n"] for r in
+                df.groupBy("topic").agg(F.count("*").alias("n")).collect()}
+    assert by_topic.get(TOPIC_ERROR, 0) == n_err
+    assert by_topic.get(TOPIC_PAGE, 0) == n_page
+    assert by_topic.get(TOPIC_START, 0) == n_start
+    assert by_topic.get("DWD_OTHER", 0) == n_other
+    # fixtures co-generate page+start (~7%): both-membership must occur
+    n_both = env.filter(~err & F.col("page").isNotNull()
+                        & F.col("start").isNotNull()).count()
+    assert n_both > 0, "fixture should contain page+start records"
+    assert df.count() == env.count() + n_both
+
+
+def test_err_records_only_in_error_output(spark):
+    """The reference routes err records exclusively to the error topic
+    (page/start/display/action extraction is inside the else branch,
+    OdsBaseLogApp.scala:97-100) — no err mid may appear in any other
+    split output."""
+    from sparkstreamingproject_spark.operators.routing import split_log_streams
+    env = log_envelope_df(spark, n=400)
+    outs = split_log_streams(env)
+    err_mids = {r["mid"] for r in
+                outs[TOPIC_ERROR].select("common.mid").collect()}
+    assert err_mids, "fixture should contain err records"
+    # fixtures co-generate err+page (~5% err, independent): without the
+    # else-branch exclusion these outputs WOULD contain err mids
+    assert env.filter(F.col("err").isNotNull()
+                      & F.col("page").isNotNull()).count() > 0
+    for topic in (TOPIC_PAGE, TOPIC_START, TOPIC_DISPLAY, TOPIC_ACTION):
+        mids = {r["mid"] for r in outs[topic].select("mid").collect()}
+        assert not (mids & err_mids), f"err mids leaked into {topic}"
 
 
 def test_cdc_router_facts_and_dims(spark, tmp_path):
