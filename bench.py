@@ -22,7 +22,11 @@ from sparkstreamingproject_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # headline set: the flagship + one per operator family, weighted toward
-# the scale-sensitive ops (joins, windows, dedup, similarity)
+# the scale-sensitive ops (joins, windows, dedup, similarity).
+# FROZEN as of round 2 — the per-query baseline is pinned in
+# BASELINE.md (BENCH_r01 numbers); changing this list breaks the 1:1
+# round-over-round comparison. Add new queries to a separate list if a
+# future round needs them benched.
 HEADLINE = [
     "split_5way_log",
     "agg_pricing_summary",

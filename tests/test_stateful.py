@@ -55,6 +55,54 @@ def test_stateful_user_profile(spark, tmp_path):
     assert final.count() == 7
 
 
+def test_funnel_stream_matches_batch(spark, tmp_path):
+    """Custom stateful funnel (applyInPandasWithState, EventTimeTimeout)
+    equals the batch two-aggregate funnel on the same data — including
+    across multiple micro-batches (two landing files)."""
+    from sparkstreamingproject_spark.streaming.stateful import funnel_stream
+
+    src = str(tmp_path / "landf")
+    df = _events_df(spark, n=240)
+    # two files → availableNow replays them as separate micro-batches
+    df.filter("event_id < 120").coalesce(1).write.mode("append").parquet(src)
+    df.filter("event_id >= 120").coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "funnel")
+    ck = str(tmp_path / "ckf")
+    q = (funnel_stream(file_stream(spark, src, df.schema))
+         .writeStream.outputMode("update")
+         .foreachBatch(lambda b, i: b.write.mode("append").parquet(out))
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    us = F.unix_micros(F.col("ts"))
+    v = (df.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min(us).alias("first_view_us")))
+    pe = (df.filter(F.col("event_type") == "purchase")
+          .select(F.col("user_id").alias("uid_p"), us.alias("p_us")))
+    p = (pe.join(v, (pe.uid_p == v.user_id)
+                 & (pe.p_us > v.first_view_us)
+                 & (pe.p_us <= v.first_view_us + 86400000000))
+         .groupBy("uid_p").agg(F.min("p_us").alias("first_purchase_us")))
+    expected = {(r["user_id"], r["first_view_us"], r["first_purchase_us"])
+                for r in v.join(p, v.user_id == p.uid_p)
+                .select("user_id", "first_view_us", "first_purchase_us")
+                .collect()}
+    assert expected, "fixture should contain conversions"
+
+    got_df = spark.read.parquet(out)
+    # update mode: last emitted row per user is the refined answer
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("first_purchase_us").asc())
+    final = (got_df.withColumn("rn", F.row_number().over(w))
+             .filter("rn = 1").drop("rn"))
+    got = {(r["user_id"], r["first_view_us"], r["first_purchase_us"])
+           for r in final.collect()}
+    assert got == expected
+
+
 def test_stream_dedup_matches_batch_distinct(spark, tmp_path):
     src = str(tmp_path / "land2")
     df = _events_df(spark)
