@@ -120,6 +120,24 @@ def pairs_from_postings(df: DataFrame, key_cols: list[str],
             .select("p.id_a", "p.id_b"))
 
 
+def band_keys(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+              n_hashes: int = N_MINHASH, bands: int = LSH_BANDS) -> DataFrame:
+    """(id, band, key) LSH band keys from MinHash signatures — the
+    shared index layout: ``lsh_candidate_pairs`` self-joins it within
+    one corpus; ``curation.incremental_dedup`` probes a new batch's
+    band keys against an existing corpus's (the persisted form IS this
+    DataFrame, partitioned by (band, key))."""
+    rows = n_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n_hashes)
+    band_structs = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.concat(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias("key"))
+        for b in range(bands)
+    ])
+    return (sig.select(F.col(id_col), F.explode(band_structs).alias("bk"))
+            .select(id_col, "bk.band", "bk.key"))
+
+
 def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text",
                         n_hashes: int = N_MINHASH, bands: int = LSH_BANDS) -> DataFrame:
@@ -128,15 +146,7 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     collide; only true collisions ever meet — the scale path for
     near-dedup at 100 TB.
     """
-    rows = n_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n_hashes)
-    band_structs = F.array(*[
-        F.struct(F.lit(b).alias("band"),
-                 F.concat(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias("key"))
-        for b in range(bands)
-    ])
-    banded = (sig.select(F.col(id_col), F.explode(band_structs).alias("bk"))
-              .select(id_col, "bk.band", "bk.key"))
+    banded = band_keys(df, id_col, text_col, n_hashes, bands)
     return pairs_from_postings(banded, ["band", "key"], id_col).distinct()
 
 

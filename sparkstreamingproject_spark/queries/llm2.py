@@ -1,0 +1,180 @@
+"""Curation-wave queries (llm/curation.py): decontamination,
+repetition quality signals, PII scrubbing, incremental dedup.
+
+Oracle discipline matches queries/llm.py: the SQL is generated from the
+same constants (shingle K, MinHash seeds/bands, split buckets, redaction
+regexes) as the Spark implementation, md5 as the shared primitive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..llm import curation as C
+from ..llm import dedup as D
+from .base import register, table
+
+# deterministic doc split bucket — same expression as split_train_val_test
+_BUCKET_SQL = ("CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+               "AS BIGINT) % 100")
+
+
+def _bucket_col():
+    return (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                   16, 10).cast("long") % 100)
+
+
+def _shingles_sql(src: str, prefix: str) -> str:
+    """words+shingles CTE pair over CTE ``src`` (same shape as
+    queries/llm.py:SHINGLES_CTE, parameterized by source)."""
+    k = D.SHINGLE_K
+    return f"""
+    {prefix}_words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM {src}),
+    {prefix}_sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(ws) - {k - 2}, 1)),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+      FROM {prefix}_words)"""
+
+
+def _bands_sql(prefix: str) -> str:
+    """sig+bands CTE pair over ``{prefix}_sh`` — MinHash signatures and
+    LSH band keys from the shared constants."""
+    aggs = ",\n             ".join(
+        f"min({D.minhash_hex_sql(j)}) AS h{j}" for j in range(D.N_MINHASH))
+    rows = D.N_MINHASH // D.LSH_BANDS
+    bands = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, {b} AS band, "
+        + " || ".join(f"h{b * rows + r}" for r in range(rows))
+        + f" AS key FROM {prefix}_sig"
+        for b in range(D.LSH_BANDS))
+    return f"""
+    {prefix}_sig AS (
+      SELECT doc_id,
+             {aggs}
+      FROM {prefix}_sh GROUP BY doc_id),
+    {prefix}_bands AS (
+{bands})"""
+
+
+@register(
+    "decontaminate_ngram",
+    oracle=f"""
+    WITH b AS (SELECT doc_id, text, {_BUCKET_SQL} AS bk FROM documents),
+    tr AS (SELECT doc_id, text FROM b WHERE bk < 80),
+    te AS (SELECT doc_id, text FROM b WHERE bk >= 90),
+    {_shingles_sql('tr', 'tr')},
+    {_shingles_sql('te', 'te')},
+    postings AS (
+      SELECT shingle, count(DISTINCT doc_id) AS n_train_docs
+      FROM tr_sh GROUP BY shingle),
+    hits AS (
+      SELECT t.doc_id, count(*) AS n_shared_shingles,
+             max(n_train_docs) AS max_train_df
+      FROM te_sh t JOIN postings USING (shingle)
+      GROUP BY t.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n FROM te_sh GROUP BY doc_id)
+    SELECT h.doc_id AS test_id, n_shared_shingles, max_train_df,
+           round(n_shared_shingles * 1.0 / n, 6) AS contamination_ratio
+    FROM hits h JOIN sizes s ON h.doc_id = s.doc_id
+    """,
+    tags=("llm", "curation"),
+)
+def decontaminate_ngram(spark, sf_dir):
+    """Benchmark decontamination: test-split docs sharing k-word
+    shingles with the train split (llm/curation.py:decontaminate).
+    Train side collapses to a shingle-keyed posting index; one shuffle,
+    never doc×doc."""
+    d = table(spark, sf_dir, "documents")
+    bk = _bucket_col()
+    return C.decontaminate(d.filter(bk < 80), d.filter(bk >= 90))
+
+
+@register(
+    "text_repetition_stats",
+    oracle="""
+    WITH wc AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents),
+    cnt AS (SELECT doc_id, w, count(*) AS c FROM wc GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_words,
+           round(1 - count(*) * 1.0 / sum(c), 6) AS dup_word_ratio,
+           round(max(c) * 1.0 / sum(c), 6) AS top_word_frac
+    FROM cnt GROUP BY doc_id
+    """,
+    tags=("llm", "quality"),
+)
+def text_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition signals (llm/curation.py:
+    repetition_stats): duplicate-word ratio + top-word fraction."""
+    return C.repetition_stats(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "pii_scrub_redact",
+    oracle=f"""
+    WITH pii AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.com or 555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{C.EMAIL_RE}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, '{C.PHONE_RE}')) AS BIGINT)
+             AS n_phones,
+           md5(regexp_replace(regexp_replace(text, '{C.EMAIL_RE}',
+                                             '<EMAIL>', 'g'),
+                              '{C.PHONE_RE}', '<PHONE>', 'g'))
+             AS scrubbed_md5
+    FROM pii
+    """,
+    tags=("llm", "curation"),
+)
+def pii_scrub_redact(spark, sf_dir):
+    """PII scrub audit (llm/curation.py:pii_scrub). The fixture corpus
+    carries no PII, so both engines append the same deterministic
+    contact string per doc, then redact it — verifying the scrub
+    mechanics (replace-all semantics, counts, scrubbed-content hash)
+    end to end."""
+    d = table(spark, sf_dir, "documents")
+    pii_text = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"), F.lit("@mail.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"))
+    return C.pii_scrub(d.withColumn("text", pii_text))
+
+
+@register(
+    "dedup_incremental",
+    oracle=f"""
+    WITH b AS (SELECT doc_id, text, n_chars, {_BUCKET_SQL} AS bk
+               FROM documents),
+    ex AS (SELECT doc_id, text FROM b WHERE bk < 80),
+    inc AS (SELECT doc_id, text, n_chars FROM b WHERE bk >= 80),
+    ex_hash AS (SELECT DISTINCT md5(text) AS h FROM ex),
+    new_exact AS (
+      SELECT * FROM inc WHERE md5(text) NOT IN (SELECT h FROM ex_hash)),
+    {_shingles_sql('ex', 'ex')},
+    {_shingles_sql('new_exact', 'ni')},
+    {_bands_sql('ex')},
+    {_bands_sql('ni')},
+    near AS (
+      SELECT DISTINCT n.doc_id
+      FROM ni_bands n JOIN ex_bands e
+        ON n.band = e.band AND n.key = e.key)
+    SELECT doc_id, n_chars FROM new_exact
+    WHERE doc_id NOT IN (SELECT doc_id FROM near)
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_incremental(spark, sf_dir):
+    """Nightly-ingest dedup (llm/curation.py:incremental_dedup): new
+    batch (buckets 80-99) vs existing corpus (buckets 0-79), exact-hash
+    anti-join then MinHash-band anti-join — the corpus participates
+    only as precomputable index relations."""
+    d = table(spark, sf_dir, "documents")
+    bk = _bucket_col()
+    kept = C.incremental_dedup(d.filter(bk < 80), d.filter(bk >= 80))
+    return kept.select("doc_id", "n_chars")

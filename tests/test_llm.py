@@ -167,3 +167,60 @@ def test_lsh_or_amplification_improves_recall(spark, sf_dir):
                                    planes_per_table=LSH_TABLE_PLANES).collect()}
     assert one <= three
     assert len(three) > len(one)
+
+
+def test_decontaminate_planted_overlap(spark):
+    """A test doc copied verbatim from train must report contamination
+    ratio 1.0; a vocabulary-disjoint doc must not appear at all."""
+    from sparkstreamingproject_spark.llm.curation import decontaminate
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six")], ["doc_id", "text"])
+    test = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta"),   # verbatim copy
+         (11, "totally novel words here nothing shared"),
+         (12, "zzz one two three four qqq")],           # partial overlap
+        ["doc_id", "text"])
+    got = {r["test_id"]: r for r in decontaminate(train, test).collect()}
+    assert got[10]["contamination_ratio"] == 1.0
+    assert 11 not in got
+    assert 0 < got[12]["contamination_ratio"] < 1.0
+
+
+def test_incremental_dedup_drops_exact_and_near(spark):
+    from sparkstreamingproject_spark.llm.curation import incremental_dedup
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    existing = spark.createDataFrame([(1, base)], ["doc_id", "text"])
+    incoming = spark.createDataFrame(
+        [(10, base),                                   # exact dup
+         (11, base.replace("dog", "cat")),             # near dup (1 word)
+         (12, "completely different content with no shared shingles at all")],
+        ["doc_id", "text"])
+    kept = {r["doc_id"] for r in
+            incremental_dedup(existing, incoming).collect()}
+    assert 10 not in kept, "exact duplicate survived"
+    assert 11 not in kept, "near duplicate survived (band collision expected)"
+    assert 12 in kept, "novel document was dropped"
+
+
+def test_pii_scrub_replaces_all_occurrences(spark):
+    from sparkstreamingproject_spark.llm.curation import pii_scrub
+    df = spark.createDataFrame(
+        [(1, "mail a@b.com and c@d.org plus 555-1234 then 555-9999")],
+        ["doc_id", "text"])
+    r = pii_scrub(df).collect()[0]
+    assert r["n_emails"] == 2 and r["n_phones"] == 2
+    import hashlib
+    expect = hashlib.md5(
+        b"mail <EMAIL> and <EMAIL> plus <PHONE> then <PHONE>").hexdigest()
+    assert r["scrubbed_md5"] == expect
+
+
+def test_repetition_stats_flags_degenerate_doc(spark):
+    from sparkstreamingproject_spark.llm.curation import repetition_stats
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam spam"),
+         (2, "all words here are unique tokens")], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert got[1]["top_word_frac"] == 1.0 and got[1]["dup_word_ratio"] == 0.8
+    assert got[2]["dup_word_ratio"] == 0.0
