@@ -163,6 +163,58 @@ def ivf_topk(candidates: DataFrame, queries: DataFrame, k: int = 5,
 BROADCAST_MAX_BYTES = 512 << 20  # dense f64 matrix cap for the exact kernel
 
 
+def kmeans_assign(pts: DataFrame, cents: DataFrame,
+                  id_col: str = "vec_id") -> DataFrame:
+    """Assign each point to its most-cosine-similar centroid.
+    Centroids broadcast (k rows); similarity rounded to 6dp before the
+    argmax and ties broken by cell id, so assignment is reproducible
+    across engines and summation orders."""
+    scored = (pts.crossJoin(F.broadcast(cents))
+              .select(id_col, "v", "cell",
+                      F.round(cosine_similarity("v", "cv"), 6).alias("sim")))
+    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("cell"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).select(id_col, "v", "cell"))
+
+
+def kmeans_centroids(df: DataFrame, id_col: str = "vec_id",
+                     emb_col: str = "embedding", k: int = N_IVF_CELLS,
+                     n_iter: int = 2) -> DataFrame:
+    """Distributed Lloyd's k-means for IVF coarse centroids — the
+    production replacement for ``ivf_assign``'s first-N-ids stand-in.
+
+    Each iteration: assign (k-row broadcast cross join, codegen cosine,
+    window argmax) then recompute means (posexplode to (cell, pos, val)
+    → avg per (cell, pos) → rebuild arrays). Both stages shuffle only
+    (cell/pos)-keyed aggregates — never point×point; cost per iteration
+    is one corpus scan, the same shape at 1000 executors. Centroid
+    components are rounded to 6dp after every mean so both engines (and
+    any summation order) see bit-identical centroid inputs — the same
+    reproducibility discipline as the LSH hyperplanes.
+
+    Deterministic init: the first k vectors by id (documented stand-in
+    for k-means|| sampling; the iteration structure is what matters).
+    Returns (cell, cv: array<double>).
+    """
+    pts = df.select(F.col(id_col),
+                    F.col(emb_col).cast("array<double>").alias("v"))
+    cents = (pts.filter(F.col(id_col) < k)
+             .select(F.col(id_col).alias("cell"),
+                     F.transform("v", lambda x: F.round(x, 6)).alias("cv")))
+    for _ in range(n_iter):
+        assigned = kmeans_assign(pts, cents, id_col)
+        cents = (assigned
+                 .select("cell", F.posexplode("v").alias("pos", "val"))
+                 .groupBy("cell", "pos").agg(F.avg("val").alias("m"))
+                 .groupBy("cell")
+                 .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
+                      .alias("pm"))
+                 .select("cell",
+                         F.transform("pm", lambda s: F.round(s["m"], 6))
+                         .alias("cv")))
+    return cents
+
+
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.3,
                              id_col: str = "vec_id",
                              emb_col: str = "embedding",

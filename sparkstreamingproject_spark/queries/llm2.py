@@ -178,3 +178,74 @@ def dedup_incremental(spark, sf_dir):
     bk = _bucket_col()
     kept = C.incremental_dedup(d.filter(bk < 80), d.filter(bk >= 80))
     return kept.select("doc_id", "n_chars")
+
+
+def _kmeans_oracle(k: int = 8, n_iter: int = 2) -> str:
+    """Lloyd's iterations unrolled as CTE pairs (assign a{i} / means
+    c{i}) — same 6dp centroid rounding and 6dp-sim/cell-id tie-break as
+    the Spark side, so assignment is engine-independent."""
+    def assign(cn: str, an: str) -> str:
+        return f"""
+    {an} AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT p.vec_id, p.v, c.cell,
+               row_number() OVER (
+                 PARTITION BY p.vec_id
+                 ORDER BY round(list_cosine_similarity(p.v, c.cv), 6) DESC,
+                          c.cell) AS rn
+        FROM pts p CROSS JOIN {cn} c) WHERE rn = 1)"""
+
+    def means(an: str, cn: str) -> str:
+        return f"""
+    {cn} AS (
+      SELECT cell, list(round(m, 6) ORDER BY pos) AS cv FROM (
+        SELECT cell, pos, avg(val) AS m FROM (
+          SELECT cell, unnest(v) AS val, generate_subscripts(v, 1) AS pos
+          FROM {an})
+        GROUP BY cell, pos)
+      GROUP BY cell)"""
+
+    steps = []
+    prev = "c0"
+    for i in range(1, n_iter + 1):
+        steps.append(assign(prev, f"a{i}"))
+        steps.append(means(f"a{i}", f"c{i}"))
+        prev = f"c{i}"
+    chain = ",".join(steps)
+    return f"""
+    WITH pts AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c0 AS (
+      SELECT vec_id AS cell,
+             list_transform(v, x -> round(x, 6)) AS cv
+      FROM pts WHERE vec_id < {k}),
+    {chain},
+    final AS (
+      SELECT vec_id, cell FROM (
+        SELECT p.vec_id, c.cell,
+               row_number() OVER (
+                 PARTITION BY p.vec_id
+                 ORDER BY round(list_cosine_similarity(p.v, c.cv), 6) DESC,
+                          c.cell) AS rn
+        FROM pts p CROSS JOIN {prev} c) WHERE rn = 1)
+    SELECT cell, count(*) AS n_points, min(vec_id) AS min_vec_id
+    FROM final GROUP BY cell
+    """
+
+
+@register("sim_ivf_kmeans_cells", oracle=_kmeans_oracle(),
+          tags=("llm", "similarity"))
+def sim_ivf_kmeans_cells(spark, sf_dir):
+    """IVF with Lloyd-refined centroids (llm/similarity.py:
+    kmeans_centroids, 2 iterations): per-cell population after
+    convergence steps — the coarse-quantizer layout a real IVF index
+    persists. Every stage is (cell/pos)-keyed aggregation; never
+    point×point."""
+    from ..llm.similarity import kmeans_assign, kmeans_centroids
+    emb = table(spark, sf_dir, "embeddings")
+    pts = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cents = kmeans_centroids(emb, n_iter=2)
+    final = kmeans_assign(pts, cents)
+    return (final.groupBy("cell")
+            .agg(F.count("*").alias("n_points"),
+                 F.min("vec_id").alias("min_vec_id")))

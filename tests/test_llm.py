@@ -224,3 +224,26 @@ def test_repetition_stats_flags_degenerate_doc(spark):
     got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
     assert got[1]["top_word_frac"] == 1.0 and got[1]["dup_word_ratio"] == 0.8
     assert got[2]["dup_word_ratio"] == 0.0
+
+
+def test_kmeans_improves_mean_similarity(spark, sf_dir):
+    """Two Lloyd iterations must not worsen the mean point-to-centroid
+    cosine vs the first-N-ids init (k-means monotonicity, up to the
+    6dp rounding)."""
+    from sparkstreamingproject_spark.llm.similarity import (
+        kmeans_assign, kmeans_centroids)
+    emb = _emb(spark, sf_dir)
+    pts = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    init = kmeans_centroids(emb, n_iter=0)
+    trained = kmeans_centroids(emb, n_iter=2)
+
+    from sparkstreamingproject_spark.functions.vector import cosine_similarity
+
+    def mean_sim(cents):
+        a = kmeans_assign(pts, cents).join(cents, "cell")
+        return (a.select(cosine_similarity("v", "cv").alias("s"))
+                .agg(F.avg("s")).collect()[0][0])
+
+    m0, m2 = mean_sim(init), mean_sim(trained)
+    assert m2 >= m0 - 1e-6, f"k-means regressed: {m0} -> {m2}"
+    assert m2 > m0, "expected strict improvement on this data"
