@@ -110,6 +110,65 @@ def pii_scrub(df: DataFrame, id_col: str = "doc_id",
         F.md5(scrubbed).alias("scrubbed_md5"))
 
 
+def pack_sequences(df: DataFrame, window_tokens: int = 128,
+                   n_buckets: int = 32, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Contiguous sequence packing — the GPT-pretraining layout step:
+    concatenate documents and slice into fixed token windows; each doc
+    learns which window (bin) it starts in and at what token offset.
+
+    Scale shape: a GLOBAL concatenation order would serialize into one
+    task, so docs are first hash-bucketed (deterministic md5 bucket);
+    packing is per-bucket — ``n_buckets`` independent streams, each a
+    partition-local running sum (window over the bucket, ordered by
+    doc id). That is how a 1000-executor packer actually runs: bucket
+    = worker stream, and bin ids are (bucket, local_bin).
+
+    Output: (doc_id, bucket, n_tokens, bin_id, bin_offset).
+    """
+    from pyspark.sql import Window
+
+    bucket = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+                     16, 10).cast("long") % n_buckets)
+    t = df.select(F.col(id_col),
+                  bucket.alias("bucket"),
+                  F.size(F.split(F.col(text_col), " ")).cast("long")
+                  .alias("n_tokens"))
+    w = (Window.partitionBy("bucket").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return t.select(
+        id_col, "bucket", "n_tokens",
+        F.floor(start / window_tokens).cast("long").alias("bin_id"),
+        (start % window_tokens).cast("long").alias("bin_offset"))
+
+
+def char_entropy(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Shannon entropy of the character distribution per document — the
+    cheap perplexity proxy: natural text sits in a narrow entropy band;
+    binary-ish/degenerate content falls outside it.
+
+    Explode-to-chars is deliberate: it keeps the whole computation in
+    codegen (split/explode/groupBy/log2) with map-side partial counts.
+    The (doc, char) relation is ≤ alphabet-size rows per doc after the
+    partial aggregate — far smaller than the text it came from by the
+    time it shuffles.
+    """
+    chars = (df.select(F.col(id_col),
+                       F.explode(F.split(F.col(text_col), "")).alias("c"))
+             .filter(F.col("c") != "")
+             .groupBy(id_col, "c").agg(F.count("*").alias("n")))
+    tot = F.sum("n")
+    # H = log2(N) - Σ n·log2(n) / N  (algebraic form: one pass, no
+    # per-row p=n/N division before the aggregate)
+    return (chars.groupBy(id_col)
+            .agg(F.round(
+                F.log2(tot) - F.sum(F.col("n") * F.log2("n")) / tot, 6)
+                .alias("char_entropy"),
+                tot.cast("long").alias("n_chars_counted")))
+
+
 def incremental_dedup(existing: DataFrame, incoming: DataFrame,
                       id_col: str = "doc_id",
                       text_col: str = "text") -> DataFrame:

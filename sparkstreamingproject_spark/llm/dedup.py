@@ -39,19 +39,23 @@ def words_col(text_col: str = "text"):
 
 
 def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                  k: int = SHINGLE_K) -> DataFrame:
-    """Distinct k-word shingles per document.
+                  k: int = SHINGLE_K, distinct: bool = True) -> DataFrame:
+    """k-word shingles per document (distinct by default).
 
     ``slice``/``transform``/``sequence`` are JVM higher-order functions;
     the guard keeps ``sequence`` ascending for texts shorter than k.
+    ``distinct=False`` skips the dedup SHUFFLE for consumers whose
+    aggregate is idempotent over repeats (MinHash ``min``) — on a
+    corpus-size input that is a whole exchange of the exploded shingle
+    relation saved.
     """
     ws = words_col(text_col)
     n = F.size(ws)
     idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
         F.array().cast("array<int>"))
     shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, k)))
-    return (df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
-            .distinct())
+    out = df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -89,10 +93,12 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     """MinHash signature: h_j(doc) = min over shingles of the j-th
     md5-slice hash (see ``minhash_hex``).
 
-    A single groupBy computes all ``n_hashes`` mins — one pass, one
-    shuffle keyed on doc_id.
+    A single groupBy computes all ``n_hashes`` mins — one pass, ONE
+    shuffle keyed on doc_id (``distinct=False``: min is idempotent
+    over repeated shingles, so the shingle-dedup exchange is skipped;
+    map-side partial mins reduce before the shuffle anyway).
     """
-    sh = word_shingles(df, id_col, text_col)
+    sh = word_shingles(df, id_col, text_col, distinct=False)
     aggs = [F.min(minhash_hex(j)).alias(f"h{j}") for j in range(n_hashes)]
     return sh.groupBy(id_col).agg(*aggs)
 

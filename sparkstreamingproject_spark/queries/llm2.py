@@ -249,3 +249,137 @@ def sim_ivf_kmeans_cells(spark, sf_dir):
     return (final.groupBy("cell")
             .agg(F.count("*").alias("n_points"),
                  F.min("vec_id").alias("min_vec_id")))
+
+
+@register(
+    "seq_pack_contiguous",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 32 AS bucket,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, bucket, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) - n_tokens
+                  AS BIGINT) AS start
+      FROM t)
+    SELECT doc_id, bucket, n_tokens,
+           start // 128 AS bin_id,
+           start % 128 AS bin_offset
+    FROM c
+    """,
+    tags=("llm", "packing"),
+)
+def seq_pack_contiguous(spark, sf_dir):
+    """Training-sequence packing (llm/curation.py:pack_sequences):
+    hash-bucketed contiguous concatenation sliced into 128-token
+    windows — per-bucket running sums, no global order, n_buckets
+    independent packer streams at scale."""
+    return C.pack_sequences(table(spark, sf_dir, "documents"),
+                            window_tokens=128, n_buckets=32)
+
+
+@register(
+    "text_char_entropy",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+    cnt AS (
+      SELECT doc_id, c, count(*) AS n FROM chars
+      WHERE c <> '' GROUP BY doc_id, c)
+    SELECT doc_id,
+           round(log2(CAST(sum(n) AS DOUBLE))
+                 - sum(n * log2(CAST(n AS DOUBLE)))
+                   / CAST(sum(n) AS DOUBLE), 6) AS char_entropy,
+           CAST(sum(n) AS BIGINT) AS n_chars_counted
+    FROM cnt GROUP BY doc_id
+    """,
+    tags=("llm", "quality"),
+)
+def text_char_entropy(spark, sf_dir):
+    """Character-distribution Shannon entropy per doc
+    (llm/curation.py:char_entropy) — the perplexity proxy quality
+    gate; algebraic one-pass form keeps it a single aggregation."""
+    return C.char_entropy(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "vocab_build_topk",
+    oracle="""
+    WITH wc AS (
+      SELECT w, count(*) AS n FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY w),
+    top AS (SELECT w, n FROM wc ORDER BY n DESC, w LIMIT 100)
+    SELECT w AS word, n, row_number() OVER (ORDER BY n DESC, w) AS token_id
+    FROM top
+    """,
+    tags=("llm", "vocab"),
+)
+def vocab_build_topk(spark, sf_dir):
+    """Frequency-ranked vocabulary construction — the tokenizer-training
+    primitive: corpus word counts (map-side partial agg), top-V by
+    (count, word) via TakeOrderedAndProject (never a global sort of the
+    vocabulary), dense token ids by the same deterministic order."""
+    from pyspark.sql import Window
+    d = table(spark, sf_dir, "documents")
+    wc = (d.select(F.explode(F.split("text", " ")).alias("word"))
+          .groupBy("word").agg(F.count("*").alias("n")))
+    top = wc.orderBy(F.col("n").desc(), "word").limit(100)
+    w = Window.orderBy(F.col("n").desc(), "word")
+    return top.select("word", "n",
+                      F.row_number().over(w).cast("long").alias("token_id"))
+
+
+@register(
+    "profile_columns",
+    oracle="""
+    SELECT 'l_orderkey' AS col, count(*) AS n_rows,
+           CAST(count(*) - count(l_orderkey) AS BIGINT) AS n_nulls,
+           count(DISTINCT l_orderkey) AS n_distinct,
+           CAST(min(l_orderkey) AS VARCHAR) AS min_s,
+           CAST(max(l_orderkey) AS VARCHAR) AS max_s
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', count(*),
+           CAST(count(*) - count(l_quantity) AS BIGINT),
+           count(DISTINCT l_quantity),
+           CAST(min(l_quantity) AS VARCHAR), CAST(max(l_quantity) AS VARCHAR)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', count(*),
+           CAST(count(*) - count(l_returnflag) AS BIGINT),
+           count(DISTINCT l_returnflag),
+           min(l_returnflag), max(l_returnflag)
+    FROM lineitem
+    """,
+    tags=("profiling",),
+)
+def profile_columns(spark, sf_dir):
+    """One-pass-per-metric column profiler (the data-quality sweep a
+    pipeline runs on every new drop): nulls, exact distinct, min/max
+    per column. One aggregate computes ALL columns' metrics in a single
+    scan, then unpivots to (col, metric...) rows — vs the oracle's
+    3-scan UNION ALL, the Spark plan reads the table once."""
+    li = table(spark, sf_dir, "lineitem")
+    cols = ["l_orderkey", "l_quantity", "l_returnflag"]
+    aggs = []
+    for c in cols:
+        aggs += [F.count("*").alias(f"{c}__rows"),
+                 (F.count("*") - F.count(c)).alias(f"{c}__nulls"),
+                 F.countDistinct(c).alias(f"{c}__dist"),
+                 F.min(c).cast("string").alias(f"{c}__min"),
+                 F.max(c).cast("string").alias(f"{c}__max")]
+    one = li.agg(*aggs)
+    structs = F.array(*[
+        F.struct(F.lit(c).alias("col"),
+                 F.col(f"{c}__rows").alias("n_rows"),
+                 F.col(f"{c}__nulls").cast("long").alias("n_nulls"),
+                 F.col(f"{c}__dist").alias("n_distinct"),
+                 F.col(f"{c}__min").alias("min_s"),
+                 F.col(f"{c}__max").alias("max_s"))
+        for c in cols])
+    return (one.select(F.explode(structs).alias("s")).select("s.*"))

@@ -247,3 +247,19 @@ def test_kmeans_improves_mean_similarity(spark, sf_dir):
     m0, m2 = mean_sim(init), mean_sim(trained)
     assert m2 >= m0 - 1e-6, f"k-means regressed: {m0} -> {m2}"
     assert m2 > m0, "expected strict improvement on this data"
+
+
+def test_pack_sequences_contiguity(spark, sf_dir):
+    """Packing invariants: offsets stay inside the window; within a
+    bucket, consecutive docs' (bin, offset) positions are contiguous
+    (each doc starts exactly where the previous ended, mod window)."""
+    from sparkstreamingproject_spark.llm.curation import pack_sequences
+    W = 128
+    got = pack_sequences(_docs(spark, sf_dir), window_tokens=W).collect()
+    assert all(0 <= r["bin_offset"] < W for r in got)
+    by_bucket = {}
+    for r in sorted(got, key=lambda r: (r["bucket"], r["doc_id"])):
+        prev = by_bucket.get(r["bucket"], 0)
+        assert r["bin_id"] * W + r["bin_offset"] == prev, \
+            f"gap in bucket {r['bucket']} at doc {r['doc_id']}"
+        by_bucket[r["bucket"]] = prev + r["n_tokens"]
