@@ -78,9 +78,11 @@ def build_bloom(build: DataFrame, key: str, m_bits: int, k: int) -> bytes:
 
     parts = pos.mapInPandas(partition_bitsets, "bs binary")
     rdd = parts.rdd.map(lambda r: np.frombuffer(r["bs"], dtype=np.uint8))
-    if rdd.isEmpty():
-        return bytes(n_bytes)
-    return rdd.treeReduce(np.bitwise_or, depth=2).tobytes()
+    # treeAggregate (not treeReduce) so the empty-build case needs no
+    # separate isEmpty() job — the zero bitset is the identity
+    zero = np.zeros(n_bytes, dtype=np.uint8)
+    return rdd.treeAggregate(zero, np.bitwise_or, np.bitwise_or,
+                             depth=2).tobytes()
 
 
 def bloom_prune(probe: DataFrame, key: str, bitset: bytes,
