@@ -18,6 +18,32 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def scd2_history(df: DataFrame, key: str, ts_col: str,
+                 attr_cols: list[str],
+                 tiebreak_cols: tuple = ()) -> DataFrame:
+    """Slowly-changing-dimension type 2: turn a change stream
+    (key, ts, attrs...) into versioned history rows
+    [valid_from, valid_to) with an is_current flag — the dimension
+    layout every warehouse join-backs against. The reference's dim
+    path is SCD1 (last-write-wins upsert, ``OdsBaseDbApp.scala:139-164``);
+    this is the history-preserving alternative.
+
+    One window over (key, ts): valid_to = next change's ts (open-ended
+    for the latest). Epoch-microsecond outputs (instants, not wall
+    time — see queries/base.py tz discipline). At scale this is a
+    single shuffle on the key, and the window is per-key sorted — no
+    global order.
+    """
+    from pyspark.sql import Window
+    w = Window.partitionBy(key).orderBy(ts_col, *tiebreak_cols)
+    nxt = F.lead(ts_col).over(w)
+    return df.select(
+        F.col(key), *[F.col(c) for c in attr_cols],
+        F.unix_micros(F.col(ts_col)).alias("valid_from_us"),
+        F.unix_micros(nxt).alias("valid_to_us"),
+        nxt.isNull().alias("is_current"))
+
+
 def asof_join(left: DataFrame, right: DataFrame, key: str,
               left_ts: str, right_ts: str,
               right_cols: list[str] | None = None,

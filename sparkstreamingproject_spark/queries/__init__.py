@@ -19,6 +19,7 @@ from . import tpch_more  # noqa: E402,F401
 from . import sketches  # noqa: E402,F401
 from . import analytics2  # noqa: E402,F401
 from . import llm2  # noqa: E402,F401
+from . import analytics3  # noqa: E402,F401
 
 # --- driver-window ordering --------------------------------------------------
 # The verify driver checks the FIRST 50 registry entries per round

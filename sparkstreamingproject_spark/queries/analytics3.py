@@ -1,0 +1,151 @@
+"""Round-2 analytics wave: SCD2 dimension history, vocab-based
+tokenization, and a mergeable histogram-quantile sketch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..operators.temporal import scd2_history
+from .base import register, table
+
+
+@register(
+    "scd2_user_history",
+    oracle="""
+    SELECT user_id, event_type, value,
+           epoch_us(ts) AS valid_from_us,
+           epoch_us(lead(ts) OVER w) AS valid_to_us,
+           lead(ts) OVER w IS NULL AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("temporal", "scd"),
+)
+def scd2_user_history(spark, sf_dir):
+    """SCD2 versioned history (operators/temporal.py:scd2_history):
+    each user's event stream becomes [valid_from, valid_to) rows with
+    an is_current flag — the history-preserving counterpart of the
+    reference's SCD1 dim upsert (OdsBaseDbApp.scala:139-164). One
+    key-shuffled window, epoch-us instants."""
+    ev = table(spark, sf_dir, "events")
+    return scd2_history(ev, "user_id", "ts", ["event_type", "value"],
+                        tiebreak_cols=("event_id",))
+
+
+@register(
+    "tokenize_with_vocab",
+    oracle="""
+    WITH wc AS (
+      SELECT w, count(*) AS n FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY w),
+    top AS (SELECT w, n FROM wc ORDER BY n DESC, w LIMIT 100),
+    vocab AS (
+      SELECT w, row_number() OVER (ORDER BY n DESC, w) AS token_id
+      FROM top),
+    words AS (
+      SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+    tok AS (
+      SELECT doc_id, pos, coalesce(v.token_id, 0) AS tid
+      FROM words LEFT JOIN vocab v USING (w))
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           md5(string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos))
+             AS ids_md5
+    FROM tok GROUP BY doc_id
+    """,
+    tags=("llm", "vocab"),
+)
+def tokenize_with_vocab(spark, sf_dir):
+    """The tokenization pass against the built vocabulary
+    (vocab_build_topk's table): words → token ids (OOV → 0), per-doc
+    id sequence fingerprinted with md5 so the compare stays small.
+    The vocab broadcasts (it is top-V by construction); the sequence
+    rebuild is sort_array over (pos, id) structs — per-doc local, no
+    global order."""
+    d = table(spark, sf_dir, "documents")
+    wc = (d.select(F.explode(F.split("text", " ")).alias("w"))
+          .groupBy("w").agg(F.count("*").alias("n")))
+    top = wc.orderBy(F.col("n").desc(), "w").limit(100)
+    vw = Window.orderBy(F.col("n").desc(), "w")
+    vocab = top.select("w", F.row_number().over(vw).cast("long")
+                       .alias("token_id"))
+    words = d.select("doc_id",
+                     F.posexplode(F.split("text", " ")).alias("pos", "w"))
+    tok = (words.join(F.broadcast(vocab), "w", "left")
+           .select("doc_id", "pos",
+                   F.coalesce("token_id", F.lit(0)).alias("tid")))
+    ids = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+        lambda s: s["tid"].cast("string"))
+    return (tok.groupBy("doc_id")
+            .agg(F.count("*").alias("n_tokens"),
+                 F.sum(F.when(F.col("tid") == 0, 1).otherwise(0))
+                 .cast("long").alias("n_oov"),
+                 F.md5(F.concat_ws(",", ids)).alias("ids_md5")))
+
+
+N_HIST_BINS = 64
+
+
+@register(
+    "sketch_hist_quantiles",
+    oracle=f"""
+    WITH c AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+      FROM lineitem),
+    mm AS (SELECT min(v) AS lo, max(v) AS hi FROM c),
+    binned AS (
+      SELECT (v - lo) * {N_HIST_BINS} // (hi - lo + 1) AS b, lo, hi
+      FROM c, mm),
+    hist AS (
+      SELECT b, lo, hi, count(*) AS n FROM binned GROUP BY b, lo, hi),
+    cum AS (
+      SELECT b, lo, hi, n,
+             CAST(sum(n) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS c_n,
+             CAST(sum(n) OVER () AS BIGINT) AS total
+      FROM hist)
+    SELECT q, CAST(min(lo + (b + 1) * (hi - lo + 1) // {N_HIST_BINS})
+                   AS BIGINT) AS est_cents
+    FROM cum, (SELECT unnest([50, 90, 99]) AS q)
+    WHERE 100 * c_n >= q * total
+    GROUP BY q
+    """,
+    tags=("sketch", "quantile"),
+)
+def sketch_hist_quantiles(spark, sf_dir):
+    """Histogram quantile sketch: fixed 64-bin histogram over integer
+    cents (all-integer arithmetic → engine-exact), quantile estimate =
+    upper edge of the first bin whose cumulative count crosses q·N.
+    The sketch state is 64 longs — mergeable by summing bins (partial
+    agg does it), the scale path when exact percentile_disc would
+    shuffle the full column. Two scans (min/max, then bins); both
+    reductions are map-side-partial."""
+    li = table(spark, sf_dir, "lineitem")
+    c = li.select(F.round(F.col("l_extendedprice") * 100)
+                  .cast("long").alias("v"))
+    mm = c.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    span = F.col("hi") - F.col("lo") + 1
+    binned = (c.crossJoin(F.broadcast(mm))
+              .select(((F.col("v") - F.col("lo")) * N_HIST_BINS / span)
+                      .cast("long").alias("b"), "lo", "hi"))
+    hist = binned.groupBy("b", "lo", "hi").agg(F.count("*").alias("n"))
+    wc = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.orderBy("b").rowsBetween(Window.unboundedPreceding,
+                                         Window.unboundedFollowing)
+    cum = hist.select(
+        "b", "lo", "hi",
+        F.sum("n").over(wc).alias("c_n"),
+        F.sum("n").over(wt).alias("total"))
+    qs = F.explode(F.array(F.lit(50), F.lit(90), F.lit(99))).alias("q")
+    est = (F.col("lo") + (F.col("b") + 1) * span / N_HIST_BINS)
+    return (cum.select("*", qs)
+            .filter(100 * F.col("c_n") >= F.col("q") * F.col("total"))
+            .groupBy("q")
+            .agg(F.min(est.cast("long")).alias("est_cents")))

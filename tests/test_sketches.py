@@ -117,3 +117,47 @@ def test_sampling_is_deterministic_across_runs(spark, sf_dir, name):
     a = sorted(map(str, fn(spark, sf_dir).collect()))
     b = sorted(map(str, fn(spark, sf_dir).collect()))
     assert a == b and len(a) > 0
+
+
+def test_hist_quantile_within_bin_width_of_exact(spark, sf_dir):
+    """The 64-bin estimate must sit within one bin width of the exact
+    discrete percentile."""
+    from sparkstreamingproject_spark.queries.analytics3 import (
+        N_HIST_BINS, sketch_hist_quantiles)
+    import pyspark.sql.functions as F
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cents = li.select((F.round(F.col("l_extendedprice") * 100))
+                      .cast("long").alias("v"))
+    lo, hi = cents.agg(F.min("v"), F.max("v")).collect()[0]
+    width = (hi - lo + 1) / N_HIST_BINS
+    exact = {q: cents.agg(F.expr(f"percentile(v, {q / 100})")).collect()[0][0]
+             for q in (50, 90, 99)}
+    got = {r["q"]: r["est_cents"]
+           for r in sketch_hist_quantiles(spark, sf_dir).collect()}
+    for q in (50, 90, 99):
+        assert abs(got[q] - exact[q]) <= width + 1, \
+            f"q{q}: est {got[q]} vs exact {exact[q]} (width {width})"
+
+
+def test_scd2_intervals_tile_per_key(spark, sf_dir):
+    """SCD2 invariants: per key, exactly one open (is_current) row and
+    each version's valid_to equals the next version's valid_from."""
+    from sparkstreamingproject_spark.operators.temporal import scd2_history
+    import pyspark.sql.functions as F
+    ev = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+          .select(F.col("o_custkey").alias("k"),
+                  F.col("o_orderdate").cast("timestamp").alias("ts"),
+                  F.col("o_orderkey").alias("oid"),
+                  F.col("o_totalprice").alias("p")))
+    h = scd2_history(ev, "k", "ts", ["p"], tiebreak_cols=("oid",)).collect()
+    from collections import defaultdict
+    per_key = defaultdict(list)
+    for r in h:
+        per_key[r["k"]].append(r)
+    assert per_key
+    for k, rows in per_key.items():
+        rows.sort(key=lambda r: r["valid_from_us"])
+        assert sum(r["is_current"] for r in rows) == 1
+        assert rows[-1]["valid_to_us"] is None
+        for a, b in zip(rows, rows[1:]):
+            assert a["valid_to_us"] == b["valid_from_us"]
