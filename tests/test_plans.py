@@ -96,3 +96,22 @@ def test_kmv_topk_uses_heap_not_global_sort(spark, sf_dir):
 def test_zorder_key_stays_in_codegen(spark, sf_dir):
     plan = explain_str(REGISTRY["zorder_layout_key"].fn(spark, sf_dir))
     assert "BatchEvalPython" not in plan
+
+
+def test_no_plan_antipatterns_across_registry(spark, sf_dir):
+    """Whole-registry sweep: no row-at-a-time Python UDFs and no
+    cartesian products in ANY registered query's executed plan.
+    (BroadcastNestedLoopJoin is allowed — it is Spark's plan for the
+    1-row scalar-subquery broadcast idiom, O(N) work.)"""
+    from sparkstreamingproject_spark.queries import REGISTRY
+    offenders = {}
+    for n, s in REGISTRY.items():
+        plan = (s.fn(spark, sf_dir)._jdf.queryExecution()
+                .executedPlan().toString())
+        flags = [f for f, marker in
+                 [("python-udf", "BatchEvalPython"),
+                  ("cartesian", "CartesianProduct")]
+                 if marker in plan]
+        if flags:
+            offenders[n] = flags
+    assert not offenders, f"plan anti-patterns: {offenders}"
