@@ -1,0 +1,92 @@
+"""Streaming corpus ingest with cross-batch dedup — the streaming form
+of ``llm.curation.incremental_dedup``: each micro-batch is filtered
+against a persisted dedup index (content hashes + MinHash-LSH band
+keys), survivors are appended to the corpus AND their index rows are
+appended to the index. State lives in parquet relations, not in the
+stream — restart-safe via the checkpoint, and the same index the batch
+operator probes.
+
+At scale the two index relations are partitioned by their join key
+(hash prefix / band), so a micro-batch's anti-joins touch only the
+matching partitions; the corpus text itself is never re-read. Within a
+single micro-batch, duplicates of each other are also collapsed (exact:
+min-id per hash; near: canonical-id per band bucket), so the invariant
+"no two corpus docs share a content hash or a band key" holds from an
+empty start.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..llm.dedup import band_keys
+
+
+def _maybe_read(spark, path: str, schema: str):
+    if os.path.isdir(path):
+        return spark.read.parquet(path)
+    return spark.createDataFrame([], schema)
+
+
+def ingest_batch(batch: DataFrame, index_dir: str, corpus_dir: str,
+                 id_col: str = "doc_id", text_col: str = "text") -> None:
+    """One micro-batch: anti-join against the persisted index, collapse
+    in-batch duplicates, append survivors + their index rows."""
+    spark = batch.sparkSession
+    hash_path = f"{index_dir}/content_hash"
+    band_path = f"{index_dir}/bands"
+
+    hashed = batch.withColumn("h", F.md5(F.col(text_col)))
+    # in-batch exact collapse: keep min id per hash
+    keep = (hashed.groupBy("h").agg(F.min(id_col).alias(id_col)))
+    hashed = hashed.join(keep, ["h", id_col], "left_semi")
+    # cross-batch exact
+    ex_hash = _maybe_read(spark, hash_path, "h string")
+    fresh = hashed.join(ex_hash, "h", "left_anti")
+
+    # near-dup: band keys of the fresh docs
+    fb = band_keys(fresh, id_col, text_col).persist()
+    try:
+        # cross-batch near
+        ex_bands = _maybe_read(spark, band_path,
+                               f"{id_col} long, band int, key string")
+        hit = (fb.join(ex_bands.select("band", "key"), ["band", "key"],
+                       "left_semi").select(id_col).distinct())
+        # in-batch near collapse: canonical (min) id per bucket; a doc
+        # survives only if it IS the canonical id of every bucket it
+        # occupies (min over its buckets' mins == itself ⇒ keep min-id
+        # doc per connected bucket group, single pass)
+        canon = (fb.groupBy("band", "key")
+                 .agg(F.min(id_col).alias("canon")))
+        loser = (fb.join(canon, ["band", "key"])
+                 .filter(F.col(id_col) != F.col("canon"))
+                 .select(id_col).distinct())
+        survivors = (fresh.join(hit, id_col, "left_anti")
+                     .join(loser, id_col, "left_anti"))
+        survivors.persist()
+        try:
+            (survivors.drop("h").write.mode("append").parquet(corpus_dir))
+            (survivors.select("h").write.mode("append").parquet(hash_path))
+            (fb.join(survivors.select(id_col), id_col, "left_semi")
+             .write.mode("append").parquet(band_path))
+        finally:
+            survivors.unpersist()
+    finally:
+        fb.unpersist()
+
+
+def dedup_ingest_stream(doc_stream: DataFrame, index_dir: str,
+                        corpus_dir: str, checkpoint: str,
+                        trigger_seconds: int | None = None):
+    """Attach the dedup ingest to a document stream (availableNow when
+    ``trigger_seconds`` is None)."""
+    writer = (doc_stream.writeStream
+              .foreachBatch(lambda b, i: ingest_batch(b, index_dir,
+                                                      corpus_dir))
+              .option("checkpointLocation", checkpoint))
+    if trigger_seconds is None:
+        return writer.trigger(availableNow=True).start()
+    return writer.trigger(processingTime=f"{trigger_seconds} seconds").start()

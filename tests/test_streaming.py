@@ -237,3 +237,53 @@ def test_idempotent_foreach_batch_skips_replay(spark, tmp_path):
     wrapped(df, 1)          # next batch: writes
     assert writes == [0, 1]
     assert spark.read.parquet(out).count() == 200
+
+
+def test_dedup_ingest_stream_invariants(spark, tmp_path):
+    """Streaming corpus ingest with cross-batch dedup
+    (streaming/dedup_ingest.py): after two micro-batches, the corpus
+    holds no two docs sharing a content hash OR a MinHash band key, and
+    every dropped doc collides with something in the corpus (or lost an
+    in-batch canonical race). Replaying the stream adds nothing."""
+    from sparkstreamingproject_spark.llm.dedup import band_keys
+    from sparkstreamingproject_spark.sources.streams import file_stream
+    from sparkstreamingproject_spark.streaming.dedup_ingest import (
+        dedup_ingest_stream)
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows1 = [(1, base), (2, base),                       # exact dup in-batch
+             (3, "completely different content one two three four five")]
+    rows2 = [(10, base),                                 # cross-batch exact
+             (11, base.replace("dog", "cat")),           # cross-batch near
+             (12, "novel second batch text with fresh vocabulary entirely")]
+    src = str(tmp_path / "docs_land")
+    schema = "doc_id long, text string"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    idx, corpus, ck = (str(tmp_path / "idx"), str(tmp_path / "corpus"),
+                       str(tmp_path / "ckd2"))
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+    st = StructType([StructField("doc_id", LongType()),
+                     StructField("text", StringType())])
+    dedup_ingest_stream(file_stream(spark, src, st), idx, corpus,
+                        ck).awaitTermination(120)
+
+    got = spark.read.parquet(corpus)
+    ids = {r["doc_id"] for r in got.collect()}
+    assert 3 in ids and 12 in ids, "novel docs must survive"
+    assert ids & {1, 2}, "one of the in-batch exact dups must survive"
+    assert 10 not in ids, "cross-batch exact dup survived"
+    assert 11 not in ids, "cross-batch near dup survived"
+    # invariant: unique content hashes and unique band keys
+    from pyspark.sql import functions as F
+    assert (got.groupBy(F.md5("text")).count()
+            .filter("count > 1").count()) == 0
+    assert (band_keys(got).groupBy("band", "key").count()
+            .filter("count > 1").count()) == 0
+
+    # replay with same checkpoint: no growth
+    n1 = got.count()
+    dedup_ingest_stream(file_stream(spark, src, st), idx, corpus,
+                        ck).awaitTermination(120)
+    assert spark.read.parquet(corpus).count() == n1
