@@ -383,3 +383,51 @@ def profile_columns(spark, sf_dir):
                  F.col(f"{c}__max").alias("max_s"))
         for c in cols])
     return (one.select(F.explode(structs).alias("s")).select("s.*"))
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    m AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS mx
+      FROM e),
+    q AS (
+      SELECT vec_id, v, mx,
+             list_transform(v, x -> CAST(round(x * 127 / mx) AS INTEGER))
+               AS qv
+      FROM m)
+    SELECT vec_id,
+           round(mx / 127, 6) AS scale,
+           md5(array_to_string(qv, ',')) AS q_md5,
+           round(list_max(list_transform(range(1, len(v) + 1),
+                 i -> abs(v[i] - qv[i] * mx / 127))), 6) AS max_abs_err
+    FROM q
+    """,
+    tags=("llm", "embedding"),
+)
+def embedding_quantize_int8(spark, sf_dir):
+    """Symmetric int8 scalar quantization of embeddings — the 4×
+    storage/bandwidth compression an ANN index applies before sharding:
+    q_i = round(x_i·127 / max|x|), per-vector scale. Entirely
+    element-local HOFs (transform/zip_with) in codegen — zero shuffles,
+    zero Python; max-abs reconstruction error is order-independent
+    (max, not sum), so both engines agree bit-for-bit before the final
+    rounding."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    mx = F.array_max(F.transform("v", lambda x: F.abs(x)))
+    m = e.withColumn("mx", mx)
+    qv = F.transform("v", lambda x: F.round(x * 127 / F.col("mx"))
+                     .cast("int"))
+    q = m.withColumn("qv", qv)
+    err = F.array_max(F.zip_with(
+        "v", "qv", lambda x, qq: F.abs(x - qq * F.col("mx") / 127)))
+    return q.select(
+        "vec_id",
+        F.round(F.col("mx") / 127, 6).alias("scale"),
+        F.md5(F.concat_ws(",", F.transform("qv", lambda x: x.cast("string"))))
+        .alias("q_md5"),
+        F.round(err, 6).alias("max_abs_err"))

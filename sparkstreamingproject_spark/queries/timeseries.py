@@ -243,3 +243,70 @@ def json_props_extract(spark, sf_dir):
                  F.sum(k).alias("k_sum"),
                  F.round(F.sum(k).cast("double") / F.count("*"), 4)
                  .alias("k_avg")))
+
+
+@register(
+    "ts_resample_ffill",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
+    b AS (SELECT user_id, min(us) AS lo, max(us) AS hi
+          FROM ev GROUP BY user_id),
+    grid AS (
+      SELECT user_id,
+             unnest(range((lo // 3600000000 + 1) * 3600000000,
+                          hi + 1, 3600000000)) AS us
+      FROM b),
+    u AS (
+      SELECT user_id, event_id, us, value, 0 AS is_grid FROM ev
+      UNION ALL
+      SELECT user_id, NULL, us, NULL, 1 FROM grid),
+    f AS (
+      SELECT user_id, us, is_grid,
+             last_value(value IGNORE NULLS)
+               OVER (PARTITION BY user_id
+                     ORDER BY us, is_grid, event_id
+                     ROWS UNBOUNDED PRECEDING) AS v
+      FROM u)
+    SELECT user_id, us AS grid_us, v AS value FROM f WHERE is_grid = 1
+    """,
+    tags=("time", "resample"),
+)
+def ts_resample_ffill(spark, sf_dir):
+    """Resample each user's event stream onto an hourly grid with
+    forward fill — the gap-fill/interpolation op every time-series
+    store exposes (here: grid epoch-us points strictly inside the
+    user's observed span).
+
+    Scale shape: the grid generates from per-user (min, max) bounds —
+    one aggregate, then sequence/explode map-side (never a calendar
+    cross join); the fill is ONE window over the union, sharing the
+    user_id shuffle. Values pass through untouched (stored doubles —
+    bit-exact across engines); grid arithmetic is integer micros.
+    Deterministic tie-break: same-instant events resolve by event_id,
+    and grid points sort after events at the same instant (is_grid).
+    """
+    H = 3_600_000_000
+    ev = (table(spark, sf_dir, "events")
+          .select("user_id", "event_id",
+                  F.unix_micros(F.col("ts")).alias("us"), "value"))
+    b = ev.groupBy("user_id").agg(F.min("us").alias("lo"),
+                                  F.max("us").alias("hi"))
+    grid = (b.select("user_id",
+                     F.explode(F.sequence(
+                         (F.floor(F.col("lo") / H) + 1) * H,
+                         F.col("hi"), F.lit(H))).alias("us")))
+    u = (ev.select("user_id", "event_id", "us", "value",
+                   F.lit(0).alias("is_grid"))
+         .unionByName(grid.select(
+             "user_id", F.lit(None).cast("long").alias("event_id"), "us",
+             F.lit(None).cast("double").alias("value"),
+             F.lit(1).alias("is_grid"))))
+    from pyspark.sql import Window
+    w = (Window.partitionBy("user_id")
+         .orderBy("us", "is_grid", "event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    f = u.withColumn("v", F.last("value", ignorenulls=True).over(w))
+    return (f.filter(F.col("is_grid") == 1)
+            .select("user_id", F.col("us").alias("grid_us"),
+                    F.col("v").alias("value")))
