@@ -520,3 +520,34 @@ def q22_idle_rich_customers(spark, sf_dir):
             .groupBy(F.col("c_nationkey").alias("cntry"))
             .agg(F.count("*").alias("numcust"),
                  money_sum(_dec("c_acctbal")).alias("totacctbal")))
+
+
+@register(
+    "q4_order_priority_exists",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate <  TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_quantity > 45)
+    GROUP BY o_orderpriority
+    """,
+    tags=("tpch", "join"),
+)
+def q4_order_priority_exists(spark, sf_dir):
+    """Q4 shape (priority checking): orders in one quarter having at
+    least one qualifying lineitem, counted per priority. EXISTS is a
+    LEFT SEMI join — the probe side never duplicates, and the quarter
+    band prunes the orders scan (no commitdate/receiptdate in the
+    adapted schema; the qualifying predicate is l_quantity > 45)."""
+    o = (table(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate") >= "1996-07-01")
+                 & (F.col("o_orderdate") < "1996-10-01")))
+    li = (table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_quantity") > 45)
+          .select("l_orderkey"))
+    return (o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_orders")))
