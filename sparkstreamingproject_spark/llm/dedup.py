@@ -173,10 +173,13 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     intersection AND the per-doc sizes are computed over the filtered
     shingle universe, so the capped Jaccard is internally consistent.
     """
-    sh = word_shingles(df, id_col, text_col)
-    # one grouping of shingles feeds BOTH per-doc counts and pair
-    # generation — identical subtrees, so Spark reuses the shuffle
-    # (ReusedExchange) instead of re-scanning + re-exploding the corpus
+    # distinct=False: collect_set dedups ids per shingle key anyway, so
+    # the shingle-distinct exchange would be a second shuffle of the
+    # same relation for nothing. One grouping of shingles then feeds
+    # BOTH per-doc counts and pair generation — identical subtrees, so
+    # Spark reuses the shuffle (ReusedExchange) instead of re-scanning
+    # + re-exploding the corpus.
+    sh = word_shingles(df, id_col, text_col, distinct=False)
     lists = (sh.groupBy("shingle")
              .agg(F.sort_array(F.collect_set(id_col)).alias("ids")))
     if max_postings is not None:
