@@ -109,3 +109,62 @@ def frame_sample_plan(df: DataFrame, id_col: str = "doc_id",
             .select(id_col, "n_frames",
                     (F.col("i") * stride).alias("frame_idx"),
                     (F.col("i") * stride * frame_bytes).alias("byte_offset")))
+
+
+TILE_W = 16  # stand-in tile width (bytes per row-of-tile)
+TILE_H = 4   # rows per tile
+
+
+def image_tile_plan(df: DataFrame, id_col: str = "doc_id",
+                    row_bytes: int = TILE_W, rows_per_tile: int = TILE_H
+                    ) -> DataFrame:
+    """Image-tiling *plan* (ViT-style patch schedule): treat each
+    payload as a row_bytes-wide raster and emit one row per
+    rows_per_tile×row_bytes tile with its byte extent. Like
+    ``frame_sample_plan``, pure integer metadata arithmetic — the
+    payload column is pruned from the scan; tiles are fetched/decoded
+    downstream only where the plan says. Short tail rows form a final
+    partial tile (ceil division), so extents cover every byte exactly
+    once.
+    """
+    n_rows = F.ceil(F.col("byte_len") / row_bytes).cast("long")
+    n_tiles = F.ceil(n_rows / rows_per_tile).cast("long")
+    idx = F.when(n_tiles > 0, F.sequence(F.lit(0), n_tiles - 1)
+                 ).otherwise(F.array().cast("array<long>"))
+    tile_bytes = row_bytes * rows_per_tile
+    start = F.col("t") * tile_bytes
+    return (df.select(F.col(id_col), F.col("byte_len"),
+                      n_tiles.alias("n_tiles"), F.explode(idx).alias("t"))
+            .select(id_col, "n_tiles", F.col("t").alias("tile_idx"),
+                    start.alias("byte_start"),
+                    F.least(start + tile_bytes, F.col("byte_len"))
+                    .alias("byte_end")))
+
+
+AUDIO_SR = 8          # stand-in "sample rate": bytes per second
+AUDIO_WIN_S = 5       # window seconds
+AUDIO_HOP_S = 2       # hop seconds
+
+
+def audio_window_plan(df: DataFrame, id_col: str = "doc_id",
+                      sr: int = AUDIO_SR, win_s: int = AUDIO_WIN_S,
+                      hop_s: int = AUDIO_HOP_S) -> DataFrame:
+    """Audio STFT-style windowing *plan*: overlapping [start, end) byte
+    extents at a hop interval — the schedule a feature extractor (MFCC/
+    fbank) consumes. Windows start while at least one full hop remains
+    in range; the final window truncates at the payload end. Metadata
+    only, map-side explode, payload pruned.
+    """
+    win_b, hop_b = sr * win_s, sr * hop_s
+    n_win = F.when(F.col("byte_len") > 0,
+                   F.ceil(F.col("byte_len") / hop_b).cast("long")
+                   ).otherwise(F.lit(0))
+    idx = F.when(n_win > 0, F.sequence(F.lit(0), n_win - 1)
+                 ).otherwise(F.array().cast("array<long>"))
+    start = F.col("w") * hop_b
+    return (df.select(F.col(id_col), F.col("byte_len"),
+                      n_win.alias("n_windows"), F.explode(idx).alias("w"))
+            .select(id_col, "n_windows", F.col("w").alias("window_idx"),
+                    start.alias("byte_start"),
+                    F.least(start + win_b, F.col("byte_len"))
+                    .alias("byte_end")))

@@ -431,3 +431,69 @@ def embedding_quantize_int8(spark, sf_dir):
         F.md5(F.concat_ws(",", F.transform("qv", lambda x: x.cast("string"))))
         .alias("q_md5"),
         F.round(err, 6).alias("max_abs_err"))
+
+
+@register(
+    "multimodal_image_tiles",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, octet_length(encode(text)) AS byte_len FROM documents),
+    t AS (
+      SELECT doc_id, byte_len,
+             CAST(ceil(ceil(byte_len / 16.0) / 4.0) AS BIGINT) AS n_tiles
+      FROM m)
+    SELECT doc_id, n_tiles, u AS tile_idx,
+           u * 64 AS byte_start,
+           least(u * 64 + 64, byte_len) AS byte_end
+    FROM (SELECT doc_id, byte_len, n_tiles,
+                 unnest(range(0, n_tiles)) AS u
+          FROM t)
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_image_tiles(spark, sf_dir):
+    """ViT-style tiling plan (llm/multimodal.py:image_tile_plan): one
+    fetch extent per 4x16-byte tile from metadata only — the payload
+    column is pruned; extents cover every byte exactly once (final
+    partial tile truncates)."""
+    from ..llm.multimodal import attach_payload, image_tile_plan
+    d = attach_payload(table(spark, sf_dir, "documents"))
+    return image_tile_plan(d).select(
+        "doc_id", "n_tiles",
+        F.col("tile_idx").cast("long").alias("tile_idx"),
+        F.col("byte_start").cast("long").alias("byte_start"),
+        F.col("byte_end").cast("long").alias("byte_end"))
+
+
+@register(
+    "multimodal_audio_windows",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, octet_length(encode(text)) AS byte_len FROM documents),
+    t AS (
+      SELECT doc_id, byte_len,
+             CASE WHEN byte_len > 0
+                  THEN CAST(ceil(byte_len / 16.0) AS BIGINT)
+                  ELSE 0 END AS n_windows
+      FROM m)
+    SELECT doc_id, n_windows, u AS window_idx,
+           u * 16 AS byte_start,
+           least(u * 16 + 40, byte_len) AS byte_end
+    FROM (SELECT doc_id, byte_len, n_windows,
+                 unnest(range(0, n_windows)) AS u
+          FROM t)
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_audio_windows(spark, sf_dir):
+    """STFT-style overlapping window plan (llm/multimodal.py:
+    audio_window_plan): 5s windows at 2s hop over a stand-in 8 B/s
+    'sample rate' — the fetch schedule an MFCC extractor consumes;
+    metadata-only, map-side."""
+    from ..llm.multimodal import attach_payload, audio_window_plan
+    d = attach_payload(table(spark, sf_dir, "documents"))
+    return audio_window_plan(d).select(
+        "doc_id", "n_windows",
+        F.col("window_idx").cast("long").alias("window_idx"),
+        F.col("byte_start").cast("long").alias("byte_start"),
+        F.col("byte_end").cast("long").alias("byte_end"))

@@ -419,3 +419,61 @@ def kv_delete_q(spark, sf_dir):
     from ..operators.kv import kv_delete
     return (kv_delete(table(spark, sf_dir, "supplier"), "s_suppkey", 3)
             .select("s_suppkey", "s_name"))
+
+
+@register(
+    "json_parse_corrupt_routing",
+    oracle="""
+    WITH raw AS (
+      SELECT event_id, event_type,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                                            1, 8)) AS BIGINT) % 10 = 0
+                  THEN substr(props, 1, greatest(length(props) - 2, 1))
+                  ELSE props END AS payload
+      FROM events)
+    SELECT event_type,
+           CAST(sum(CASE WHEN json_valid(payload) THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_corrupt,
+           CAST(sum(CASE WHEN json_valid(payload) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_ok,
+           CAST(sum(CASE WHEN json_valid(payload)
+                         THEN CAST(json_extract_string(payload, '$.k')
+                                   AS BIGINT) END) AS BIGINT) AS sum_k
+    FROM raw GROUP BY event_type
+    """,
+    tags=("parse", "error-handling"),
+)
+def json_parse_corrupt_routing(spark, sf_dir):
+    """B1's failure path: the reference wraps JSON.parseObject in
+    try/catch and routes unparseable records aside
+    (``OdsBaseLogApp.scala:57-64``). Declaratively: ``from_json``
+    yields NULL for malformed input (PERMISSIVE), so corrupt-vs-ok is
+    a null test — no exceptions, no Python, and the corrupt branch
+    keeps flowing to its own sink. Malformed records are synthesized
+    deterministically (1-in-10 by id hash, truncated payload) so both
+    engines see identical inputs."""
+    ev = table(spark, sf_dir, "events")
+    bucket = (F.conv(F.substring(F.md5(F.col("event_id").cast("string")),
+                                 1, 8), 16, 10).cast("long") % 10)
+    payload = F.when(
+        bucket == 0,
+        F.substring(F.col("props"), 1,
+                    F.greatest(F.length("props") - 2, F.lit(1)))
+    ).otherwise(F.col("props"))
+    # PERMISSIVE from_json yields an all-null-fields struct (not a
+    # NULL struct) for malformed input; the explicit corrupt-record
+    # column is the reliable malformed marker
+    parsed = F.from_json(
+        payload, "k INT, source STRING, _corrupt_record STRING",
+        {"mode": "PERMISSIVE",
+         "columnNameOfCorruptRecord": "_corrupt_record"})
+    raw = ev.select("event_type", payload.alias("payload"),
+                    parsed.alias("p"))
+    ok = F.col("p._corrupt_record").isNull()
+    return (raw.groupBy("event_type")
+            .agg(F.sum(F.when(ok, 0).otherwise(1)).cast("long")
+                 .alias("n_corrupt"),
+                 F.sum(F.when(ok, 1).otherwise(0)).cast("long")
+                 .alias("n_ok"),
+                 F.sum(F.when(ok, F.col("p.k").cast("long")))
+                 .alias("sum_k")))
