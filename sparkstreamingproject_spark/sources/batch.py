@@ -31,3 +31,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def read_csv(spark: SparkSession, path: str, schema: StructType,
+             header: bool = True) -> DataFrame:
+    """CSV with a declared schema (inference = an extra full pass at
+    scale, and nondeterministic typing on dirty data)."""
+    return (spark.read.schema(schema)
+            .option("header", str(header).lower()).csv(path))
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
+    (df.write.mode("overwrite")
+     .option("header", str(header).lower()).csv(path))
+
+
+def write_json_lines(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").json(path)
+
+
+def read_parquet_merged(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read: union the schemas of all files under
+    ``path`` (columns added by later writers surface as nulls in older
+    rows). mergeSchema costs a footer pass per file — enable it per
+    read, not globally."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

@@ -1,0 +1,53 @@
+"""Format round-trips and schema evolution (sources/batch.py):
+flat CSV, nested JSON-lines, parquet mergeSchema."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkstreamingproject_spark.sources.batch import (
+    read_csv, read_json_lines, read_parquet_merged, write_csv,
+    write_json_lines,
+)
+
+
+def test_csv_roundtrip_flat(spark, tmp_path, sf_dir):
+    src = (spark.read.parquet(f"{sf_dir}/nation.parquet"))
+    p = str(tmp_path / "nation_csv")
+    write_csv(src, p)
+    back = read_csv(spark, p, src.schema)
+    assert back.schema == src.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_json_lines_roundtrip_nested(spark, tmp_path):
+    from .fixtures import log_envelope_df
+    src = log_envelope_df(spark, n=60)
+    p = str(tmp_path / "env_json")
+    write_json_lines(src, p)
+    back = read_json_lines(spark, p, src.schema)
+    assert back.count() == 60
+    # nested struct + array fields survive
+    a = {r["mid"]: (r["n_d"], r["page_id"]) for r in
+         src.select(F.col("common.mid").alias("mid"),
+                    F.size("displays").alias("n_d"),
+                    F.col("page.page_id").alias("page_id")).collect()}
+    b = {r["mid"]: (r["n_d"], r["page_id"]) for r in
+         back.select(F.col("common.mid").alias("mid"),
+                     F.size("displays").alias("n_d"),
+                     F.col("page.page_id").alias("page_id")).collect()}
+    assert a == b
+
+
+def test_parquet_merge_schema_evolution(spark, tmp_path):
+    """A writer adds a column later; mergeSchema surfaces it with nulls
+    for old rows — no rewrite of existing files."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v string") \
+        .write.mode("append").parquet(p)
+    spark.createDataFrame([(2, "b", 9.5)], "id long, v string, score double") \
+        .write.mode("append").parquet(p)
+    got = read_parquet_merged(spark, p)
+    assert set(got.columns) == {"id", "v", "score"}
+    rows = {r["id"]: r["score"] for r in got.collect()}
+    assert rows[1] is None and rows[2] == 9.5
