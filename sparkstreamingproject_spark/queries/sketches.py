@@ -355,3 +355,80 @@ def _zorder_oracle() -> str:
 
 from .base import REGISTRY as _REG  # noqa: E402
 _REG["zorder_layout_key"].oracle = _zorder_oracle()
+
+
+_HLL_G = 256  # per-group registers; 4096 % 256 == 0 → unbiased bucketing
+
+
+def _hll_group_oracle() -> str:
+    return f"""
+    WITH h AS (
+      SELECT l_returnflag AS grp,
+             md5(CAST(l_orderkey AS VARCHAR)) AS hx
+      FROM (SELECT DISTINCT l_returnflag, l_orderkey FROM lineitem)),
+    parts AS (
+      SELECT grp,
+             CAST(('0x' || substr(hx, 1, 3)) AS BIGINT) % {_HLL_G} AS bucket,
+             CAST(('0x' || substr(hx, 4, 8)) AS BIGINT) AS w
+      FROM h),
+    regs AS (
+      SELECT grp, bucket,
+             max(CASE WHEN w = 0 THEN 33
+                      ELSE 33 - length(bin(w)) END) AS m
+      FROM parts GROUP BY grp, bucket),
+    s AS (
+      SELECT grp,
+             sum(CAST(1 AS BIGINT) << (33 - m)) AS s_filled,
+             count(*) AS v
+      FROM regs GROUP BY grp),
+    ex AS (SELECT l_returnflag AS grp,
+                  count(DISTINCT l_orderkey) AS n_exact
+           FROM lineitem GROUP BY l_returnflag)
+    SELECT s.grp AS l_returnflag,
+           CAST(round(
+             ((0.7213 / (1 + 1.079 / {_HLL_G})) * {_HLL_G * _HLL_G} * 8589934592.0)
+             / (s_filled + ({_HLL_G} - v) * 8589934592), 2) AS DOUBLE) AS hll_est,
+           v AS buckets_used, n_exact
+    FROM s JOIN ex ON s.grp = ex.grp
+    """
+
+
+@register("sketch_hll_per_group", oracle=_hll_group_oracle(),
+          tags=("sketch", "agg"))
+def sketch_hll_per_group(spark, sf_dir):
+    """Per-GROUP HyperLogLog — the mergeable form that matters in
+    production: registers keyed by (group, bucket), so the sketch
+    state is m longs per group, merged with max() in partial
+    aggregation. Same first-principles register math as
+    sketch_hll_distinct (md5 buckets, bin()-length leading zeros,
+    exact BIGINT register sums); per-group distinct orderkeys per
+    returnflag vs the exact count."""
+    li = table(spark, sf_dir, "lineitem")
+    hx = (li.select("l_returnflag", "l_orderkey").distinct()
+          .select(F.col("l_returnflag").alias("grp"),
+                  F.md5(F.col("l_orderkey").cast("string")).alias("hx")))
+    parts = hx.select(
+        "grp",
+        (F.conv(F.substring("hx", 1, 3), 16, 10).cast("long") % _HLL_G)
+        .alias("bucket"),
+        F.conv(F.substring("hx", 4, 8), 16, 10).cast("long").alias("w"))
+    regs = (parts.groupBy("grp", "bucket")
+            .agg(F.max(F.when(F.col("w") == 0, 33)
+                       .otherwise(33 - F.length(F.bin("w")))).alias("m")))
+    s = (regs.groupBy("grp")
+         .agg(F.sum(F.expr(
+             "shiftleft(CAST(1 AS BIGINT), CAST(33 - m AS INT))"))
+             .alias("s_filled"),
+             F.count("*").alias("v")))
+    ex = (li.groupBy(F.col("l_returnflag").alias("grp"))
+          .agg(F.countDistinct("l_orderkey").alias("n_exact")))
+    alpha_num = (0.7213 / (1 + 1.079 / _HLL_G)) * (_HLL_G * _HLL_G)
+    return (s.join(ex, "grp")
+            .select(F.col("grp").alias("l_returnflag"),
+                    F.round((F.lit(alpha_num) * F.lit(8589934592.0))
+                            / (F.col("s_filled")
+                               + (F.lit(_HLL_G) - F.col("v"))
+                               * F.lit(8589934592)), 2)
+                    .cast("double").alias("hll_est"),
+                    F.col("v").alias("buckets_used"),
+                    F.col("n_exact")))

@@ -310,3 +310,42 @@ def ts_resample_ffill(spark, sf_dir):
     return (f.filter(F.col("is_grid") == 1)
             .select("user_id", F.col("us").alias("grid_us"),
                     F.col("v").alias("value")))
+
+
+@register(
+    "ts_multi_grain_rollup",
+    oracle="""
+    SELECT CASE WHEN grouping(d) = 0 THEN 'day' ELSE 'hour' END AS grain,
+           coalesce(d, h) AS bucket_us,
+           count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_value
+    FROM (
+      SELECT value,
+             epoch_us(ts) // 86400000000 * 86400000000 AS d,
+             epoch_us(ts) // 3600000000 * 3600000000 AS h
+      FROM events)
+    GROUP BY GROUPING SETS ((d), (h))
+    """,
+    tags=("time", "rollup"),
+)
+def ts_multi_grain_rollup(spark, sf_dir):
+    """Multi-grain time rollup in ONE pass: daily and hourly buckets
+    via GROUPING SETS over epoch-integer bucket keys — the
+    materialized-rollup pattern a metrics store maintains, computed
+    without scanning the facts twice. Buckets are epoch-us integers
+    (instants; tz discipline per queries/base.py)."""
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    d = (us - us % 86400000000).alias("d")
+    h = (us - us % 3600000000).alias("h")
+    base = ev.select(F.col("value"), d, h)
+    g = base.groupingSets([["d"], ["h"]], "d", "h")
+    return (g.agg(F.count("*").alias("n"),
+                  F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+                  .cast("double").alias("total_value"),
+                  F.grouping("d").alias("_gd"))
+            .select(F.when(F.col("_gd") == 0, "day").otherwise("hour")
+                    .alias("grain"),
+                    F.coalesce("d", "h").alias("bucket_us"),
+                    "n", "total_value"))
