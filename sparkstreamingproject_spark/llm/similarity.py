@@ -254,6 +254,9 @@ def _near_dup_broadcast(df: DataFrame, threshold: float,
 
     spark = df.sparkSession
     rows = df.select(F.col(id_col), F.col(emb_col)).collect()
+    if not rows:
+        return spark.createDataFrame(
+            [], "id_a long, id_b long, cosine double")
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)

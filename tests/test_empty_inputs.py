@@ -1,0 +1,64 @@
+"""Empty-input robustness: every core operator must return an empty
+result (correct schema, no crash) on an empty DataFrame — at cluster
+scale empty partitions/filtered-to-nothing inputs are routine."""
+
+from __future__ import annotations
+
+
+def _empty_docs(spark):
+    return spark.createDataFrame([], "doc_id long, text string")
+
+
+def _empty_emb(spark):
+    return spark.createDataFrame([], "vec_id long, embedding array<float>")
+
+
+def test_dedup_ops_on_empty(spark):
+    from sparkstreamingproject_spark.llm.dedup import (
+        exact_dedup, jaccard_pairs, lsh_candidate_pairs,
+        minhash_signatures, simhash, word_shingles)
+    d = _empty_docs(spark)
+    assert word_shingles(d).count() == 0
+    assert exact_dedup(d).count() == 0
+    assert minhash_signatures(d).count() == 0
+    assert lsh_candidate_pairs(d).count() == 0
+    assert jaccard_pairs(d).count() == 0
+    assert simhash(d).count() == 0
+
+
+def test_similarity_ops_on_empty(spark):
+    from sparkstreamingproject_spark.llm.similarity import (
+        embedding_near_dup_pairs, kmeans_centroids, lsh_bucket,
+        lsh_multi_table_pairs)
+    e = _empty_emb(spark)
+    assert lsh_bucket(e).count() == 0
+    assert lsh_multi_table_pairs(e).count() == 0
+    assert embedding_near_dup_pairs(e).count() == 0
+    assert kmeans_centroids(e, n_iter=1).count() == 0
+
+
+def test_curation_ops_on_empty(spark):
+    from sparkstreamingproject_spark.llm.curation import (
+        char_entropy, decontaminate, incremental_dedup, pack_sequences,
+        pii_scrub, repetition_stats)
+    d = _empty_docs(spark)
+    assert decontaminate(d, d).count() == 0
+    assert repetition_stats(d).count() == 0
+    assert pii_scrub(d).count() == 0
+    assert incremental_dedup(d, d).count() == 0
+    assert pack_sequences(d).count() == 0
+    assert char_entropy(d).count() == 0
+
+
+def test_misc_ops_on_empty(spark):
+    from sparkstreamingproject_spark.llm.dedup import connected_components
+    from sparkstreamingproject_spark.operators.bloom import (
+        build_bloom, optimal_params)
+    from sparkstreamingproject_spark.operators.temporal import scd2_history
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(edges).count() == 0
+    ev = spark.createDataFrame([], "k long, ts timestamp, p double")
+    assert scd2_history(ev, "k", "ts", ["p"]).count() == 0
+    m, kk = optimal_params(1)
+    bits = build_bloom(spark.createDataFrame([], "x long"), "x", m, kk)
+    assert bits == bytes(len(bits))  # all-zero bitset
