@@ -149,3 +149,89 @@ def sketch_hist_quantiles(spark, sf_dir):
             .filter(100 * F.col("c_n") >= F.col("q") * F.col("total"))
             .groupBy("q")
             .agg(F.min(est.cast("long")).alias("est_cents")))
+
+
+@register(
+    "rfm_customer_segments",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey,
+             date_diff('day', CAST(max(o_orderdate) AS DATE),
+                       DATE '1998-01-01') AS recency_days,
+             count(*) AS frequency,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                  AS DOUBLE) AS monetary
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_custkey),
+    scored AS (
+      SELECT c_custkey, recency_days, frequency, monetary,
+             ntile(4) OVER (ORDER BY recency_days, c_custkey) AS r,
+             ntile(4) OVER (ORDER BY frequency DESC, c_custkey) AS f,
+             ntile(4) OVER (ORDER BY monetary DESC, c_custkey) AS m
+      FROM base)
+    SELECT r, f, m, count(*) AS n_customers,
+           CAST(round(sum(CAST(monetary AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS segment_value
+    FROM scored GROUP BY r, f, m
+    """,
+    tags=("analytics", "segmentation"),
+)
+def rfm_customer_segments(spark, sf_dir):
+    """RFM segmentation: per-customer recency/frequency/monetary →
+    quartile scores (ntile with deterministic custkey tie-break) →
+    segment sizes. The per-customer base is one orders shuffle; the
+    three ntile windows run over the CUSTOMER aggregate (dimension
+    cardinality, not fact cardinality) — the global sort is of the
+    small relation, same caveat class as vocabulary ranking. Date
+    arithmetic is date-typed (naive wall dates, tz-free)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    base = (o.join(c, o.o_custkey == c.c_custkey)
+            .groupBy("c_custkey")
+            .agg(F.datediff(F.lit("1998-01-01").cast("date"),
+                            F.max(F.col("o_orderdate").cast("date")))
+                 .alias("recency_days"),
+                 F.count("*").alias("frequency"),
+                 F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+                 .cast("double").alias("monetary")))
+    r = F.ntile(4).over(Window.orderBy("recency_days", "c_custkey"))
+    f = F.ntile(4).over(Window.orderBy(F.col("frequency").desc(), "c_custkey"))
+    m = F.ntile(4).over(Window.orderBy(F.col("monetary").desc(), "c_custkey"))
+    scored = base.select("c_custkey", "monetary",
+                         r.alias("r"), f.alias("f"), m.alias("m"))
+    return (scored.groupBy("r", "f", "m")
+            .agg(F.count("*").alias("n_customers"),
+                 F.round(F.sum(F.col("monetary").cast("decimal(18,2)")), 2)
+                 .cast("double").alias("segment_value")))
+
+
+@register(
+    "cohort_retention_matrix",
+    oracle="""
+    WITH w AS (
+      SELECT user_id,
+             epoch_us(ts) // 604800000000 AS wk
+      FROM events),
+    cohort AS (SELECT user_id, min(wk) AS c0 FROM w GROUP BY user_id)
+    SELECT c0 AS cohort_week,
+           wk - c0 AS week_offset,
+           count(DISTINCT w.user_id) AS active_users
+    FROM w JOIN cohort ON w.user_id = cohort.user_id
+    GROUP BY c0, wk - c0
+    """,
+    tags=("analytics", "retention"),
+)
+def cohort_retention_matrix(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-activity week,
+    distinct-active counts per week offset — the full generalization of
+    ts_user_retention's next-day rate. Two aggregations sharing the
+    user_id shuffle key + one epoch-integer week bucket (instants, no
+    wall-clock)."""
+    ev = table(spark, sf_dir, "events")
+    wk = (F.unix_micros(F.col("ts")) / 604800000000).cast("long")
+    w = ev.select("user_id", wk.alias("wk"))
+    cohort = w.groupBy("user_id").agg(F.min("wk").alias("c0"))
+    return (w.join(cohort, "user_id")
+            .groupBy(F.col("c0").alias("cohort_week"),
+                     (F.col("wk") - F.col("c0")).alias("week_offset"))
+            .agg(F.countDistinct("user_id").alias("active_users")))
