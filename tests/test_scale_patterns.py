@@ -120,3 +120,31 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, bucketed_db):
         assert joined.count() == li.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "67108864")
+
+
+def test_persisted_ivf_index_prunes_cell_partitions(spark, tmp_path, sf_dir):
+    """The 100 TB ANN story made concrete: persist the IVF assignment
+    partitioned BY CELL, then probe with a cell filter — the scan must
+    read only the probed cells' directories (partition pruning), and
+    the pruned probe must score exactly the rows the in-memory
+    assignment holds for those cells."""
+    from pyspark.sql import functions as F
+    from sparkstreamingproject_spark.llm.similarity import ivf_assign
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assigned = ivf_assign(emb)
+    idx = str(tmp_path / "ivf_index")
+    assigned.write.partitionBy("cell").parquet(idx)
+
+    probe_cells = [1, 3]
+    pruned = spark.read.parquet(idx).filter(F.col("cell").isin(probe_cells))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # partition pruning: the cell filter is applied at the source, not
+    # as a post-scan Filter over all partitions
+    assert "PartitionFilters" in plan and "cell" in plan.split(
+        "PartitionFilters")[1][:120], plan[:800]
+
+    want = {r["vec_id"] for r in
+            assigned.filter(F.col("cell").isin(probe_cells)).collect()}
+    got = {r["vec_id"] for r in pruned.collect()}
+    assert got == want and got, "pruned probe read wrong cell contents"
