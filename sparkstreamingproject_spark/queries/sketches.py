@@ -432,3 +432,44 @@ def sketch_hll_per_group(spark, sf_dir):
                     .cast("double").alias("hll_est"),
                     F.col("v").alias("buckets_used"),
                     F.col("n_exact")))
+
+
+@register(
+    "sample_weighted_systematic",
+    oracle="""
+    WITH w AS (
+      SELECT l_orderkey, l_linenumber, l_returnflag,
+             CAST(round(l_quantity * 100) AS BIGINT) AS wc
+      FROM lineitem),
+    c AS (
+      SELECT l_orderkey, l_linenumber, l_returnflag, wc,
+             CAST(sum(wc) OVER (PARTITION BY l_returnflag
+                                ORDER BY l_orderkey, l_linenumber
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw
+      FROM w)
+    SELECT l_returnflag, l_orderkey, l_linenumber
+    FROM c WHERE cw // 500000 > (cw - wc) // 500000
+    """,
+    tags=("sample", "weighted"),
+)
+def sample_weighted_systematic(spark, sf_dir):
+    """Weighted systematic sampling: a row is selected iff the running
+    weight total crosses a step boundary — inclusion probability ∝
+    weight, entirely INTEGER arithmetic (quantity cents, step 5000.00),
+    so membership is engine-exact and replay-stable (no RNG, no float
+    thresholds — the cross-engine-safe alternative to u^(1/w)
+    A-ES sampling). Partitioned by returnflag: each stream's running
+    sum is an independent window — the same bucketing discipline as
+    pack_sequences; at scale buckets = parallel sampler streams."""
+    from pyspark.sql import Window
+    li = table(spark, sf_dir, "lineitem")
+    w = li.select("l_orderkey", "l_linenumber", "l_returnflag",
+                  F.round(F.col("l_quantity") * 100).cast("long").alias("wc"))
+    win = (Window.partitionBy("l_returnflag")
+           .orderBy("l_orderkey", "l_linenumber")
+           .rowsBetween(Window.unboundedPreceding, 0))
+    c = w.withColumn("cw", F.sum("wc").over(win))
+    step = 500000
+    sel = (F.floor(F.col("cw") / step)
+           > F.floor((F.col("cw") - F.col("wc")) / step))
+    return c.filter(sel).select("l_returnflag", "l_orderkey", "l_linenumber")
