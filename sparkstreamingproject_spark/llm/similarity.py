@@ -229,9 +229,12 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.3,
     path at any data size — at billions of vectors the bucketed plan is
     chosen automatically.
     """
-    head = df.select(F.count("*").alias("n"),
-                     F.first(F.size(emb_col)).alias("d")).first()
-    n, d = head["n"] or 0, head["d"] or 0
+    # count() over parquet resolves from row-group stats (no data
+    # scan); the vector width needs exactly one row — together the
+    # guard costs ~nothing even on a petabyte table
+    n = df.count()
+    head = df.select(F.size(emb_col).alias("d")).limit(1).first()
+    d = (head["d"] if head else 0) or 0
     if n * d * 8 <= broadcast_max_bytes:
         return _near_dup_broadcast(df, threshold, id_col, emb_col)
     return _near_dup_bucketed(df, threshold, id_col, emb_col)
