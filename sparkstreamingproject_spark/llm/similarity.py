@@ -74,6 +74,69 @@ def brute_force_topk(candidates: DataFrame, queries: DataFrame, k: int = 5,
                     F.col("rank").cast("long").alias("rank")))
 
 
+def _quantize_int8(df: DataFrame, id_alias: str, id_col: str,
+                   emb_col: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization (same arithmetic as the
+    ``embedding_quantize_int8`` query): q_i = round(x_i·127/max|x|),
+    scale = max|x|/127."""
+    d = df.select(F.col(id_col).alias(id_alias),
+                  F.col(emb_col).cast("array<double>").alias("v"))
+    d = d.withColumn("mx", F.array_max(F.transform("v", lambda x: F.abs(x))))
+    return (d.withColumn(
+        "qv", F.transform("v", lambda x: F.round(x * 127 / F.col("mx"))
+                          .cast("long")))
+        .withColumn("scale", F.col("mx") / 127))
+
+
+def int8_rerank_topk(candidates: DataFrame, queries: DataFrame, k: int = 5,
+                     pool: int = 20, id_col: str = "vec_id",
+                     emb_col: str = "embedding") -> DataFrame:
+    """Quantized-retrieval + exact-rerank ANN (the ADC pattern every
+    production vector index uses): the approximate pass scores int8
+    codes only — an integer dot product rescaled by the two per-vector
+    scales, reading 4× fewer bytes than full precision — keeps the top
+    ``pool`` candidates per query, then fetches full-precision vectors
+    for just those pool·|Q| rows and re-ranks by exact cosine.
+
+    At scale the quantized relation IS the index (scanned; 4× less
+    bandwidth) while full vectors are only touched via the final keyed
+    join — pool·|Q| lookups, not N·|Q|. The integer dot product is
+    exact in both engines; the rescale multiply is written in the same
+    operand order as the oracle so the 6dp rounding agrees."""
+    qq = _quantize_int8(queries, "query_id", id_col, emb_col).select(
+        "query_id", F.col("qv").alias("q_qv"), F.col("scale").alias("q_scale"))
+    cc = _quantize_int8(candidates, "cand_id", id_col, emb_col).select(
+        "cand_id", "qv", "scale")
+    qdot = F.aggregate(
+        F.zip_with("qv", "q_qv", lambda a, b: a * b),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    approx = (cc.crossJoin(F.broadcast(qq))
+              .filter(F.col("cand_id") != F.col("query_id"))
+              .select("query_id", "cand_id",
+                      F.round(qdot.cast("double") * F.col("q_scale")
+                              * F.col("scale"), 6).alias("approx")))
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), F.col("cand_id"))
+    pool_df = (approx.withColumn("prk", F.row_number().over(wp))
+               .filter(F.col("prk") <= pool)
+               .select("query_id", "cand_id"))
+    c_full = candidates.select(F.col(id_col).alias("cand_id"),
+                               F.col(emb_col).alias("c_emb"))
+    q_full = queries.select(F.col(id_col).alias("query_id"),
+                            F.col(emb_col).alias("q_emb"))
+    scored = (pool_df.join(c_full, "cand_id")
+              .join(F.broadcast(q_full), "query_id")
+              .select("query_id", "cand_id",
+                      F.round(cosine_similarity("q_emb", "c_emb"), 6)
+                      .alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "cand_id", "cosine",
+                    F.col("rank").cast("long").alias("rank")))
+
+
 def lsh_topk(candidates: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", emb_col: str = "embedding",
              planes: list[list[float]] | None = None,

@@ -74,6 +74,48 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def bigram_lm_score(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", add_k: float = 1.0,
+                    digits: int = 4) -> DataFrame:
+    """KenLM-style corpus LM quality score: train an add-k-smoothed
+    bigram model on the corpus itself, then score every document by its
+    average bigram log-probability — the classic perplexity filter of a
+    training-data pipeline (drop docs whose token transitions look
+    nothing like the corpus: mojibake, tables, codec garbage).
+
+    score(d) = avg over bigrams (w1,w2) of
+               ln((C(w1,w2) + k) / (C(w1,·) + k·V))
+
+    Shape for 100 TB: bigram pairing is map-side (array HOF over the
+    token array — structural only, the heavy counting runs on exploded
+    rows in codegen); the two count relations are keyed partial
+    aggregations; the score join shuffles on (w1, w2) — never a
+    broadcast of the (potentially vocab²-heavy-tailed) bigram table,
+    so AQE can split skewed hot bigrams. Vocab size joins as a 1-row
+    broadcast. Docs with < 2 tokens have no bigrams and drop out.
+    """
+    toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("t"))
+    big = (toks.select(
+        id_col,
+        F.explode(F.expr(
+            "transform(slice(t, 1, greatest(size(t) - 1, 0)), "
+            "(w, i) -> struct(w AS w1, element_at(t, i + 2) AS w2))"
+        )).alias("bg"))
+        .select(id_col, "bg.w1", "bg.w2"))
+    bc = big.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    uc = bc.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = (df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+             .agg(F.countDistinct("w").alias("vocab")))
+    return (big.join(bc, ["w1", "w2"]).join(uc, "w1")
+            .crossJoin(F.broadcast(vocab))
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.round(F.avg(F.log(
+                     (F.col("c2") + F.lit(add_k))
+                     / (F.col("c1") + F.lit(add_k) * F.col("vocab")))), digits)
+                 .alias("avg_logprob")))
+
+
 def bm25_scores(df: DataFrame, terms: list[str], id_col: str = "doc_id",
                 text_col: str = "text", k1: float = 1.2, b: float = 0.75,
                 digits: int = 4) -> DataFrame:

@@ -563,3 +563,81 @@ def lang_id_trigram(spark, sf_dir):
             .filter("rn = 1"))
     return (best.groupBy("lang", F.col("plang").alias("predicted_lang"))
             .agg(F.count("*").alias("n_docs")))
+
+
+@register(
+    "text_bigram_lm_score",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    big AS (
+      SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      FROM toks, unnest(range(1, len(t))) AS g(i)),
+    bc AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2),
+    uc AS (SELECT w1, sum(c2) AS c1 FROM bc GROUP BY 1),
+    v AS (SELECT count(DISTINCT w) AS vocab
+          FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents))
+    SELECT b.doc_id, count(*) AS n_bigrams,
+           round(avg(ln((bc.c2 + 1.0) / (uc.c1 + v.vocab))), 4) AS avg_logprob
+    FROM big b JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v
+    GROUP BY b.doc_id
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_bigram_lm_score(spark, sf_dir):
+    """Perplexity-style corpus LM filter (llm/textstats.py:
+    bigram_lm_score): add-one bigram model trained on the corpus,
+    every doc scored by average bigram log-probability — the KenLM
+    quality gate of training-data pipelines."""
+    from ..llm.textstats import bigram_lm_score
+    return bigram_lm_score(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "sim_topk_int8_rerank",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q8 AS (
+      SELECT vec_id,
+             list_max(list_transform(v, x -> abs(x))) / 127 AS scale,
+             list_transform(v, x -> CAST(round(
+               x * 127 / list_max(list_transform(v, y -> abs(y)))) AS BIGINT))
+               AS qv
+      FROM e),
+    ap AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             round(list_sum(list_transform(range(1, len(q.qv) + 1),
+                     i -> q.qv[i] * c.qv[i]))
+                   * q.scale * c.scale, 6) AS approx
+      FROM q8 q JOIN q8 c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < 5),
+    pool AS (
+      SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY approx DESC, cand_id) AS prk
+        FROM ap)
+      WHERE prk <= 20)
+    SELECT query_id, cand_id, cosine, rank FROM (
+      SELECT p.query_id, p.cand_id,
+             round(list_cosine_similarity(q.v, c.v), 6) AS cosine,
+             row_number() OVER (
+               PARTITION BY p.query_id
+               ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC,
+                        p.cand_id) AS rank
+      FROM pool p
+      JOIN e q ON q.vec_id = p.query_id
+      JOIN e c ON c.vec_id = p.cand_id)
+    WHERE rank <= 5
+    """,
+    tags=("llm", "similarity"),
+)
+def sim_topk_int8_rerank(spark, sf_dir):
+    """Quantized-retrieval + exact-rerank ANN (llm/similarity.py:
+    int8_rerank_topk): int8 asymmetric-distance scan picks a 20-deep
+    pool per query, full-precision cosine re-ranks the pool to top-5
+    — the scan touches 4x fewer bytes than brute force and full
+    vectors are fetched for pool rows only."""
+    from ..llm import similarity as S
+    emb = table(spark, sf_dir, "embeddings")
+    return S.int8_rerank_topk(emb, emb.filter(F.col("vec_id") < 5),
+                              k=5, pool=20)

@@ -50,6 +50,17 @@ def write_json_lines(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC read — same pushdown/pruning properties as parquet (both are
+    columnar with file/stripe statistics); offered for interop with
+    Hive-era warehouses where ORC is the incumbent format."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").orc(path)
+
+
 def read_parquet_merged(spark: SparkSession, path: str) -> DataFrame:
     """Schema-evolution read: union the schemas of all files under
     ``path`` (columns added by later writers surface as nulls in older

@@ -51,3 +51,19 @@ def test_parquet_merge_schema_evolution(spark, tmp_path):
     assert set(got.columns) == {"id", "v", "score"}
     rows = {r["id"]: r["score"] for r in got.collect()}
     assert rows[1] is None and rows[2] == 9.5
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path, sf_dir):
+    from sparkstreamingproject_spark.sources.batch import read_orc, write_orc
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    p = str(tmp_path / "orders_orc")
+    write_orc(src, p)
+    back = read_orc(spark, p)
+    assert back.schema == src.schema
+    assert back.count() == src.count()
+    # predicate + projection reach the ORC scan like parquet
+    plan = (read_orc(spark, p)
+            .filter(F.col("o_orderstatus") == "F")
+            .select("o_orderkey")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PushedFilters" in plan and "o_orderstatus" in plan

@@ -263,3 +263,36 @@ def test_pack_sequences_contiguity(spark, sf_dir):
         assert r["bin_id"] * W + r["bin_offset"] == prev, \
             f"gap in bucket {r['bucket']} at doc {r['doc_id']}"
         by_bucket[r["bucket"]] = prev + r["n_tokens"]
+
+
+def test_int8_rerank_recall_vs_bruteforce(spark, sf_dir):
+    """int8 quantization error is tiny at dim 64, so a 20-deep pool
+    re-ranked exactly should recover nearly all of the exact top-5."""
+    from sparkstreamingproject_spark.llm.similarity import int8_rerank_topk
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, k=5)
+    approx = int8_rerank_topk(emb, queries, k=5, pool=20)
+    exact_set = {(r["query_id"], r["cand_id"]) for r in exact.collect()}
+    approx_set = {(r["query_id"], r["cand_id"]) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.8, f"int8-rerank recall {recall} too low"
+    # ranks well-formed: exactly 5 per query, 1..5
+    per_q = {}
+    for r in approx.collect():
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+
+def test_bigram_lm_score_orders_by_typicality(spark):
+    """A doc made of the corpus's dominant bigram scores higher than a
+    doc of one-off transitions; single-token docs drop out."""
+    from sparkstreamingproject_spark.llm.textstats import bigram_lm_score
+    rows = [(0, "a b a b a b a b"),        # dominant transition
+            (1, "q w e r t y u i"),        # all unique transitions
+            (2, "solo")]                   # no bigrams
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in bigram_lm_score(df).collect()}
+    assert 2 not in out
+    assert out[0]["avg_logprob"] > out[1]["avg_logprob"]
+    assert out[0]["n_bigrams"] == 7 and out[1]["n_bigrams"] == 7
