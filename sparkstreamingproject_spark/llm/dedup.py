@@ -156,6 +156,42 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     return pairs_from_postings(banded, ["band", "key"], id_col).distinct()
 
 
+def lsh_verified_pairs(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", threshold: float = 0.8,
+                       n_hashes: int = N_MINHASH,
+                       bands: int = LSH_BANDS) -> DataFrame:
+    """The full production near-dedup pipeline: LSH candidate
+    generation followed by exact Jaccard verification of ONLY the
+    candidates — LSH bounds the pair count (never all-pairs), the
+    verification removes LSH's false positives, and false negatives
+    are governed by the (bands, rows) S-curve.
+
+    Cost shape at 100 TB: |candidates| is near-dup-bounded (tiny
+    relative to N²); the verification joins are keyed — candidates ⋈
+    shingles(id_a) on id_a, then ⋈ shingles on (id_b, shingle) — so
+    the exact intersection touches candidate docs' shingles only,
+    ~|cands|·|doc shingles| rows, never the corpus cross product.
+    """
+    cands = lsh_candidate_pairs(df, id_col, text_col, n_hashes, bands)
+    sh = word_shingles(df, id_col, text_col, distinct=True)
+    counts = sh.groupBy(id_col).agg(F.count("*").alias("c"))
+    inter = (cands
+             .join(sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
+             .join(sh.select(F.col(id_col).alias("id_b"),
+                             F.col("shingle").alias("shingle")),
+                   ["id_b", "shingle"])
+             .groupBy("id_a", "id_b").agg(F.count("*").alias("i")))
+    jac = F.round(
+        F.col("i") / (F.col("ca") + F.col("cb") - F.col("i")), 6)
+    return (inter
+            .join(counts.select(F.col(id_col).alias("id_a"),
+                                F.col("c").alias("ca")), "id_a")
+            .join(counts.select(F.col(id_col).alias("id_b"),
+                                F.col("c").alias("cb")), "id_b")
+            .select("id_a", "id_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
 def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                   threshold: float = 0.8,
                   max_postings: int | None = None) -> DataFrame:

@@ -44,6 +44,31 @@ def scd2_history(df: DataFrame, key: str, ts_col: str,
         nxt.isNull().alias("is_current"))
 
 
+def scd2_lookup(facts: DataFrame, dim_hist: DataFrame, key: str,
+                fact_ts_col: str, dim_cols: list[str]) -> DataFrame:
+    """Point-in-time enrichment against an SCD2 dimension: each fact
+    row joins the single version whose [valid_from_us, valid_to_us)
+    interval contains the fact's event time — the join every
+    history-preserving warehouse runs (as-of semantics expressed as an
+    interval join, the dual of ``asof_join``'s union+window form).
+
+    Plan shape: an equi-join on the dimension key with the interval
+    predicates as post-join filters — one shuffle on the key; versions
+    tile per key (``scd2_history`` guarantees it), so the filter keeps
+    exactly one version per fact. Facts before the key's first version
+    drop (inner join).
+    """
+    f = facts.withColumn("__ts_us", F.unix_micros(F.col(fact_ts_col)))
+    d = dim_hist.select(
+        F.col(key).alias("__k"), "valid_from_us", "valid_to_us",
+        *[F.col(c).alias(f"dim_{c}") for c in dim_cols])
+    cond = ((f[key] == d["__k"])
+            & (d["valid_from_us"] <= f["__ts_us"])
+            & (d["valid_to_us"].isNull()
+               | (f["__ts_us"] < d["valid_to_us"])))
+    return f.join(d, cond).drop("__k")
+
+
 def asof_join(left: DataFrame, right: DataFrame, key: str,
               left_ts: str, right_ts: str,
               right_cols: list[str] | None = None,

@@ -235,3 +235,40 @@ def cohort_retention_matrix(spark, sf_dir):
             .groupBy(F.col("c0").alias("cohort_week"),
                      (F.col("wk") - F.col("c0")).alias("week_offset"))
             .agg(F.countDistinct("user_id").alias("active_users")))
+
+
+@register(
+    "scd2_point_in_time_join",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id, value AS dim_value,
+             epoch_us(ts) AS valid_from_us,
+             epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id)) AS valid_to_us
+      FROM events WHERE event_type = 'view'),
+    f AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type = 'purchase')
+    SELECT f.event_id, f.user_id, f.ts_us, d.dim_value, d.valid_from_us
+    FROM f JOIN dim d ON d.user_id = f.user_id
+     AND d.valid_from_us <= f.ts_us
+     AND (d.valid_to_us IS NULL OR f.ts_us < d.valid_to_us)
+    """,
+    tags=("temporal", "scd"),
+)
+def scd2_point_in_time_join(spark, sf_dir):
+    """Point-in-time fact enrichment (operators/temporal.py:
+    scd2_lookup): purchases join the 'view'-stream SCD2 version valid
+    at purchase time — the interval-join dual of asof_join, one
+    key-shuffled equi-join with interval post-filters."""
+    from ..operators.temporal import scd2_history, scd2_lookup
+    ev = table(spark, sf_dir, "events")
+    dim = scd2_history(ev.filter(F.col("event_type") == "view"),
+                       "user_id", "ts", ["value"],
+                       tiebreak_cols=("event_id",))
+    facts = (ev.filter(F.col("event_type") == "purchase")
+             .select("event_id", "user_id", "ts"))
+    return (scd2_lookup(facts, dim, "user_id", "ts", ["value"])
+            .select("event_id", "user_id",
+                    F.col("__ts_us").alias("ts_us"),
+                    "dim_value", "valid_from_us"))

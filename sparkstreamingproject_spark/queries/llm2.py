@@ -641,3 +641,36 @@ def sim_topk_int8_rerank(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
     return S.int8_rerank_topk(emb, emb.filter(F.col("vec_id") < 5),
                               k=5, pool=20)
+
+
+@register(
+    "dedup_lsh_verified",
+    oracle=f"""
+    WITH {_shingles_sql('documents', 'd').lstrip().rstrip(',')},
+    {_bands_sql('d').lstrip()},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM d_bands a JOIN d_bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    cnt AS (SELECT doc_id, count(*) AS c FROM d_sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS i
+      FROM cand c
+      JOIN d_sh sa ON sa.doc_id = c.id_a
+      JOIN d_sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+      GROUP BY c.id_a, c.id_b)
+    SELECT i.id_a, i.id_b,
+           round(i.i * 1.0 / (ca.c + cb.c - i.i), 6) AS jaccard
+    FROM inter i JOIN cnt ca ON ca.doc_id = i.id_a
+                 JOIN cnt cb ON cb.doc_id = i.id_b
+    WHERE round(i.i * 1.0 / (ca.c + cb.c - i.i), 6) >= 0.8
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_lsh_verified(spark, sf_dir):
+    """LSH candidates + exact-Jaccard verification (llm/dedup.py:
+    lsh_verified_pairs) — the two-stage pipeline production near-dedup
+    runs: banded MinHash bounds the candidate count, the exact check
+    over candidate docs' shingles removes LSH false positives."""
+    return D.lsh_verified_pairs(table(spark, sf_dir, "documents"),
+                                threshold=0.8)

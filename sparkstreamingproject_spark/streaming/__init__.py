@@ -15,10 +15,11 @@ to idempotent ones — the same guarantee the reference builds by hand
 """
 
 from .cdc_router import route_cdc_stream
-from .dim_upsert import upsert_dim_parquet
+from .dim_upsert import scd2_stream, upsert_dim_parquet, upsert_scd2_parquet
 from .split import split_log_stream_to_sinks, tagged_split_writer
 
 __all__ = [
     "split_log_stream_to_sinks", "tagged_split_writer",
     "route_cdc_stream", "upsert_dim_parquet",
+    "upsert_scd2_parquet", "scd2_stream",
 ]

@@ -32,21 +32,87 @@ def latest_per_key(df: DataFrame, key_cols: list[str], version_col: str) -> Data
             .filter(F.col("_rn") == 1).drop("_rn"))
 
 
-def upsert_dim_parquet(updates: DataFrame, table_dir: str,
-                       key_cols: list[str], version_col: str) -> None:
-    spark = updates.sparkSession
-    incoming = latest_per_key(updates, key_cols, version_col)
-    if os.path.isdir(table_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(table_dir)):
-        base = spark.read.parquet(table_dir)
-        merged = latest_per_key(base.unionByName(incoming), key_cols, version_col)
-    else:
-        merged = incoming
+def _swap_in(merged: DataFrame, table_dir: str) -> None:
     tmp = f"{table_dir}.tmp-{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(tmp)
     if os.path.isdir(table_dir):
         shutil.rmtree(table_dir)
     os.rename(tmp, table_dir)
+
+
+def _table_exists(table_dir: str) -> bool:
+    return os.path.isdir(table_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(table_dir))
+
+
+def upsert_dim_parquet(updates: DataFrame, table_dir: str,
+                       key_cols: list[str], version_col: str) -> None:
+    spark = updates.sparkSession
+    incoming = latest_per_key(updates, key_cols, version_col)
+    if _table_exists(table_dir):
+        base = spark.read.parquet(table_dir)
+        merged = latest_per_key(base.unionByName(incoming), key_cols, version_col)
+    else:
+        merged = incoming
+    _swap_in(merged, table_dir)
+
+
+def upsert_scd2_parquet(updates: DataFrame, table_dir: str, key: str,
+                        ts_col: str, attr_cols: list[str],
+                        tiebreak_cols: tuple = ()) -> None:
+    """SCD2 streaming maintenance: merge a micro-batch of change rows
+    into a versioned-history table (the history-preserving counterpart
+    of ``upsert_dim_parquet``'s SCD1 last-write-wins).
+
+    Only the keys present in the batch are rebuilt: their existing
+    versions replay as change rows (valid_from is the change instant),
+    union the batch, dedup (idempotent under at-least-once redelivery),
+    and re-derive the [valid_from, valid_to) tiling — so late/
+    out-of-order changes insert mid-history and repair the neighbors'
+    intervals. Untouched keys' files are carried over as-is; on a real
+    lakehouse format this is MERGE with key-bucket pruning, so the
+    rewrite cost tracks the batch's key set, not table size.
+
+    ``tiebreak_cols`` must be drawn from ``attr_cols`` — only attribute
+    columns survive the replay round-trip.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.temporal import scd2_history
+    spark = updates.sparkSession
+    cols = [key, ts_col, *attr_cols]
+    incoming = updates.select(*cols)
+    if _table_exists(table_dir):
+        hist = spark.read.parquet(table_dir)
+        keys = updates.select(key).distinct()
+        untouched = hist.join(F.broadcast(keys), key, "left_anti")
+        replay = (hist.join(F.broadcast(keys), key, "left_semi")
+                  .select(key, F.timestamp_micros("valid_from_us").alias(ts_col),
+                          *attr_cols))
+        changes = replay.unionByName(incoming).dropDuplicates(cols)
+        rebuilt = scd2_history(changes, key, ts_col, attr_cols, tiebreak_cols)
+        merged = untouched.unionByName(rebuilt)
+    else:
+        merged = scd2_history(incoming.dropDuplicates(cols), key, ts_col,
+                              attr_cols, tiebreak_cols)
+    _swap_in(merged, table_dir)
+
+
+def scd2_stream(changes, table_dir: str, checkpoint: str, key: str,
+                ts_col: str, attr_cols: list[str],
+                tiebreak_cols: tuple = (), trigger_seconds: int | None = None):
+    """Streaming SCD2 maintenance: ``foreachBatch(upsert_scd2_parquet)``
+    over a change stream — every micro-batch leaves the history table
+    correctly tiled, late data repairs in place."""
+    writer = (changes.writeStream
+              .foreachBatch(lambda b, _i: upsert_scd2_parquet(
+                  b, table_dir, key, ts_col, attr_cols, tiebreak_cols))
+              .option("checkpointLocation", checkpoint))
+    if trigger_seconds is None:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
 
 
 def read_dim(spark, table_dir: str) -> DataFrame:

@@ -296,3 +296,20 @@ def test_bigram_lm_score_orders_by_typicality(spark):
     assert 2 not in out
     assert out[0]["avg_logprob"] > out[1]["avg_logprob"]
     assert out[0]["n_bigrams"] == 7 and out[1]["n_bigrams"] == 7
+
+
+def test_lsh_verified_subset_of_exact_jaccard(spark, sf_dir):
+    """Verified pairs must be exactly the exact-Jaccard >= t pairs that
+    LSH candidates contain: no false positives survive verification,
+    and misses are only LSH false negatives (absent from candidates)."""
+    from sparkstreamingproject_spark.llm.dedup import (
+        jaccard_pairs, lsh_candidate_pairs, lsh_verified_pairs)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    verified = {(r["id_a"], r["id_b"])
+                for r in lsh_verified_pairs(docs, threshold=0.8).collect()}
+    exact = {(r["id_a"], r["id_b"])
+             for r in jaccard_pairs(docs, threshold=0.8).collect()}
+    cands = {(r["id_a"], r["id_b"])
+             for r in lsh_candidate_pairs(docs).collect()}
+    assert verified == (exact & cands)
+    assert verified, "fixtures plant near-dups; verification found none"

@@ -287,3 +287,63 @@ def test_dedup_ingest_stream_invariants(spark, tmp_path):
     dedup_ingest_stream(file_stream(spark, src, st), idx, corpus,
                         ck).awaitTermination(120)
     assert spark.read.parquet(corpus).count() == n1
+
+
+def test_scd2_upsert_matches_batch_with_late_data(spark, tmp_path):
+    """Streaming SCD2 maintenance == one-shot batch scd2_history: a
+    late change lands mid-history and repairs neighbor intervals, and
+    at-least-once redelivery is idempotent."""
+    from sparkstreamingproject_spark.operators.temporal import scd2_history
+    from sparkstreamingproject_spark.streaming.dim_upsert import upsert_scd2_parquet
+
+    def mk(rows):
+        return (spark.createDataFrame(rows, "uid long, ts_us long, attr string")
+                .select("uid", F.timestamp_micros("ts_us").alias("ts"), "attr"))
+
+    t0 = 1_700_000_000_000_000
+    b1 = [(1, t0 + 10_000_000, "a"), (1, t0 + 30_000_000, "c"),
+          (2, t0 + 5_000_000, "x")]
+    b2 = [(1, t0 + 20_000_000, "b"),       # late: lands between a and c
+          (1, t0 + 10_000_000, "a"),       # redelivered duplicate
+          (3, t0 + 1_000_000, "z"),        # new key
+          (2, t0 + 50_000_000, "y")]
+    d = str(tmp_path / "scd2_dim")
+    upsert_scd2_parquet(mk(b1), d, "uid", "ts", ["attr"])
+    upsert_scd2_parquet(mk(b2), d, "uid", "ts", ["attr"])
+    got = spark.read.parquet(d)
+
+    allrows = mk(b1).unionByName(mk(b2)).dropDuplicates(["uid", "ts", "attr"])
+    want = scd2_history(allrows, "uid", "ts", ["attr"])
+    assert sorted(map(tuple, got.select(*want.columns).collect())) \
+        == sorted(map(tuple, want.collect()))
+
+    u1 = sorted((r["attr"], r["valid_from_us"], r["valid_to_us"])
+                for r in got.filter("uid = 1").collect())
+    assert [a for a, _, _ in u1] == ["a", "b", "c"]
+    # intervals tile: a's end == b's start, b's end == c's start
+    assert u1[0][2] == u1[1][1] and u1[1][2] == u1[2][1]
+
+
+def test_scd2_stream_wrapper_drains_landing(spark, tmp_path):
+    """foreachBatch wrapper: two landing files drained through one
+    checkpoint leave the same history as the batch rebuild."""
+    from sparkstreamingproject_spark.operators.temporal import scd2_history
+    from sparkstreamingproject_spark.streaming.dim_upsert import scd2_stream
+
+    rows = [(i % 4, 1_700_000_000_000_000 + i * 7_000_000, f"v{i}")
+            for i in range(40)]
+    df = (spark.createDataFrame(rows, "uid long, ts_us long, attr string")
+          .select("uid", F.timestamp_micros("ts_us").alias("ts"), "attr"))
+    land = str(tmp_path / "scd2_land")
+    first, second = df.filter("uid != 0"), df.filter("uid = 0")
+    first.coalesce(1).write.mode("append").parquet(land)
+    d, ck = str(tmp_path / "scd2_tab"), str(tmp_path / "scd2_ck")
+    scd2_stream(file_stream(spark, land, df.schema), d, ck,
+                "uid", "ts", ["attr"]).awaitTermination(120)
+    second.coalesce(1).write.mode("append").parquet(land)
+    scd2_stream(file_stream(spark, land, df.schema), d, ck,
+                "uid", "ts", ["attr"]).awaitTermination(120)
+    got = spark.read.parquet(d)
+    want = scd2_history(df, "uid", "ts", ["attr"])
+    assert sorted(map(tuple, got.select(*want.columns).collect())) \
+        == sorted(map(tuple, want.collect()))
