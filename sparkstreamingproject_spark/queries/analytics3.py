@@ -272,3 +272,57 @@ def scd2_point_in_time_join(spark, sf_dir):
             .select("event_id", "user_id",
                     F.col("__ts_us").alias("ts_us"),
                     "dim_value", "valid_from_us"))
+
+
+@register(
+    "stat_linear_trend",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(regr_slope(value, epoch_us(ts) / 86400000000.0), 4)
+             AS slope_per_day,
+           round(regr_intercept(value, epoch_us(ts) / 86400000000.0), 2)
+             AS intercept
+    FROM events GROUP BY event_type
+    """,
+    tags=("analytics", "stats"),
+)
+def stat_linear_trend(spark, sf_dir):
+    """Per-group OLS trend via the built-in regression aggregates
+    (regr_slope/regr_intercept — single-pass moment sums in codegen,
+    one keyed shuffle; x in day units so the slope magnitude survives
+    the 4dp rounding both engines apply)."""
+    ev = table(spark, sf_dir, "events")
+    x = F.unix_micros(F.col("ts")) / F.lit(86400000000.0)
+    return (ev.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.regr_slope(F.col("value"), x), 4)
+                 .alias("slope_per_day"),
+                 F.round(F.regr_intercept(F.col("value"), x), 2)
+                 .alias("intercept")))
+
+
+@register(
+    "stat_corr_matrix",
+    oracle="""
+    SELECT round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           round(corr(l_quantity, l_discount), 4) AS corr_qty_disc,
+           round(corr(l_extendedprice, l_discount), 4) AS corr_price_disc,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    """,
+    tags=("analytics", "stats"),
+)
+def stat_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlations of the lineitem measures in ONE
+    scan — all three corr aggregates share the pass (moment sums in
+    whole-stage codegen; the feature-covariance step of a training
+    pipeline's profiling stage)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4)
+        .alias("corr_qty_price"),
+        F.round(F.corr("l_quantity", "l_discount"), 4).alias("corr_qty_disc"),
+        F.round(F.corr("l_extendedprice", "l_discount"), 4)
+        .alias("corr_price_disc"),
+        F.count("*").alias("n"))
