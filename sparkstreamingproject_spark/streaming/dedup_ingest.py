@@ -78,6 +78,36 @@ def ingest_batch(batch: DataFrame, index_dir: str, corpus_dir: str,
         fb.unpersist()
 
 
+def dedup_within_watermark_stream(doc_stream: DataFrame, out_dir: str,
+                                  checkpoint: str, ts_col: str = "ts",
+                                  key_cols: tuple = ("h",),
+                                  delay: str = "10 minutes"):
+    """Watermark-bounded exact dedup — the built-in
+    ``dropDuplicatesWithinWatermark`` form of ``dedup_exact``
+    (reference semantics: at-most-once emit per content key, as the
+    ods split's downstream consumers assume; MyKafkaUtils.scala's
+    manual offset discipline gives at-least-once, so dedup is the
+    reader's job).
+
+    Unlike ``dedup_ingest_stream`` (unbounded parquet index, exact
+    forever), state here is RocksDB/HDFS-backed per-key timestamps
+    that AUTO-EXPIRE once the watermark passes ``delay`` beyond them —
+    bounded state at any corpus size, the right default when dup pairs
+    arrive close in time (retries, producer replays). First occurrence
+    wins; a dup arriving after state expiry re-emits (documented
+    trade-off vs the persisted-index form).
+    """
+    deduped = (doc_stream
+               .withWatermark(ts_col, delay)
+               .dropDuplicatesWithinWatermark(list(key_cols)))
+    return (deduped.writeStream
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())
+
+
 def dedup_ingest_stream(doc_stream: DataFrame, index_dir: str,
                         corpus_dir: str, checkpoint: str,
                         trigger_seconds: int | None = None):

@@ -289,6 +289,51 @@ def test_dedup_ingest_stream_invariants(spark, tmp_path):
     assert spark.read.parquet(corpus).count() == n1
 
 
+def test_dedup_within_watermark_stream_matches_batch(spark, tmp_path):
+    """Watermark-bounded streaming dedup (dropDuplicatesWithinWatermark)
+    == batch dropDuplicates on the key, when all duplicate pairs arrive
+    within the watermark delay — including dups split ACROSS micro-batches
+    (maxFilesPerTrigger=1 forces two batches, so the second batch's dups
+    are dropped by store state, not in-batch collapse)."""
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType, TimestampType)
+    from sparkstreamingproject_spark.sources.streams import file_stream
+    from sparkstreamingproject_spark.streaming.dedup_ingest import (
+        dedup_within_watermark_stream)
+
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    sec = dt.timedelta(seconds=1)
+    rows1 = [(1, "alpha", t0), (2, "beta", t0 + sec),
+             (3, "alpha", t0 + 2 * sec)]          # in-batch dup of 1
+    rows2 = [(4, "alpha", t0 + 3 * sec),          # cross-batch dup of 1
+             (5, "gamma", t0 + 4 * sec),
+             (6, "beta", t0 + 5 * sec)]           # cross-batch dup of 2
+    st = StructType([StructField("doc_id", LongType()),
+                     StructField("h", StringType()),
+                     StructField("ts", TimestampType())])
+    src = str(tmp_path / "wm_land")
+    spark.createDataFrame(rows1, st).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(rows2, st).coalesce(1).write.mode("append").parquet(src)
+
+    out, ck = str(tmp_path / "wm_out"), str(tmp_path / "wm_ck")
+    stream = file_stream(spark, src, st, max_files_per_trigger=1)
+    dedup_within_watermark_stream(stream, out, ck).awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    keys = [r["h"] for r in got.collect()]
+    assert sorted(keys) == ["alpha", "beta", "gamma"], keys
+    # matches the batch form on the same landing data
+    batch = spark.read.parquet(src).dropDuplicates(["h"])
+    assert got.count() == batch.count() == 3
+
+    # replay with the same checkpoint: no new output
+    dedup_within_watermark_stream(
+        file_stream(spark, src, st, max_files_per_trigger=1),
+        out, ck).awaitTermination(120)
+    assert spark.read.parquet(out).count() == 3
+
+
 def test_scd2_upsert_matches_batch_with_late_data(spark, tmp_path):
     """Streaming SCD2 maintenance == one-shot batch scd2_history: a
     late change lands mid-history and repairs neighbor intervals, and
