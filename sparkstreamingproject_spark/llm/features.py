@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def zscore_normalize(df: DataFrame, key_col: str, id_col: str,
@@ -38,3 +39,101 @@ def zscore_normalize(df: DataFrame, key_col: str, id_col: str,
     out_schema = f"{id_col} long, {key_col} long, z double"
     return df.select(key_col, id_col, value_col).groupBy(key_col).applyInPandas(
         norm, out_schema)
+
+
+def covariance_matrix(df: DataFrame, emb_col: str = "embedding",
+                      digits: int = 6) -> DataFrame:
+    """Sample covariance of an embedding column as (i, j, cov) rows —
+    the d x d moment matrix that PCA, whitening, and Mahalanobis
+    scoring start from.
+
+    Shape for 100 TB: ONE pass. Each Arrow batch contributes its
+    partial Gram (X^T X via BLAS), column sums, and count as d^2+d+1
+    tiny rows (mapInPandas — never a per-row d^2 explode/self-join,
+    which would shuffle d^2 values PER VECTOR); the only shuffle is
+    the groupBy over those dimension-cardinality partials. The
+    centered matrix falls out algebraically:
+    cov = (S_ij - c_i c_j / n) / (n - 1).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def gram(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in pdf[emb_col]])
+            d = X.shape[1]
+            S = X.T @ X
+            c = X.sum(axis=0)
+            ii, jj = np.meshgrid(np.arange(d), np.arange(d),
+                                 indexing="ij")
+            yield pd.DataFrame({
+                "i": np.concatenate([ii.ravel(), np.arange(d), [-1]]),
+                "j": np.concatenate([jj.ravel(), np.full(d, -1), [-1]]),
+                "s": np.concatenate([S.ravel(), c, [float(len(X))]]),
+            })
+
+    parts = (df.select(emb_col)
+             .mapInPandas(gram, schema="i int, j int, s double")
+             .groupBy("i", "j").agg(F.sum("s").alias("s")))
+    tot = (parts.filter((F.col("i") == -1) & (F.col("j") == -1))
+           .select(F.col("s").alias("n")))
+    mu = (parts.filter((F.col("i") >= 0) & (F.col("j") == -1))
+          .select(F.col("i").alias("m_i"), F.col("s").alias("c")))
+    g = parts.filter(F.col("j") >= 0)
+    return (g.crossJoin(F.broadcast(tot))
+            .join(F.broadcast(mu), F.col("i") == F.col("m_i"))
+            .join(F.broadcast(mu.select(F.col("m_i").alias("m_j"),
+                                        F.col("c").alias("cj"))),
+                  F.col("j") == F.col("m_j"))
+            .select("i", "j",
+                    F.round((F.col("s") - F.col("c") * F.col("cj")
+                             / F.col("n")) / (F.col("n") - 1), digits)
+                    .alias("cov")))
+
+
+def pca_project(df: DataFrame, k: int = 2, id_col: str = "vec_id",
+                emb_col: str = "embedding", digits: int = 4) -> DataFrame:
+    """Project embeddings onto their top-k principal components.
+
+    The covariance collect is d^2 values (dimension-cardinality — 64-dim
+    means 4096 floats, independent of corpus size), the
+    eigendecomposition is driver-side numpy on that d x d matrix, and
+    the projection ships the k component vectors back as a broadcast
+    literal matrix applied per-batch with BLAS — so the data-sized work
+    is two single passes with no shuffle at all. Component sign is
+    canonicalized (largest-|coordinate| positive) for determinism.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cov_rows = covariance_matrix(df, emb_col, digits=12).collect()
+    d = max(r["i"] for r in cov_rows) + 1
+    C = np.zeros((d, d))
+    for r in cov_rows:
+        C[r["i"], r["j"]] = r["cov"]
+    vals, vecs = np.linalg.eigh(C)            # ascending
+    comps = vecs[:, ::-1][:, :k]              # top-k columns
+    for c in range(k):
+        m = np.argmax(np.abs(comps[:, c]))
+        if comps[m, c] < 0:
+            comps[:, c] = -comps[:, c]
+    W = comps.copy()
+
+    def project(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in pdf[emb_col]])
+            P = np.round(X @ W, digits)
+            out = {id_col: pdf[id_col]}
+            for c in range(k):
+                out[f"pc{c + 1}"] = P[:, c]
+            yield pd.DataFrame(out)
+
+    pcs = ", ".join(f"pc{c + 1} double" for c in range(k))
+    return (df.select(id_col, emb_col)
+            .mapInPandas(project, schema=f"{id_col} long, {pcs}"))

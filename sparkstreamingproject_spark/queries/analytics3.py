@@ -326,3 +326,98 @@ def stat_corr_matrix(spark, sf_dir):
         F.round(F.corr("l_extendedprice", "l_discount"), 4)
         .alias("corr_price_disc"),
         F.count("*").alias("n"))
+
+
+@register(
+    "stat_ttest_welch",
+    oracle="""
+    WITH s AS (
+      SELECT count(*) FILTER (WHERE event_type = 'purchase') AS n1,
+             avg(value) FILTER (WHERE event_type = 'purchase') AS m1,
+             var_samp(value) FILTER (WHERE event_type = 'purchase') AS v1,
+             count(*) FILTER (WHERE event_type = 'view') AS n2,
+             avg(value) FILTER (WHERE event_type = 'view') AS m2,
+             var_samp(value) FILTER (WHERE event_type = 'view') AS v2
+      FROM events)
+    SELECT CAST(n1 AS BIGINT) AS n_purchase, CAST(n2 AS BIGINT) AS n_view,
+           round(m1 - m2, 4) AS mean_diff,
+           round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 4) AS t_stat,
+           round(pow(v1 / n1 + v2 / n2, 2)
+                 / (pow(v1 / n1, 2) / (n1 - 1)
+                    + pow(v2 / n2, 2) / (n2 - 1)), 1) AS df_welch
+    FROM s
+    """,
+    tags=("analytics", "stats"),
+)
+def stat_ttest_welch(spark, sf_dir):
+    """Welch two-sample t on event value between purchase and view
+    cohorts — the A/B-experiment readout, in ONE scan: conditional
+    aggregates (count/avg/var_samp under when()) share the pass in
+    codegen, the t statistic and Welch–Satterthwaite df are scalar
+    arithmetic on the single result row. No join, no second scan."""
+    ev = table(spark, sf_dir, "events")
+
+    def side(t):
+        c = F.when(F.col("event_type") == t, F.col("value"))
+        return (F.count(c), F.avg(c), F.var_samp(c))
+
+    n1, m1, v1 = side("purchase")
+    n2, m2, v2 = side("view")
+    se2 = v1 / n1 + v2 / n2
+    return ev.agg(
+        n1.alias("n_purchase"), n2.alias("n_view"),
+        F.round(m1 - m2, 4).alias("mean_diff"),
+        F.round((m1 - m2) / F.sqrt(se2), 4).alias("t_stat"),
+        F.round(F.pow(se2, 2)
+                / (F.pow(v1 / n1, 2) / (n1 - 1)
+                   + F.pow(v2 / n2, 2) / (n2 - 1)), 1).alias("df_welch"))
+
+
+@register(
+    "stat_chi_square",
+    oracle="""
+    WITH obs AS (SELECT lang, source, count(*) AS o
+                 FROM documents GROUP BY 1, 2),
+    r AS (SELECT lang, sum(o) AS rt FROM obs GROUP BY 1),
+    c AS (SELECT source, sum(o) AS ct FROM obs GROUP BY 1),
+    t AS (SELECT sum(o) AS n FROM obs),
+    cell AS (
+      SELECT r.lang, c.source, coalesce(obs.o, 0) AS o,
+             r.rt * c.ct * 1.0 / t.n AS e
+      FROM r CROSS JOIN c CROSS JOIN t
+      LEFT JOIN obs ON obs.lang = r.lang AND obs.source = c.source)
+    SELECT round(sum((o - e) * (o - e) / e), 4) AS chi2,
+           CAST((SELECT count(*) - 1 FROM r)
+                * (SELECT count(*) - 1 FROM c) AS BIGINT) AS dof,
+           CAST((SELECT n FROM t) AS BIGINT) AS n
+    FROM cell
+    """,
+    tags=("analytics", "stats"),
+)
+def stat_chi_square(spark, sf_dir):
+    """Chi-square independence of lang x source on the corpus — the
+    contingency check a curation pipeline runs to spot source/language
+    coupling. One scan builds the observed cells; margins are tiny
+    re-aggregations of the CELL relation (not the corpus), and the
+    full margin cross (langs x sources, includes zero cells) joins
+    broadcast — all post-scan work is on dimension-cardinality data."""
+    d = table(spark, sf_dir, "documents")
+    obs = d.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    obs.persist()
+    r = obs.groupBy("lang").agg(F.sum("o").alias("rt"))
+    c = obs.groupBy("source").agg(F.sum("o").alias("ct"))
+    t = obs.agg(F.sum("o").alias("n"))
+    cell = (r.crossJoin(F.broadcast(c)).crossJoin(F.broadcast(t))
+            .join(F.broadcast(obs), ["lang", "source"], "left")
+            .select("lang", "source",
+                    F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+                    (F.col("rt") * F.col("ct") / F.col("n")).alias("e")))
+    nl = r.count()
+    ns = c.count()
+    out = cell.agg(
+        F.round(F.sum((F.col("o") - F.col("e")) ** 2 / F.col("e")), 4)
+        .alias("chi2"),
+        F.lit((nl - 1) * (ns - 1)).cast("long").alias("dof"),
+        F.sum("o").cast("long").alias("n"))
+    obs.unpersist()
+    return out

@@ -674,3 +674,82 @@ def dedup_lsh_verified(spark, sf_dir):
     over candidate docs' shingles removes LSH false positives."""
     return D.lsh_verified_pairs(table(spark, sf_dir, "documents"),
                                 threshold=0.8)
+
+
+@register(
+    "text_ngram_top",
+    oracle="""
+    WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+    big AS (
+      SELECT t[i] AS w1, t[i+1] AS w2
+      FROM toks, unnest(range(1, len(t))) AS g(i))
+    SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+    FROM big GROUP BY w1, w2
+    ORDER BY c DESC, w1, w2 LIMIT 20
+    """,
+    tags=("llm", "text"),
+)
+def text_ngram_top(spark, sf_dir):
+    """Top-20 corpus bigrams — the n-gram census step of corpus
+    analysis (stop-phrase lists, boilerplate detection). Pairing is the
+    map-side structural HOF (same shape as llm/textstats.py:
+    bigram_lm_score:98); counting runs on exploded rows with map-side
+    partial aggregation, and the top-20 is TakeOrderedAndProject
+    ((c DESC, w1, w2) — deterministic under ties), never a global
+    sort."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.split(F.col("text"), " ").alias("t"))
+    big = (toks.select(F.explode(F.expr(
+        "transform(slice(t, 1, greatest(size(t) - 1, 0)), "
+        "(w, i) -> struct(w AS w1, element_at(t, i + 2) AS w2))"
+    )).alias("bg")).select("bg.w1", "bg.w2"))
+    return (big.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+            .orderBy(F.desc("c"), "w1", "w2").limit(20))
+
+
+@register(
+    "embedding_covariance",
+    oracle="""
+    WITH x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    u AS (SELECT vec_id, CAST(i - 1 AS INT) AS i, v[i] AS val
+          FROM x, unnest(range(1, len(v) + 1)) AS g(i)),
+    m AS (SELECT i, sum(val) AS c, count(*) AS n FROM u GROUP BY i),
+    g AS (SELECT a.i AS i, b.i AS j, sum(a.val * b.val) AS s
+          FROM u a JOIN u b ON a.vec_id = b.vec_id GROUP BY 1, 2)
+    SELECT g.i, g.j,
+           round((g.s - ma.c * mb.c / ma.n) / (ma.n - 1), 6) AS cov
+    FROM g JOIN m ma ON ma.i = g.i JOIN m mb ON mb.i = g.j
+    """,
+    tags=("llm", "embedding", "stats"),
+)
+def embedding_covariance(spark, sf_dir):
+    """Sample covariance matrix of the embedding space (llm/features.py:
+    covariance_matrix): one mapInPandas pass emits per-batch BLAS Gram
+    partials (d^2+d+1 rows per Arrow batch), one dimension-cardinality
+    groupBy sums them — the oracle's per-row d^2 self-join is exactly
+    the shuffle shape this design avoids at corpus scale. Feeds
+    pca_project (driver-side eigh on the d x d collect, broadcast
+    projection)."""
+    from ..llm.features import covariance_matrix
+    return covariance_matrix(table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "embedding_pca_project",
+    # no SQL oracle: eigendecomposition isn't ANSI-SQL-expressible;
+    # verified by tests/test_llm.py::test_pca_project_matches_numpy
+    # (parity vs numpy PCA + eigenvalue-variance identity), and the
+    # covariance input it consumes is the driver-checked
+    # embedding_covariance query.
+    tags=("llm", "embedding"),
+)
+def embedding_pca_project(spark, sf_dir):
+    """Top-2 PCA projection of the corpus embeddings (llm/features.py:
+    pca_project): one-pass partial-Gram covariance, driver-side eigh on
+    the d x d collect (dimension-cardinality, corpus-size independent),
+    sign-canonicalized components shipped back as a broadcast literal —
+    the dimensionality-reduction step before clustering/visualization
+    in an embedding pipeline."""
+    from ..llm.features import pca_project
+    return pca_project(table(spark, sf_dir, "embeddings"), k=2)

@@ -313,3 +313,32 @@ def test_lsh_verified_subset_of_exact_jaccard(spark, sf_dir):
              for r in lsh_candidate_pairs(docs).collect()}
     assert verified == (exact & cands)
     assert verified, "fixtures plant near-dups; verification found none"
+
+
+def test_pca_project_matches_numpy(spark, sf_dir):
+    """Distributed PCA (partial-Gram covariance + driver eigh +
+    broadcast projection) == plain numpy PCA on the collected matrix,
+    up to the shared sign canonicalization; projected variance per
+    component equals the eigenvalue."""
+    import numpy as np
+    from sparkstreamingproject_spark.llm.features import pca_project
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = pca_project(emb, k=2).toPandas().sort_values("vec_id")
+
+    pdf = emb.select("vec_id", "embedding").toPandas().sort_values("vec_id")
+    X = np.asarray([np.asarray(v, dtype=np.float64)
+                    for v in pdf["embedding"]])
+    C = np.cov(X, rowvar=False, ddof=1)
+    vals, vecs = np.linalg.eigh(C)
+    W = vecs[:, ::-1][:, :2]
+    for c in range(2):
+        m = np.argmax(np.abs(W[:, c]))
+        if W[m, c] < 0:
+            W[:, c] = -W[:, c]
+    expect = X @ W
+    np.testing.assert_allclose(
+        got[["pc1", "pc2"]].to_numpy(), np.round(expect, 4), atol=2e-4)
+    # projected sample variance tracks the top eigenvalues
+    pv = got[["pc1", "pc2"]].to_numpy().var(axis=0, ddof=1)
+    np.testing.assert_allclose(pv, vals[::-1][:2], rtol=1e-3)
