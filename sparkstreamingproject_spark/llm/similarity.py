@@ -284,23 +284,37 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.3,
                              broadcast_max_bytes: int = BROADCAST_MAX_BYTES) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ threshold).
 
-    Size-guarded: one cheap aggregate (count + vector width) sizes the
-    dense f64 matrix the exact kernel would broadcast. Under the cap →
-    exact broadcast-matmul kernel; over it → the LSH-bucketed kernel
-    (``_near_dup_bucketed``), which never materializes anything on the
-    driver. The guard means no unbounded ``collect()`` exists on this
-    path at any data size — at billions of vectors the bucketed plan is
-    chosen automatically.
+    Size-guarded with ZERO extra jobs: Catalyst's optimized-plan
+    statistics (``sizeInBytes`` — file-size-derived for parquet scans)
+    estimate the input, and a 4× margin covers f32-on-disk → dense-f64
+    in-memory expansion plus up-to-2× parquet compression. Under the
+    cap → exact broadcast-matmul kernel; over it → the LSH-bucketed
+    kernel (``_near_dup_bucketed``), which never materializes anything
+    on the driver. The guard means no unbounded ``collect()`` exists on
+    this path at any data size — at billions of vectors the bucketed
+    plan is chosen automatically. (The previous count()+first() guard
+    cost two Spark jobs per call — measured ~1-2 s of the query's wall
+    time at sf0.1; plan stats cost nothing.)
     """
-    # count() over parquet resolves from row-group stats (no data
-    # scan); the vector width needs exactly one row — together the
-    # guard costs ~nothing even on a petabyte table
-    n = df.count()
-    head = df.select(F.size(emb_col).alias("d")).limit(1).first()
-    d = (head["d"] if head else 0) or 0
-    if n * d * 8 <= broadcast_max_bytes:
+    est = _plan_size_bytes(df)
+    if est is None:  # non-Catalyst corner: fall back to one aggregate
+        head = (df.groupBy()
+                .agg(F.count("*").alias("n"), F.first(F.size(emb_col)).alias("d"))
+                .first())
+        est = ((head["n"] or 0) * (head["d"] or 0) * 8) // 4
+    if est * 4 <= broadcast_max_bytes:
         return _near_dup_broadcast(df, threshold, id_col, emb_col)
     return _near_dup_bucketed(df, threshold, id_col, emb_col)
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's estimated relation size in bytes (no job). Private
+    py4j surface — any failure degrades to the caller's fallback."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        return int(str(stats.sizeInBytes()))
+    except Exception:
+        return None
 
 
 def _near_dup_broadcast(df: DataFrame, threshold: float,

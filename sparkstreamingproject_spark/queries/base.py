@@ -72,14 +72,30 @@ def _tune(spark: SparkSession) -> None:
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _tune(spark)
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS) which Spark's reader
-        # rejects; read as int64 nanos and floor-divide to micros — the
-        # same truncation DuckDB applies reading the file, so event-time
-        # values agree across engines.
+        # Normalize events.ts to a TIMESTAMP (UTC-instant) column whose
+        # unix_micros equals the stored microsecond value, regardless of
+        # machine/session timezone — every downstream event-time query
+        # does unix_micros arithmetic against DuckDB's epoch_us(), which
+        # treats the stored naive value as UTC. The file has shipped in
+        # two physical forms across driver testdata generations:
+        #   - TIMESTAMP(NANOS): Spark refuses it without the
+        #     nanosAsLong legacy flag; read as int64 nanos, floor to µs.
+        #   - TIMESTAMP(MICROS, NTZ): reads as TIMESTAMP_NTZ; convert
+        #     via wall-clock-only timestampdiff from the NTZ epoch (no
+        #     session-tz cast — that would shift values off UTC).
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, TimestampNTZType
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            return df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(ts_type, TimestampNTZType):
+            us = F.expr("timestampdiff(MICROSECOND, "
+                        "TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")
+            return df.withColumn("ts", F.timestamp_micros(us))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
