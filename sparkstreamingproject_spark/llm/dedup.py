@@ -241,6 +241,42 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             .filter(F.col("jaccard") >= threshold))
 
 
+def containment_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", threshold: float = 0.9,
+                      max_postings: int | None = None) -> DataFrame:
+    """Exact n-gram containment C = |A∩B| / min(|A|, |B|) for pairs
+    sharing ≥1 shingle — the near-SUBSET detector Jaccard misses: a
+    short doc fully quoted inside a long one scores C≈1 but Jaccard≈
+    |A|/|B| (arbitrarily low), so quote/boilerplate containment needs
+    this metric. Same posting-list plan as ``jaccard_pairs`` (one
+    shingle grouping feeds both per-doc counts and pair generation —
+    shuffle reused, never all-pairs), same ``max_postings``
+    stop-shingle guard, 6dp-rounded threshold on both engines.
+    """
+    sh = word_shingles(df, id_col, text_col, distinct=False)
+    lists = (sh.groupBy("shingle")
+             .agg(F.sort_array(F.collect_set(id_col)).alias("ids")))
+    if max_postings is not None:
+        lists = lists.filter(F.size("ids") <= max_postings)
+    counts = (lists.select(F.explode("ids").alias(id_col))
+              .groupBy(id_col).agg(F.count("*").alias("c")))
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> struct(x AS id_a, y AS id_b))))")
+    inter = (lists.filter(F.size("ids") >= 2)
+             .select(F.explode(pair_expr).alias("p"))
+             .select("p.id_a", "p.id_b")
+             .groupBy("id_a", "id_b")
+             .agg(F.count("*").alias("i")))
+    ca = counts.select(F.col(id_col).alias("id_a"), F.col("c").alias("ca"))
+    cb = counts.select(F.col(id_col).alias("id_b"), F.col("c").alias("cb"))
+    cont = F.round(F.col("i") / F.least(F.col("ca"), F.col("cb")), 6)
+    return (inter.join(F.broadcast(ca), "id_a").join(F.broadcast(cb), "id_b")
+            .select("id_a", "id_b", cont.alias("containment"))
+            .filter(F.col("containment") >= threshold))
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             bits: int = SIMHASH_BITS) -> DataFrame:
     """SimHash fingerprint: per-word hash (first 4 md5 hex chars → 16-bit

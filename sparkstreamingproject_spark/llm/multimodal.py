@@ -141,6 +141,63 @@ def image_tile_plan(df: DataFrame, id_col: str = "doc_id",
                     .alias("byte_end")))
 
 
+RESIZE_TARGET = 8  # target max dimension (rows/row-bytes) after resize
+
+
+def image_resize_plan(df: DataFrame, id_col: str = "doc_id",
+                      row_bytes: int = TILE_W,
+                      target: int = RESIZE_TARGET) -> DataFrame:
+    """Image-resize *plan* (nearest-neighbor): treat each payload as a
+    ``row_bytes``-wide raster, compute the aspect-preserving output
+    dims for a ``target`` max dimension, and emit one row per OUTPUT
+    row with the SOURCE row's byte extent a resizer would fetch. All
+    integer metadata arithmetic (floor divisions match DuckDB's ``//``
+    exactly) — the payload column is pruned from the scan, and the
+    actual pixel work happens downstream in mapInPandas against the
+    planned extents (``resize_stub``), which is how a 100 TB image
+    corpus schedules resize without reading bytes it will drop.
+    """
+    src_h = F.ceil(F.col("byte_len") / row_bytes).cast("long")
+    m = F.greatest(src_h, F.lit(row_bytes))
+    out_h = F.greatest(F.lit(1), F.floor(src_h * target / m).cast("long"))
+    out_w = F.greatest(F.lit(1),
+                       F.floor(F.lit(row_bytes * target) / m).cast("long"))
+    idx = F.when(src_h > 0, F.sequence(F.lit(0), out_h - 1)
+                 ).otherwise(F.array().cast("array<long>"))
+    d = df.select(F.col(id_col), F.col("byte_len"), src_h.alias("src_h"),
+                  out_h.alias("out_h"), out_w.alias("out_w"),
+                  F.explode(idx).alias("y"))
+    src_row = F.floor(F.col("y") * F.col("src_h") / F.col("out_h")).cast("long")
+    return d.select(
+        id_col, "out_w", "out_h", F.col("y").alias("out_row"),
+        src_row.alias("src_row"),
+        (src_row * row_bytes).alias("byte_start"),
+        F.least(src_row * row_bytes + row_bytes, F.col("byte_len"))
+        .alias("byte_end"))
+
+
+def resize_stub(media_with_plan: DataFrame) -> DataFrame:
+    """STUB resize executor: concatenates each doc's planned source-row
+    extents into the 'resized' payload (a real implementation would
+    decode + interpolate pixels here — same batch shape, same
+    signature). Input: plan rows joined back to the payload column.
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for (doc_id, payload), grp in batch.groupby(["doc_id", "payload"],
+                                                        sort=False):
+                buf = b"".join(
+                    bytes(payload)[int(s):int(e)]
+                    for s, e in zip(grp["byte_start"], grp["byte_end"]))
+                rows.append((doc_id, buf, len(buf)))
+            yield pd.DataFrame(rows,
+                               columns=["doc_id", "resized", "resized_len"])
+
+    return media_with_plan.mapInPandas(
+        run, "doc_id long, resized binary, resized_len long")
+
+
 AUDIO_SR = 8          # stand-in "sample rate": bytes per second
 AUDIO_WIN_S = 5       # window seconds
 AUDIO_HOP_S = 2       # hop seconds

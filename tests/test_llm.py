@@ -342,3 +342,29 @@ def test_pca_project_matches_numpy(spark, sf_dir):
     # projected sample variance tracks the top eigenvalues
     pv = got[["pc1", "pc2"]].to_numpy().var(axis=0, ddof=1)
     np.testing.assert_allclose(pv, vals[::-1][:2], rtol=1e-3)
+
+
+def test_resize_stub_executes_plan_extents(spark, sf_dir):
+    """Resize plan + stub executor: the 'resized' payload is exactly
+    the concatenation of the planned source-row extents, and its
+    length equals the plan's total extent length per doc."""
+    from sparkstreamingproject_spark.llm.multimodal import (
+        attach_payload, image_resize_plan, resize_stub,
+    )
+    media = attach_payload(_docs(spark, sf_dir).limit(30))
+    plan = image_resize_plan(media)
+    joined = plan.join(media.select("doc_id", "payload"), "doc_id")
+    out = {r["doc_id"]: r for r in resize_stub(joined).collect()}
+    want = {r["doc_id"]: r for r in
+            (plan.groupBy("doc_id")
+             .agg(F.sum(F.col("byte_end") - F.col("byte_start"))
+                  .alias("total")).collect())}
+    assert set(out) == set(want)
+    for doc_id, r in out.items():
+        assert r["resized_len"] == want[doc_id]["total"]
+        assert len(r["resized"]) == r["resized_len"]
+    # output dims respect the target max dimension
+    dims = plan.select("doc_id", "out_w", "out_h").distinct().collect()
+    assert all(1 <= d["out_w"] <= 16 and d["out_h"] >= 1 for d in dims)
+    assert all(max(d["out_w"], d["out_h"]) <= 8 or d["out_w"] == 1
+               for d in dims)
