@@ -96,6 +96,47 @@ def ts_anomaly_zscore(spark, sf_dir):
 
 
 @register(
+    "events_dau_wau",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      FROM events),
+    dau AS (SELECT day, count(*) AS dau FROM pairs GROUP BY day),
+    contrib AS (
+      SELECT user_id, day + o.off AS day
+      FROM pairs, (SELECT unnest(range(0, 7)) AS off) o),
+    wau AS (
+      SELECT day, count(DISTINCT user_id) AS wau FROM contrib GROUP BY day)
+    SELECT d.day, d.dau, w.wau,
+           round(d.dau * 1.0 / w.wau, 4) AS stickiness
+    FROM dau d JOIN wau w USING (day)
+    """,
+    tags=("analytics", "timeseries"),
+)
+def events_dau_wau(spark, sf_dir):
+    """DAU / trailing-7-day WAU / stickiness per day. Trailing distinct
+    counts can't run as a window function (no count-distinct-over-
+    range), so each (user, day) pair CONTRIBUTES to the 7 window-days
+    it belongs to — a 7× explode of the already-collapsed distinct
+    pairs (|users|×|days| rows, tiny next to the event stream), then
+    plain partial-aggregated counts. Day buckets are epoch-integer.
+    At scale: one distinct shuffle of small pairs, everything after is
+    map-side combinable — no events self-join, no per-day rescans."""
+    ev = table(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros("ts") / US_PER_DAY).cast("long")
+    pairs = ev.select("user_id", day.alias("day")).distinct()
+    dau = pairs.groupBy("day").agg(F.count("*").alias("dau"))
+    contrib = pairs.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("day"))
+    wau = contrib.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+    return (dau.join(wau, "day")
+            .select("day", "dau", "wau",
+                    F.round(F.col("dau") / F.col("wau"), 4)
+                    .alias("stickiness")))
+
+
+@register(
     "dedup_normalized_exact",
     oracle="""
     WITH canon AS (

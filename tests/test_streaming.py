@@ -392,3 +392,54 @@ def test_scd2_stream_wrapper_drains_landing(spark, tmp_path):
     want = scd2_history(df, "uid", "ts", ["attr"])
     assert sorted(map(tuple, got.select(*want.columns).collect())) \
         == sorted(map(tuple, want.collect()))
+
+
+def test_anomaly_stream_matches_batch(spark, tmp_path):
+    """Streaming daily z-score anomalies == the batch composition
+    (daily counts → broadcast baseline join → flag) on the same data;
+    append mode may withhold only watermark-open windows."""
+    from sparkstreamingproject_spark.streaming.anomaly import (
+        US_PER_DAY, anomaly_stream, daily_count_baseline, zscore_flags,
+    )
+    src = str(tmp_path / "anom_land")
+    # 10 days × varying volume: day 7 is a 5x spike
+    rows = []
+    eid = 0
+    for day in range(10):
+        per_day = 200 if day == 7 else 40
+        for i in range(per_day):
+            rows.append((eid, day * US_PER_DAY + i * 1_000_000,
+                         "click" if i % 2 else "view"))
+            eid += 1
+    df = (spark.createDataFrame(rows, "event_id long, us long, event_type string")
+          .select("event_id", F.timestamp_micros("us").alias("ts"), "event_type"))
+    df.coalesce(2).write.parquet(src)
+
+    hist = spark.read.parquet(src)
+    baseline = daily_count_baseline(hist)
+
+    stream = file_stream(spark, src, hist.schema)
+    out = str(tmp_path / "anom_out")
+    ck = str(tmp_path / "anom_ck")
+    q = (anomaly_stream(stream, baseline)
+         .writeStream.format("parquet").outputMode("append")
+         .option("path", out).option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {(r["event_type"], r["day"]): (r["n"], r["z"], r["is_anomaly"])
+           for r in spark.read.parquet(out).collect()}
+    daily = (hist.groupBy("event_type",
+                          F.floor(F.unix_micros("ts") / US_PER_DAY)
+                          .cast("long").alias("day"))
+             .agg(F.count("*").alias("n")))
+    want = {(r["event_type"], r["day"]): (r["n"], r["z"], r["is_anomaly"])
+            for r in zscore_flags(daily, baseline).collect()}
+    assert got, "stream emitted nothing"
+    for k, v in got.items():
+        assert want[k] == v, f"{k}: stream={v} batch={want[k]}"
+    # the spike day must be flagged wherever the stream emitted it
+    spikes = [k for k, v in got.items() if v[2]]
+    assert all(k[1] == 7 for k in spikes)
+    # append mode withholds up to 2 watermark-open trailing days per key
+    assert len(got) >= len(want) - 4
