@@ -72,24 +72,38 @@ def scd2_lookup(facts: DataFrame, dim_hist: DataFrame, key: str,
 def asof_join(left: DataFrame, right: DataFrame, key: str,
               left_ts: str, right_ts: str,
               right_cols: list[str] | None = None,
-              tiebreak: str | None = None) -> DataFrame:
+              tiebreak: str | None = None,
+              direction: str = "backward") -> DataFrame:
     """Merge-asof: each left row gets the right row with the greatest
-    ``right_ts`` ≤ ``left_ts`` for the same key (null columns if none).
+    ``right_ts`` ≤ ``left_ts`` for the same key (``direction=
+    "backward"``, the default), or the smallest ``right_ts`` ≥
+    ``left_ts`` (``direction="forward"``); null columns if none.
 
     Implementation: tag and union both sides, one window sorted by
     (key, ts, side) carries the last-seen right row forward
     (``last(..., ignorenulls)``), then keep left rows. One shuffle on
     the key, one per-key sort — the same cost as a sort-merge join,
-    independent of how many right rows precede each left row.
+    independent of how many right rows precede each left row. Forward
+    is the same traversal with time reversed.
 
     ``tiebreak``: right-side column ordering the winner among equal
-    ``right_ts`` (greatest wins) — without it, ties are nondeterministic.
+    ``right_ts`` (greatest wins backward, smallest forward) — without
+    it, ties are nondeterministic. The side key sorts BEFORE the
+    tiebreak so rights at a boundary-equal timestamp stay visible to
+    the left row (left rows carry a null tiebreak, and nulls-first
+    ordering would otherwise sort them ahead of the rights they must
+    see).
     """
     right_cols = right_cols or [c for c in right.columns
                                 if c not in (key, right_ts)]
-    order = [F.col("_ts"), F.col("_side")]
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    fwd = direction == "forward"
+    order = [F.col("_ts").desc() if fwd else F.col("_ts").asc(),
+             F.col("_side")]
     if tiebreak:
-        order.insert(1, F.col(f"_r_{tiebreak}" if tiebreak in right_cols else tiebreak))
+        tb = F.col(f"_r_{tiebreak}" if tiebreak in right_cols else tiebreak)
+        order.append(tb.desc() if fwd else tb.asc())
 
     rtypes = dict(right.dtypes)
     ltypes = dict(left.dtypes)

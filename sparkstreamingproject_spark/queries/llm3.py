@@ -15,6 +15,7 @@ from ..functions.vector import cosine_similarity
 from ..llm import dedup as D
 from .base import register, table
 from .llm import SHINGLES_CTE
+from .llm2 import _bands_sql, _shingles_sql
 
 
 @register(
@@ -176,3 +177,70 @@ def dedup_containment(spark, sf_dir):
     engines."""
     return D.containment_pairs(table(spark, sf_dir, "documents"),
                                threshold=0.9, max_postings=50)
+
+
+_AGREE = " + ".join(
+    f"(CASE WHEN sa.h{j} = sb.h{j} THEN 1 ELSE 0 END)"
+    for j in range(D.N_MINHASH))
+
+
+@register(
+    "dedup_minhash_estimate",
+    oracle=f"""
+    WITH {_shingles_sql('documents', 'd').lstrip().rstrip(',')},
+    {_bands_sql('d').lstrip()},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM d_bands a JOIN d_bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    est AS (
+      SELECT c.id_a, c.id_b,
+             round(({_AGREE}) * 1.0 / {D.N_MINHASH}, 4) AS est_jaccard
+      FROM cand c JOIN d_sig sa ON sa.doc_id = c.id_a
+                  JOIN d_sig sb ON sb.doc_id = c.id_b),
+    cnt AS (SELECT doc_id, count(*) AS c FROM d_sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS i
+      FROM cand c
+      JOIN d_sh sa ON sa.doc_id = c.id_a
+      JOIN d_sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+      GROUP BY c.id_a, c.id_b),
+    exact AS (
+      SELECT i.id_a, i.id_b,
+             round(i.i * 1.0 / (ca.c + cb.c - i.i), 6) AS jaccard
+      FROM inter i JOIN cnt ca ON ca.doc_id = i.id_a
+                   JOIN cnt cb ON cb.doc_id = i.id_b)
+    SELECT e.id_a, e.id_b, e.est_jaccard, x.jaccard,
+           round(abs(e.est_jaccard - x.jaccard), 6) AS abs_err
+    FROM est e JOIN exact x ON x.id_a = e.id_a AND x.id_b = e.id_b
+    """,
+    tags=("llm", "dedup", "sketch"),
+)
+def dedup_minhash_estimate(spark, sf_dir):
+    """Sketch-accuracy audit: for every LSH candidate pair, the
+    MinHash-estimated Jaccard (signature agreement fraction) next to
+    the exact Jaccard and the absolute error — the query an engineer
+    runs to size N_MINHASH/bands before trusting estimates at corpus
+    scale. Candidates and signatures come from the shared MinHash
+    pipeline (one signature pass feeds bands AND the estimate); the
+    exact check joins only candidate docs' shingles, the
+    lsh_verified_pairs cost shape — never all-pairs."""
+    docs = table(spark, sf_dir, "documents")
+    sig = D.minhash_signatures(docs)
+    cand = D.lsh_candidate_pairs(docs)
+    agree = sum(
+        F.when(F.col(f"a.h{j}") == F.col(f"b.h{j}"), 1).otherwise(0)
+        for j in range(D.N_MINHASH))
+    est = (cand
+           .join(sig.alias("a"),
+                 F.col("id_a") == F.col("a.doc_id"))
+           .join(sig.alias("b"),
+                 F.col("id_b") == F.col("b.doc_id"))
+           .select("id_a", "id_b",
+                   F.round(agree / F.lit(D.N_MINHASH), 4)
+                   .alias("est_jaccard")))
+    exact = D.lsh_verified_pairs(docs, threshold=0.0)
+    return (est.join(exact, ["id_a", "id_b"])
+            .select("id_a", "id_b", "est_jaccard", "jaccard",
+                    F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 6)
+                    .alias("abs_err")))

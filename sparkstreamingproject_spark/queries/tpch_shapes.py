@@ -251,3 +251,50 @@ def range_join_event_pairs(spark, sf_dir):
     pairs = range_join(a, b, "ts_a", "ts_b", within_seconds=30,
                        condition=F.col("id_a") < F.col("id_b"))
     return pairs.agg(F.count("*").alias("n_pairs"))
+
+
+@register(
+    "asof_forward_next_purchase",
+    oracle="""
+    WITH v AS (
+      SELECT event_id, user_id, epoch_us(ts) AS us
+      FROM events WHERE event_type = 'view'),
+    p AS (
+      SELECT event_id AS p_id, user_id, epoch_us(ts) AS pus
+      FROM events WHERE event_type = 'purchase'),
+    nx AS (
+      SELECT v.event_id, v.user_id, v.us, min(p.pus) AS next_purchase_us
+      FROM v LEFT JOIN p
+        ON p.user_id = v.user_id AND p.pus >= v.us
+      GROUP BY 1, 2, 3)
+    SELECT nx.event_id, nx.user_id, nx.next_purchase_us,
+           min(p.p_id) AS next_purchase_id
+    FROM nx LEFT JOIN p
+      ON p.user_id = nx.user_id AND p.pus = nx.next_purchase_us
+    GROUP BY 1, 2, 3
+    """,
+    tags=("join", "temporal"),
+)
+def asof_forward_next_purchase(spark, sf_dir):
+    """Forward as-of join (operators/temporal.py:asof_join,
+    direction='forward'): each 'view' event takes the FIRST 'purchase'
+    at-or-after it for the same user — time-to-conversion attribution.
+    Same tagged-union/window plan as the backward as-of (one key
+    shuffle, one per-key sort) with time reversed; ties at the exact
+    microsecond resolve to the smallest purchase event_id on both
+    engines. The oracle's O(views × purchases-per-user) join is the
+    brute force the operator avoids."""
+    from ..operators.temporal import asof_join
+    ev = table(spark, sf_dir, "events")
+    v = (ev.filter(F.col("event_type") == "view")
+         .select("event_id", "user_id", "ts"))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select("user_id", F.col("ts").alias("p_ts"),
+                 F.col("event_id").alias("p_id"),
+                 F.unix_micros("ts").alias("p_us")))
+    out = asof_join(v, p, key="user_id", left_ts="ts", right_ts="p_ts",
+                    right_cols=["p_id", "p_us"], tiebreak="p_id",
+                    direction="forward")
+    return out.select("event_id", "user_id",
+                      F.col("p_us").alias("next_purchase_us"),
+                      F.col("p_id").alias("next_purchase_id"))

@@ -62,3 +62,33 @@ def test_misc_ops_on_empty(spark):
     m, kk = optimal_params(1)
     bits = build_bloom(spark.createDataFrame([], "x long"), "x", m, kk)
     assert bits == bytes(len(bits))  # all-zero bitset
+
+
+def test_round3_ops_on_empty(spark):
+    from sparkstreamingproject_spark.llm.dedup import containment_pairs
+    from sparkstreamingproject_spark.llm.multimodal import (
+        image_resize_plan, resize_stub,
+    )
+    from sparkstreamingproject_spark.operators.temporal import asof_join
+    from sparkstreamingproject_spark.streaming.anomaly import (
+        daily_count_baseline, zscore_flags,
+    )
+    d = _empty_docs(spark)
+    assert containment_pairs(d).count() == 0
+    media = spark.createDataFrame([], "doc_id long, byte_len long, payload binary")
+    plan = image_resize_plan(media)
+    assert plan.count() == 0
+    assert resize_stub(plan.join(media.select("doc_id", "payload"),
+                                 "doc_id")).count() == 0
+    ev = spark.createDataFrame([], "event_id long, ts timestamp, event_type string")
+    base = daily_count_baseline(ev)
+    assert base.count() == 0
+    daily = spark.createDataFrame([], "event_type string, day long, n long")
+    assert zscore_flags(daily, base).count() == 0
+    # forward asof on empty right side: left rows kept with nulls
+    left = spark.createDataFrame([(1, 10, 0)], "k long, lts long, lid long")
+    right = spark.createDataFrame([], "k long, rts long, rid long")
+    out = asof_join(left, right, key="k", left_ts="lts", right_ts="rts",
+                    right_cols=["rid"], direction="forward")
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["rid"] is None

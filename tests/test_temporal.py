@@ -77,3 +77,36 @@ def test_range_join_is_hash_join_not_nested_loop(spark):
     from sparkstreamingproject_spark.plans.inspect import explain_str
     plan = explain_str(range_join(a, b, "ts_a", "ts_b", 60))
     assert "NestedLoop" not in plan
+
+
+def test_asof_boundary_equal_ts_with_tiebreak(spark):
+    """Regression: with a tiebreak column set, a left row at a
+    boundary-equal timestamp must still see the equal-ts right rows
+    (the tiebreak sort key must not push null-tiebreak left rows ahead
+    of them), and the greatest tiebreak wins among the equal-ts ties."""
+    from pyspark.sql import functions as F  # noqa: F401
+    q = spark.createDataFrame(
+        [("A", 10, 100, 110.0), ("A", 10, 101, 111.0), ("A", 5, 99, 105.0)],
+        "sym string, qts long, qid long, price double")
+    t = spark.createDataFrame([("A", 10, 1)],
+                              "sym string, tts long, trade_id long")
+    out = asof_join(t, q, key="sym", left_ts="tts", right_ts="qts",
+                    right_cols=["qid", "price"], tiebreak="qid")
+    row = out.collect()[0]
+    assert (row["qid"], row["price"]) == (101, 111.0)
+
+
+def test_asof_forward_matches_bruteforce(spark):
+    """direction='forward': each left row takes the right row with the
+    SMALLEST right_ts >= left_ts (smallest tiebreak on ties)."""
+    q, t = _quotes_trades(spark)
+    got = asof_join(t, q, key="sym", left_ts="tts", right_ts="qts",
+                    right_cols=["price"], direction="forward")
+    bf = (t.join(q, (t.sym == q.sym) & (q.qts >= t.tts), "left")
+          .groupBy(t.sym, "tts", "trade_id")
+          .agg(F.min(F.struct("qts", "price")).alias("best"))
+          .select("trade_id", F.col("best.price").alias("price")))
+    g = {r["trade_id"]: r["price"] for r in got.collect()}
+    b = {r["trade_id"]: r["price"] for r in bf.collect()}
+    assert g == b
+    assert got.count() == t.count()
