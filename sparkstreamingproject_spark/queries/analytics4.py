@@ -208,3 +208,211 @@ def embedding_norm_stats(spark, sf_dir):
                  F.round(F.stddev_samp("nrm"), 4).alias("std_norm"),
                  F.round(F.min("nrm"), 4).alias("min_norm"),
                  F.round(F.max("nrm"), 4).alias("max_norm")))
+
+
+@register(
+    "stat_ab_proportion_ztest",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, user_id % 2 AS variant,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id),
+    g AS (
+      SELECT variant, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(converted) AS BIGINT) AS conv
+      FROM u GROUP BY variant),
+    w AS (
+      SELECT max(CASE WHEN variant = 0 THEN n END) AS n0,
+             max(CASE WHEN variant = 0 THEN conv END) AS c0,
+             max(CASE WHEN variant = 1 THEN n END) AS n1,
+             max(CASE WHEN variant = 1 THEN conv END) AS c1
+      FROM g),
+    s AS (
+      SELECT n0, c0, n1, c1,
+             c0 * 1.0 / n0 AS p0, c1 * 1.0 / n1 AS p1,
+             sqrt(((c0 + c1) * 1.0 / (n0 + n1))
+                  * (1 - (c0 + c1) * 1.0 / (n0 + n1))
+                  * (1.0 / n0 + 1.0 / n1)) AS se
+      FROM w)
+    SELECT n0, c0, n1, c1,
+           round(p0, 6) AS p0, round(p1, 6) AS p1,
+           round(CASE WHEN se = 0 THEN NULL ELSE (p0 - p1) / se END, 4) AS z
+    FROM s
+    """,
+    tags=("analytics", "stat"),
+)
+def stat_ab_proportion_ztest(spark, sf_dir):
+    """Two-proportion z-test for A/B conversion rates: users split
+    deterministically by user_id parity, 'converted' = had ≥1 purchase
+    event; z from the pooled-proportion standard error — the
+    experiment-readout companion to stat_ttest_welch (means) and
+    stat_chi_square (independence). Events collapse to per-user flags
+    in one groupBy, then to two variant rows, then to one output row —
+    every stage partially aggregates map-side; nothing scales with the
+    event count after the first groupBy."""
+    ev = table(spark, sf_dir, "events")
+    u = (ev.groupBy("user_id")
+         .agg(F.max(F.when(F.col("event_type") == "purchase", 1)
+                    .otherwise(0)).alias("converted"))
+         .withColumn("variant", F.col("user_id") % 2))
+    g = (u.groupBy("variant")
+         .agg(F.count("*").alias("n"), F.sum("converted").alias("conv")))
+    w = g.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("conv"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("conv"))).alias("c1"))
+    p0 = F.col("c0") / F.col("n0")
+    p1 = F.col("c1") / F.col("n1")
+    pool = (F.col("c0") + F.col("c1")) / (F.col("n0") + F.col("n1"))
+    se = F.sqrt(pool * (1 - pool) * (1 / F.col("n0") + 1 / F.col("n1")))
+    # se == 0 (all or none converted) → z undefined, NULL on both sides
+    z = F.when(se == 0, F.lit(None)).otherwise((p0 - p1) / se)
+    return w.select(
+        "n0", "c0", "n1", "c1",
+        F.round(p0, 6).alias("p0"), F.round(p1, 6).alias("p1"),
+        F.round(z, 4).alias("z"))
+
+
+@register(
+    "session_paths_top",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+      FROM events),
+    s AS (
+      SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                       OR us - lag(us) OVER w > 1800000000
+                     THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+    s2 AS (
+      SELECT *, sum(is_new) OVER (PARTITION BY user_id
+                                  ORDER BY us, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s),
+    p AS (
+      SELECT user_id, sid,
+             string_agg(event_type, '>' ORDER BY us, event_id) AS path
+      FROM s2 GROUP BY 1, 2)
+    SELECT path, CAST(count(*) AS BIGINT) AS n
+    FROM p GROUP BY path ORDER BY n DESC, path LIMIT 10
+    """,
+    tags=("analytics", "window"),
+)
+def session_paths_top(spark, sf_dir):
+    """Top-10 session paths: sessionize each user's stream with a
+    30-minute inactivity gap (gaps-and-islands — lag + cumulative sum,
+    one user-keyed window pair), concatenate each session's ordered
+    event types into a path string, and count path frequencies. The
+    path build sorts WITHIN each session's collected array (struct
+    sort, no second shuffle); the top-10 is TakeOrderedAndProject
+    ((n DESC, path) — deterministic), never a global sort. The session
+    census a product team mines for dominant behavior flows."""
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy(us, "event_id")
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    sid = F.sum(is_new).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    sessions = ev.select("user_id", "event_id", "event_type",
+                         us.alias("us"), sid.alias("sid"))
+    paths = (sessions
+             .groupBy("user_id", "sid")
+             .agg(F.array_join(
+                 F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("us", "event_id", "event_type"))),
+                     lambda s: s["event_type"]), ">").alias("path")))
+    return (paths.groupBy("path").agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), "path").limit(10))
+
+
+@register(
+    "funnel_3step_conversion",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+    s1 AS (SELECT user_id, min(us) AS t1 FROM e
+           WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.us) AS t2
+           FROM e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.us >= s1.t1
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.us) AS t3
+           FROM e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.us >= s2.t2
+           GROUP BY e.user_id)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_view,
+           (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_click,
+           (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_purchase,
+           round((SELECT count(*) FROM s2) * 1.0
+                 / (SELECT count(*) FROM s1), 6) AS rate_view_click,
+           round((SELECT count(*) FROM s3) * 1.0
+                 / (SELECT count(*) FROM s2), 6) AS rate_click_purchase,
+           round((SELECT count(*) FROM s3) * 1.0
+                 / (SELECT count(*) FROM s1), 6) AS rate_overall
+    """,
+    tags=("analytics", "funnel"),
+)
+def funnel_3step_conversion(spark, sf_dir):
+    """Ordered 3-step funnel (view → click → purchase): each step's
+    cohort is users whose step event occurs AT OR AFTER their previous
+    step's first occurrence — the strict-ordering semantics marketing
+    funnels need (a purchase before the first view does not convert).
+    Three user-keyed min-aggregations chained by join; each stage's
+    relation shrinks (funnel cohorts only), every aggregation partial.
+    Extends the 2-step ts_funnel_view_purchase (and its stateful
+    streaming twin) to the multi-step shape."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us"))
+    s1 = (ev.filter(F.col("event_type") == "view")
+          .groupBy("user_id").agg(F.min("us").alias("t1")))
+    s2 = (ev.filter(F.col("event_type") == "click")
+          .join(s1, "user_id").filter(F.col("us") >= F.col("t1"))
+          .groupBy("user_id").agg(F.min("us").alias("t2")))
+    s3 = (ev.filter(F.col("event_type") == "purchase")
+          .join(s2, "user_id").filter(F.col("us") >= F.col("t2"))
+          .groupBy("user_id").agg(F.min("us").alias("t3")))
+    n1 = s1.agg(F.count("*").alias("n_view"))
+    n2 = s2.agg(F.count("*").alias("n_click"))
+    n3 = s3.agg(F.count("*").alias("n_purchase"))
+    return (n1.crossJoin(n2).crossJoin(n3)
+            .select("n_view", "n_click", "n_purchase",
+                    F.round(F.col("n_click") / F.col("n_view"), 6)
+                    .alias("rate_view_click"),
+                    F.round(F.col("n_purchase") / F.col("n_click"), 6)
+                    .alias("rate_click_purchase"),
+                    F.round(F.col("n_purchase") / F.col("n_view"), 6)
+                    .alias("rate_overall")))
+
+
+@register(
+    "events_hourly_seasonality",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             (epoch_us(ts) // 3600000000) % 24 AS hour_utc,
+             count(*) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, hour_utc, n,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY event_type), 6)
+             AS share
+    FROM h
+    """,
+    tags=("analytics", "timeseries"),
+)
+def events_hourly_seasonality(spark, sf_dir):
+    """Hour-of-day seasonality profile per event type (UTC hours,
+    epoch-integer arithmetic — timezone-proof): counts and the
+    within-type share. The events scan collapses to ≤ |types|×24 rows
+    map-side; the share window runs over that aggregate only. The
+    load-shaping input for capacity planning and anomaly baselines."""
+    ev = table(spark, sf_dir, "events")
+    hour = (F.floor(F.unix_micros("ts") / 3_600_000_000) % 24).cast("long")
+    h = (ev.groupBy("event_type", hour.alias("hour_utc"))
+         .agg(F.count("*").alias("n")))
+    w = Window.partitionBy("event_type")
+    return h.withColumn(
+        "share", F.round(F.col("n") / F.sum("n").over(w), 6))

@@ -244,3 +244,119 @@ def dedup_minhash_estimate(spark, sf_dir):
             .select("id_a", "id_b", "est_jaccard", "jaccard",
                     F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 6)
                     .alias("abs_err")))
+
+
+@register(
+    "dedup_cluster_keep_best",
+    oracle=None,  # set below (needs MINHASH_CTE from .llm at import time)
+    tags=("llm", "dedup", "graph"),
+)
+def dedup_cluster_keep_best(spark, sf_dir):
+    """The production dedup DECISION: per near-dup cluster (connected
+    components over LSH candidate pairs), keep the highest-quality
+    member — quality here is the unique-token ratio, ties to the
+    smallest doc_id — instead of the arbitrary min-id. Components via
+    iterative min-label propagation (llm/dedup.py); the quality argmax
+    is one window over the (tiny) clustered-docs relation. The oracle
+    replays the same fixpoint with a recursive CTE, so the full
+    cluster→score→keep pipeline is hash-verified."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.lsh_candidate_pairs(docs)
+    cc = D.connected_components(pairs)
+    toks = F.split(F.col("text"), " ")
+    q = docs.select(
+        "doc_id",
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6)
+        .alias("uq"))
+    labeled = (cc.select(F.col("u").alias("doc_id"),
+                         F.col("label").alias("component"))
+               .join(q, "doc_id"))
+    w = Window.partitionBy("component")
+    rn = F.row_number().over(
+        Window.partitionBy("component").orderBy(F.desc("uq"), "doc_id"))
+    return (labeled
+            .withColumn("n_members", F.count("*").over(w))
+            .withColumn("rn", rn)
+            .filter(F.col("rn") == 1)
+            .select("component", F.col("doc_id").alias("keep_id"),
+                    F.col("uq").alias("keep_quality"), "n_members"))
+
+
+def _cluster_keep_best_oracle() -> str:
+    from .llm import MINHASH_CTE, _BAND_SELECTS
+    return f"""
+    WITH RECURSIVE {MINHASH_CTE},
+    bands AS (
+{_BAND_SELECTS}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+                               AND a.doc_id < b.doc_id),
+    e AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+    walk(u, label) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM e)
+      UNION
+      SELECT e.v, walk.label FROM walk JOIN e ON e.u = walk.u),
+    comp AS (SELECT u AS doc_id, min(label) AS component FROM walk GROUP BY u),
+    q AS (
+      SELECT doc_id,
+             round(len(list_distinct(string_split(text, ' '))) * 1.0
+                   / len(string_split(text, ' ')), 6) AS uq
+      FROM documents)
+    SELECT component, keep_id, keep_quality, n_members FROM (
+      SELECT c.component, q.doc_id AS keep_id, q.uq AS keep_quality,
+             count(*) OVER (PARTITION BY c.component) AS n_members,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY q.uq DESC, q.doc_id) AS rn
+      FROM comp c JOIN q USING (doc_id))
+    WHERE rn = 1
+    """
+
+
+from .base import REGISTRY as _REG  # noqa: E402
+
+_REG["dedup_cluster_keep_best"].oracle = _cluster_keep_best_oracle()
+
+
+@register(
+    "embedding_label_centroids",
+    oracle="""
+    WITH x AS (
+      SELECT label, unnest(embedding::DOUBLE[]) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings),
+    m AS (SELECT label, pos, round(avg(v), 6) AS m FROM x GROUP BY 1, 2),
+    c AS (SELECT label, list(m ORDER BY pos) AS cv FROM m GROUP BY label)
+    SELECT a.label AS label_a, b.label AS label_b,
+           round(list_cosine_similarity(a.cv, b.cv), 4) AS cosine
+    FROM c a JOIN c b ON a.label < b.label
+    """,
+    tags=("llm", "embedding"),
+)
+def embedding_label_centroids(spark, sf_dir):
+    """Inter-class geometry audit: per-label centroid (mean per
+    dimension over the label's vectors) and the pairwise cosine between
+    centroids — collapsed classes (cosine → 1) predict hard-negative
+    confusion before training does. The corpus scan collapses to
+    |labels|×d partial aggregates map-side (posexplode + avg — same
+    keyed-aggregation shape as the k-means step); the pairwise matrix
+    is |labels|² rows of driver-free join. Centroid components rounded
+    to 6dp before the cosine (summation-order discipline), cosine to
+    4dp."""
+    emb = table(spark, sf_dir, "embeddings")
+    cent = (emb.select("label",
+                       F.posexplode(F.col("embedding").cast("array<double>"))
+                       .alias("pos", "v"))
+            .groupBy("label", "pos").agg(F.round(F.avg("v"), 6).alias("m"))
+            .groupBy("label")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
+                 .alias("pm"))
+            .select("label",
+                    F.transform("pm", lambda s: s["m"]).alias("cv")))
+    a = cent.select(F.col("label").alias("label_a"), F.col("cv").alias("cv_a"))
+    b = cent.select(F.col("label").alias("label_b"), F.col("cv").alias("cv_b"))
+    return (a.join(b, F.col("label_a") < F.col("label_b"))
+            .select("label_a", "label_b",
+                    F.round(cosine_similarity("cv_a", "cv_b"), 4)
+                    .alias("cosine")))

@@ -115,3 +115,19 @@ def test_no_plan_antipatterns_across_registry(spark, sf_dir):
         if flags:
             offenders[n] = flags
     assert not offenders, f"plan anti-patterns: {offenders}"
+
+
+def test_join_strategy_hints_take_effect(spark, sf_dir):
+    """Join-strategy hints are the manual override when statistics
+    mislead the planner at scale: shuffle_hash avoids the sort of a
+    sort-merge join for large-but-uniform sides; merge forces
+    sort-merge when hash tables would spill. Both must actually change
+    the physical plan, and broadcast must be suppressible."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sh = li.join(o.hint("shuffle_hash"),
+                 li.l_orderkey == o.o_orderkey).select("l_quantity")
+    assert "ShuffledHashJoin" in explain_str(sh)
+    sm = li.join(o.hint("merge"),
+                 li.l_orderkey == o.o_orderkey).select("l_quantity")
+    assert "SortMergeJoin" in explain_str(sm)
