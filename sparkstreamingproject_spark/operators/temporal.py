@@ -159,3 +159,39 @@ def range_join(left: DataFrame, right: DataFrame,
     residual = (F.abs(F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col(right_ts)))
                 <= within_seconds * 1_000_000)
     return joined.filter(residual).drop("_b")
+
+
+def interval_overlap_join(left: DataFrame, right: DataFrame,
+                          l_start: str, l_end: str,
+                          r_start: str, r_end: str,
+                          bucket_us: int,
+                          condition=None) -> DataFrame:
+    """Interval × interval overlap join: pairs where
+    ``l_start < r_end AND r_start < l_end`` (half-open intervals in
+    epoch-microsecond columns).
+
+    Implementation: each interval explodes to the ``bucket_us``-wide
+    time buckets it covers; overlapping intervals share at least one
+    bucket, so the inequality join becomes a bucket equi-join (hash
+    join, codegen) + residual overlap filter + ``distinct`` (a pair
+    colliding in k buckets appears k times). Cost: replication factor
+    = interval length / bucket width — size ``bucket_us`` near the
+    typical interval length so most intervals land in 1-2 buckets.
+    The naive inequality join is |L|·|R| comparisons (Spark plans
+    BroadcastNestedLoop); this stays a keyed hash join at any scale.
+
+    ``condition``: extra join predicate applied before the residual
+    (e.g. a key equality, which co-partitions the buckets further).
+    """
+    def buckets(s, e):
+        return F.sequence(F.floor(F.col(s) / bucket_us),
+                          F.floor((F.col(e) - 1) / bucket_us))
+
+    lb = left.withColumn("_b", F.explode(buckets(l_start, l_end)))
+    rb = right.withColumn("_b", F.explode(buckets(r_start, r_end)))
+    joined = lb.join(rb, on="_b", how="inner")
+    if condition is not None:
+        joined = joined.filter(condition)
+    overlap = ((F.col(l_start) < F.col(r_end))
+               & (F.col(r_start) < F.col(l_end)))
+    return joined.filter(overlap).drop("_b").distinct()

@@ -416,3 +416,59 @@ def events_hourly_seasonality(spark, sf_dir):
     w = Window.partitionBy("event_type")
     return h.withColumn(
         "share", F.round(F.col("n") / F.sum("n").over(w), 6))
+
+
+@register(
+    "interval_join_session_overlap",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+    s AS (
+      SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                       OR us - lag(us) OVER w > 1800000000
+                     THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+    s2 AS (
+      SELECT *, sum(is_new) OVER (PARTITION BY user_id
+                                  ORDER BY us, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s),
+    iv AS (
+      SELECT user_id, sid, min(us) AS s_us, max(us) + 1 AS e_us
+      FROM s2 GROUP BY 1, 2)
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs
+    FROM iv a JOIN iv b
+      ON a.user_id < b.user_id
+     AND a.s_us < b.e_us AND b.s_us < a.e_us
+    """,
+    tags=("analytics", "join", "temporal"),
+)
+def interval_join_session_overlap(spark, sf_dir):
+    """Interval-overlap join (operators/temporal.py:
+    interval_overlap_join): count cross-user pairs of concurrent
+    sessions — the concurrency analysis behind capacity planning and
+    co-occurrence features. Sessions come from the same 30-minute
+    gaps-and-islands pass as session_paths_top; intervals explode into
+    1-hour buckets so the overlap inequality runs as a bucket
+    equi-join + residual, never the |S|² nested loop DuckDB's IEJoin
+    solves natively."""
+    from ..operators.temporal import interval_overlap_join
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy(us, "event_id")
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    sid = F.sum(is_new).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    iv = (ev.select("user_id", "event_id", us.alias("us"), sid.alias("sid"))
+          .groupBy("user_id", "sid")
+          .agg(F.min("us").alias("s_us"),
+               (F.max("us") + 1).alias("e_us")))
+    a = iv.select(F.col("user_id").alias("user_a"),
+                  F.col("s_us").alias("sa"), F.col("e_us").alias("ea"))
+    b = iv.select(F.col("user_id").alias("user_b"),
+                  F.col("s_us").alias("sb"), F.col("e_us").alias("eb"))
+    pairs = interval_overlap_join(
+        a, b, "sa", "ea", "sb", "eb", bucket_us=3_600_000_000,
+        condition=F.col("user_a") < F.col("user_b"))
+    return pairs.agg(F.count("*").alias("n_pairs"))

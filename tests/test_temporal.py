@@ -110,3 +110,33 @@ def test_asof_forward_matches_bruteforce(spark):
     b = {r["trade_id"]: r["price"] for r in bf.collect()}
     assert g == b
     assert got.count() == t.count()
+
+
+def test_interval_overlap_join_matches_bruteforce(spark):
+    """Bucket-replicated interval join == naive inequality join,
+    including intervals spanning many buckets and exact-touch
+    boundaries (half-open: touching intervals do NOT overlap)."""
+    from sparkstreamingproject_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+    import random
+    rng = random.Random(7)
+    rows = [(i, s := rng.randrange(0, 10_000), s + rng.randrange(1, 4_000))
+            for i in range(120)]
+    a = spark.createDataFrame(rows, "id_a long, sa long, ea long")
+    b = spark.createDataFrame(rows, "id_b long, sb long, eb long")
+    got = (interval_overlap_join(a, b, "sa", "ea", "sb", "eb",
+                                 bucket_us=500,
+                                 condition=F.col("id_a") < F.col("id_b"))
+           .select("id_a", "id_b"))
+    bf = a.join(b, (F.col("id_a") < F.col("id_b"))
+                & (F.col("sa") < F.col("eb")) & (F.col("sb") < F.col("ea"))) \
+          .select("id_a", "id_b")
+    g = {(r.id_a, r.id_b) for r in got.collect()}
+    w = {(r.id_a, r.id_b) for r in bf.collect()}
+    assert g == w and len(g) > 0
+    # exact-touch boundary: [0,10) and [10,20) must not pair
+    t1 = spark.createDataFrame([(1, 0, 10)], "id_a long, sa long, ea long")
+    t2 = spark.createDataFrame([(2, 10, 20)], "id_b long, sb long, eb long")
+    assert interval_overlap_join(t1, t2, "sa", "ea", "sb", "eb",
+                                 bucket_us=8).count() == 0
