@@ -472,3 +472,63 @@ def interval_join_session_overlap(spark, sf_dir):
         a, b, "sa", "ea", "sb", "eb", bucket_us=3_600_000_000,
         condition=F.col("user_a") < F.col("user_b"))
     return pairs.agg(F.count("*").alias("n_pairs"))
+
+
+def _pagerank_oracle(n_iter: int = 10, damping: float = 0.85) -> str:
+    """Unrolled-CTE PageRank (same technique as the k-means oracle):
+    one contrib+rank CTE pair per iteration, 6dp rounding per round —
+    textually generated from the SAME constants as the Spark loop."""
+    d = damping
+    parts = [f"""
+    edges AS (
+      SELECT DISTINCT s.event_type AS src, s.next_type AS dst FROM (
+        SELECT event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events) s
+      WHERE s.next_type IS NOT NULL),
+    nodes AS (SELECT src AS node FROM edges
+              UNION SELECT dst FROM edges),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    outdeg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT node, round(1.0 / (SELECT n FROM nn), 6) AS rank
+           FROM nodes)"""]
+    for k in range(1, n_iter + 1):
+        parts.append(f"""
+    c{k} AS (
+      SELECT e.dst AS node, sum(r.rank / od.deg) AS s
+      FROM edges e
+      JOIN r{k - 1} r ON r.node = e.src
+      JOIN outdeg od ON od.node = e.src
+      GROUP BY e.dst),
+    r{k} AS (
+      SELECT n.node,
+             round((1 - {d}) / (SELECT n FROM nn)
+                   + {d} * coalesce(c.s, 0), 6) AS rank
+      FROM nodes n LEFT JOIN c{k} c USING (node))""")
+    return ("WITH" + ",".join(parts)
+            + f"\n    SELECT node, rank FROM r{n_iter}")
+
+
+@register(
+    "graph_pagerank_transitions",
+    oracle=_pagerank_oracle(),
+    tags=("analytics", "graph"),
+)
+def graph_pagerank_transitions(spark, sf_dir):
+    """PageRank over the event-type transition graph (operators/
+    graph.py:pagerank — 10 damped iterations, 6dp-rounded per round so
+    both engines iterate on identical values). The graph here is tiny
+    (|event_types|² edges after the same transition window as
+    event_path_transitions), but the operator is the generic
+    edge-list iteration — per-round keyed join + sum, lineage-cut —
+    that runs unchanged on a billion-edge graph; the oracle replays
+    all 10 rounds as unrolled CTEs."""
+    from ..operators.graph import pagerank
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (ev.withColumn("dst", F.lead("event_type").over(w))
+             .filter(F.col("dst").isNotNull())
+             .select(F.col("event_type").alias("src"), "dst")
+             .distinct())
+    return pagerank(edges, "src", "dst", n_iter=10, damping=0.85)
