@@ -22,6 +22,7 @@ from . import llm2  # noqa: E402,F401
 from . import analytics3  # noqa: E402,F401
 from . import analytics4  # noqa: E402,F401
 from . import llm3  # noqa: E402,F401
+from . import modern_sql  # noqa: E402,F401
 
 # --- driver-window ordering --------------------------------------------------
 # The verify driver checks the FIRST 50 registry entries per round
