@@ -131,3 +131,20 @@ def test_join_strategy_hints_take_effect(spark, sf_dir):
     sm = li.join(o.hint("merge"),
                  li.l_orderkey == o.o_orderkey).select("l_quantity")
     assert "SortMergeJoin" in explain_str(sm)
+
+
+def test_observe_collects_pipeline_metrics(spark, sf_dir):
+    """df.observe: pipeline health metrics ride along with the job —
+    no second scan, no separate count query (at 100 TB a separate
+    metrics pass doubles the read)."""
+    from pyspark.sql import Observation
+    obs = Observation("li_metrics")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = (li.observe(obs, F.count(F.lit(1)).alias("rows_seen"),
+                      F.sum("l_quantity").alias("qty_sum"))
+           .filter(F.col("l_quantity") > 25))
+    kept = out.count()
+    m = obs.get
+    assert m["rows_seen"] == li.count()
+    assert kept < m["rows_seen"]
+    assert m["qty_sum"] > 0
