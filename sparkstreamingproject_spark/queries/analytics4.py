@@ -532,3 +532,44 @@ def graph_pagerank_transitions(spark, sf_dir):
              .select(F.col("event_type").alias("src"), "dst")
              .distinct())
     return pagerank(edges, "src", "dst", n_iter=10, damping=0.85)
+
+
+@register(
+    "orders_ship_latency",
+    oracle="""
+    WITH first_ship AS (
+      SELECT l_orderkey, min(l_shipdate) AS ship0
+      FROM lineitem GROUP BY l_orderkey)
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(date_diff('day', o.o_orderdate, f.ship0)), 4)
+             AS avg_days,
+           round(median(date_diff('day', o.o_orderdate, f.ship0)), 4)
+             AS median_days,
+           CAST(max(date_diff('day', o.o_orderdate, f.ship0)) AS BIGINT)
+             AS max_days
+    FROM orders o JOIN first_ship f ON f.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("analytics", "join"),
+)
+def orders_ship_latency(spark, sf_dir):
+    """Fulfillment latency per order priority: days from order date to
+    the order's FIRST shipment (min over its line items), with exact
+    median. Lineitem collapses to one row per order before the join
+    (partial-agg then a keyed join of equal-grain relations); the
+    date_diff is wall-clock date arithmetic — timezone-free on both
+    engines. The operations-dashboard query every order system runs."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    first_ship = (li.groupBy("l_orderkey")
+                  .agg(F.min("l_shipdate").alias("ship0")))
+    days = F.datediff(F.col("ship0").cast("date"),
+                      F.col("o_orderdate").cast("date"))
+    return (o.join(first_ship, o.o_orderkey == first_ship.l_orderkey)
+            .select("o_orderpriority", days.alias("d"))
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.avg("d"), 4).alias("avg_days"),
+                 F.round(F.median("d"), 4).alias("median_days"),
+                 F.max("d").cast("long").alias("max_days")))

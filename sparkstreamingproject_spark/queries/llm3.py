@@ -360,3 +360,40 @@ def embedding_label_centroids(spark, sf_dir):
             .select("label_a", "label_b",
                     F.round(cosine_similarity("cv_a", "cv_b"), 4)
                     .alias("cosine")))
+
+
+@register(
+    "embedding_quantile_bins",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+             unnest(embedding::DOUBLE[]) AS v
+      FROM embeddings),
+    b AS (
+      SELECT pos, v,
+             ntile(4) OVER (PARTITION BY pos ORDER BY v, vec_id) AS bin
+      FROM x)
+    SELECT pos, bin, CAST(count(*) AS BIGINT) AS n,
+           round(min(v), 4) AS min_v, round(max(v), 4) AS max_v
+    FROM b GROUP BY pos, bin
+    """,
+    tags=("llm", "embedding", "feature"),
+)
+def embedding_quantile_bins(spark, sf_dir):
+    """Equal-frequency binning per embedding dimension (4 quartile
+    bins via ntile, ties broken by vec_id so both engines cut
+    identically) — the feature-discretization step for tree models and
+    per-dimension drift monitors. posexplode fans the corpus to
+    (pos, v) rows; the window keys on pos (d partitions of N rows —
+    keyed sort, no global order), and the bin summary collapses to
+    d×4 rows map-side."""
+    emb = table(spark, sf_dir, "embeddings")
+    x = emb.select("vec_id",
+                   F.posexplode(F.col("embedding").cast("array<double>"))
+                   .alias("pos", "v"))
+    w = Window.partitionBy("pos").orderBy("v", "vec_id")
+    return (x.withColumn("bin", F.ntile(4).over(w))
+            .groupBy("pos", "bin")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.min("v"), 4).alias("min_v"),
+                 F.round(F.max("v"), 4).alias("max_v")))
