@@ -473,3 +473,94 @@ def sample_weighted_systematic(spark, sf_dir):
     sel = (F.floor(F.col("cw") / step)
            > F.floor((F.col("cw") - F.col("wc")) / step))
     return c.filter(sel).select("l_returnflag", "l_orderkey", "l_linenumber")
+
+
+def _hll_time_merge_oracle() -> str:
+    return f"""
+    WITH h AS (
+      SELECT event_type,
+             epoch_us(ts) // 86400000000 AS day,
+             md5(CAST(user_id AS VARCHAR)) AS hx
+      FROM (SELECT DISTINCT event_type,
+                   epoch_us(ts) // 86400000000 AS d0, ts, user_id
+            FROM events)),
+    parts AS (
+      SELECT event_type, day,
+             CAST(('0x' || substr(hx, 1, 3)) AS BIGINT) % {_HLL_G} AS bucket,
+             CAST(('0x' || substr(hx, 4, 8)) AS BIGINT) AS w
+      FROM h),
+    daily AS (
+      SELECT event_type, day, bucket,
+             max(CASE WHEN w = 0 THEN 33
+                      ELSE 33 - length(bin(w)) END) AS m
+      FROM parts GROUP BY 1, 2, 3),
+    weekly AS (
+      SELECT event_type, day // 7 AS week, bucket, max(m) AS m,
+             count(DISTINCT day) AS days_merged
+      FROM daily GROUP BY 1, 2, 3),
+    s AS (
+      SELECT event_type, week,
+             sum(CAST(1 AS BIGINT) << (33 - m)) AS s_filled,
+             count(*) AS v,
+             max(days_merged) AS days_merged
+      FROM weekly GROUP BY 1, 2),
+    ex AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 // 7 AS week,
+             count(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY 1, 2)
+    SELECT s.event_type, s.week,
+           CAST(round(
+             ((0.7213 / (1 + 1.079 / {_HLL_G})) * {_HLL_G * _HLL_G} * 8589934592.0)
+             / (s_filled + ({_HLL_G} - v) * 8589934592), 2) AS DOUBLE)
+             AS hll_est,
+           v AS buckets_used, n_exact
+    FROM s JOIN ex ON s.event_type = ex.event_type AND s.week = ex.week
+    """
+
+
+@register("sketch_hll_time_merge", oracle=_hll_time_merge_oracle(),
+          tags=("sketch", "agg", "timeseries"))
+def sketch_hll_time_merge(spark, sf_dir):
+    """Sketch MERGEABILITY across time partitions — the warehouse
+    pattern that makes distinct counts cheap at 100 TB: per-(type, day)
+    HLL registers are the stored pre-aggregate (m longs per key); the
+    weekly distinct-user count is a register max-merge of the daily
+    sketches, never a rescan of raw events. Register math is the same
+    first-principles construction as sketch_hll_per_group (md5 buckets,
+    bin()-length leading zeros, exact BIGINT harmonic sums), so both
+    engines agree bit-for-bit through BOTH aggregation levels; the
+    exact weekly count rides along for error inspection."""
+    ev = table(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros("ts") / 86400000000).cast("long")
+    hx = (ev.select("event_type", day.alias("day"), "user_id").distinct()
+          .select("event_type", "day",
+                  F.md5(F.col("user_id").cast("string")).alias("hx")))
+    parts = hx.select(
+        "event_type", "day",
+        (F.conv(F.substring("hx", 1, 3), 16, 10).cast("long") % _HLL_G)
+        .alias("bucket"),
+        F.conv(F.substring("hx", 4, 8), 16, 10).cast("long").alias("w"))
+    daily = (parts.groupBy("event_type", "day", "bucket")
+             .agg(F.max(F.when(F.col("w") == 0, 33)
+                        .otherwise(33 - F.length(F.bin("w")))).alias("m")))
+    weekly = (daily.groupBy("event_type",
+                            F.floor(F.col("day") / 7).cast("long")
+                            .alias("week"), "bucket")
+              .agg(F.max("m").alias("m")))
+    s = (weekly.groupBy("event_type", "week")
+         .agg(F.sum(F.expr(
+             "shiftleft(CAST(1 AS BIGINT), CAST(33 - m AS INT))"))
+             .alias("s_filled"),
+             F.count("*").alias("v")))
+    week = F.floor(day / 7).cast("long")
+    ex = (ev.groupBy("event_type", week.alias("week"))
+          .agg(F.countDistinct("user_id").alias("n_exact")))
+    alpha_num = (0.7213 / (1 + 1.079 / _HLL_G)) * (_HLL_G * _HLL_G)
+    return (s.join(ex, ["event_type", "week"])
+            .select("event_type", "week",
+                    F.round((F.lit(alpha_num) * F.lit(8589934592.0))
+                            / (F.col("s_filled")
+                               + (F.lit(_HLL_G) - F.col("v"))
+                               * F.lit(8589934592)), 2)
+                    .cast("double").alias("hll_est"),
+                    F.col("v").alias("buckets_used"), "n_exact"))

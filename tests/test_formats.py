@@ -67,3 +67,22 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path, sf_dir):
             .select("o_orderkey")
             ._jdf.queryExecution().executedPlan().toString())
     assert "PushedFilters" in plan and "o_orderstatus" in plan
+
+
+def test_ignore_corrupt_files_salvages_good_data(spark, tmp_path, sf_dir):
+    """A torn/corrupt file in a 100 TB scan should cost its own rows,
+    not the job: ignoreCorruptFiles skips it; the default strictly
+    fails (so corruption is never SILENTLY dropped unless opted in)."""
+    import pytest as _pytest
+    d = str(tmp_path / "mixed")
+    good = spark.read.parquet(f"{sf_dir}/region.parquet")
+    good.write.parquet(d)
+    with open(f"{d}/part-corrupt.parquet", "wb") as f:
+        f.write(b"PAR1 this is not a real parquet footer")
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        assert spark.read.parquet(d).count() == good.count()
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
+    with _pytest.raises(Exception):
+        spark.read.parquet(d).count()

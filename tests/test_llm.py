@@ -368,3 +368,22 @@ def test_resize_stub_executes_plan_extents(spark, sf_dir):
     assert all(1 <= d["out_w"] <= 16 and d["out_h"] >= 1 for d in dims)
     assert all(max(d["out_w"], d["out_h"]) <= 8 or d["out_w"] == 1
                for d in dims)
+
+
+def test_containment_dominates_jaccard(spark, sf_dir):
+    """Invariant: for any pair, containment = i/min(|A|,|B|) ≥
+    jaccard = i/(|A|+|B|-i), and both lie in (0, 1]. Checked over the
+    real corpus with thresholds disabled."""
+    from sparkstreamingproject_spark.llm.dedup import (
+        containment_pairs, jaccard_pairs,
+    )
+    docs = _docs(spark, sf_dir).limit(200)
+    c = {(r.id_a, r.id_b): r.containment
+         for r in containment_pairs(docs, threshold=0.0,
+                                    max_postings=50).collect()}
+    j = {(r.id_a, r.id_b): r.jaccard
+         for r in jaccard_pairs(docs, threshold=0.0,
+                                max_postings=50).collect()}
+    assert set(c) == set(j) and len(c) > 0
+    for pair, cv in c.items():
+        assert 0 < j[pair] <= cv <= 1.0 + 1e-9, (pair, cv, j[pair])
