@@ -573,3 +573,138 @@ def orders_ship_latency(spark, sf_dir):
                  F.round(F.avg("d"), 4).alias("avg_days"),
                  F.round(F.median("d"), 4).alias("median_days"),
                  F.max("d").cast("long").alias("max_days")))
+
+
+@register(
+    "ts_moving_avg_pct_change",
+    oracle="""
+    WITH daily AS (
+      SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS n
+      FROM events GROUP BY 1)
+    SELECT day, n,
+           round(avg(n) OVER (ORDER BY day
+                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+             AS ma7,
+           round((n - lag(n) OVER (ORDER BY day)) * 100.0
+                 / lag(n) OVER (ORDER BY day), 4) AS pct_change
+    FROM daily
+    """,
+    tags=("analytics", "timeseries"),
+)
+def ts_moving_avg_pct_change(spark, sf_dir):
+    """Trailing 7-day moving average and day-over-day percent change
+    of daily event volume — the smoothing/trend pair on every ops
+    dashboard. The raw stream collapses to one row per day BEFORE the
+    ordered window, so the unpartitioned ORDER BY day touches |days|
+    rows, not events (an unpartitioned window over raw events would be
+    the single-task trap at scale; over the daily aggregate it is
+    negligible by construction)."""
+    ev = table(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.floor(F.unix_micros("ts") / US_PER_DAY)
+                        .cast("long").alias("day"))
+             .agg(F.count("*").alias("n")))
+    w = Window.orderBy("day")
+    ma = F.round(F.avg("n").over(w.rowsBetween(-6, 0)), 4)
+    prev = F.lag("n").over(w)
+    return (daily
+            .withColumn("ma7", ma)
+            .withColumn("pct_change",
+                        F.round((F.col("n") - prev) * 100.0 / prev, 4)))
+
+
+@register(
+    "pareto_top_parts",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+                  AS DOUBLE) AS revenue
+      FROM lineitem GROUP BY l_partkey),
+    tot AS (
+      SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+                  AS DOUBLE) AS total
+      FROM lineitem),
+    ranked AS (
+      SELECT l_partkey, revenue,
+             round(sum(revenue) OVER (ORDER BY revenue DESC, l_partkey
+                                      ROWS UNBOUNDED PRECEDING)
+                   / (SELECT total FROM tot), 6) AS cum_share,
+             row_number() OVER (ORDER BY revenue DESC, l_partkey) AS rnk,
+             round(revenue / (SELECT total FROM tot), 6) AS share
+      FROM rev)
+    SELECT l_partkey, revenue, cum_share, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked
+    WHERE round(cum_share - share, 6) < 0.8
+    """,
+    tags=("analytics", "window"),
+)
+def pareto_top_parts(spark, sf_dir):
+    """Pareto (80/20) analysis: the smallest set of parts covering 80%
+    of revenue — keep every part whose cumulative share BEFORE it is
+    under 0.8, so the set crosses the threshold inclusively and ties
+    break on part key in both engines. Money goes through DECIMAL
+    (queries/relational.py discipline): per-part revenue and the
+    corpus total are exact decimal sums rounded to 2dp, so every
+    later double is identical on both engines; the running cumulative
+    then adds those 2dp doubles in the SAME rank order on both sides
+    (deterministic frame order ⇒ bit-identical partial sums). One
+    lineitem partial-agg; the window runs over |parts| rows."""
+    from .relational import _dec, money_sum
+    li = table(spark, sf_dir, "lineitem")
+    money = _dec("l_extendedprice") * (1 - _dec("l_discount", "4,2"))
+    rev = li.groupBy("l_partkey").agg(money_sum(money).alias("revenue"))
+    tot = li.agg(money_sum(money).alias("total"))
+    w = Window.orderBy(F.desc("revenue"), "l_partkey")
+    cum = F.sum("revenue").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ranked = (rev.crossJoin(F.broadcast(tot))
+              .select("l_partkey", "revenue",
+                      F.round(cum / F.col("total"), 6).alias("cum_share"),
+                      F.row_number().over(w).cast("long").alias("rnk"),
+                      F.round(F.col("revenue") / F.col("total"), 6)
+                      .alias("_share")))
+    return (ranked
+            .filter(F.round(F.col("cum_share") - F.col("_share"), 6) < 0.8)
+            .drop("_share"))
+
+
+@register(
+    "customer_order_gap_stats",
+    oracle="""
+    WITH gaps AS (
+      SELECT o_custkey,
+             date_diff('day',
+                       lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                              ORDER BY o_orderdate,
+                                                       o_orderkey),
+                       o_orderdate) AS gap_days
+      FROM orders)
+    SELECT o_custkey,
+           CAST(count(gap_days) AS BIGINT) AS n_gaps,
+           round(avg(gap_days), 4) AS avg_gap_days,
+           CAST(min(gap_days) AS BIGINT) AS min_gap_days,
+           CAST(max(gap_days) AS BIGINT) AS max_gap_days
+    FROM gaps
+    WHERE gap_days IS NOT NULL
+    GROUP BY o_custkey
+    """,
+    tags=("analytics", "window"),
+)
+def customer_order_gap_stats(spark, sf_dir):
+    """Inter-order gap statistics per customer (days between
+    consecutive orders via one customer-keyed lag window) — the
+    repurchase-cadence input to churn models. Deterministic under
+    same-day orders via the o_orderkey tiebreak; single shuffle on
+    customer, everything after partial-aggregates."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap = F.datediff(F.col("o_orderdate").cast("date"),
+                     F.lag(F.col("o_orderdate").cast("date")).over(w))
+    return (o.select("o_custkey", gap.alias("gap_days"))
+            .filter(F.col("gap_days").isNotNull())
+            .groupBy("o_custkey")
+            .agg(F.count("*").alias("n_gaps"),
+                 F.round(F.avg("gap_days"), 4).alias("avg_gap_days"),
+                 F.min("gap_days").cast("long").alias("min_gap_days"),
+                 F.max("gap_days").cast("long").alias("max_gap_days")))
