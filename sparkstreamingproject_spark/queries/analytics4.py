@@ -708,3 +708,82 @@ def customer_order_gap_stats(spark, sf_dir):
                  F.round(F.avg("gap_days"), 4).alias("avg_gap_days"),
                  F.min("gap_days").cast("long").alias("min_gap_days"),
                  F.max("gap_days").cast("long").alias("max_gap_days")))
+
+
+@register(
+    "supplier_part_hhi",
+    oracle="""
+    WITH q AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(sum(l_quantity) AS BIGINT) AS qty
+      FROM lineitem GROUP BY 1, 2)
+    SELECT l_partkey,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           round(sum(qty * qty) * 1.0 / (sum(qty) * sum(qty)), 6) AS hhi
+    FROM q GROUP BY l_partkey
+    """,
+    tags=("analytics", "agg"),
+)
+def supplier_part_hhi(spark, sf_dir):
+    """Supply-concentration index per part: Herfindahl-Hirschman =
+    Σ share², share = supplier's quantity fraction of the part (1.0 =
+    single-sourced, →1/n = evenly spread) — the sourcing-risk screen.
+    Lineitem collapses to (part, supplier) partials map-side, then
+    one part-keyed aggregation computes HHI in the algebraic form
+    Σq² / (Σq)² — per-supplier quantities are integer-valued, so both
+    sums are EXACT BIGINTs and the single final division is
+    bit-identical on both engines (the naive Σ(q/total)² sums floats
+    in engine-dependent order and flips 6dp roundings)."""
+    li = table(spark, sf_dir, "lineitem")
+    q = (li.groupBy("l_partkey", "l_suppkey")
+         .agg(F.sum("l_quantity").cast("long").alias("qty")))
+    return (q.groupBy("l_partkey")
+            .agg(F.count("*").alias("n_suppliers"),
+                 F.round(F.sum(F.col("qty") * F.col("qty"))
+                         / (F.sum("qty") * F.sum("qty")), 6).alias("hhi")))
+
+
+@register(
+    "events_value_outliers_iqr",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.75) AS q3
+      FROM events GROUP BY event_type),
+    f AS (
+      SELECT e.event_type, e.value,
+             round(b.q1 - 1.5 * (b.q3 - b.q1), 4) AS lo,
+             round(b.q3 + 1.5 * (b.q3 - b.q1), 4) AS hi
+      FROM events e JOIN b USING (event_type))
+    SELECT event_type, lo, hi,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN value < lo OR value > hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM f GROUP BY event_type, lo, hi
+    """,
+    tags=("analytics", "stat"),
+)
+def events_value_outliers_iqr(spark, sf_dir):
+    """Tukey-fence outlier screen per event type: exact linear-
+    interpolated quartiles (Spark `percentile` == DuckDB
+    `quantile_cont`) set [q1−1.5·IQR, q3+1.5·IQR]; a second pass
+    counts values outside the 4dp-rounded fences (rounding before the
+    comparison so both engines make identical boundary calls). The
+    quartile aggregate collapses per type; the fence table broadcasts
+    back onto the scan — two passes, no sort of the full table."""
+    ev = table(spark, sf_dir, "events")
+    b = (ev.groupBy("event_type")
+         .agg(F.percentile("value", 0.25).alias("q1"),
+              F.percentile("value", 0.75).alias("q3")))
+    fences = b.select(
+        "event_type",
+        F.round(F.col("q1") - 1.5 * (F.col("q3") - F.col("q1")), 4)
+        .alias("lo"),
+        F.round(F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")), 4)
+        .alias("hi"))
+    out = (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
+    return (ev.join(F.broadcast(fences), "event_type")
+            .groupBy("event_type", "lo", "hi")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.when(out, 1).otherwise(0)).alias("n_outliers")))
