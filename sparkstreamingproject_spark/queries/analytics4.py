@@ -787,3 +787,106 @@ def events_value_outliers_iqr(spark, sf_dir):
             .groupBy("event_type", "lo", "hi")
             .agg(F.count("*").alias("n"),
                  F.sum(F.when(out, 1).otherwise(0)).alias("n_outliers")))
+
+
+@register(
+    "events_user_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT user_id,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_types,
+           round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 6)
+             AS type_entropy
+    FROM c GROUP BY user_id
+    """,
+    tags=("analytics", "stat"),
+)
+def events_user_entropy(spark, sf_dir):
+    """Behavioral diversity per user: Shannon entropy of the user's
+    event-type distribution (0 = single-type bot-like, log2(5) = fully
+    mixed) — the engagement-diversity feature for churn/bot models.
+    Same algebraic one-pass form as llm/curation.py:char_entropy
+    (H = log2(N) − Σ n·log2(n)/N): counts collapse map-side to
+    ≤ |types| rows per user, and the 6dp rounding absorbs libm log2
+    last-bit differences."""
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    tot = F.sum("n")
+    return (c.groupBy("user_id")
+            .agg(tot.cast("long").alias("n_events"),
+                 F.count("*").alias("n_types"),
+                 F.round(F.log2(tot)
+                         - F.sum(F.col("n") * F.log2("n")) / tot, 6)
+                 .alias("type_entropy")))
+
+
+@register(
+    "window_funnel_levels",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+    v AS (SELECT user_id, us FROM e WHERE event_type = 'view'),
+    l2 AS (
+      SELECT v.user_id, v.us,
+             min(c.us) AS t2
+      FROM v JOIN e c
+        ON c.user_id = v.user_id AND c.event_type = 'click'
+       AND c.us >= v.us AND c.us < v.us + 86400000000
+      GROUP BY v.user_id, v.us),
+    l3 AS (
+      SELECT l2.user_id, l2.us,
+             min(p.us) AS t3
+      FROM l2 JOIN e p
+        ON p.user_id = l2.user_id AND p.event_type = 'purchase'
+       AND p.us >= l2.t2 AND p.us < l2.us + 86400000000
+      GROUP BY l2.user_id, l2.us),
+    lv AS (
+      SELECT v.user_id,
+             CASE WHEN l3.us IS NOT NULL THEN 3
+                  WHEN l2.us IS NOT NULL THEN 2
+                  ELSE 1 END AS lvl
+      FROM v
+      LEFT JOIN l2 ON l2.user_id = v.user_id AND l2.us = v.us
+      LEFT JOIN l3 ON l3.user_id = v.user_id AND l3.us = v.us)
+    SELECT user_id, CAST(max(lvl) AS BIGINT) AS funnel_level
+    FROM lv GROUP BY user_id
+    """,
+    tags=("analytics", "funnel", "window"),
+)
+def window_funnel_levels(spark, sf_dir):
+    """windowFunnel (the ClickHouse-named analytic): per user, the
+    deepest view→click→purchase chain where every step lands within
+    24 h of the CHAIN'S OWN starting view — stricter than the global
+    funnel_3step_conversion (each view anchors its own window, so a
+    stale view doesn't borrow a later conversion). Levels resolve via
+    keyed join + min-aggregation per step, every stage user-keyed; the
+    final per-user max collapses the candidate chains. At scale each
+    step relation shrinks to chain survivors, and no stage ever sorts
+    the raw stream globally."""
+    W = 86_400_000_000
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us"))
+    v = ev.filter(F.col("event_type") == "view").select("user_id", "us")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", F.col("us").alias("cus")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("user_id", F.col("us").alias("pus")))
+    l2 = (v.join(clicks, "user_id")
+          .filter((F.col("cus") >= F.col("us"))
+                  & (F.col("cus") < F.col("us") + W))
+          .groupBy("user_id", "us").agg(F.min("cus").alias("t2")))
+    l3 = (l2.join(purchases, "user_id")
+          .filter((F.col("pus") >= F.col("t2"))
+                  & (F.col("pus") < F.col("us") + W))
+          .groupBy("user_id", "us").agg(F.min("pus").alias("t3")))
+    lv = (v.join(l2.select("user_id", "us", F.lit(2).alias("_l2")),
+                 ["user_id", "us"], "left")
+          .join(l3.select("user_id", "us", F.lit(3).alias("_l3")),
+                ["user_id", "us"], "left")
+          .select("user_id",
+                  F.coalesce("_l3", "_l2", F.lit(1)).alias("lvl")))
+    return (lv.groupBy("user_id")
+            .agg(F.max("lvl").cast("long").alias("funnel_level")))
