@@ -890,3 +890,104 @@ def window_funnel_levels(spark, sf_dir):
                   F.coalesce("_l3", "_l2", F.lit(1)).alias("lvl")))
     return (lv.groupBy("user_id")
             .agg(F.max("lvl").cast("long").alias("funnel_level")))
+
+
+@register(
+    "nation_trade_balance",
+    oracle="""
+    WITH exports AS (
+      SELECT n.n_name AS nation,
+             CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2)
+                  AS DOUBLE) AS export_rev
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      GROUP BY n.n_name),
+    imports AS (
+      SELECT n.n_name AS nation,
+             CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2)
+                  AS DOUBLE) AS import_rev
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY n.n_name)
+    SELECT coalesce(e.nation, i.nation) AS nation,
+           coalesce(e.export_rev, 0) AS export_rev,
+           coalesce(i.import_rev, 0) AS import_rev,
+           round(coalesce(e.export_rev, 0) - coalesce(i.import_rev, 0), 2)
+             AS balance
+    FROM exports e FULL OUTER JOIN imports i ON e.nation = i.nation
+    """,
+    tags=("analytics", "join"),
+)
+def nation_trade_balance(spark, sf_dir):
+    """Trade balance per nation: revenue supplied (export side, via
+    supplier nation) minus revenue consumed (import side, via customer
+    nation) — the q7 volume-shipping shape folded to a per-nation net.
+    Each side is one lineitem aggregation with broadcast dim joins
+    (supplier/customer/nation are dims; facts never shuffle for
+    enrichment); the two |nations|-row aggregates meet in a full outer
+    join. Money through exact DECIMAL sums (relational.py discipline)."""
+    from .relational import _dec, money_sum
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    o = table(spark, sf_dir, "orders")
+    money = _dec("l_extendedprice") * (1 - _dec("l_discount", "4,2"))
+    exports = (li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+               .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+               .groupBy(F.col("n_name").alias("nation"))
+               .agg(money_sum(money).alias("export_rev")))
+    imports = (li.join(o, li.l_orderkey == o.o_orderkey)
+               .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+               .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+               .groupBy(F.col("n_name").alias("nation"))
+               .agg(money_sum(money).alias("import_rev")))
+    return (exports.join(imports, "nation", "full_outer")
+            .select("nation",
+                    F.coalesce("export_rev", F.lit(0.0)).alias("export_rev"),
+                    F.coalesce("import_rev", F.lit(0.0)).alias("import_rev"),
+                    F.round(F.coalesce("export_rev", F.lit(0.0))
+                            - F.coalesce("import_rev", F.lit(0.0)), 2)
+                    .alias("balance")))
+
+
+@register(
+    "text_zipf_slope",
+    oracle="""
+    WITH wc AS (
+      SELECT w, count(*) AS n FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY w),
+    ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, w) AS rnk
+      FROM wc)
+    SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+           round(regr_slope(log2(n), log2(rnk)), 4) AS zipf_slope,
+           round(regr_r2(log2(n), log2(rnk)), 4) AS r2
+    FROM ranked
+    """,
+    tags=("llm", "text", "stat"),
+)
+def text_zipf_slope(spark, sf_dir):
+    """Zipf's-law fit for the corpus: OLS slope of log2(frequency) on
+    log2(rank) over the word frequency table (natural corpora slope
+    ≈ −1; heavy repetition or templated text bends it) — a one-number
+    corpus-health check next to the entropy and repetition signals.
+    Word counts partial-aggregate map-side; the rank window runs over
+    the |vocab| rows only; the regression is a single-pass moment
+    aggregate (regr_slope/regr_r2) in codegen on both engines."""
+    docs = table(spark, sf_dir, "documents")
+    wc = (docs.select(F.explode(F.split("text", " ")).alias("w"))
+          .groupBy("w").agg(F.count("*").alias("n")))
+    rnk = F.row_number().over(Window.orderBy(F.desc("n"), "w"))
+    ranked = wc.select("n", rnk.alias("rnk"))
+    return ranked.agg(
+        F.count("*").alias("vocab_size"),
+        F.round(F.regr_slope(F.log2("n"), F.log2("rnk")), 4)
+        .alias("zipf_slope"),
+        F.round(F.regr_r2(F.log2("n"), F.log2("rnk")), 4).alias("r2"))
