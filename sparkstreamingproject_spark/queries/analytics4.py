@@ -991,3 +991,82 @@ def text_zipf_slope(spark, sf_dir):
         F.round(F.regr_slope(F.log2("n"), F.log2("rnk")), 4)
         .alias("zipf_slope"),
         F.round(F.regr_r2(F.log2("n"), F.log2("rnk")), 4).alias("r2"))
+
+
+@register(
+    "events_burstiness_fano",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             count(*) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(avg(n), 4) AS mean_daily,
+           round(CASE WHEN avg(n) = 0 THEN NULL
+                      ELSE var_samp(n) / avg(n) END, 4) AS fano
+    FROM daily GROUP BY event_type
+    """,
+    tags=("analytics", "stat", "timeseries"),
+)
+def events_burstiness_fano(spark, sf_dir):
+    """Burstiness per event type: the Fano factor (variance/mean of
+    daily counts — 1 ≈ Poisson arrivals, ≫1 = bursty/campaign-driven,
+    ≪1 = throttled/regular) — the dispersion diagnostic that tells an
+    alerting system which baselines a plain z-score can trust. Daily
+    counts collapse map-side; the moments are one tiny per-type
+    aggregate."""
+    ev = table(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type",
+                        F.floor(F.unix_micros("ts") / US_PER_DAY)
+                        .cast("long").alias("day"))
+             .agg(F.count("*").alias("n")))
+    mean = F.avg("n")
+    fano = F.when(mean == 0, F.lit(None)).otherwise(F.var_samp("n") / mean)
+    return (daily.groupBy("event_type")
+            .agg(F.count("*").alias("n_days"),
+                 F.round(mean, 4).alias("mean_daily"),
+                 F.round(fano, 4).alias("fano")))
+
+
+@register(
+    "brand_revenue_share",
+    oracle="""
+    WITH rev AS (
+      SELECT p.p_brand,
+             CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2)
+                  AS DOUBLE) AS revenue,
+             CAST(count(DISTINCT p.p_partkey) AS BIGINT) AS n_parts
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY p.p_brand),
+    tot AS (
+      SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+                  AS DOUBLE) AS total
+      FROM lineitem)
+    SELECT p_brand, revenue, n_parts,
+           round(revenue / (SELECT total FROM tot), 6) AS share
+    FROM rev
+    """,
+    tags=("analytics", "join", "agg"),
+)
+def brand_revenue_share(spark, sf_dir):
+    """Revenue share per brand: broadcast part-dim join, exact DECIMAL
+    money sums per brand and for the corpus total, one deterministic
+    double division at the end — the market-share readout with the
+    same float discipline as pareto_top_parts (no order-dependent
+    float accumulation anywhere)."""
+    from .relational import _dec, money_sum
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    money = _dec("l_extendedprice") * (1 - _dec("l_discount", "4,2"))
+    rev = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+           .groupBy("p_brand")
+           .agg(money_sum(money).alias("revenue"),
+                F.countDistinct("p_partkey").alias("n_parts")))
+    tot = li.agg(money_sum(money).alias("total"))
+    return (rev.crossJoin(F.broadcast(tot))
+            .select("p_brand", "revenue", "n_parts",
+                    F.round(F.col("revenue") / F.col("total"), 6)
+                    .alias("share")))
