@@ -41,6 +41,10 @@ def zscore_normalize(df: DataFrame, key_col: str, id_col: str,
         norm, out_schema)
 
 
+#: fixed-point quantization scale for exact covariance accumulation
+_COV_SCALE = 1_000_000
+
+
 def covariance_matrix(df: DataFrame, emb_col: str = "embedding",
                       digits: int = 6) -> DataFrame:
     """Sample covariance of an embedding column as (i, j, cov) rows —
@@ -48,49 +52,71 @@ def covariance_matrix(df: DataFrame, emb_col: str = "embedding",
     scoring start from.
 
     Shape for 100 TB: ONE pass. Each Arrow batch contributes its
-    partial Gram (X^T X via BLAS), column sums, and count as d^2+d+1
-    tiny rows (mapInPandas — never a per-row d^2 explode/self-join,
-    which would shuffle d^2 values PER VECTOR); the only shuffle is
-    the groupBy over those dimension-cardinality partials. The
-    centered matrix falls out algebraically:
+    partial Gram (Q^T Q via integer matmul), column sums, and count as
+    d^2+d+1 tiny rows (mapInPandas — never a per-row d^2
+    explode/self-join, which would shuffle d^2 values PER VECTOR); the
+    only shuffle is the groupBy over those dimension-cardinality
+    partials. The centered matrix falls out algebraically:
     cov = (S_ij - c_i c_j / n) / (n - 1).
+
+    Determinism under partitioning: float partial sums depend on
+    Arrow-batch/partition boundaries (the r03 hash-flake), so the
+    elements are quantized to scaled integers ONCE — JVM-side
+    ``round(v * 1e6)`` per element, the same expression a SQL oracle
+    can run — and every partial (Gram cells, column sums, count) is an
+    exact integer accumulated as DECIMAL(38,0). Integer addition is
+    order-free, so the partials are bit-identical for ANY partitioning
+    in any engine; the single float division + round happens once at
+    the end on exact inputs. Per-batch int64 Gram cells are safe far
+    past this scale (|q| <= ~1e6 ⇒ q^2 <= ~1e12; 10k-row Arrow batches
+    ⇒ <= ~1e16 << 2^63); cross-batch growth lives in the DECIMAL sums.
     """
     import numpy as np
     import pandas as pd
+
+    q_col = F.expr(
+        f"transform({emb_col}, v -> "
+        f"CAST(round(CAST(v AS DOUBLE) * {_COV_SCALE}, 0) AS BIGINT))"
+    ).alias("q")
 
     def gram(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            X = np.asarray([np.asarray(v, dtype=np.float64)
-                            for v in pdf[emb_col]])
+            X = np.asarray([np.asarray(v, dtype=np.int64)
+                            for v in pdf["q"]])
             d = X.shape[1]
-            S = X.T @ X
+            S = X.T @ X            # int64 matmul — exact
             c = X.sum(axis=0)
             ii, jj = np.meshgrid(np.arange(d), np.arange(d),
                                  indexing="ij")
             yield pd.DataFrame({
                 "i": np.concatenate([ii.ravel(), np.arange(d), [-1]]),
                 "j": np.concatenate([jj.ravel(), np.full(d, -1), [-1]]),
-                "s": np.concatenate([S.ravel(), c, [float(len(X))]]),
+                "s": np.concatenate([S.ravel(), c, [np.int64(len(X))]]),
             })
 
-    parts = (df.select(emb_col)
-             .mapInPandas(gram, schema="i int, j int, s double")
-             .groupBy("i", "j").agg(F.sum("s").alias("s")))
+    parts = (df.select(q_col)
+             .mapInPandas(gram, schema="i int, j int, s long")
+             .groupBy("i", "j")
+             .agg(F.sum(F.col("s").cast("decimal(38,0)")).alias("s")))
     tot = (parts.filter((F.col("i") == -1) & (F.col("j") == -1))
-           .select(F.col("s").alias("n")))
+           .select(F.col("s").cast("double").alias("n")))
     mu = (parts.filter((F.col("i") >= 0) & (F.col("j") == -1))
-          .select(F.col("i").alias("m_i"), F.col("s").alias("c")))
+          .select(F.col("i").alias("m_i"),
+                  F.col("s").cast("double").alias("c")))
     g = parts.filter(F.col("j") >= 0)
+    unscale = float(_COV_SCALE) * float(_COV_SCALE)
     return (g.crossJoin(F.broadcast(tot))
             .join(F.broadcast(mu), F.col("i") == F.col("m_i"))
             .join(F.broadcast(mu.select(F.col("m_i").alias("m_j"),
                                         F.col("c").alias("cj"))),
                   F.col("j") == F.col("m_j"))
             .select("i", "j",
-                    F.round((F.col("s") - F.col("c") * F.col("cj")
-                             / F.col("n")) / (F.col("n") - 1), digits)
+                    F.round((F.col("s").cast("double")
+                             - F.col("c") * F.col("cj") / F.col("n"))
+                            / (F.col("n") - F.lit(1.0))
+                            / F.lit(unscale), digits)
                     .alias("cov")))
 
 

@@ -284,25 +284,34 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.3,
                              broadcast_max_bytes: int = BROADCAST_MAX_BYTES) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ threshold).
 
-    Size-guarded with ZERO extra jobs: Catalyst's optimized-plan
-    statistics (``sizeInBytes`` — file-size-derived for parquet scans)
-    estimate the input, and a 4× margin covers f32-on-disk → dense-f64
-    in-memory expansion plus up-to-2× parquet compression. Under the
-    cap → exact broadcast-matmul kernel; over it → the LSH-bucketed
-    kernel (``_near_dup_bucketed``), which never materializes anything
-    on the driver. The guard means no unbounded ``collect()`` exists on
-    this path at any data size — at billions of vectors the bucketed
-    plan is chosen automatically. (The previous count()+first() guard
-    cost two Spark jobs per call — measured ~1-2 s of the query's wall
-    time at sf0.1; plan stats cost nothing.)
+    Size-guarded with zero extra jobs in the CLEAR cases: Catalyst's
+    optimized-plan statistics (``sizeInBytes`` — file-size-derived for
+    parquet scans) estimate the input, and a 4× margin covers
+    f32-on-disk → dense-f64 in-memory expansion plus typical parquet
+    compression. But file-size stats are a heuristic: quantized or
+    low-entropy embeddings can dictionary/RLE-compress far better than
+    2×, making the estimate dangerously low — so estimates that land
+    NEAR the cap (within 8× either way) are re-checked with the exact
+    count×width aggregate (one small job) before the broadcast kernel
+    is allowed. Far-under-cap inputs broadcast with no job; far-over
+    inputs go bucketed with no job; only borderline inputs pay the
+    aggregate. The result: no unbounded ``collect()`` exists on this
+    path at any data size — at billions of vectors the bucketed plan
+    (``_near_dup_bucketed``, driver-free) is chosen automatically.
     """
     est = _plan_size_bytes(df)
-    if est is None:  # non-Catalyst corner: fall back to one aggregate
-        head = (df.groupBy()
-                .agg(F.count("*").alias("n"), F.first(F.size(emb_col)).alias("d"))
-                .first())
-        est = ((head["n"] or 0) * (head["d"] or 0) * 8) // 4
-    if est * 4 <= broadcast_max_bytes:
+    if est is not None:
+        est4 = est * 4
+        if est4 * 8 <= broadcast_max_bytes:      # safe even if est is 8× low
+            return _near_dup_broadcast(df, threshold, id_col, emb_col)
+        if est4 > broadcast_max_bytes * 8:       # hopeless even if 8× high
+            return _near_dup_bucketed(df, threshold, id_col, emb_col)
+    # borderline (or stats unavailable): exact dense-f64 bytes = n*d*8
+    head = (df.groupBy()
+            .agg(F.count("*").alias("n"), F.first(F.size(emb_col)).alias("d"))
+            .first())
+    exact = (head["n"] or 0) * (head["d"] or 0) * 8
+    if exact <= broadcast_max_bytes:
         return _near_dup_broadcast(df, threshold, id_col, emb_col)
     return _near_dup_bucketed(df, threshold, id_col, emb_col)
 

@@ -127,23 +127,27 @@ def bm25_scores(df: DataFrame, terms: list[str], id_col: str = "doc_id",
     Built from two aggregations (term stats, doc lengths) joined
     broadcast-side — at scale the (doc_id, term, tf) relation is the
     inverted index, partitioned by term, and a query probes only its
-    terms' postings.
+    terms' postings. The corpus scalars (N, avgdl) ride along as a
+    broadcast 1-row aggregate crossJoined into the plan, so the whole
+    score is ONE job — no mid-pipeline ``count()``/``collect()``
+    actions forking extra jobs for two numbers.
     """
     words = df.select(F.col(id_col),
                       F.explode(F.split(F.col(text_col), " ")).alias("word"))
     dl = df.select(F.col(id_col),
                    F.size(F.split(F.col(text_col), " ")).alias("dl"))
-    n_docs = df.count()
-    avgdl = dl.agg(F.avg("dl")).collect()[0][0]
+    stats = dl.agg(F.count("*").cast("double").alias("n_docs"),
+                   F.avg("dl").alias("avgdl"))
     tf = (words.filter(F.col("word").isin(*terms))
           .groupBy(id_col, "word").agg(F.count("*").alias("tf")))
     dfreq = tf.groupBy("word").agg(F.countDistinct(id_col).alias("df"))
-    idf = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     scored = (tf.join(F.broadcast(dfreq), "word")
               .join(F.broadcast(dl), id_col)
+              .crossJoin(F.broadcast(stats))
               .select(id_col,
                       (idf * (F.col("tf") * (k1 + 1))
-                       / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / float(avgdl))))
+                       / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))))
                       .alias("term_score")))
     return (scored.groupBy(id_col)
             .agg(F.round(F.sum("term_score"), digits).alias("bm25")))

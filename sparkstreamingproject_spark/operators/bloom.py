@@ -50,14 +50,18 @@ def build_bloom(build: DataFrame, key: str, m_bits: int, k: int) -> bytes:
     computed JVM-side. Each partition folds its positions into a local
     bitset inside Arrow-batched ``mapInPandas`` (vectorized
     ``np.bitwise_or.at`` — no per-row Python), then the one-bitset-per-
-    partition rows are OR-merged through a two-level ``coalesce`` +
-    ``mapInPandas`` tree (fan-in 64 then 1), so merging happens
-    executor-side and the driver receives a single m/8-byte row. The
-    whole build is ONE narrow Arrow-only job: no shuffle (OR is
-    idempotent, so no ``distinct``), no ``df.rdd`` hop (that pays a
+    partition rows are OR-merged through a two-level ``repartition`` +
+    ``mapInPandas`` tree (fan-in 64 then 1). The repartitions are what
+    make the tree actually parallel: each is a stage boundary, so the
+    scan+hash+local-bitset stage keeps the scan's parallelism and the
+    level-1 merge runs as 64 tasks (a ``coalesce`` here would fuse the
+    ENTIRE lineage — scan included — into one task). What the shuffles
+    move is only the blobs: one m/8-byte row per upstream partition,
+    then ≤64 rows — never key data. Still no ``distinct`` over
+    positions (OR is idempotent), no ``df.rdd`` hop (that pays a
     row-pickling pass plus a cold start of the non-Arrow Python worker
-    pool — measured 2-4 s per session vs ~0.4 s for this plan), and m
-    is bounded by executor memory, not driver collect size.
+    pool — measured 2-4 s per session), and m is bounded by executor
+    memory, not driver collect size.
     """
     n_bytes = (m_bits + 7) // 8
     pos = build.select(
@@ -90,12 +94,12 @@ def build_bloom(build: DataFrame, key: str, m_bits: int, k: int) -> bytes:
             yield pd.DataFrame({"bs": [arr.tobytes()]})
 
     merged = (pos.mapInPandas(partition_bitsets, "bs binary")
-              .coalesce(64).mapInPandas(or_merge, "bs binary")
-              .coalesce(1).mapInPandas(or_merge, "bs binary")
+              .repartition(64).mapInPandas(or_merge, "bs binary")
+              .repartition(1).mapInPandas(or_merge, "bs binary")
               .collect())
     if not merged:  # empty build side → zero bitset (prunes everything)
         return bytes(n_bytes)
-    return merged[0]["bs"]
+    return bytes(merged[0]["bs"])
 
 
 def bloom_prune(probe: DataFrame, key: str, bitset: bytes,

@@ -184,8 +184,14 @@ def interval_overlap_join(left: DataFrame, right: DataFrame,
     (e.g. a key equality, which co-partitions the buckets further).
     """
     def buckets(s, e):
-        return F.sequence(F.floor(F.col(s) / bucket_us),
-                          F.floor((F.col(e) - 1) / bucket_us))
+        # empty/inverted intervals (end <= start) must match nothing:
+        # unguarded, F.sequence auto-steps -1 and would silently emit a
+        # DESCENDING bucket range — huge arrays when end << start
+        return F.when(
+            F.col(e) > F.col(s),
+            F.sequence(F.floor(F.col(s) / bucket_us),
+                       F.floor((F.col(e) - 1) / bucket_us))
+        ).otherwise(F.expr("CAST(array() AS array<bigint>)"))
 
     lb = left.withColumn("_b", F.explode(buckets(l_start, l_end)))
     rb = right.withColumn("_b", F.explode(buckets(r_start, r_end)))

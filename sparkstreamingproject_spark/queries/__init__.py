@@ -26,52 +26,48 @@ from . import modern_sql  # noqa: E402,F401
 
 # --- driver-window ordering --------------------------------------------------
 # The verify driver checks the FIRST 50 registry entries per round
-# (CORRECTNESS_r01/r02.json == first 50 of insertion order). Rounds 1+2
-# together drove 94 distinct queries green. Round 3's window contains
-# exactly the 53 still-unchecked queries minus three deferrals (listed
-# at positions 50-52, checked automatically if the cap exceeds 50):
-#   - dedup_jaccard_capped — identical mechanism to the driver-green,
-#     now-capped-by-default dedup_ngram_jaccard;
-#   - embedding_pca_project — no oracle (iterative covariance/eigen),
-#     driver would record only a rows-only check;
-#   - multimodal_audio_windows — same plan shape as
-#     multimodal_image_tiles, which stays in the window.
-# Queries past the window keep local pytest-oracle coverage
-# (tests/test_oracle_parity.py) and rotate into r04.
-_ROUND3_WINDOW = [
-    # extended SQL surface (positions 50-67 of the r02 order — the cap
-    # turned out to be exactly 50, so these never got checked)
-    "sql_entrypoint_correlated", "scalar_subquery_filter",
-    "window_percent_ntile", "agg_grouping_sets",
-    "agg_filtered_conditional", "string_functions", "date_functions",
-    "agg_median_percentiles", "agg_pivot", "null_functions",
-    "join_salted_skew", "unpivot_measures", "gaps_islands_orderkeys",
-    "agg_argmax_customer", "window_range_30d_revenue",
-    "window_first_last_nth", "string_levenshtein_pairs",
-    # round-2 additions, in registry order
-    "json_parse_corrupt_routing", "ts_resample_ffill",
-    "ts_multi_grain_rollup", "q4_order_priority_exists",
-    "sketch_hll_per_group", "sample_weighted_systematic",
-    "decontaminate_ngram", "text_repetition_stats", "pii_scrub_redact",
-    "dedup_incremental", "sim_ivf_kmeans_cells", "seq_pack_contiguous",
-    "text_char_entropy", "vocab_build_topk", "profile_columns",
-    "embedding_quantize_int8", "multimodal_image_tiles",
-    "lang_id_trigram", "text_bigram_lm_score", "sim_topk_int8_rerank",
-    "dedup_lsh_verified", "text_ngram_top", "embedding_covariance",
-    "scd2_user_history", "tokenize_with_vocab", "sketch_hist_quantiles",
-    "rfm_customer_segments", "cohort_retention_matrix",
-    "scd2_point_in_time_join", "stat_linear_trend", "stat_corr_matrix",
-    "stat_ttest_welch", "stat_chi_square",
-    # positions 50+: deferrals (see note above), then round-3 additions
+# (CORRECTNESS_r01/r02/r03.json == first 50 of insertion order).
+# Rounds 1-3 drove 143 distinct queries green (CORRECTNESS_r0{1,2,3});
+# the one red row was embedding_covariance (float summation order —
+# fixed to exact-integer Gram algebra this round). Round 4's window is
+# exactly the 40 queries with no driver-green row yet: the 36 round-3
+# additions, the 3 round-3 deferrals, and the re-checked
+# embedding_covariance. ≤50, so this round closes the ledger: every
+# registered query driver-checked. All 40 are additionally pre-flighted
+# for partition-order determinism by
+# tests/test_partitioning_robustness.py (the r03 covariance flake was
+# local-green but driver-red; that class of bug is now caught locally).
+_ROUND4_WINDOW = [
+    # the fixed red row first
+    "embedding_covariance",
+    # round-3 deferrals
     "dedup_jaccard_capped", "embedding_pca_project",
     "multimodal_audio_windows",
+    # round-3 additions, in registry order
+    "asof_forward_next_purchase", "sketch_hll_time_merge",
+    "event_path_transitions", "ts_anomaly_zscore", "events_dau_wau",
+    "dedup_normalized_exact", "embedding_norm_stats",
+    "stat_ab_proportion_ztest", "session_paths_top",
+    "funnel_3step_conversion", "events_hourly_seasonality",
+    "interval_join_session_overlap", "graph_pagerank_transitions",
+    "orders_ship_latency", "ts_moving_avg_pct_change",
+    "pareto_top_parts", "customer_order_gap_stats",
+    "supplier_part_hhi", "events_value_outliers_iqr",
+    "events_user_entropy", "window_funnel_levels",
+    "nation_trade_balance", "text_zipf_slope", "events_burstiness_fano",
+    "brand_revenue_share", "domain_mix_rebalance", "sim_hard_negatives",
+    "multimodal_image_resize", "dedup_containment",
+    "dedup_minhash_estimate", "dedup_cluster_keep_best",
+    "embedding_label_centroids", "embedding_quantile_bins",
+    "json_variant_extract", "string_collation_ci_group",
+    "ansi_try_arithmetic",
 ]
 
 
 def _reorder() -> None:
-    missing = [n for n in _ROUND3_WINDOW if n not in REGISTRY]
+    missing = [n for n in _ROUND4_WINDOW if n not in REGISTRY]
     assert not missing, f"window names not registered: {missing}"
-    ordered = {n: REGISTRY[n] for n in _ROUND3_WINDOW}
+    ordered = {n: REGISTRY[n] for n in _ROUND4_WINDOW}
     ordered.update((n, s) for n, s in REGISTRY.items() if n not in ordered)
     REGISTRY.clear()
     REGISTRY.update(ordered)

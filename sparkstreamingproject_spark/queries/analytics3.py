@@ -400,10 +400,11 @@ def stat_chi_square(spark, sf_dir):
     coupling. One scan builds the observed cells; margins are tiny
     re-aggregations of the CELL relation (not the corpus), and the
     full margin cross (langs x sources, includes zero cells) joins
-    broadcast — all post-scan work is on dimension-cardinality data."""
+    broadcast — all post-scan work is on dimension-cardinality data.
+    One job end-to-end: dof comes from countDistinct inside the final
+    aggregate, not separate margin count() actions."""
     d = table(spark, sf_dir, "documents")
     obs = d.groupBy("lang", "source").agg(F.count("*").alias("o"))
-    obs.persist()
     r = obs.groupBy("lang").agg(F.sum("o").alias("rt"))
     c = obs.groupBy("source").agg(F.sum("o").alias("ct"))
     t = obs.agg(F.sum("o").alias("n"))
@@ -412,12 +413,10 @@ def stat_chi_square(spark, sf_dir):
             .select("lang", "source",
                     F.coalesce(F.col("o"), F.lit(0)).alias("o"),
                     (F.col("rt") * F.col("ct") / F.col("n")).alias("e")))
-    nl = r.count()
-    ns = c.count()
     out = cell.agg(
         F.round(F.sum((F.col("o") - F.col("e")) ** 2 / F.col("e")), 4)
         .alias("chi2"),
-        F.lit((nl - 1) * (ns - 1)).cast("long").alias("dof"),
+        ((F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1))
+        .cast("long").alias("dof"),
         F.sum("o").cast("long").alias("n"))
-    obs.unpersist()
     return out

@@ -211,15 +211,18 @@ def date_functions(spark, sf_dir):
 )
 def text_tfidf_top_terms(spark, sf_dir):
     """TF-IDF top-3 terms per document — built entirely from joins and
-    window rank; document frequency broadcast (one row per term)."""
-    words = (table(spark, sf_dir, "documents")
-             .select("doc_id", F.explode(F.split("text", " ")).alias("word")))
+    window rank; document frequency broadcast (one row per term), the
+    corpus size as a broadcast 1-row aggregate crossJoined in-plan (no
+    separate count() job for one scalar)."""
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     df = words.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = table(spark, sf_dir, "documents").count()
+    n_docs = docs.agg(F.count("*").cast("double").alias("n_docs"))
     scored = (tf.join(F.broadcast(df), "word")
+              .crossJoin(F.broadcast(n_docs))
               .select("doc_id", "word",
-                      F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4)
+                      F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4)
                       .alias("tfidf")))
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "word")
     return (scored.withColumn("rn", F.row_number().over(w))

@@ -709,16 +709,27 @@ def text_ngram_top(spark, sf_dir):
 
 @register(
     "embedding_covariance",
+    # Exact-integer Gram algebra (r03 fix): elements quantized once to
+    # BIGINT(round(v*1e6)) in BOTH engines, partials summed as exact
+    # DECIMAL(38,0) (order-free under any partitioning), and the single
+    # float divide + round(.,6) happens last on identical inputs — so
+    # the hash is partition-order independent.
     oracle="""
     WITH x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings),
-    u AS (SELECT vec_id, CAST(i - 1 AS INT) AS i, v[i] AS val
+    u AS (SELECT vec_id, CAST(i - 1 AS INT) AS i,
+                 CAST(round(v[i] * 1000000) AS BIGINT) AS q
           FROM x, unnest(range(1, len(v) + 1)) AS g(i)),
-    m AS (SELECT i, sum(val) AS c, count(*) AS n FROM u GROUP BY i),
-    g AS (SELECT a.i AS i, b.i AS j, sum(a.val * b.val) AS s
+    m AS (SELECT i, sum(CAST(q AS DECIMAL(38,0))) AS c, count(*) AS n
+          FROM u GROUP BY i),
+    g AS (SELECT a.i AS i, b.i AS j,
+                 sum(CAST(a.q AS DECIMAL(38,0)) * CAST(b.q AS DECIMAL(38,0))) AS s
           FROM u a JOIN u b ON a.vec_id = b.vec_id GROUP BY 1, 2)
     SELECT g.i, g.j,
-           round((g.s - ma.c * mb.c / ma.n) / (ma.n - 1), 6) AS cov
+           round((CAST(g.s AS DOUBLE)
+                  - CAST(ma.c AS DOUBLE) * CAST(mb.c AS DOUBLE)
+                    / CAST(ma.n AS DOUBLE))
+                 / (CAST(ma.n AS DOUBLE) - 1.0) / 1e12, 6) AS cov
     FROM g JOIN m ma ON ma.i = g.i JOIN m mb ON mb.i = g.j
     """,
     tags=("llm", "embedding", "stats"),

@@ -82,14 +82,26 @@ class _StreamReader(DataSourceStreamReader):
         self.max_rows = int(options.get("maxRows", 1000))
         self.rows_per_batch = int(options.get("rowsPerBatch", 100))
         self.num_partitions = int(options.get("partitions", 4))
+        self.chunked = str(options.get("chunked", "false")).lower() == "true"
 
     def initialOffset(self):
         return {"pos": 0}
 
     def latestOffset(self):
-        # one rows_per_batch step per micro-batch, capped at max_rows —
-        # a finite "topic" so availableNow triggers drain and stop
-        return {"pos": self.max_rows}
+        # Two modes. Default (chunked=false): report max_rows — "all
+        # available" for this finite topic, which is what
+        # Trigger.AvailableNow requires (the engine snapshots ONE
+        # latestOffset() call as the drain limit; a moving answer would
+        # leave the drain short). chunked=true: advance one
+        # rows_per_batch step per call, so a RUNNING trigger (which
+        # calls latestOffset once per micro-batch) sees the topic
+        # arrive in chunks across many micro-batches — the
+        # Kafka-backlog shape the streaming-topology tests need.
+        if not self.chunked:
+            return {"pos": self.max_rows}
+        self._pos = min(getattr(self, "_pos", 0) + self.rows_per_batch,
+                        self.max_rows)
+        return {"pos": self._pos}
 
     def partitions(self, start, end):
         s, e = start["pos"], end["pos"]

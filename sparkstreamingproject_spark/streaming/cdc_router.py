@@ -31,19 +31,30 @@ def load_routing_config(path: str) -> tuple[list[str], list[str]]:
     return list(cfg.get("fact_tables", [])), list(cfg.get("dim_tables", []))
 
 
+def fact_topic_payload(batch: DataFrame, fact_tables: list[str]) -> DataFrame:
+    """E2's dynamic-topic projection: fact CDC rows as the exact
+    (topic, value) relation the Kafka sink consumes when no static
+    topic is set (``OdsBaseDbApp.scala:123-129`` — topic =
+    ``upper(table)_op``, value = row JSON). Satisfies
+    ``sources.kafka.validate_kafka_payload`` by construction; the
+    parquet fan-out below and a real broker sink are two sinks over
+    this one relation."""
+    return (batch
+            .withColumn("op", map_cdc_optype())
+            .filter(F.col("op").isNotNull())
+            .filter(F.col("table").isin(*fact_tables))
+            .select(F.concat(F.upper("table"), F.lit("_"), F.col("op"))
+                    .alias("topic"),
+                    F.to_json("data").alias("value")))
+
+
 def route_cdc_batch(batch: DataFrame, batch_id: int, out_dir: str,
                     config_path: str) -> None:
     fact_tables, dim_tables = load_routing_config(config_path)  # F3: per batch
     batch.persist()
     try:
         if fact_tables:
-            fact = (batch
-                    .withColumn("op", map_cdc_optype())
-                    .filter(F.col("op").isNotNull())
-                    .filter(F.col("table").isin(*fact_tables))
-                    .select(F.concat(F.upper("table"), F.lit("_"), F.col("op"))
-                            .alias("topic"),
-                            F.to_json("data").alias("value")))
+            fact = fact_topic_payload(batch, fact_tables)
             (fact.write.mode("append").partitionBy("topic")
              .parquet(f"{out_dir}/facts"))
         if dim_tables:

@@ -1,0 +1,69 @@
+"""Partition-order determinism pre-flight for the driver window.
+
+Lesson from round 3: ``embedding_covariance`` was green against the
+DuckDB oracle in every local sweep yet hash-FAILED the driver's check —
+its float partial sums depended on Arrow-batch/partition boundaries, so
+the query was *flaky under partitioning*, not deterministically right
+or wrong. The local oracle run and the driver run used different
+partitionings; only the driver saw the flip.
+
+This test catches that class of bug before the driver does: every query
+in the current driver window runs twice in the same session — once
+under the default config, once under a deliberately hostile one (tiny
+file splits → many scan partitions, 5 shuffle partitions, 37-row Arrow
+batches) — and the two results must be BIT-IDENTICAL (exact float
+repr, not rounded). A query whose output survives this perturbation has
+no summation-order dependence left for the driver's partitioning to
+expose.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sparkstreamingproject_spark.queries import REGISTRY
+
+# the driver checks the first 50 registry entries; the deliberate r04
+# window is the first 40 (see queries/__init__.py) — pre-flight those
+WINDOW = list(REGISTRY)[:40]
+
+_PERTURB = {
+    # many tiny scan partitions → different mapInPandas/agg boundaries
+    "spark.sql.files.maxPartitionBytes": "65536",
+    "spark.sql.files.openCostInBytes": "0",
+    # different shuffle fan-in than the default 32
+    "spark.sql.shuffle.partitions": "5",
+    # tiny Arrow batches → different pandas-UDF partial boundaries
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "37",
+}
+
+
+def _exact_rows(df) -> list[str]:
+    # repr() keeps full float precision (shortest round-trip repr), so
+    # any bit-level difference — including a 6dp rounding flip — shows
+    return sorted("|".join(repr(v) for v in row) for row in df.collect())
+
+
+@pytest.mark.parametrize("name", WINDOW)
+def test_window_query_partition_order_deterministic(spark, sf_dir, name):
+    spec = REGISTRY[name]
+    base = _exact_rows(spec.fn(spark, sf_dir))
+    saved = {}
+    for k, v in _PERTURB.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        perturbed = _exact_rows(spec.fn(spark, sf_dir))
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    diffs = [(a, b) for a, b in zip(base, perturbed) if a != b][:3]
+    assert base == perturbed, (
+        f"{name} is partition-order FLAKY (driver would hash-mismatch); "
+        f"first diffs: {diffs}")

@@ -140,3 +140,12 @@ def test_interval_overlap_join_matches_bruteforce(spark):
     t2 = spark.createDataFrame([(2, 10, 20)], "id_b long, sb long, eb long")
     assert interval_overlap_join(t1, t2, "sa", "ea", "sb", "eb",
                                  bucket_us=8).count() == 0
+    # empty/inverted intervals match nothing — and never explode a
+    # descending bucket sequence (end << start used to emit a huge
+    # DESC range via sequence's auto -1 step)
+    inv = spark.createDataFrame([(3, 9_000_000, 0), (4, 5, 5)],
+                                "id_a long, sa long, ea long")
+    ok = spark.createDataFrame([(5, 0, 10_000_000)],
+                               "id_b long, sb long, eb long")
+    assert interval_overlap_join(inv, ok, "sa", "ea", "sb", "eb",
+                                 bucket_us=8).count() == 0
