@@ -99,12 +99,25 @@ class _StreamReader(DataSourceStreamReader):
         # Kafka-backlog shape the streaming-topology tests need.
         if not self.chunked:
             return {"pos": self.max_rows}
-        self._pos = min(getattr(self, "_pos", 0) + self.rows_per_batch,
+        self._pos = min(max(getattr(self, "_pos", 0),
+                            getattr(self, "_served", 0))
+                        + self.rows_per_batch,
                         self.max_rows)
         return {"pos": self._pos}
 
     def partitions(self, start, end):
+        # Restart safety for chunked mode: a fresh reader's first
+        # latestOffset() can be BELOW the checkpointed offset, and the
+        # engine compares offsets as opaque JSON — it would plan a
+        # "backward" batch and then re-serve already-committed rows.
+        # Clamp the range to the high-water mark of everything this
+        # instance has been asked for, so no row is ever served twice
+        # (legitimate replay of an uncommitted batch is unaffected — a
+        # fresh instance starts with high-water 0).
         s, e = start["pos"], end["pos"]
+        hw = getattr(self, "_served", 0)
+        s = max(s, hw)
+        self._served = max(hw, s, e)
         if e <= s:
             return [_RangePartition(self.seed, s, s)]
         step = max(1, -(-(e - s) // self.num_partitions))
