@@ -23,6 +23,7 @@ from . import analytics3  # noqa: E402,F401
 from . import analytics4  # noqa: E402,F401
 from . import llm3  # noqa: E402,F401
 from . import modern_sql  # noqa: E402,F401
+from . import analytics5  # noqa: E402,F401
 
 # --- driver-window ordering --------------------------------------------------
 # The verify driver checks the FIRST 50 registry entries per round
@@ -61,6 +62,13 @@ _ROUND4_WINDOW = [
     "embedding_label_centroids", "embedding_quantile_bins",
     "json_variant_extract", "string_collation_ci_group",
     "ansi_try_arithmetic",
+    # positions 40-47: round-4 additions (new operators, pre-flighted by
+    # the same parity + partitioning-robustness gates) — the driver cap
+    # is 50, so these get checked alongside the 40 above
+    "doc_quality_rules_gate", "split_stratified_hash",
+    "embedding_centroid_classify", "graph_triangle_count",
+    "agg_cube_status_priority", "lateral_topk_suppliers",
+    "events_gap_sessionize", "events_outliers_mad",
 ]
 
 
