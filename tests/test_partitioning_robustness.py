@@ -68,3 +68,23 @@ def test_window_query_partition_order_deterministic(spark, sf_dir, name):
     assert base == perturbed, (
         f"{name} is partition-order FLAKY (driver would hash-mismatch); "
         f"first diffs: {diffs}")
+
+
+# the queries whose math involves float shares/ratios/fits — the class
+# that produced the r03 flake; spot-check them against the oracle at
+# BENCH scale (sf0.1) every round, not just the sf0.001 default
+_FLOAT_SENSITIVE = [
+    "embedding_covariance", "text_zipf_slope", "stat_ab_proportion_ztest",
+    "events_burstiness_fano", "graph_pagerank_transitions",
+    "supplier_part_hhi",
+]
+
+
+@pytest.mark.parametrize("name", _FLOAT_SENSITIVE)
+def test_float_sensitive_query_parity_at_sf01(spark, name):
+    from .oracle_harness import compare
+    spec = REGISTRY[name]
+    if spec.oracle is None:  # pragma: no cover
+        pytest.skip("rows-only query")
+    ok, msg = compare(spark, "/root/testdata/sf0.1", spec.fn, spec.oracle)
+    assert ok, f"{name} at sf0.1: {msg}"

@@ -148,3 +148,53 @@ def test_persisted_ivf_index_prunes_cell_partitions(spark, tmp_path, sf_dir):
             assigned.filter(F.col("cell").isin(probe_cells)).collect()}
     got = {r["vec_id"] for r in pruned.collect()}
     assert got == want and got, "pruned probe read wrong cell contents"
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE's runtime skew-join split is the automatic path our manual
+    salted_join backstops: with adaptive execution on, a sort-merge
+    join whose one shuffle partition dwarfs the median is split at
+    RUNTIME into parallel sub-partitions (SortMergeJoin(skew=true)) —
+    no code change, no salting. Thresholds are lowered so the test's
+    ~MB-scale skew triggers the same re-plan a 100 TB hot key would."""
+    saved = {k: spark.conf.get(k, None) for k in (
+        "spark.sql.adaptive.enabled",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )}
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "262144")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                       "131072")
+        # no broadcast: force the shuffled sort-merge join AQE rewrites
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+
+        # 90% of left rows share key 7 → one shuffle partition ≫ median
+        left = spark.range(0, 300_000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(7))
+            .otherwise(F.col("id") % 1000).alias("k"),
+            F.col("id").alias("v"))
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("w"))
+        joined = left.join(right, "k").agg(
+            F.count("*").alias("n"), F.sum(F.col("v") + F.col("w")).alias("s"))
+        row = joined.collect()[0]
+        assert row["n"] == 300_000  # semantics unchanged by the split
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
