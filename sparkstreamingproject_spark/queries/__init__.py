@@ -69,6 +69,7 @@ _ROUND4_WINDOW = [
     "embedding_centroid_classify", "graph_triangle_count",
     "agg_cube_status_priority", "lateral_topk_suppliers",
     "events_gap_sessionize", "events_outliers_mad",
+    "recursive_trade_reach", "bitmap_user_segments",
 ]
 
 

@@ -430,3 +430,109 @@ def events_outliers_mad(spark, sf_dir):
     return (f.groupBy("event_type", "med", "mad")
             .agg(F.count(F.when(F.abs(F.col("value") - F.col("med"))
                                 > 3 * F.col("mad"), 1)).alias("n_out")))
+
+
+# --------------------------------------------------------------------------
+# recursive CTE: BFS over the nation trade network
+# --------------------------------------------------------------------------
+
+_TRADE_EDGES_SQL = """
+    SELECT DISTINCT s.s_nationkey AS u, c.c_nationkey AS v
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE s.s_nationkey <> c.c_nationkey
+"""
+
+_TRADE_BFS_SQL = """
+    WITH RECURSIVE hops(nk, d) AS (
+      SELECT CAST(0 AS BIGINT), 0
+      UNION ALL
+      SELECT e.v, h.d + 1
+      FROM hops h JOIN {edges} e ON e.u = h.nk
+      WHERE h.d < 3
+    )
+    SELECT n.n_name, CAST(m.hops AS INT) AS hops
+    FROM (SELECT nk, min(d) AS hops FROM hops GROUP BY nk) m
+    JOIN {nation} n ON n.n_nationkey = m.nk
+"""
+
+
+@register(
+    "recursive_trade_reach",
+    oracle="""
+    WITH RECURSIVE e AS (""" + _TRADE_EDGES_SQL + """),
+    hops(nk, d) AS (
+      SELECT CAST(0 AS BIGINT), 0
+      UNION ALL
+      SELECT e.v, h.d + 1
+      FROM hops h JOIN e ON e.u = h.nk
+      WHERE h.d < 3
+    )
+    SELECT n.n_name, CAST(m.hops AS INT) AS hops
+    FROM (SELECT nk, min(d) AS hops FROM hops GROUP BY nk) m
+    JOIN nation n ON n.n_nationkey = m.nk
+    """,
+    tags=("sql", "graph"),
+)
+def recursive_trade_reach(spark, sf_dir):
+    """WITH RECURSIVE (Spark 4.0+ surface): BFS hop distance from
+    nation 0 across the supplier→customer trade network, capped at 3
+    hops — min-hop reachability, the canonical recursive-CTE workload.
+
+    Scale shape: the FACT tables are touched exactly once, to build the
+    DISTINCT nation-pair edge list (dimension cardinality, ≤ 25×25
+    rows); the recursion then iterates over that tiny broadcastable
+    relation, so the fixpoint never re-scans facts — the pattern that
+    keeps recursive queries viable at 100 TB. min(d) makes the result
+    iteration-order independent; all integers."""
+    for t in ("lineitem", "orders", "customer", "supplier", "nation"):
+        table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_rv")
+    edges_sql = (_TRADE_EDGES_SQL
+                 .replace("lineitem l", "lineitem_rv l")
+                 .replace("orders o", "orders_rv o")
+                 .replace("customer c", "customer_rv c")
+                 .replace("supplier s", "supplier_rv s"))
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW trade_edges_rv AS "
+              + edges_sql)
+    return spark.sql(_TRADE_BFS_SQL.format(edges="trade_edges_rv",
+                                           nation="nation_rv"))
+
+
+# --------------------------------------------------------------------------
+# bitmap segment membership
+# --------------------------------------------------------------------------
+
+@register(
+    "bitmap_user_segments",
+    oracle="""
+    SELECT event_type,
+           bit_or(CAST(1 AS BIGINT) << CAST(user_id % 60 AS INT)) AS seg_bits,
+           CAST(bit_count(bit_or(CAST(1 AS BIGINT)
+                                 << CAST(user_id % 60 AS INT))) AS INT)
+             AS n_segments
+    FROM events GROUP BY event_type
+    """,
+    tags=("events", "sketch"),
+)
+def bitmap_user_segments(spark, sf_dir):
+    """Bitmap segment membership: users bucket into 60 segments
+    (``user_id mod 60``) and each event type aggregates one 64-bit
+    membership bitmap — the fixed-width miniature of the roaring-bitmap
+    audience index OLAP engines use for segment intersection/union
+    without distinct-counting.
+
+    bit_or is associative+commutative+idempotent ⇒ partial aggregation
+    map-side, any merge order, bit-exact — the ideal distributed
+    aggregate. Segment intersections downstream are single AND ops on
+    the bigint. All integer; 60 (not 64) buckets keeps the sign bit
+    clear."""
+    e = table(spark, sf_dir, "events")
+    # F.shiftleft only takes a literal shift count; the per-row shift
+    # needs the SQL expression form
+    bit = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(pmod(user_id, 60) AS INT))")
+    return (e.groupBy("event_type")
+            .agg(F.bit_or(bit).alias("seg_bits"),
+                 F.bit_count(F.bit_or(bit)).cast("int").alias("n_segments")))

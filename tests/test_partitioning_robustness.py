@@ -24,9 +24,9 @@ import pytest
 from sparkstreamingproject_spark.queries import REGISTRY
 
 # the driver checks the first 50 registry entries; the deliberate r04
-# window is the first 48 (40 never-checked + 8 round-4 additions, see
-# queries/__init__.py) — pre-flight all of them
-WINDOW = list(REGISTRY)[:48]
+# window fills all 50 slots (40 never-checked + 10 round-4 additions,
+# see queries/__init__.py) — pre-flight every one
+WINDOW = list(REGISTRY)[:50]
 
 _PERTURB = {
     # many tiny scan partitions → different mapInPandas/agg boundaries
