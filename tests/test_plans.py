@@ -148,3 +148,26 @@ def test_observe_collects_pipeline_metrics(spark, sf_dir):
     assert m["rows_seen"] == li.count()
     assert kept < m["rows_seen"]
     assert m["qty_sum"] > 0
+
+
+def test_round4_query_plan_shapes(spark, sf_dir):
+    """Pin the plan shapes the round-4 docstrings promise: one shuffle
+    for sessionization (the user_id partitioning serves both windows
+    and both aggregations), broadcast medians for the MAD outlier
+    query, and a broadcast (never shuffled-cartesian) nested-loop for
+    the 10-row centroid cross join."""
+    import re
+
+    def executed(name):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    sess = executed("events_gap_sessionize")
+    assert len(re.findall(r"Exchange hashpartitioning", sess)) == 1, sess
+
+    mad = executed("events_outliers_mad")
+    assert mad.count("HashedRelationBroadcastMode") >= 2, mad
+
+    cls = executed("embedding_centroid_classify")
+    assert "IdentityBroadcastMode" in cls, cls       # broadcast side...
+    assert "CartesianProduct" not in cls, cls        # ...never shuffled
