@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    DoubleType, LongType, StringType, StructField, StructType,
+    ArrayType, DoubleType, LongType, StringType, StructField, StructType,
 )
 
 PROFILE_STATE_SCHEMA = StructType([
@@ -163,6 +163,106 @@ def funnel_stream(events: DataFrame,
                 _update_funnel,
                 outputStructType=FUNNEL_OUTPUT_SCHEMA,
                 stateStructType=FUNNEL_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            ))
+
+
+# --- windowFunnel as a streaming CEP state machine --------------------------
+
+WF_HORIZON_US = 86_400_000_000  # every step within 24h of the chain's view
+
+WF_STATE_SCHEMA = StructType([
+    StructField("best_level", LongType()),
+    StructField("views", ArrayType(LongType())),
+    StructField("clicks", ArrayType(LongType())),
+    StructField("purchases", ArrayType(LongType())),
+])
+
+WF_OUTPUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("funnel_level", LongType()),
+])
+
+
+def _chain_level(v: int, clicks: list[int], purchases: list[int]) -> int:
+    """Depth of the view→click→purchase chain anchored at view v:
+    t2 = first click in [v, v+W), t3 = first purchase in [t2, v+W) —
+    the batch window_funnel_levels semantics, verbatim."""
+    t2 = min((c for c in clicks if v <= c < v + WF_HORIZON_US),
+             default=None)
+    if t2 is None:
+        return 1
+    t3 = min((p for p in purchases if t2 <= p < v + WF_HORIZON_US),
+             default=None)
+    return 3 if t3 is not None else 2
+
+
+def _update_window_funnel(key, batches: Iterable[pd.DataFrame],
+                          state: GroupState) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.hasTimedOut:
+        state.remove()
+        return
+    best, views, clicks, purchases = (
+        state.get if state.exists else (0, [], [], []))
+    views, clicks, purchases = list(views), list(clicks), list(purchases)
+    max_us = 0
+    for pdf in batches:
+        us = pdf["ts"].astype("int64") // 1_000
+        if len(us):
+            max_us = max(max_us, int(us.max()))
+        t = pdf["event_type"]
+        views.extend(int(x) for x in us[t == "view"])
+        clicks.extend(int(x) for x in us[t == "click"])
+        purchases.extend(int(x) for x in us[t == "purchase"])
+    wm_us = state.getCurrentWatermarkMs() * 1_000
+    # chains whose horizon closed below the watermark are FINAL: fold
+    # their level into best_level and evict the view; events older than
+    # wm - W can only serve final chains — evict them too. State is
+    # therefore bounded by one horizon of per-key traffic, the standard
+    # CEP state bound, regardless of stream length.
+    still_open = []
+    for v in views:
+        lvl = _chain_level(v, clicks, purchases)
+        if v + WF_HORIZON_US <= wm_us:
+            best = max(best, lvl)
+        else:
+            still_open.append(v)
+            best = max(best, lvl)  # provisional level also counts NOW
+    views = still_open
+    clicks = [c for c in clicks if c > wm_us - WF_HORIZON_US]
+    purchases = [p for p in purchases if p > wm_us - WF_HORIZON_US]
+    state.update((best, views, clicks, purchases))
+    state.setTimeoutTimestamp(
+        max(max_us // 1_000 + WF_HORIZON_US // 1_000,
+            state.getCurrentWatermarkMs() + 1))
+    if best > 0:
+        yield pd.DataFrame({"user_id": [user_id], "funnel_level": [best]})
+
+
+def window_funnel_stream(events: DataFrame,
+                         watermark: str = "10 minutes") -> DataFrame:
+    """windowFunnel (queries/analytics4.py:window_funnel_levels) as a
+    streaming CEP state machine: per user, the deepest
+    view→click→purchase chain where every step lands within 24 h of
+    the chain's own anchoring view, emitted in update mode as the
+    level grows. Stream output ≡ the batch query on the same data
+    (asserted in tests/test_stateful.py across multi-file
+    micro-batches).
+
+    State per key is the horizon-bounded event buffer plus one long —
+    chains finalize (and their events evict) as the watermark passes
+    their horizon, so state never grows with stream length; the
+    emitted level is monotone, so the latest update per key IS the
+    answer. This is the reference's per-mid Redis state idiom
+    (``DwdOrderWideApp``-style joins keep state externally) replaced
+    by the engine's checkpointed state store."""
+    return (events.withWatermark("ts", watermark)
+            .groupBy("user_id").applyInPandasWithState(
+                _update_window_funnel,
+                outputStructType=WF_OUTPUT_SCHEMA,
+                stateStructType=WF_STATE_SCHEMA,
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.EventTimeTimeout,
             ))

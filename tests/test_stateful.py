@@ -144,3 +144,42 @@ def test_session_counts_stream(spark, tmp_path):
             .filter(F.col("g.n_events") != F.col("b.n_events")))
     assert diff.count() == 0
     assert got.count() >= 1
+
+
+def test_window_funnel_stream_matches_batch_query(spark, tmp_path, sf_dir):
+    """The streaming CEP windowFunnel equals the driver-checked batch
+    query window_funnel_levels on the REAL events table, processed
+    across many micro-batches (one file per trigger) so chains span
+    batch boundaries and state carries them."""
+    from sparkstreamingproject_spark.queries import REGISTRY
+    from sparkstreamingproject_spark.queries.base import table
+    from sparkstreamingproject_spark.streaming.stateful import (
+        window_funnel_stream,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value")
+    src = str(tmp_path / "wf_land")
+    # several files → several availableNow micro-batches
+    ev.repartition(6).write.parquet(src)
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    out = str(tmp_path / "wf_out")
+    ck = str(tmp_path / "wf_ck")
+    # watermark lag longer than the data span: nothing is late, no
+    # chain is dropped — the determinism the batch compare needs
+    q = (window_funnel_stream(stream, watermark="3650 days")
+         .writeStream.outputMode("update")
+         .foreachBatch(lambda b, i: b.write.mode("append").parquet(out))
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = (spark.read.parquet(out)
+           .groupBy("user_id")
+           .agg(F.max("funnel_level").alias("funnel_level")))
+    want = REGISTRY["window_funnel_levels"].fn(spark, sf_dir)
+    g = {r["user_id"]: r["funnel_level"] for r in got.collect()}
+    w = {r["user_id"]: r["funnel_level"] for r in want.collect()}
+    assert g == w and len(w) > 0
