@@ -92,3 +92,20 @@ def test_round3_ops_on_empty(spark):
                     right_cols=["rid"], direction="forward")
     rows = out.collect()
     assert len(rows) == 1 and rows[0]["rid"] is None
+
+
+def test_round4_covariance_and_centroids_on_empty(spark):
+    from sparkstreamingproject_spark.llm.features import covariance_matrix
+    e = _empty_emb(spark)
+    assert covariance_matrix(e).count() == 0
+
+
+def test_bloom_on_empty_build_side(spark):
+    from sparkstreamingproject_spark.operators.bloom import (
+        bloom_prune, build_bloom)
+    d = _empty_docs(spark)
+    bits = build_bloom(d, "doc_id", m_bits=256, k=3)
+    assert isinstance(bits, bytes) and len(bits) == 32
+    assert set(bits) == {0}  # zero bitset prunes everything
+    probe = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    assert bloom_prune(probe, "doc_id", bits, 256, 3).count() == 0
