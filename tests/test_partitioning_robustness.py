@@ -25,8 +25,13 @@ from sparkstreamingproject_spark.queries import REGISTRY
 
 # the driver checks the first 50 registry entries; the deliberate r04
 # window fills all 50 slots (40 never-checked + 10 round-4 additions,
-# see queries/__init__.py) — pre-flight every one
-WINDOW = list(REGISTRY)[:50]
+# see queries/__init__.py) — pre-flight every one, plus the round-5
+# window candidates registered after the cap (analytics6)
+WINDOW = list(REGISTRY)[:50] + [
+    "orders_yoy_revenue_growth", "part_price_histogram",
+    "text_keyword_in_context", "graph_common_neighbors",
+    "events_intergap_buckets", "nation_yearly_rank_change",
+]
 
 _PERTURB = {
     # many tiny scan partitions → different mapInPandas/agg boundaries
