@@ -68,7 +68,6 @@ def doc_quality_rules_gate(spark, sf_dir):
     groupBy — the same shape at 100 TB; the rules fuse into the scan
     projection (whole-stage codegen, no UDF)."""
     d = table(spark, sf_dir, "documents")
-    pad = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
     stop = sum(F.when(F.expr(f"contains(' ' || text || ' ', ' {w} ')"), 1)
                .otherwise(0) for w in ("the", "and", "of", "to"))
     f = d.select(
