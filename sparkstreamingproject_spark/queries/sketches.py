@@ -564,3 +564,93 @@ def sketch_hll_time_merge(spark, sf_dir):
                                * F.lit(8589934592)), 2)
                     .cast("double").alias("hll_est"),
                     F.col("v").alias("buckets_used"), "n_exact"))
+
+
+# ------------------------------------------------------- count-min sketch
+
+_CMS_W = 1024   # buckets per hash row
+_CMS_D = 4      # independent hash rows
+
+_CMS_PROBES = ("data", "key", "the", "spark", "row", "zzz_never_seen")
+
+
+def _cms_probe_values_sql() -> str:
+    return ", ".join(f"('{w}')" for w in _CMS_PROBES)
+
+
+@register(
+    "sketch_countmin_words",
+    oracle=f"""
+    WITH w AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+    rows_ AS (SELECT unnest(range(0, {_CMS_D})) AS d),
+    cnt AS (
+      SELECT r.d,
+             CAST(('0x' || substr(md5(CAST(r.d AS VARCHAR) || ':' || w.word),
+                                  1, 15)) AS BIGINT) % {_CMS_W} AS bucket,
+             count(*) AS c
+      FROM w, rows_ r GROUP BY 1, 2),
+    probe AS (SELECT word FROM (VALUES {_cms_probe_values_sql()}) v(word)),
+    pb AS (
+      SELECT p.word, r.d,
+             CAST(('0x' || substr(md5(CAST(r.d AS VARCHAR) || ':' || p.word),
+                                  1, 15)) AS BIGINT) % {_CMS_W} AS bucket
+      FROM probe p, rows_ r),
+    est AS (
+      SELECT pb.word, min(coalesce(cnt.c, 0)) AS cms_est
+      FROM pb LEFT JOIN cnt ON cnt.d = pb.d AND cnt.bucket = pb.bucket
+      GROUP BY pb.word),
+    tru AS (SELECT word, count(*) AS true_n FROM w GROUP BY word)
+    SELECT est.word, est.cms_est,
+           coalesce(tru.true_n, 0) AS true_n,
+           est.cms_est - coalesce(tru.true_n, 0) AS overestimate
+    FROM est LEFT JOIN tru ON tru.word = est.word
+    """,
+    tags=("sketch", "llm", "text"),
+)
+def sketch_countmin_words(spark, sf_dir):
+    """Count-min sketch over corpus words, probed for a fixed word set
+    — the fixed-memory frequency estimator behind heavy-hitter
+    detection on unbounded streams (d=4 hash rows × w=1024 integer
+    counters ≈ 16 KB regardless of vocabulary; estimates only ever
+    OVERcount, so `overestimate` is provably ≥ 0 — the query exposes it
+    for audit).
+
+    Scale shape: the sketch build is one explode (4 rows/word) into a
+    (d × w)-bounded partial-agg groupBy — counters merge by addition,
+    so map-side combine does almost all the work and the final state is
+    dimension-bounded. Probing joins the 24-row probe relation against
+    the counter table. Hashes are the repo's cross-engine md5 idiom
+    (sketches.py header) — bit-identical buckets in Spark and DuckDB;
+    every output column is an exact integer."""
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("word"))
+
+    def bucket(word_col, d):
+        return (F.conv(F.substring(
+            F.md5(F.concat(F.lit(str(d)), F.lit(":"), word_col)), 1, 15),
+            16, 10).cast("long") % _CMS_W)
+
+    rows = words.select(F.explode(F.array(*[
+        F.struct(F.lit(d).alias("d"),
+                 bucket(F.col("word"), d).alias("bucket"))
+        for d in range(_CMS_D)])).alias("rb"))
+    cnt = (rows.select("rb.d", "rb.bucket")
+           .groupBy("d", "bucket").agg(F.count("*").alias("c")))
+    probe = spark.createDataFrame([(w,) for w in _CMS_PROBES],
+                                  "word string")
+    pb = probe.select("word", F.explode(F.array(*[
+        F.struct(F.lit(d).alias("d"),
+                 bucket(F.col("word"), d).alias("bucket"))
+        for d in range(_CMS_D)])).alias("rb")).select("word", "rb.d",
+                                                      "rb.bucket")
+    est = (pb.join(F.broadcast(cnt), ["d", "bucket"], "left")
+           .groupBy("word")
+           .agg(F.min(F.coalesce("c", F.lit(0))).alias("cms_est")))
+    tru = (words.filter(F.col("word").isin(*_CMS_PROBES))
+           .groupBy("word").agg(F.count("*").alias("true_n")))
+    return (est.join(F.broadcast(tru), "word", "left")
+            .select("word", "cms_est",
+                    F.coalesce("true_n", F.lit(0)).alias("true_n"),
+                    (F.col("cms_est") - F.coalesce("true_n", F.lit(0)))
+                    .alias("overestimate")))

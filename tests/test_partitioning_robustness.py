@@ -31,6 +31,7 @@ WINDOW = list(REGISTRY)[:50] + [
     "orders_yoy_revenue_growth", "part_price_histogram",
     "text_keyword_in_context", "graph_common_neighbors",
     "events_intergap_buckets", "nation_yearly_rank_change",
+    "sketch_countmin_words",
 ]
 
 _PERTURB = {
