@@ -44,3 +44,30 @@ def stream_stream_join(left: DataFrame, right: DataFrame,
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within}"))
     )
     return lw.join(rw, cond, "inner")
+
+
+def stream_stream_left_join(left: DataFrame, right: DataFrame,
+                            left_ts: str = "ts", right_ts: str = "ts",
+                            key: str = "user_id",
+                            left_watermark: str = "1 hour",
+                            right_watermark: str = "1 hour",
+                            within: str = "30 minutes") -> DataFrame:
+    """LEFT OUTER stream-stream join on a key within a time range.
+
+    Matched pairs emit as they meet; an UNMATCHED left row emits with
+    a null right side only once the watermark proves no match can
+    still arrive (left.ts + within < right watermark) — so null rows
+    are watermark-delayed by construction, and the join cannot emit a
+    false null early. Same state bound as the inner form: each side
+    buffers ≈ input-rate × watermark horizon; the time-range predicate
+    is what lets the engine evict, and is mandatory for outer joins
+    (Spark rejects an outer stream-stream join without one).
+    """
+    lw = left.withWatermark(left_ts, left_watermark).alias("l")
+    rw = right.withWatermark(right_ts, right_watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within}"))
+    )
+    return lw.join(rw, cond, "leftOuter")

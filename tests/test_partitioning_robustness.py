@@ -32,6 +32,9 @@ WINDOW = list(REGISTRY)[:50] + [
     "text_keyword_in_context", "graph_common_neighbors",
     "events_intergap_buckets", "nation_yearly_rank_change",
     "sketch_countmin_words",
+    "ts_ewma_priority_revenue", "ts_cusum_nation_drift",
+    "corpus_boilerplate_shingles", "sketch_kmv_jaccard",
+    "stat_theil_sen_trend", "fact_key_skew_profile",
 ]
 
 _PERTURB = {

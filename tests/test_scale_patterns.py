@@ -10,7 +10,7 @@ from sparkstreamingproject_spark.operators.relational import salted_join
 from sparkstreamingproject_spark.plans.inspect import explain_str
 from sparkstreamingproject_spark.sources.streams import file_stream
 from sparkstreamingproject_spark.streaming.joins import (
-    stream_static_enrich, stream_stream_join,
+    stream_static_enrich, stream_stream_join, stream_stream_left_join,
 )
 
 
@@ -56,6 +56,52 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
                        & (cb.cts <= vb.ts + F.expr("INTERVAL 5 MINUTES"))).count()
     assert got == expected
     assert got > 0
+
+
+def test_stream_stream_left_join_emits_nulls_after_watermark(spark, tmp_path):
+    """LEFT OUTER stream-stream join: matched pairs emit normally;
+    unmatched left rows emit with a NULL right side only once the
+    watermark proves no match can still arrive. The global watermark
+    is the MIN across all watermarked inputs, so BOTH sides get a
+    late flush row (plus one extra right-side batch — eviction output
+    is produced in the batch after the watermark advances)."""
+    T = 1_700_000_000_000_000
+    H3 = 10_800_000_000  # 3 hours in µs
+    mk = lambda rows: (spark.createDataFrame(
+        rows, "event_id long, ts_us long, user_id long")
+        .select("event_id", F.timestamp_micros("ts_us").alias("ts"),
+                "user_id"))
+    vsrc, csrc = str(tmp_path / "vo"), str(tmp_path / "co")
+    mk([(i, T + i * 1_000_000, i) for i in range(5)]
+       ).coalesce(1).write.parquet(vsrc)
+    mk([(998, T + H3, 98)]).coalesce(1).write.mode("append").parquet(vsrc)
+    mk([(100, T + 120_000_000, 0), (101, T + 120_000_000, 1)]
+       ).coalesce(1).write.mode("append").parquet(csrc)
+    mk([(999, T + H3, 99)]).coalesce(1).write.mode("append").parquet(csrc)
+    mk([(997, T + H3 + 60_000_000, 99)]
+       ).coalesce(1).write.mode("append").parquet(csrc)
+
+    schema = spark.read.parquet(vsrc).schema
+    vs = file_stream(spark, vsrc, schema, max_files_per_trigger=1).select(
+        F.col("event_id").alias("view_id"), "ts", "user_id")
+    cs = file_stream(spark, csrc, schema, max_files_per_trigger=1).select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("cts"),
+        "user_id")
+    joined = stream_stream_left_join(
+        vs, cs, "ts", "cts", key="user_id",
+        left_watermark="10 minutes", right_watermark="10 minutes",
+        within="5 minutes")
+    out, ck = str(tmp_path / "outo"), str(tmp_path / "cko")
+    q = (joined.select("view_id", "click_id")
+         .writeStream.format("parquet").outputMode("append")
+         .option("path", out).option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = sorted((r.view_id, r.click_id)
+                 for r in spark.read.parquet(out).collect()
+                 if r.view_id != 998)  # flush row may still be buffered
+    assert got == [(0, 100), (1, 101), (2, None), (3, None), (4, None)]
 
 
 def test_stream_static_enrich(spark, tmp_path, sf_dir):
