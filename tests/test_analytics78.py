@@ -1,0 +1,125 @@
+"""Behavior tests for the round-4 continuation operators
+(analytics7/analytics8) — semantic properties the oracle-parity hash
+can't express on its own."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from sparkstreamingproject_spark.queries import REGISTRY
+
+
+def test_cusum_matches_bruteforce_recurrence(spark, sf_dir):
+    """The telescoped window form (prefix-sum − running-min) must equal
+    the literal S_t = max(0, S_{t-1} + (x_t − mean)) recurrence."""
+    rows = REGISTRY["ts_cusum_nation_drift"].fn(spark, sf_dir).collect()
+    by_nation: dict = {}
+    for r in rows:
+        by_nation.setdefault(r.n_name, []).append(r)
+    total = sum(r.x for r in rows)
+    mean = total / len(rows)
+    for nation, rs in by_nation.items():
+        rs.sort(key=lambda r: r.day)
+        s = 0.0
+        for r in rs:
+            s = max(0.0, s + (r.x - mean))
+            assert math.isclose(r.cusum, round(s, 4), abs_tol=2e-4), (
+                f"{nation} {r.day}: window {r.cusum} vs recurrence {s}")
+
+
+def test_ewma_matches_numpy_kernel(spark, sf_dir):
+    """Truncated-EWMA output equals the renormalized weighted sum
+    computed independently in Python over the same daily series."""
+    from sparkstreamingproject_spark.queries.analytics7 import (
+        _EWMA_ALPHA, _EWMA_K,
+    )
+    out = REGISTRY["ts_ewma_priority_revenue"].fn(spark, sf_dir).collect()
+    series: dict = {}
+    for r in out:
+        series.setdefault(r.o_orderpriority, []).append(r)
+    for prio, rs in series.items():
+        rs.sort(key=lambda r: r.day)
+        cents = [int(round(r.revenue * 100)) for r in rs]
+        for t, r in enumerate(rs):
+            num = den = 0.0
+            for i in range(min(_EWMA_K, t + 1)):
+                w = (1.0 - _EWMA_ALPHA) ** i
+                num += w * cents[t - i]
+                den += w
+            assert math.isclose(r.ewma, round(num / den / 100.0, 4),
+                                abs_tol=2e-4), f"{prio} {r.day}"
+
+
+def test_fuzzy_blocked_join_is_complete(spark, sf_dir):
+    """Multi-pass blocking (first-char ∪ last-char, ±1 length band)
+    must recover EVERY single-deletion probe at distance ≤ 1, and the
+    canonical match must be a real dictionary name."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    n_parts = part.count()
+    names = {r.p_name for r in part.select("p_name").distinct().collect()}
+    out = REGISTRY["join_fuzzy_blocked"].fn(spark, sf_dir).collect()
+    # every probe is a one-char deletion of an existing name -> every
+    # probe must find at least one verified match
+    assert len(out) == n_parts
+    for r in out:
+        assert r.dist <= 1
+        assert r.matched_name in names
+        assert r.n_candidates >= 1
+
+
+def test_incremental_merge_equals_full_recompute(spark, sf_dir):
+    """state ⊕ delta must reproduce the direct full-history rollup —
+    the invariant that makes incremental maintenance trustworthy."""
+    merged = {r.day: (r.n_orders, r.revenue)
+              for r in REGISTRY["agg_incremental_merge"]
+              .fn(spark, sf_dir).collect()}
+    direct = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .groupBy(F.to_date("o_orderdate").alias("day"))
+              .agg(F.count("*").alias("n"),
+                   F.round(F.sum(F.expr(
+                       "CAST(round(o_totalprice * 100) AS BIGINT)"))
+                       / 100.0, 2).alias("rev")).collect())
+    assert merged == {r.day: (r.n, r.rev) for r in direct}
+
+
+def test_dq_report_known_violations(spark, sf_dir):
+    """On the synthetic TPC-H data every expectation passes except
+    ship-date ordering is allowed to have violations only if the data
+    actually contains them (report must agree with direct counts)."""
+    rep = {r.expectation: r
+           for r in REGISTRY["dq_expectations_report"]
+           .fn(spark, sf_dir).collect()}
+    assert len(rep) == 6
+    for name, r in rep.items():
+        assert r.n_checked > 0
+        assert (r.passed == 1) == (r.n_violations == 0)
+    # structural expectations hold on the generated data
+    assert rep["orders.o_orderkey unique"].passed == 1
+    assert rep["lineitem.l_orderkey fk orders"].passed == 1
+    assert rep["customer.c_name not null"].passed == 1
+
+
+def test_seasonal_decompose_identity(spark, sf_dir):
+    """trend + seasonal + residual must reconstruct the observation
+    (up to the 4dp rounding of each component)."""
+    out = REGISTRY["ts_seasonal_decompose"].fn(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert abs(r.x - (r.trend + r.seasonal + r.residual)) < 3e-4
+
+
+def test_winsorized_stats_bounds(spark, sf_dir):
+    """Winsorized mean sits inside the raw value range and the std is
+    no larger than the raw std (clipping cannot widen spread)."""
+    raw = (spark.read.parquet(f"{sf_dir}/events.parquet")
+           .filter(F.col("value").isNotNull())
+           .groupBy("event_type")
+           .agg(F.min("value").alias("lo"), F.max("value").alias("hi"),
+                F.stddev("value").alias("sd")).collect())
+    bounds = {r.event_type: r for r in raw}
+    for r in REGISTRY["agg_winsorized_stats"].fn(spark, sf_dir).collect():
+        b = bounds[r.event_type]
+        assert b.lo - 0.01 <= r.wins_mean <= b.hi + 0.01
+        assert r.wins_std <= b.sd + 1e-6

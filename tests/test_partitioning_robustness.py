@@ -35,6 +35,9 @@ WINDOW = list(REGISTRY)[:50] + [
     "ts_ewma_priority_revenue", "ts_cusum_nation_drift",
     "corpus_boilerplate_shingles", "sketch_kmv_jaccard",
     "stat_theil_sen_trend", "fact_key_skew_profile",
+    "dq_expectations_report", "agg_incremental_merge",
+    "ts_seasonal_decompose", "agg_winsorized_stats",
+    "join_fuzzy_blocked",
 ]
 
 _PERTURB = {
