@@ -27,6 +27,8 @@ from . import analytics5  # noqa: E402,F401
 from . import analytics6  # noqa: E402,F401
 from . import analytics7  # noqa: E402,F401
 from . import analytics8  # noqa: E402,F401
+from . import llm4  # noqa: E402,F401
+from . import analytics9  # noqa: E402,F401
 
 # --- driver-window ordering --------------------------------------------------
 # The verify driver checks the FIRST 50 registry entries per round

@@ -424,3 +424,76 @@ def join_fuzzy_blocked(spark, sf_dir):
             .agg(F.min("p_name").alias("matched_name"),
                  F.min("dist").cast("int").alias("dist"),
                  F.count("*").alias("n_candidates")))
+
+
+# ------------------------------------------------ decile gains/lift
+
+@register(
+    "orders_decile_lift",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey),
+    dec AS (
+      SELECT cents,
+             ntile(10) OVER (ORDER BY cents DESC, o_custkey) AS decile
+      FROM spend),
+    agg AS (
+      SELECT decile, count(*) AS n_customers,
+             CAST(sum(cents) AS BIGINT) AS cents
+      FROM dec GROUP BY decile),
+    cum AS (
+      SELECT decile, n_customers, cents,
+             CAST(sum(cents) OVER (ORDER BY decile) AS BIGINT) AS cum,
+             CAST(sum(cents) OVER () AS BIGINT) AS tot,
+             CAST(sum(n_customers) OVER (ORDER BY decile) AS BIGINT)
+               AS cum_n,
+             CAST(sum(n_customers) OVER () AS BIGINT) AS tot_n
+      FROM agg)
+    SELECT decile, CAST(n_customers AS BIGINT) AS n_customers,
+           round(cents / 100.0, 2) AS revenue,
+           round(cum * 1.0 / tot, 6) AS cum_share,
+           round(cum * 1.0 / tot * tot_n / cum_n, 6) AS lift
+    FROM cum
+    """,
+    tags=("analytics", "window"),
+)
+def orders_decile_lift(spark, sf_dir):
+    """Decile gains/lift table over customer spend — the model-
+    evaluation staple ("the top decile captures X% of revenue, a
+    Y× lift over random") applied to the customer dimension.
+
+    Spend per customer accumulates as exact integer cents; ntile
+    runs over the customer aggregate with a total-order tiebreak
+    (spend DESC, custkey) so decile boundaries are deterministic;
+    cumulative sums stay integer; share and lift are terminal
+    divisions. The unpartitioned windows touch only the 10-row
+    decile aggregate and the customer-dimension relation — never
+    the order stream."""
+    spend = (table(spark, sf_dir, "orders")
+             .groupBy("o_custkey")
+             .agg(F.sum(F.expr(
+                 "CAST(round(o_totalprice * 100) AS BIGINT)"))
+                 .alias("cents")))
+    wd = Window.orderBy(F.desc("cents"), "o_custkey")
+    dec = spend.select("cents", F.ntile(10).over(wd).alias("decile"))
+    agg = (dec.groupBy("decile")
+           .agg(F.count("*").alias("n_customers"),
+                F.sum("cents").alias("cents")))
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    wa = Window.partitionBy()
+    cum = agg.select(
+        "decile", "n_customers", "cents",
+        F.sum("cents").over(wc).alias("cum"),
+        F.sum("cents").over(wa).alias("tot"),
+        F.sum("n_customers").over(wc).alias("cum_n"),
+        F.sum("n_customers").over(wa).alias("tot_n"))
+    return cum.select(
+        "decile", F.col("n_customers").cast("long"),
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        F.round(F.col("cum") * 1.0 / F.col("tot"), 6).alias("cum_share"),
+        F.round(F.col("cum") * 1.0 / F.col("tot") * F.col("tot_n")
+                / F.col("cum_n"), 6).alias("lift"))

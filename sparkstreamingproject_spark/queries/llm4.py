@@ -1,0 +1,271 @@
+"""Round-4 continuation, wave 3 (round-5 driver-window candidates):
+BPE merge learning and the Poisson bootstrap — two training-pipeline
+primitives built on the registry's exact-algebra discipline.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from .base import register, table
+
+# ------------------------------------------------ BPE merge learning
+
+_BPE_ITERS = 3
+
+
+def _bpe_oracle() -> str:
+    """Unrolled K-iteration BPE oracle (same technique as the k-means
+    and PageRank oracles — the loop runs at SQL-generation time)."""
+    parts = ["""
+    WITH words AS (
+      SELECT w, count(*) AS freq FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY w),
+    seg0 AS (
+      SELECT w, freq,
+             '·' || array_to_string(
+               list_transform(range(1, length(w) + 1), i -> w[i]),
+               '·') || '·' AS s
+      FROM words)"""]
+    for k in range(1, _BPE_ITERS + 1):
+        parts.append(f""",
+    pairs{k} AS (
+      SELECT syms[i] AS l, syms[i + 1] AS r,
+             CAST(sum(freq) AS BIGINT) AS cnt
+      FROM (SELECT freq, string_split(trim(s, '·'), '·')
+                     AS syms
+            FROM seg{k - 1}) t,
+           unnest(range(1, len(t.syms))) AS g(i)
+      GROUP BY 1, 2),
+    top{k} AS (SELECT l, r, cnt FROM pairs{k}
+               ORDER BY cnt DESC, l, r LIMIT 1),
+    seg{k} AS (
+      SELECT w, freq,
+             replace(s, '·' || t.l || '·' || t.r || '·',
+                     '·' || t.l || t.r || '·') AS s
+      FROM seg{k - 1}, top{k} t)""")
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS iteration, l, r, cnt FROM top{k}"
+        for k in range(1, _BPE_ITERS + 1))
+    parts.append(f"\n    {finals}")
+    return "".join(parts)
+
+
+@register(
+    "bpe_learn_merges",
+    oracle=_bpe_oracle(),
+    tags=("llm", "text", "iterative"),
+)
+def bpe_learn_merges(spark, sf_dir):
+    """Byte-pair-encoding merge learning — the first K=3 merge rules
+    of a BPE tokenizer trained on the corpus: count adjacent symbol
+    pairs weighted by word frequency, merge the most frequent pair
+    everywhere, repeat. THE vocabulary-construction algorithm behind
+    GPT/Llama-style tokenizers.
+
+    Shape at scale: real BPE trainers never iterate over the corpus —
+    they iterate over the WORD-FREQUENCY table (bounded by vocabulary,
+    not corpus bytes), which is exactly this plan: one corpus scan
+    builds (word, freq), then each merge round is a pair-explode +
+    hash-agg over the vocab-sized relation with the single winning
+    pair broadcast back. K driver rounds, no growing lineage risk at
+    K=3.
+
+    Determinism: pair counts are integer sums; the winner takes a
+    total-order tiebreak (cnt DESC, l, r); merge application is
+    literal `replace` — both engines replace non-overlapping matches
+    left-to-right in one pass (verified: '·a·a·a·' → '·aa·a·' in
+    both), so the shared-boundary variant is identically defined.
+    Symbols are '·'-delimited, a character absent from the corpus."""
+    docs = table(spark, sf_dir, "documents")
+    words = (docs.select(F.explode(F.split("text", " ")).alias("w"))
+             .filter(F.col("w") != "")
+             .groupBy("w").agg(F.count("*").alias("freq")))
+    seg = words.select(
+        "w", "freq",
+        F.expr("'·' || concat_ws('·', transform(sequence(1, "
+               "length(w)), i -> substr(w, i, 1))) || '·'")
+        .alias("s"))
+    merges = None
+    for it in range(1, _BPE_ITERS + 1):
+        tmp = seg.withColumn(
+            "syms", F.expr("slice(split(s, '·'), 2, "
+                           "greatest(size(split(s, '·')) - 2, 0))"))
+        pr = (tmp.filter(F.expr("size(syms) >= 2"))
+              .select("freq", F.explode(F.expr(
+                  "transform(sequence(1, size(syms) - 1), i -> "
+                  "struct(element_at(syms, i) AS l, "
+                  "element_at(syms, i + 1) AS r))")).alias("p"))
+              .groupBy("p.l", "p.r").agg(F.sum("freq").alias("cnt")))
+        top = (pr.orderBy(F.desc("cnt"), "l", "r").limit(1)
+               .select(F.lit(it).cast("int").alias("iteration"),
+                       "l", "r", F.col("cnt").cast("long").alias("cnt")))
+        merges = top if merges is None else merges.unionAll(top)
+        seg = (seg.crossJoin(F.broadcast(
+            top.select(F.col("l").alias("ml"), F.col("r").alias("mr"))))
+            .withColumn("s", F.expr(
+                "replace(s, '·' || ml || '·' || mr || '·',"
+                " '·' || ml || mr || '·')"))
+            .drop("ml", "mr"))
+    return merges
+
+
+# ------------------------------------------------ Poisson bootstrap
+
+_BOOT_B = 32
+_HEX15_INT = 16 ** 15
+# Poisson(1) inverse-CDF thresholds scaled to the 60-bit hash space —
+# exact integer literals, identical in both engines
+_POIS_CUM = []
+_acc = 0.0
+for _k in range(5):
+    _acc += math.exp(-1.0) / math.factorial(_k)
+    _POIS_CUM.append(int(_acc * _HEX15_INT))
+
+_W_CASE = ("CASE " + " ".join(
+    f"WHEN h < {c} THEN {i}" for i, c in enumerate(_POIS_CUM))
+    + " ELSE 5 END")
+
+
+@register(
+    "sample_poisson_bootstrap",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    rep AS (
+      SELECT b.i AS b, base.cents,
+             CAST(('0x' || substr(md5(CAST(base.o_orderkey AS VARCHAR)
+                                       || '_' || CAST(b.i AS VARCHAR)),
+                                  1, 15)) AS BIGINT) AS h
+      FROM base, unnest(range(0, {_BOOT_B})) AS b(i)),
+    w AS (SELECT b, cents, {_W_CASE} AS wt FROM rep),
+    means AS (
+      SELECT b,
+             CAST(sum(wt * cents) AS BIGINT) * 1.0
+               / CAST(sum(wt) AS BIGINT) / 100.0 AS m
+      FROM w GROUP BY b),
+    ranked AS (
+      SELECT m, row_number() OVER (ORDER BY m, b) AS rn FROM means),
+    pt AS (
+      SELECT count(*) AS n,
+             CAST(sum(cents) AS BIGINT) AS total FROM base)
+    SELECT pt.n AS n_rows,
+           round(pt.total * 1.0 / pt.n / 100.0, 4) AS mean,
+           round((SELECT m FROM ranked WHERE rn = 2), 4) AS ci_lo,
+           round((SELECT m FROM ranked WHERE rn = {_BOOT_B - 1}), 4)
+             AS ci_hi
+    FROM pt
+    """,
+    tags=("stats", "sampling", "scale"),
+)
+def sample_poisson_bootstrap(spark, sf_dir):
+    """Poisson bootstrap confidence interval for mean order value —
+    THE distributed bootstrap: instead of resampling n rows with
+    replacement (which needs global coordination), each row
+    independently receives a Poisson(1) replication weight per
+    replicate, which converges to the multinomial bootstrap and
+    needs only a map-side weight draw.
+
+    B=32 replicates explode map-side and collapse IMMEDIATELY into
+    per-replicate partial sums (32 keys — the combiner reduces the
+    shuffle to 32×partitions rows, so the ×B blowup never hits the
+    exchange). Weights come from an exact integer md5 draw against
+    precomputed Poisson(1) CDF thresholds — no RNG, reproducible
+    across engines and runs. Replicate means are single divisions of
+    exact integer sums; the 90% CI takes order statistics 2 and 31
+    with a (m, b) total-order tiebreak."""
+    base = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"))
+    rep = (base.select(
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+        F.col("o_orderkey"))
+        .withColumn("h", F.conv(F.substring(F.md5(
+            F.concat_ws("_", F.col("o_orderkey"), F.col("b"))), 1, 15),
+            16, 10).cast("long")))
+    w = rep.select("b", "cents", F.expr(_W_CASE).alias("wt"))
+    means = (w.groupBy("b")
+             .agg((F.sum(F.col("wt") * F.col("cents")) * 1.0
+                   / F.sum("wt") / 100.0).alias("m")))
+    from pyspark.sql import Window
+    ranked = means.select(
+        "m", F.row_number().over(Window.orderBy("m", "b")).alias("rn"))
+    lo = ranked.filter(F.col("rn") == 2).select(
+        F.round("m", 4).alias("ci_lo"))
+    hi = ranked.filter(F.col("rn") == _BOOT_B - 1).select(
+        F.round("m", 4).alias("ci_hi"))
+    pt = base.agg(F.count("*").alias("n_rows"),
+                  F.sum("cents").alias("total"))
+    return (pt.crossJoin(F.broadcast(lo)).crossJoin(F.broadcast(hi))
+            .select(F.col("n_rows").cast("long"),
+                    F.round(F.col("total") * 1.0 / F.col("n_rows")
+                            / 100.0, 4).alias("mean"),
+                    "ci_lo", "ci_hi"))
+
+
+# ------------------------------------------- multimodal frame dedup
+
+_FD_BYTES = 40  # llm/multimodal.py:FRAME_BYTES
+
+
+@register(
+    "multimodal_frame_dedup",
+    oracle=f"""
+    WITH media AS (
+      SELECT doc_id, text, length(text) AS byte_len FROM documents),
+    fr AS (
+      SELECT doc_id,
+             md5(substr(text, CAST(i * {_FD_BYTES} + 1 AS INT),
+                        {_FD_BYTES})) AS fh
+      FROM media,
+           unnest(range(0, byte_len // {_FD_BYTES})) AS g(i)),
+    d AS (SELECT DISTINCT doc_id, fh FROM fr),
+    df AS (SELECT fh, count(*) AS ndocs FROM d GROUP BY fh)
+    SELECT d.doc_id,
+           count(*) AS n_frames,
+           CAST(sum(CASE WHEN df.ndocs >= 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup,
+           round(sum(CASE WHEN df.ndocs >= 2 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS dup_frac
+    FROM d JOIN df ON d.fh = df.fh
+    GROUP BY d.doc_id
+    """,
+    tags=("llm", "multimodal", "dedup"),
+)
+def multimodal_frame_dedup(spark, sf_dir):
+    """Cross-media frame deduplication: fixed-size frames hashed from
+    each binary payload, flagged when the same frame bytes appear in
+    ≥ 2 media objects — the video/image dedup primitive (intro
+    sequences, watermarked stock footage) at the payload level, the
+    binary sibling of `corpus_boilerplate_shingles`.
+
+    The Spark side runs on the REAL multimodal plumbing: payloads are
+    opaque binary (`attach_payload`), frames are binary slices, and
+    md5 hashes the bytes — on 100 TB of video only the 16-byte hashes
+    ever reach a shuffle (posting-list discipline, never media×media).
+    The oracle hashes the same windows through the text form — byte ≡
+    char for the ASCII testdata, which is exactly what the stand-in
+    payload guarantees (multimodal.py:attach_payload)."""
+    from ..llm.multimodal import attach_payload
+    media = attach_payload(table(spark, sf_dir, "documents"))
+    nf = (F.col("byte_len") / _FD_BYTES).cast("long")
+    fr = (media.filter(nf >= 1)
+          .select("doc_id", "payload",
+                  F.explode(F.sequence(F.lit(0), nf - 1)).alias("i"))
+          .select("doc_id", F.md5(F.expr(
+              f"substr(payload, i * {_FD_BYTES} + 1, {_FD_BYTES})"))
+              .alias("fh")))
+    d = fr.distinct()
+    df_ = d.groupBy("fh").agg(F.count("*").alias("ndocs"))
+    dup = F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0))
+    return (d.join(df_, "fh")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_frames"),
+                 dup.alias("n_dup"),
+                 F.round(dup * 1.0 / F.count("*"), 6).alias("dup_frac")))

@@ -110,6 +110,47 @@ def test_seasonal_decompose_identity(spark, sf_dir):
         assert abs(r.x - (r.trend + r.seasonal + r.residual)) < 3e-4
 
 
+def test_bpe_first_merge_matches_bruteforce(spark, sf_dir):
+    """Iteration-1 winner must be the true most-frequent adjacent
+    character pair (freq-weighted), counted independently in Python."""
+    from collections import Counter
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    wc: Counter = Counter()
+    for d in docs:
+        for w in d.text.split(" "):
+            if w:
+                wc[w] += 1
+    pc: Counter = Counter()
+    for w, f in wc.items():
+        for a, b in zip(w, w[1:]):
+            pc[(a, b)] += f
+    best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+    out = {r.iteration: r
+           for r in REGISTRY["bpe_learn_merges"].fn(spark, sf_dir)
+           .collect()}
+    assert len(out) == 3
+    assert (out[1].l, out[1].r) == best[0]
+    assert out[1].cnt == best[1]
+    # later merges build on earlier symbols: each side is a single
+    # character or a previously learned merge
+    learned: set = set()
+    for it in (1, 2, 3):
+        r = out[it]
+        assert all(len(part) == 1 or part in learned
+                   for part in (r.l, r.r))
+        learned.add(r.l + r.r)
+
+
+def test_poisson_bootstrap_ci_brackets_mean(spark, sf_dir):
+    """The 90% bootstrap CI must be a proper interval around the point
+    estimate for a well-behaved mean."""
+    r = REGISTRY["sample_poisson_bootstrap"].fn(spark, sf_dir).collect()[0]
+    assert r.ci_lo < r.ci_hi
+    assert r.ci_lo <= r.mean <= r.ci_hi
+    # CI width is O(sd/sqrt(n)) — sanity: within 10% of the mean
+    assert (r.ci_hi - r.ci_lo) < 0.1 * r.mean
+
+
 def test_winsorized_stats_bounds(spark, sf_dir):
     """Winsorized mean sits inside the raw value range and the std is
     no larger than the raw std (clipping cannot widen spread)."""

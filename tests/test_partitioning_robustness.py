@@ -37,7 +37,10 @@ WINDOW = list(REGISTRY)[:50] + [
     "stat_theil_sen_trend", "fact_key_skew_profile",
     "dq_expectations_report", "agg_incremental_merge",
     "ts_seasonal_decompose", "agg_winsorized_stats",
-    "join_fuzzy_blocked",
+    "join_fuzzy_blocked", "bpe_learn_merges", "sample_poisson_bootstrap",
+    "multimodal_frame_dedup", "orders_decile_lift",
+    "events_attribution_last_touch", "basket_association_rules",
+    "text_next_word_suggest",
 ]
 
 _PERTURB = {

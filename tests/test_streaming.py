@@ -443,3 +443,39 @@ def test_anomaly_stream_matches_batch(spark, tmp_path):
     assert all(k[1] == 7 for k in spikes)
     # append mode withholds up to 2 watermark-open trailing days per key
     assert len(got) >= len(want) - 4
+
+
+def test_rollup_maintenance_stream_equals_batch(spark, tmp_path, sf_dir):
+    """Streaming incremental rollup (foreachBatch additive MERGE) must
+    equal the direct batch rollup over all data, with each file
+    arriving as its own micro-batch."""
+    from pyspark.sql.window import Window as W
+
+    from sparkstreamingproject_spark.streaming.rollup_maintain import (
+        maintain_rollup_stream,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    land = str(tmp_path / "orders_land")
+    # split into 3 landing files -> 3 micro-batches
+    (orders.withColumn(
+        "_b", F.ntile(3).over(W.orderBy("o_orderkey")))
+     .repartition(3, "_b").drop("_b")
+     .write.parquet(land))
+
+    from sparkstreamingproject_spark.sources.streams import file_stream
+    stream = file_stream(spark, land, orders.schema,
+                         max_files_per_trigger=1)
+    rollup = str(tmp_path / "rollup")
+    q = maintain_rollup_stream(stream, rollup,
+                               str(tmp_path / "ck_rollup"))
+    q.awaitTermination(180)
+
+    got = {r.day: (r.cents, r.n)
+           for r in spark.read.parquet(rollup).collect()}
+    exp = {r.day: (r.cents, r.n)
+           for r in orders.groupBy(F.to_date("o_orderdate").alias("day"))
+           .agg(F.sum(F.expr(
+               "CAST(round(o_totalprice * 100) AS BIGINT)"))
+               .alias("cents"), F.count("*").alias("n")).collect()}
+    assert got == exp
