@@ -202,3 +202,323 @@ def text_next_word_suggest(spark, sf_dir):
         "w", "nxt", F.col("rnk").cast("int").alias("rnk"),
         F.col("cnt").cast("long").alias("cnt"),
         F.round(F.col("cnt") * 1.0 / F.col("w_cnt"), 6).alias("p"))
+
+
+@register(
+    "orders_cohort_ltv",
+    oracle="""
+    WITH first AS (
+      SELECT o_custkey,
+             min(CAST(year(o_orderdate) * 12 + month(o_orderdate)
+                      AS BIGINT)) AS cohort_mo
+      FROM orders GROUP BY o_custkey),
+    rev AS (
+      SELECT f.cohort_mo,
+             CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate)
+                  AS BIGINT) - f.cohort_mo AS age,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders o JOIN first f ON o.o_custkey = f.o_custkey
+      GROUP BY 1, 2),
+    size_ AS (SELECT cohort_mo, count(*) AS n_customers
+              FROM first GROUP BY cohort_mo),
+    cum AS (
+      SELECT r.cohort_mo, r.age, s.n_customers,
+             CAST(sum(r.cents) OVER (PARTITION BY r.cohort_mo
+                                     ORDER BY r.age) AS BIGINT) AS cum
+      FROM rev r JOIN size_ s ON r.cohort_mo = s.cohort_mo)
+    SELECT cohort_mo, age, CAST(n_customers AS BIGINT) AS n_customers,
+           round(cum / 100.0, 2) AS cum_revenue,
+           -- ltv at 4dp via integer round-half-up: float round() differs
+           -- between engines exactly on representable .xxxx5 boundaries
+           ((2 * cum * 100 + n_customers) // (2 * n_customers)) / 10000.0
+             AS ltv_per_customer
+    FROM cum WHERE age <= 12
+    """,
+    tags=("analytics", "window"),
+)
+def orders_cohort_ltv(spark, sf_dir):
+    """Cohort LTV curves: cumulative revenue per first-purchase-month
+    cohort by months-since-acquisition, absolute and per customer —
+    the companion of `cohort_retention_matrix` that tracks VALUE
+    instead of presence (the number a growth team actually discounts
+    against acquisition cost).
+
+    The cohort assignment is one customer-keyed aggregate; revenue
+    folds to (cohort × age) before the cumulative window, so the
+    ordered window runs over a months² grid bounded by the time
+    range. Integer cents throughout; two terminal divisions."""
+    o = table(spark, sf_dir, "orders")
+    mo = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long")
+    first = (o.groupBy("o_custkey")
+             .agg(F.min(mo).alias("cohort_mo")))
+    rev = (o.join(first, "o_custkey")
+           .groupBy("cohort_mo", (mo - F.col("cohort_mo")).alias("age"))
+           .agg(F.sum(F.expr(
+               "CAST(round(o_totalprice * 100) AS BIGINT)"))
+               .alias("cents")))
+    size_ = first.groupBy("cohort_mo").agg(
+        F.count("*").alias("n_customers"))
+    w = (Window.partitionBy("cohort_mo").orderBy("age")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (rev.join(F.broadcast(size_), "cohort_mo")
+           .withColumn("cum", F.sum("cents").over(w)))
+    # 4dp round-half-up in exact integer algebra (see oracle comment)
+    ltv = (F.expr("(2 * cum * 100 + n_customers) div (2 * n_customers)")
+           / 10000.0)
+    return (cum.filter(F.col("age") <= 12)
+            .select("cohort_mo", "age",
+                    F.col("n_customers").cast("long"),
+                    F.round(F.col("cum") / 100.0, 2).alias("cum_revenue"),
+                    ltv.alias("ltv_per_customer")))
+
+
+@register(
+    "part_abc_classification",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM lineitem GROUP BY l_partkey),
+    cum AS (
+      SELECT l_partkey, cents,
+             CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey)
+                  AS BIGINT) AS cum,
+             CAST(sum(cents) OVER () AS BIGINT) AS tot
+      FROM rev),
+    cls AS (
+      SELECT CASE WHEN (cum - cents) * 5 < tot * 4 THEN 'A'
+                  WHEN (cum - cents) * 20 < tot * 19 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             cents, tot
+      FROM cum)
+    SELECT abc_class, count(*) AS n_parts,
+           round(CAST(sum(cents) AS BIGINT) / 100.0, 2) AS revenue,
+           round(CAST(sum(cents) AS BIGINT) * 1.0 / max(tot), 6)
+             AS revenue_share
+    FROM cls
+    GROUP BY abc_class
+    """,
+    tags=("analytics", "window"),
+)
+def part_abc_classification(spark, sf_dir):
+    """ABC inventory classification: parts ranked by revenue, class A
+    = the head covering the first 80% of cumulative revenue, B = next
+    15%, C = the tail — the Pareto-banded sibling of
+    `pareto_top_parts` that every supply-chain system materializes.
+
+    Class boundaries use the EXCLUSIVE cumulative share ((cum−cents)
+    vs thresholds) so each class is the set of parts whose prefix
+    STARTS inside the band — integer cross-multiplication instead of
+    a float share comparison, so the banding is exact. One hash agg
+    to part cardinality, one ordered window over it, 3-row output."""
+    li = table(spark, sf_dir, "lineitem")
+    rev = (li.groupBy("l_partkey")
+           .agg(F.sum(F.expr(
+               "CAST(round(l_extendedprice * 100) AS BIGINT)"))
+               .alias("cents")))
+    wc = (Window.orderBy(F.desc("cents"), "l_partkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wa = Window.partitionBy()
+    cum = rev.select(
+        "cents", F.sum("cents").over(wc).alias("cum"),
+        F.sum("cents").over(wa).alias("tot"))
+    cls = cum.select(
+        "cents", "tot",
+        F.when((F.col("cum") - F.col("cents")) * 5 < F.col("tot") * 4, "A")
+        .when((F.col("cum") - F.col("cents")) * 20 < F.col("tot") * 19,
+              "B")
+        .otherwise("C").alias("abc_class"))
+    return (cls.groupBy("abc_class")
+            .agg(F.count("*").alias("n_parts"),
+                 F.round(F.sum("cents") / 100.0, 2).alias("revenue"),
+                 F.round(F.sum("cents") * 1.0 / F.max("tot"), 6)
+                 .alias("revenue_share")))
+
+
+@register(
+    "orders_open_backlog_daily",
+    oracle="""
+    WITH span AS (
+      SELECT o.o_orderkey,
+             CAST(o.o_orderdate AS DATE) AS open_day,
+             CAST(min(l.l_shipdate) AS DATE) AS close_day
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2),
+    delta AS (
+      SELECT open_day AS day, 1 AS d FROM span
+      UNION ALL
+      SELECT close_day + 1 AS day, -1 AS d FROM span),
+    daily AS (
+      SELECT day, CAST(sum(d) AS BIGINT) AS net
+      FROM delta GROUP BY day)
+    SELECT day,
+           CAST(sum(net) OVER (ORDER BY day) AS BIGINT) AS open_orders
+    FROM daily
+    """,
+    tags=("analytics", "window", "scale"),
+)
+def orders_open_backlog_daily(spark, sf_dir):
+    """Daily open-order backlog: how many orders were placed but not
+    yet (first-)shipped on each day — the operational WIP metric.
+
+    Computed as a SWEEP LINE, the scale pattern interval problems
+    want: every order contributes a +1 row at open and a −1 row the
+    day after close; a day-keyed aggregate and one ordered prefix sum
+    over the (bounded) day axis give the concurrent count. No
+    interval join, no day×order explode — 100 TB of orders becomes
+    2 rows each, then |days| rows. All integers."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    span = (o.join(li, o.o_orderkey == li.l_orderkey)
+            .groupBy("o_orderkey",
+                     F.to_date("o_orderdate").alias("open_day"))
+            .agg(F.to_date(F.min("l_shipdate")).alias("close_day")))
+    delta = (span.select(F.col("open_day").alias("day"),
+                         F.lit(1).alias("d"))
+             .unionAll(span.select(
+                 F.date_add("close_day", 1).alias("day"),
+                 F.lit(-1).alias("d"))))
+    daily = delta.groupBy("day").agg(F.sum("d").alias("net"))
+    w = (Window.orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return daily.select(
+        "day", F.sum("net").over(w).cast("long").alias("open_orders"))
+
+
+# ------------------------------------------------ k-core peeling
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 3
+
+
+def _kcore_oracle() -> str:
+    """Unrolled bounded-round k-core peel (loop at SQL-generation
+    time, like the PageRank / k-means / BPE oracles)."""
+    k, rounds = _KCORE_K, _KCORE_ROUNDS
+    parts = [f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    e0 AS (
+      SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+    adj0 AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+    deg{r} AS (SELECT u, count(*) AS d FROM adj{r - 1} GROUP BY u),
+    keep{r} AS (SELECT u FROM deg{r} WHERE d >= {k}),
+    adj{r} AS (
+      SELECT a.u, a.v FROM adj{r - 1} a
+      JOIN keep{r} ku ON a.u = ku.u
+      JOIN keep{r} kv ON a.v = kv.u)""")
+    parts.append(f"""
+    SELECT u AS suppkey, CAST(count(*) AS BIGINT) AS degree
+    FROM adj{rounds} GROUP BY u""")
+    return "".join(parts)
+
+
+@register(
+    "graph_kcore_peel",
+    oracle=_kcore_oracle(),
+    tags=("graph", "iterative"),
+)
+def graph_kcore_peel(spark, sf_dir):
+    """Bounded k-core decomposition (k=2, 3 peel rounds) of the
+    supplier co-occurrence graph: iteratively drop nodes with degree
+    < k and the edges they carry — the standard graph-sparsification
+    pass that strips hair before community detection or dense-
+    subgraph mining. Output: surviving nodes with their in-core
+    degree after 3 rounds (a fixpoint prefix; production runs peel
+    until no change, each round one degree-aggregate + semi-join).
+
+    Scale shape: edges come from the order-keyed self-join with
+    bounded per-basket fanout (never all-pairs); each peel round is a
+    hash aggregate over edges plus two semi-joins keyed on the node —
+    cost O(|E|) per round with lineage cut by the bounded unroll.
+    All integers."""
+    li = (table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_suppkey").distinct())
+    a, b = li.alias("a"), li.alias("b")
+    e = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_suppkey") < F.col("b.l_suppkey")))
+         .select(F.col("a.l_suppkey").alias("u"),
+                 F.col("b.l_suppkey").alias("v"))
+         .distinct())
+    adj = e.unionAll(e.select(F.col("v").alias("u"),
+                              F.col("u").alias("v")))
+    for _ in range(_KCORE_ROUNDS):
+        deg = adj.groupBy("u").agg(F.count("*").alias("d"))
+        keep = deg.filter(F.col("d") >= _KCORE_K).select("u")
+        adj = (adj.join(keep, "u", "left_semi")
+               .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+               .select("u", "v"))
+    return (adj.groupBy(F.col("u").alias("suppkey"))
+            .agg(F.count("*").cast("long").alias("degree")))
+
+
+@register(
+    "events_new_vs_returning",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             min(epoch_us(ts) // 86400000000) AS first_day
+      FROM events GROUP BY user_id),
+    d AS (
+      SELECT e.user_id, epoch_us(e.ts) // 86400000000 AS day,
+             f.first_day
+      FROM events e JOIN f ON e.user_id = f.user_id)
+    SELECT day,
+           count(DISTINCT CASE WHEN day = first_day
+                               THEN user_id END) AS new_users,
+           count(DISTINCT CASE WHEN day > first_day
+                               THEN user_id END) AS returning_users
+    FROM d GROUP BY day
+    """,
+    tags=("events", "analytics"),
+)
+def events_new_vs_returning(spark, sf_dir):
+    """Daily new vs returning active users — the growth-accounting
+    split (every DAU is exactly one of new/returning by first-seen
+    day). First-seen is one user-keyed aggregate; the daily split is
+    a conditional distinct-count over the day-joined stream. Integer
+    epoch-day buckets (timezone-free); the same user shuffle serves
+    both distinct counts."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.unix_micros("ts") / 86_400_000_000).cast("long").alias("day"))
+    f = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    d = ev.join(f, "user_id")
+    return (d.groupBy("day")
+            .agg(F.countDistinct(
+                F.when(F.col("day") == F.col("first_day"),
+                       F.col("user_id"))).alias("new_users"),
+                F.countDistinct(
+                F.when(F.col("day") > F.col("first_day"),
+                       F.col("user_id"))).alias("returning_users")))
+
+
+@register(
+    "window_cume_dist_price",
+    oracle="""
+    SELECT p_brand, p_partkey,
+           round(cume_dist() OVER w, 6) AS cd,
+           round(percent_rank() OVER w, 6) AS pr
+    FROM part
+    WINDOW w AS (PARTITION BY p_brand
+                 ORDER BY p_retailprice, p_partkey)
+    """,
+    tags=("sql", "window"),
+)
+def window_cume_dist_price(spark, sf_dir):
+    """cume_dist + percent_rank over part prices within brand — the
+    two distribution-position window functions not yet covered by
+    `window_percent_ntile` (which pins percent_rank's sibling ntile).
+    Both are rank/count ratios over exact integers with a total
+    tiebreak, rounded 6dp identically."""
+    w = Window.partitionBy("p_brand").orderBy("p_retailprice",
+                                              "p_partkey")
+    return (table(spark, sf_dir, "part")
+            .select("p_brand", "p_partkey",
+                    F.round(F.cume_dist().over(w), 6).alias("cd"),
+                    F.round(F.percent_rank().over(w), 6).alias("pr")))

@@ -269,3 +269,115 @@ def multimodal_frame_dedup(spark, sf_dir):
             .agg(F.count("*").alias("n_frames"),
                  dup.alias("n_dup"),
                  F.round(dup * 1.0 / F.count("*"), 6).alias("dup_frac")))
+
+
+# --------------------------------------------- ANN recall@k evaluation
+
+_EVAL_K = 10
+_EVAL_MOD = 499  # vec_id % mod == 0 -> deterministic query subset
+
+
+def _recall_oracle() -> str:
+    from ..llm import similarity as S
+    planes = S.hyperplanes(4)
+    bits = " || ".join(
+        "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"{plane!r}::DOUBLE[]) >= 0 THEN '1' ELSE '0' END)"
+        for plane in planes)
+    return f"""
+    WITH b AS (SELECT vec_id, embedding, {bits} AS bucket
+               FROM embeddings),
+    q AS (SELECT * FROM b WHERE vec_id % {_EVAL_MOD} = 0),
+    gt AS (
+      SELECT query_id, cand_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(
+                            CAST(q.embedding AS DOUBLE[]),
+                            CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                          c.vec_id) AS rank
+        FROM q JOIN b c ON c.vec_id != q.vec_id)
+      WHERE rank <= {_EVAL_K}),
+    ann AS (
+      SELECT query_id, cand_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(
+                            CAST(q.embedding AS DOUBLE[]),
+                            CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                          c.vec_id) AS rank
+        FROM q JOIN b c ON c.bucket = q.bucket
+                       AND c.vec_id != q.vec_id)
+      WHERE rank <= {_EVAL_K}),
+    cn AS (
+      SELECT q.vec_id AS query_id, count(c.vec_id) AS n_candidates
+      FROM q LEFT JOIN b c ON c.bucket = q.bucket
+                          AND c.vec_id != q.vec_id
+      GROUP BY 1),
+    hits AS (
+      SELECT g.query_id, count(a.cand_id) AS n_hits
+      FROM gt g LEFT JOIN ann a
+        ON g.query_id = a.query_id AND g.cand_id = a.cand_id
+      GROUP BY 1)
+    SELECT cn.query_id, CAST(cn.n_candidates AS BIGINT) AS n_candidates,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           round(coalesce(h.n_hits, 0) / {float(_EVAL_K)!r}, 4) AS recall
+    FROM cn LEFT JOIN hits h ON cn.query_id = h.query_id
+    """
+
+
+@register(
+    "sim_recall_at_k_eval",
+    oracle=_recall_oracle(),
+    tags=("llm", "similarity", "eval"),
+)
+def sim_recall_at_k_eval(spark, sf_dir):
+    """In-engine ANN quality evaluation: recall@10 of the LSH-bucketed
+    index against exact brute-force ground truth, per query — the eval
+    harness a production vector pipeline runs after (re)building an
+    index, expressed as one query instead of an offline script.
+
+    Both arms share the scale discipline of their production
+    counterparts: ground truth broadcasts only the FIXED query subset
+    (vec_id % 499 — a handful of vectors) against the corpus, the ANN
+    arm joins on the bucket key, and the recall join touches q×k rows.
+    Evaluation cost therefore scales with |queries|·N, never N² — the
+    standard sampled-recall protocol. Counts integer; recall is one
+    terminal division.
+
+    On this testdata the measured recall is LOW (~0.0-0.1): the
+    synthetic embeddings are near-uniform on the sphere, the regime
+    where single-table sign-LSH provably cannot separate neighbors —
+    which is precisely the failure mode this evaluation exists to
+    expose (the fix is OR-amplification across independent tables:
+    `sim_ann_lsh_or_pairs`, whose (b,T) closed form targets a chosen
+    recall)."""
+    from ..llm import similarity as S
+    emb = table(spark, sf_dir, "embeddings")
+    planes = S.hyperplanes(4)
+    q = emb.filter(F.col("vec_id") % _EVAL_MOD == 0)
+    gt = S.brute_force_topk(emb, q, k=_EVAL_K).select(
+        "query_id", "cand_id")
+    ann = S.lsh_topk(emb, q, k=_EVAL_K, planes=planes).select(
+        "query_id", "cand_id")
+    cb = S.lsh_bucket(emb, planes=planes).select(
+        F.col("vec_id").alias("cand_id"), "bucket")
+    qb = S.lsh_bucket(q, planes=planes).select(
+        F.col("vec_id").alias("query_id"), "bucket")
+    cn = (qb.join(cb, "bucket", "left")
+          .filter(F.col("cand_id").isNull()
+                  | (F.col("cand_id") != F.col("query_id")))
+          .groupBy("query_id")
+          .agg(F.count("cand_id").alias("n_candidates")))
+    hits = (gt.join(ann.withColumn("hit", F.lit(1)),
+                    ["query_id", "cand_id"], "left")
+            .groupBy("query_id").agg(F.count("hit").alias("n_hits")))
+    return (cn.join(hits, "query_id", "left")
+            .select("query_id",
+                    F.col("n_candidates").cast("long"),
+                    F.coalesce("n_hits", F.lit(0)).cast("long")
+                    .alias("n_hits"),
+                    F.round(F.coalesce("n_hits", F.lit(0))
+                            / float(_EVAL_K), 4).alias("recall")))

@@ -40,7 +40,10 @@ WINDOW = list(REGISTRY)[:50] + [
     "join_fuzzy_blocked", "bpe_learn_merges", "sample_poisson_bootstrap",
     "multimodal_frame_dedup", "orders_decile_lift",
     "events_attribution_last_touch", "basket_association_rules",
-    "text_next_word_suggest",
+    "text_next_word_suggest", "sim_recall_at_k_eval",
+    "orders_cohort_ltv", "part_abc_classification",
+    "orders_open_backlog_daily", "graph_kcore_peel",
+    "events_new_vs_returning", "window_cume_dist_price",
 ]
 
 _PERTURB = {
