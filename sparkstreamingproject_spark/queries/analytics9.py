@@ -522,3 +522,144 @@ def window_cume_dist_price(spark, sf_dir):
             .select("p_brand", "p_partkey",
                     F.round(F.cume_dist().over(w), 6).alias("cd"),
                     F.round(F.percent_rank().over(w), 6).alias("pr")))
+
+
+@register(
+    "ts_seasonal_naive_backtest",
+    oracle="""
+    WITH daily AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             count(*) AS x
+      FROM events GROUP BY 1),
+    f AS (
+      SELECT day, x,
+             lag(x, 7) OVER (ORDER BY day) AS forecast
+      FROM daily),
+    e AS (
+      SELECT day, x, forecast,
+             abs(x - forecast) AS abs_err
+      FROM f WHERE forecast IS NOT NULL)
+    SELECT count(*) AS n_days,
+           CAST(sum(abs_err) AS BIGINT) AS total_abs_err,
+           round(CAST(sum(abs_err) AS BIGINT) * 1.0 / count(*), 4)
+             AS mae,
+           round(CAST(sum(abs_err) AS BIGINT) * 100.0
+                 / CAST(sum(x) AS BIGINT), 4) AS wape_pct
+    FROM e
+    """,
+    tags=("timeseries", "stats"),
+)
+def ts_seasonal_naive_backtest(spark, sf_dir):
+    """Seasonal-naive forecast backtest: forecast(day) = value(day−7),
+    scored by MAE and WAPE over the whole history — the baseline every
+    forecasting pipeline must beat, and the backtest harness that
+    proves it, in one query.
+
+    The lag-7 forecast is one ordered window over the daily aggregate;
+    errors are integer |x − x₋₇| sums (WAPE = Σ|err|/Σactual avoids
+    per-row MAPE division entirely, so no float accumulates); the two
+    scores are terminal divisions."""
+    ev = table(spark, sf_dir, "events")
+    daily = (ev.groupBy((F.unix_micros("ts") / 86_400_000_000)
+                        .cast("long").alias("day"))
+             .agg(F.count("*").alias("x")))
+    w = Window.orderBy("day")
+    f = daily.withColumn("forecast", F.lag("x", 7).over(w))
+    e = (f.filter(F.col("forecast").isNotNull())
+         .withColumn("abs_err", F.abs(F.col("x") - F.col("forecast"))))
+    return e.agg(
+        F.count("*").alias("n_days"),
+        F.sum("abs_err").cast("long").alias("total_abs_err"),
+        F.round(F.sum("abs_err") * 1.0 / F.count("*"), 4).alias("mae"),
+        F.round(F.sum("abs_err") * 100.0 / F.sum("x"), 4)
+        .alias("wape_pct"))
+
+
+@register(
+    "stat_spearman_rank",
+    oracle="""
+    WITH v AS (
+      SELECT p_size AS a,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS b
+      FROM part),
+    r AS (
+      -- average ranks doubled to stay integer under ties
+      SELECT (CAST(min(ra) + max(ra) AS BIGINT)) AS ra2_grp, a, b,
+             count(*) AS cnt
+      FROM (SELECT a, b,
+                   row_number() OVER (ORDER BY a, b) AS ra
+            FROM v)
+      GROUP BY a, b),
+    e AS (
+      -- re-expand: every row in a tie group gets the same avg rank
+      SELECT a, b, ra2_grp FROM r, unnest(range(0, cnt)) AS g(i)),
+    rb AS (
+      SELECT ra2_grp AS ra2,
+             (CAST(min(rb_) + max(rb_) AS BIGINT)) AS rb2_grp, a, b
+      FROM (SELECT a, b, ra2_grp,
+                   row_number() OVER (ORDER BY b, a) AS rb_
+            FROM e)
+      GROUP BY a, b, ra2_grp),
+    eb AS (
+      SELECT ra2, rb2_grp AS rb2
+      FROM rb JOIN (SELECT a, b, count(*) AS cnt FROM v GROUP BY a, b) c
+        ON rb.a = c.a AND rb.b = c.b,
+           unnest(range(0, c.cnt)) AS g(i)),
+    s AS (
+      SELECT count(*) AS n,
+             CAST(sum(ra2) AS BIGINT) AS sa,
+             CAST(sum(rb2) AS BIGINT) AS sb,
+             CAST(sum(ra2 * rb2) AS BIGINT) AS sab,
+             CAST(sum(ra2 * ra2) AS BIGINT) AS saa,
+             CAST(sum(rb2 * rb2) AS BIGINT) AS sbb
+      FROM eb)
+    SELECT CAST(n AS BIGINT) AS n,
+           round((n * sab - sa * sb)
+                 / (sqrt(n * saa - sa * sa * 1.0)
+                    * sqrt(n * sbb - sb * sb * 1.0)), 6) AS spearman_rho
+    FROM s
+    """,
+    tags=("stats",),
+)
+def stat_spearman_rank(spark, sf_dir):
+    """Spearman rank correlation between part size and retail price —
+    the monotonic-association measure that complements the Pearson
+    `stat_corr_matrix` (robust to nonlinearity and outliers because it
+    correlates RANKS).
+
+    Tie handling is the textbook average-rank, kept EXACT by doubling:
+    each tie group's rank is min+max of its row_numbers (= 2× the
+    average), so every accumulated sum is integer; Pearson's formula
+    on the doubled ranks equals ρ on the true ranks (scale-invariant).
+    The only floats are the two sqrt's and one division at the end.
+    Ranking costs two ordered windows over the part dimension."""
+    v = table(spark, sf_dir, "part").select(
+        F.col("p_size").alias("a"),
+        F.expr("CAST(round(p_retailprice * 100) AS BIGINT)").alias("b"))
+    wa = Window.orderBy("a", "b")
+    ra = (v.withColumn("ra", F.row_number().over(wa))
+          .groupBy("a", "b")
+          .agg((F.min("ra") + F.max("ra")).alias("ra2"),
+               F.count("*").alias("cnt")))
+    wb = Window.orderBy("b", "a")
+    # expand tie groups back to row multiplicity, then rank by b
+    e = ra.select("a", "b", "ra2",
+                  F.explode(F.sequence(F.lit(1), F.col("cnt"))).alias("i"))
+    rb = (e.withColumn("rb_", F.row_number().over(wb))
+          .groupBy("a", "b", "ra2")
+          .agg((F.min("rb_") + F.max("rb_")).alias("rb2"),
+               F.count("*").alias("cnt")))
+    eb = rb.select("ra2", "rb2",
+                   F.explode(F.sequence(F.lit(1), F.col("cnt"))).alias("i"))
+    s = eb.agg(F.count("*").alias("n"),
+               F.sum("ra2").alias("sa"), F.sum("rb2").alias("sb"),
+               F.sum(F.col("ra2") * F.col("rb2")).alias("sab"),
+               F.sum(F.col("ra2") * F.col("ra2")).alias("saa"),
+               F.sum(F.col("rb2") * F.col("rb2")).alias("sbb"))
+    num = F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")
+    den = (F.sqrt(F.col("n") * F.col("saa")
+                  - F.col("sa") * F.col("sa") * 1.0)
+           * F.sqrt(F.col("n") * F.col("sbb")
+                    - F.col("sb") * F.col("sb") * 1.0))
+    return s.select(F.col("n").cast("long").alias("n"),
+                    F.round(num / den, 6).alias("spearman_rho"))

@@ -44,6 +44,8 @@ WINDOW = list(REGISTRY)[:50] + [
     "orders_cohort_ltv", "part_abc_classification",
     "orders_open_backlog_daily", "graph_kcore_peel",
     "events_new_vs_returning", "window_cume_dist_price",
+    "pii_pseudonymize_fk", "privacy_k_anonymity",
+    "ts_seasonal_naive_backtest", "stat_spearman_rank",
 ]
 
 _PERTURB = {
