@@ -279,14 +279,17 @@ def containment_pairs(df: DataFrame, id_col: str = "doc_id",
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             bits: int = SIMHASH_BITS) -> DataFrame:
-    """SimHash fingerprint: per-word hash (first 4 md5 hex chars → 16-bit
-    int), per-bit ±1 majority vote over all word occurrences, sign →
-    bit. One explode + one groupBy with ``bits`` sums — all codegen.
+    """SimHash fingerprint: per-word hash (first ceil(bits/4) md5 hex
+    chars → ``bits``-wide int), per-bit ±1 majority vote over all word
+    occurrences, sign → bit. One explode + one groupBy with ``bits``
+    sums — all codegen. ``bits`` ≤ 60 keeps the fingerprint (and the
+    hex-parsed word hash) inside a signed 64-bit long.
     """
+    n_hex = (bits + 3) // 4
     w = (df.select(F.col(id_col), F.explode(words_col(text_col)).alias("w"))
          .select(id_col,
-                 F.conv(F.substring(F.md5("w"), 1, 4), 16, 10)
-                 .cast("int").alias("hv")))
+                 F.conv(F.substring(F.md5("w"), 1, n_hex), 16, 10)
+                 .cast("long").alias("hv")))
     sums = [F.sum(2 * F.shiftright(F.col("hv"), b).bitwiseAND(F.lit(1)) - 1).alias(f"s{b}")
             for b in range(bits)]
     agg = w.groupBy(id_col).agg(*sums)

@@ -46,6 +46,9 @@ WINDOW = list(REGISTRY)[:50] + [
     "events_new_vs_returning", "window_cume_dist_price",
     "pii_pseudonymize_fk", "privacy_k_anonymity",
     "ts_seasonal_naive_backtest", "stat_spearman_rank",
+    "stat_mann_whitney_u", "stat_ks_two_sample", "ts_autocorrelation_lags",
+    "graph_label_propagation", "hof_array_pipeline", "join_null_safe_eq",
+    "stat_benford_first_digit", "dedup_simhash_hamming",
 ]
 
 _PERTURB = {
