@@ -49,6 +49,9 @@ WINDOW = list(REGISTRY)[:50] + [
     "stat_mann_whitney_u", "stat_ks_two_sample", "ts_autocorrelation_lags",
     "graph_label_propagation", "hof_array_pipeline", "join_null_safe_eq",
     "stat_benford_first_digit", "dedup_simhash_hamming",
+    "stat_anova_oneway", "text_rake_keywords", "rfm_migration_matrix",
+    "sample_neyman_allocation", "map_functions_surface",
+    "ts_cross_correlation",
 ]
 
 _PERTURB = {
