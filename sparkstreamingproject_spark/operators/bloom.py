@@ -50,18 +50,24 @@ def build_bloom(build: DataFrame, key: str, m_bits: int, k: int) -> bytes:
     computed JVM-side. Each partition folds its positions into a local
     bitset inside Arrow-batched ``mapInPandas`` (vectorized
     ``np.bitwise_or.at`` — no per-row Python), then the one-bitset-per-
-    partition rows are OR-merged through a two-level ``repartition`` +
-    ``mapInPandas`` tree (fan-in 64 then 1). The repartitions are what
-    make the tree actually parallel: each is a stage boundary, so the
-    scan+hash+local-bitset stage keeps the scan's parallelism and the
-    level-1 merge runs as 64 tasks (a ``coalesce`` here would fuse the
-    ENTIRE lineage — scan included — into one task). What the shuffles
-    move is only the blobs: one m/8-byte row per upstream partition,
-    then ≤64 rows — never key data. Still no ``distinct`` over
-    positions (OR is idempotent), no ``df.rdd`` hop (that pays a
-    row-pickling pass plus a cold start of the non-Arrow Python worker
-    pool — measured 2-4 s per session), and m is bounded by executor
-    memory, not driver collect size.
+    partition rows are OR-merged through a ``repartition`` +
+    ``mapInPandas`` tree. The repartitions are what make the tree
+    actually parallel: each is a stage boundary, so the
+    scan+hash+local-bitset stage keeps the scan's parallelism (a
+    ``coalesce`` here would fuse the ENTIRE lineage — scan included —
+    into one task). What the shuffles move is only the blobs: one
+    m/8-byte row per upstream partition — never key data. The tree is
+    ADAPTIVE: a 64-way intermediate merge level exists only when the
+    scan has >128 partitions (a 1000-executor scan of 10k splits must
+    not funnel 10k blobs into one task); below that the intermediate
+    level is two extra stages + Python worker round-trips for nothing
+    (measured ~1 s at sf0.1), so small scans go straight to the final
+    1-task merge. The partition count comes from RDD metadata — no job
+    runs. Still no ``distinct`` over positions (OR is idempotent), no
+    ``df.rdd`` data hop (that pays a row-pickling pass plus a cold
+    start of the non-Arrow Python worker pool — measured 2-4 s per
+    session), and m is bounded by executor memory, not driver collect
+    size.
     """
     n_bytes = (m_bits + 7) // 8
     pos = build.select(
@@ -93,9 +99,12 @@ def build_bloom(build: DataFrame, key: str, m_bits: int, k: int) -> bytes:
         if seen:
             yield pd.DataFrame({"bs": [arr.tobytes()]})
 
-    merged = (pos.mapInPandas(partition_bitsets, "bs binary")
-              .repartition(64).mapInPandas(or_merge, "bs binary")
-              .repartition(1).mapInPandas(or_merge, "bs binary")
+    partial = pos.mapInPandas(partition_bitsets, "bs binary")
+    # metadata-only partition count (no job): decides the tree depth
+    n_upstream = build.rdd.getNumPartitions()
+    if n_upstream > 128:
+        partial = partial.repartition(64).mapInPandas(or_merge, "bs binary")
+    merged = (partial.repartition(1).mapInPandas(or_merge, "bs binary")
               .collect())
     if not merged:  # empty build side → zero bitset (prunes everything)
         return bytes(n_bytes)
