@@ -448,3 +448,114 @@ def lsh_multi_table_pairs(df: DataFrame, id_col: str = "vec_id",
         banded = banded.unionByName(other)
     return (pairs_from_postings(banded, ["tbl", "bucket"], id_col)
             .distinct())
+
+
+# --------------------------------------------------------------- PQ
+
+PQ_SUBSPACES = 8
+PQ_CODES = 16
+
+
+def pq_int_subvectors(df: DataFrame, id_col: str = "vec_id",
+                      emb_col: str = "embedding",
+                      m_sub: int = PQ_SUBSPACES,
+                      dim: int = EMB_DIM) -> DataFrame:
+    """Explode each vector into ``m_sub`` integer-quantized subvectors.
+
+    Elements are quantized once to ``BIGINT(round(x * 1e6))`` — the
+    exact-algebra discipline (see llm/features.py covariance): every
+    distance downstream is an exact integer sum of squared integer
+    diffs, so no float summation-order can flip a code assignment or a
+    ranking between engines or between partitionings. Output:
+    (id, sub, sv array<bigint> of length dim/m_sub).
+    """
+    d_sub = dim // m_sub
+    q = F.transform(F.col(emb_col).cast("array<double>"),
+                    lambda x: F.round(x * 1e6).cast("long"))
+    subs = F.array(*[
+        F.struct(F.lit(s).alias("sub"),
+                 F.slice(q, s * d_sub + 1, d_sub).alias("sv"))
+        for s in range(m_sub)
+    ])
+    return (df.select(F.col(id_col), F.explode(subs).alias("p"))
+            .select(id_col, F.col("p.sub").alias("sub"),
+                    F.col("p.sv").alias("sv")))
+
+
+def _sq_l2_int(a, b):
+    """Exact integer squared-L2 between two BIGINT vectors (JVM HOFs,
+    fixed arity — no shuffle, no float)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def pq_codebook(df: DataFrame, id_col: str = "vec_id",
+                emb_col: str = "embedding",
+                m_sub: int = PQ_SUBSPACES, k: int = PQ_CODES) -> DataFrame:
+    """Deterministic PQ codebook: per subspace, the ``k`` training
+    centroids are the subvectors of the first ``k`` ids (a production
+    build would Lloyd-refine per subspace — ``kmeans_centroids`` shows
+    that loop; the index layout and search path are identical).
+    Output: (sub, code, cv) — m_sub*k rows, always broadcastable
+    (for d=1024, m=64, k=256 it is 64 KiB of ints — the whole point of
+    PQ is that the codebook is tiny while codes compress N*d floats
+    ~32x)."""
+    subs = pq_int_subvectors(df, id_col, emb_col, m_sub)
+    return (subs.filter(F.col(id_col) < k)
+            .select("sub", F.col(id_col).cast("int").alias("code"),
+                    F.col("sv").alias("cv")))
+
+
+def pq_encode(df: DataFrame, codebook: DataFrame, id_col: str = "vec_id",
+              emb_col: str = "embedding",
+              m_sub: int = PQ_SUBSPACES) -> DataFrame:
+    """Encode every vector as ``m_sub`` nibble/byte codes: per
+    subspace, the argmin-distance centroid (exact integer distances;
+    ties broken by code). The codebook broadcasts; assignment is a
+    map-side join + per-(id, sub) argmin window. Codes are what an
+    index persists at scale: N*m_sub small ints instead of N*d floats
+    — 100 TB of f32 vectors become ~3 TB of codes.
+    Output: (id, sub, code, dist_sq)."""
+    subs = pq_int_subvectors(df, id_col, emb_col, m_sub)
+    scored = (subs.join(F.broadcast(codebook), "sub")
+              .select(id_col, "sub", "code",
+                      _sq_l2_int(F.col("sv"), F.col("cv")).alias("dist_sq")))
+    w = Window.partitionBy(id_col, "sub").orderBy("dist_sq", "code")
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(id_col, "sub", "code", "dist_sq"))
+
+
+def pq_adc_topk(codes: DataFrame, codebook: DataFrame, queries: DataFrame,
+                k: int = 5, id_col: str = "vec_id",
+                emb_col: str = "embedding",
+                m_sub: int = PQ_SUBSPACES) -> DataFrame:
+    """Asymmetric-distance (ADC) search over PQ codes.
+
+    Each query builds a per-subspace lookup table — exact integer
+    distance from the query subvector to every centroid
+    (|q|*m_sub*k rows; tiny, broadcast). Scoring a database vector is
+    then a LUT join on (sub, code) + an integer sum over its m_sub
+    code rows: the database embeddings are never touched, which is why
+    ADC scans billions of codes cheaply. Top-k per query by (distance,
+    id) via window — a per-query partial sort. At 100 TB this kernel
+    runs inside IVF cells (compose with ``ivf_assign``: codes carry
+    the cell key, the LUT join prunes to probed cells first).
+    Output: (q_id, id, adc_dist float = exact int / 1e12, rank).
+    """
+    qsubs = (pq_int_subvectors(queries, id_col, emb_col, m_sub)
+             .withColumnRenamed(id_col, "q_id"))
+    lut = (qsubs.join(F.broadcast(codebook), "sub")
+           .select("q_id", "sub", "code",
+                   _sq_l2_int(F.col("sv"), F.col("cv")).alias("d")))
+    totals = (codes.join(F.broadcast(lut), ["sub", "code"])
+              .filter(F.col("q_id") != F.col(id_col))
+              .groupBy("q_id", id_col)
+              .agg(F.sum("d").alias("adc_int")))
+    w = Window.partitionBy("q_id").orderBy("adc_int", id_col)
+    return (totals.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", F.col(id_col),
+                    F.round(F.col("adc_int") / F.lit(1e12), 6).alias("adc_dist"),
+                    "rank"))

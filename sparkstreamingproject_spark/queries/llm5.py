@@ -1,0 +1,127 @@
+"""Round-4 continuation, wave 12: product quantization (PQ) — the
+FAISS-style compressed-vector ANN family (Jégou et al., TPAMI 2011).
+Two queries: codebook/encode statistics and asymmetric-distance (ADC)
+top-k search. Registered past the r04 driver cap; r05 window
+candidates.
+
+Float discipline: embedding elements are quantized ONCE to
+BIGINT(round(x*1e6)) in both engines (the exact-algebra recipe from
+embedding_covariance); every distance is then an exact integer sum of
+squared integer diffs, so code assignment, ADC totals, and every
+ranking are partition-order- and engine-independent. The only floats
+are terminal divides by 1e12, rounded to 6dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .base import register, table
+
+_M_SUB = 8       # subspaces (d=64 -> 8 dims each)
+_K_CODES = 16    # centroids per subspace (nibble codes)
+_N_QUERIES = 8   # ADC query set: vec_id < 8
+_TOPK = 5
+
+# shared oracle prelude: integer-quantized elements keyed by
+# (vec_id, sub, pos_in); codebook = subvectors of the first K ids
+_PQ_PRELUDE = f"""
+    pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings),
+    el AS (SELECT vec_id,
+                  CAST((i - 1) // {64 // _M_SUB} AS INT) AS sub,
+                  CAST((i - 1) % {64 // _M_SUB} AS INT) AS pos_in,
+                  CAST(round(v[i] * 1000000) AS BIGINT) AS x
+           FROM pts, unnest(range(1, len(v) + 1)) AS g(i)),
+    cb AS (SELECT sub, CAST(vec_id AS INT) AS code, pos_in, x AS y
+           FROM el WHERE vec_id < {_K_CODES}),
+    dist AS (SELECT e.vec_id, e.sub, c.code,
+                    sum((e.x - c.y) * (e.x - c.y)) AS d
+             FROM el e JOIN cb c
+               ON e.sub = c.sub AND e.pos_in = c.pos_in
+             GROUP BY 1, 2, 3),
+    codes AS (SELECT vec_id, sub, code, d FROM (
+                SELECT vec_id, sub, code, d,
+                       row_number() OVER (PARTITION BY vec_id, sub
+                                          ORDER BY d, code) AS rn
+                FROM dist) WHERE rn = 1)
+"""
+
+
+@register(
+    "embedding_pq_codebook",
+    oracle=f"""
+    WITH {_PQ_PRELUDE}
+    SELECT sub, code,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           min(vec_id) AS min_vec_id,
+           round(CAST(sum(CAST(d AS DECIMAL(38,0))) AS DOUBLE)
+                 / count(*) / 1e12, 6) AS avg_sq_err
+    FROM codes
+    GROUP BY sub, code
+    """,
+    tags=("llm", "similarity", "pq"),
+)
+def embedding_pq_codebook(spark, sf_dir):
+    """PQ codebook population + quantization error per (subspace,
+    code) cell (llm/similarity.py:pq_codebook/pq_encode). The codebook
+    (m*k subvectors of ints) broadcasts; encoding is a map-side join +
+    per-(id, sub) argmin window — one shuffle on the vector id, never
+    vector x vector. Codes are the persisted index: N*m bytes instead
+    of N*d floats (~32x), which is what makes 100 TB of embeddings
+    scannable."""
+    from ..llm.similarity import pq_codebook, pq_encode
+    emb = table(spark, sf_dir, "embeddings")
+    cb = pq_codebook(emb, m_sub=_M_SUB, k=_K_CODES)
+    codes = pq_encode(emb, cb, m_sub=_M_SUB)
+    n = F.count("*")
+    return (codes.groupBy("sub", "code")
+            .agg(n.alias("n_vectors"),
+                 F.min("vec_id").alias("min_vec_id"),
+                 F.round(
+                     F.sum(F.col("dist_sq").cast("decimal(38,0)"))
+                     .cast("double") / F.count("*") / F.lit(1e12),
+                     6).alias("avg_sq_err")))
+
+
+@register(
+    "sim_ann_pq_adc",
+    oracle=f"""
+    WITH {_PQ_PRELUDE},
+    q AS (SELECT vec_id AS q_id, sub, pos_in, x
+          FROM el WHERE vec_id < {_N_QUERIES}),
+    lut AS (SELECT q.q_id, q.sub, c.code,
+                   sum((q.x - c.y) * (q.x - c.y)) AS d
+            FROM q JOIN cb c ON q.sub = c.sub AND q.pos_in = c.pos_in
+            GROUP BY 1, 2, 3),
+    tot AS (SELECT l.q_id, cd.vec_id, sum(l.d) AS adc_int
+            FROM codes cd JOIN lut l
+              ON cd.sub = l.sub AND cd.code = l.code
+            WHERE l.q_id <> cd.vec_id
+            GROUP BY 1, 2)
+    SELECT q_id, vec_id,
+           round(CAST(adc_int AS DOUBLE) / 1e12, 6) AS adc_dist,
+           CAST(rank AS INT) AS rank
+    FROM (SELECT q_id, vec_id, adc_int,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY adc_int, vec_id) AS rank
+          FROM tot)
+    WHERE rank <= {_TOPK}
+    """,
+    tags=("llm", "similarity", "pq"),
+)
+def sim_ann_pq_adc(spark, sf_dir):
+    """ADC top-5 neighbors for 8 query vectors over PQ codes
+    (llm/similarity.py:pq_adc_topk). Each query precomputes a
+    per-subspace distance LUT to every centroid (|q|*m*k rows —
+    broadcast); scoring touches only the CODES relation via a LUT join
+    + integer sum over m rows per vector. The raw embeddings never
+    participate in the scan — the property that lets ADC rank billions
+    of vectors; at scale the same kernel runs inside IVF cells
+    (compose with ivf_assign) so only probed cells are scored."""
+    from ..llm.similarity import pq_adc_topk, pq_codebook, pq_encode
+    emb = table(spark, sf_dir, "embeddings")
+    cb = pq_codebook(emb, m_sub=_M_SUB, k=_K_CODES)
+    codes = pq_encode(emb, cb, m_sub=_M_SUB)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return pq_adc_topk(codes, cb, queries, k=_TOPK, m_sub=_M_SUB)

@@ -387,3 +387,37 @@ def test_containment_dominates_jaccard(spark, sf_dir):
     assert set(c) == set(j) and len(c) > 0
     for pair, cv in c.items():
         assert 0 < j[pair] <= cv <= 1.0 + 1e-9, (pair, cv, j[pair])
+
+
+def test_pq_encode_and_adc_invariants(spark, sf_dir):
+    """PQ: every (vector, subspace) gets exactly one code in [0, k);
+    a training vector (vec_id < k) quantizes to itself with zero error
+    in every subspace; ADC distance of any result is >= 0 and ranks
+    are dense 1..k per query."""
+    from pyspark.sql import functions as F
+
+    from sparkstreamingproject_spark.llm.similarity import (
+        pq_adc_topk, pq_codebook, pq_encode)
+    from sparkstreamingproject_spark.queries.base import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    cb = pq_codebook(emb, m_sub=8, k=16)
+    codes = pq_encode(emb, cb, m_sub=8)
+
+    n_vec = emb.count()
+    assert codes.count() == n_vec * 8  # one code per (vector, subspace)
+    bad = codes.filter((F.col("code") < 0) | (F.col("code") >= 16)).count()
+    assert bad == 0
+    # training vectors are their own nearest centroid, exactly
+    self_rows = codes.filter(F.col("vec_id") < 16)
+    assert self_rows.filter(F.col("dist_sq") != 0).count() == 0
+    assert self_rows.filter(F.col("code") != F.col("vec_id")).count() == 0
+
+    queries = emb.filter(F.col("vec_id") < 4)
+    top = pq_adc_topk(codes, cb, queries, k=3, m_sub=8).collect()
+    assert top and all(r["adc_dist"] >= 0 for r in top)
+    by_q = {}
+    for r in top:
+        by_q.setdefault(r["q_id"], []).append(r["rank"])
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))

@@ -52,6 +52,7 @@ WINDOW = list(REGISTRY)[:50] + [
     "stat_anova_oneway", "text_rake_keywords", "rfm_migration_matrix",
     "sample_neyman_allocation", "map_functions_surface",
     "ts_cross_correlation",
+    "embedding_pq_codebook", "sim_ann_pq_adc",
 ]
 
 _PERTURB = {
