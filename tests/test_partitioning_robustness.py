@@ -53,6 +53,9 @@ WINDOW = list(REGISTRY)[:50] + [
     "sample_neyman_allocation", "map_functions_surface",
     "ts_cross_correlation",
     "embedding_pq_codebook", "sim_ann_pq_adc",
+    "stat_kruskal_wallis", "stat_wilcoxon_signed_rank",
+    "stat_kendall_tau", "funnel_time_to_convert",
+    "dedup_doc_edge_overlap", "docs_ngram_novelty",
 ]
 
 _PERTURB = {
