@@ -110,7 +110,74 @@ def bpe_learn_merges(spark, sf_dir):
                 "replace(s, '·' || ml || '·' || mr || '·',"
                 " '·' || ml || mr || '·')"))
             .drop("ml", "mr"))
+    bpe_learn_merges.last_seg = seg
     return merges
+
+
+def _bpe_final_seg(spark, sf_dir):
+    """Re-run the merge loop and return the final (w, freq, s)
+    segmentation relation (the learned subword vocabulary applied to
+    every corpus word)."""
+    bpe_learn_merges(spark, sf_dir)
+    return bpe_learn_merges.last_seg
+
+
+def _bpe_seg_chain_sql() -> str:
+    """The learn oracle's CTE chain up to seg{K} (no final SELECT)."""
+    full = _bpe_oracle()
+    # the chain ends right before the final UNION ALL select list
+    return full[:full.rindex("\n    SELECT CAST(1 AS INT)")]
+
+
+@register(
+    "bpe_encode_apply",
+    oracle=f"""
+    {_bpe_seg_chain_sql()},
+    dw AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents),
+    enc AS (
+      SELECT d.doc_id,
+             len(string_split(trim(s.s, '·'), '·')) AS n_tok,
+             length(d.w) AS n_chars
+      FROM dw d JOIN seg{_BPE_ITERS} s ON d.w = s.w
+      WHERE d.w <> '')
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens,
+           round(CAST(sum(n_tok) AS DOUBLE) / count(*), 4)
+             AS tokens_per_word,
+           round(CAST(sum(n_chars) AS DOUBLE) / sum(n_tok), 4)
+             AS chars_per_token
+    FROM enc GROUP BY doc_id
+    """,
+    tags=("llm", "tokenize"),
+)
+def bpe_encode_apply(spark, sf_dir):
+    """Apply the learned BPE merges to encode the corpus — the
+    tokenize step that follows `bpe_learn_merges` (together they are
+    the train/apply pair of a GPT-style tokenizer; `tokenize_with_vocab`
+    is the id-mapping sibling). The final word→segmentation relation is
+    vocabulary-sized and BROADCASTS; encoding the corpus is a map-side
+    join of exploded words against it — the corpus text itself is
+    never re-segmented per document. Per-doc outputs (token counts,
+    tokens/word, chars/token fertility) are the metrics a tokenizer
+    eval reports. All counts integer; two terminal ratio divides."""
+    docs = table(spark, sf_dir, "documents")
+    seg = _bpe_final_seg(spark, sf_dir)
+    seg_tok = seg.select(
+        "w", F.expr("size(split(trim(BOTH '·' FROM s), '·'))").alias("n_tok"))
+    dw = (docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+          .filter(F.col("w") != ""))
+    enc = (dw.join(F.broadcast(seg_tok), "w")
+           .select("doc_id", "n_tok", F.length("w").alias("n_chars")))
+    return (enc.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_words"),
+                 F.sum("n_tok").cast("long").alias("n_bpe_tokens"),
+                 F.round(F.sum("n_tok").cast("double") / F.count("*"), 4)
+                 .alias("tokens_per_word"),
+                 F.round(F.sum("n_chars").cast("double") / F.sum("n_tok"), 4)
+                 .alias("chars_per_token")))
 
 
 # ------------------------------------------------ Poisson bootstrap

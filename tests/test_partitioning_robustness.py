@@ -56,6 +56,9 @@ WINDOW = list(REGISTRY)[:50] + [
     "stat_kruskal_wallis", "stat_wilcoxon_signed_rank",
     "stat_kendall_tau", "funnel_time_to_convert",
     "dedup_doc_edge_overlap", "docs_ngram_novelty",
+    "ts_changepoint_pettitt", "privacy_l_diversity",
+    "sim_matryoshka_eval", "graph_hits_hubs_authorities",
+    "bpe_encode_apply",
 ]
 
 _PERTURB = {
