@@ -59,6 +59,8 @@ WINDOW = list(REGISTRY)[:50] + [
     "ts_changepoint_pettitt", "privacy_l_diversity",
     "sim_matryoshka_eval", "graph_hits_hubs_authorities",
     "bpe_encode_apply",
+    "stat_levene_test", "stat_mann_kendall_trend",
+    "stat_poisson_rate_test", "events_markov_stationary",
 ]
 
 _PERTURB = {
