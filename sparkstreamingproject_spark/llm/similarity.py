@@ -559,3 +559,74 @@ def pq_adc_topk(codes: DataFrame, codebook: DataFrame, queries: DataFrame,
             .select("q_id", F.col(id_col),
                     F.round(F.col("adc_int") / F.lit(1e12), 6).alias("adc_dist"),
                     "rank"))
+
+
+# ------------------------------------------------------------ DBSCAN
+
+def dbscan_lsh(df: DataFrame, eps2_scaled: int, min_pts: int,
+               id_col: str = "vec_id",
+               emb_col: str = "embedding") -> DataFrame:
+    """Density-based clustering (DBSCAN) over an embedding column,
+    with OR-amplified LSH proposing the neighbor candidates.
+
+    Classic DBSCAN needs every point's eps-neighborhood — a range
+    query that is quadratic done naively. Here candidates come from
+    ``lsh_multi_table_pairs`` (per-bucket posting lists, one shuffle,
+    never all-pairs) and only candidates are distance-checked, so the
+    plan stays keyed at any corpus size; pairs whose buckets never
+    collide are missed (recall floor tunes with table count — the
+    standard LSH-DBSCAN trade documented for ANN here).
+
+    Distances are EXACT integer squared-L2 over 1e6-quantized
+    elements (``eps2_scaled`` = eps^2 * 1e12), so core status, cluster
+    membership, and labels are engine- and partition-independent.
+    Stages: candidate distance check -> degree count -> core filter
+    (>= min_pts-1 neighbors, self excluded) -> connected components
+    over core-core edges (iterative min-label) -> border attachment
+    (non-core point joins its minimum-labeled core neighbor).
+
+    Returns (id, role 'core'|'border'|'noise', cluster — NULL for
+    noise).
+    """
+    from .dedup import connected_components
+
+    q = F.transform(F.col(emb_col).cast("array<double>"),
+                    lambda x: F.round(x * 1e6).cast("long"))
+    pts = df.select(F.col(id_col), q.alias("iv"))
+    cand = lsh_multi_table_pairs(df, id_col, emb_col)
+    a = pts.select(F.col(id_col).alias("id_a"), F.col("iv").alias("va"))
+    b = pts.select(F.col(id_col).alias("id_b"), F.col("iv").alias("vb"))
+    close = (cand.join(a, "id_a").join(b, "id_b")
+             .filter(_sq_l2_int(F.col("va"), F.col("vb"))
+                     <= F.lit(eps2_scaled))
+             .select("id_a", "id_b"))
+    nbr = close.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    nbr = nbr.union(nbr.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    nbr = nbr.localCheckpoint()
+    deg = nbr.groupBy("u").agg(F.count("*").alias("deg"))
+    core = deg.filter(F.col("deg") >= min_pts - 1).select("u")
+    cs = core.select(F.col("u").alias("cu"))
+    ce = (nbr.join(core, "u")
+          .join(cs, nbr.v == cs.cu)
+          .filter(F.col("u") < F.col("v"))
+          .select(F.col("u").alias("id_a"), F.col("v").alias("id_b")))
+    comp = connected_components(ce)  # (u, label) — cores with core edges
+    core_lab = (core.join(comp, "u", "left")
+                .select("u", F.coalesce("label", F.col("u")).alias("label"))
+                .localCheckpoint())
+    is_core = core_lab.select(F.col("u").alias("k")).withColumn(
+        "c_flag", F.lit(1))
+    border = (nbr.join(core_lab.withColumnRenamed("u", "v")
+                       .withColumnRenamed("label", "v_label"), "v")
+              .join(is_core, F.col("u") == F.col("k"), "left_anti")
+              .groupBy("u").agg(F.min("v_label").alias("label")))
+    out_core = core_lab.select("u", F.lit("core").alias("role"), "label")
+    out_border = border.select("u", F.lit("border").alias("role"), "label")
+    assigned = out_core.unionAll(out_border)
+    noise = (pts.select(F.col(id_col).alias("u"))
+             .join(assigned.select("u"), "u", "left_anti")
+             .select("u", F.lit("noise").alias("role"),
+                     F.lit(None).cast(dict(pts.dtypes)[id_col]).alias("label")))
+    return (assigned.unionAll(noise)
+            .select(F.col("u").alias(id_col), "role",
+                    F.col("label").alias("cluster")))

@@ -125,3 +125,83 @@ def sim_ann_pq_adc(spark, sf_dir):
     codes = pq_encode(emb, cb, m_sub=_M_SUB)
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return pq_adc_topk(codes, cb, queries, k=_TOPK, m_sub=_M_SUB)
+
+
+# ------------------------------------------------ DBSCAN
+
+_DB_EPS2 = 1_690_000_000_000   # eps = 1.3 -> eps^2 * 1e12, exact literal
+_DB_MINPTS = 4
+
+
+def _dbscan_oracle() -> str:
+    from ..llm import similarity as S
+    selects = []
+    for t in range(S.LSH_TABLES):
+        planes = S.hyperplanes(S.LSH_TABLE_PLANES, seed=S.LSH_SEED + t)
+        bits = " || ".join(
+            "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+            f"{p!r}::DOUBLE[]) >= 0 THEN '1' ELSE '0' END)"
+            for p in planes)
+        selects.append(
+            f"SELECT vec_id, {t} AS tbl, {bits} AS bucket FROM embeddings")
+    union = "\n      UNION ALL\n".join(selects)
+    return f"""
+    WITH RECURSIVE b AS ({union}),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM b x JOIN b y
+        ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+    pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings),
+    el AS (SELECT vec_id, CAST(i AS INT) AS pos,
+                  CAST(round(v[i] * 1000000) AS BIGINT) AS x
+           FROM pts, unnest(range(1, len(v) + 1)) AS g(i)),
+    d2 AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN el a ON a.vec_id = c.id_a
+      JOIN el e2 ON e2.vec_id = c.id_b AND e2.pos = a.pos
+      GROUP BY c.id_a, c.id_b
+      HAVING sum((a.x - e2.x) * (a.x - e2.x)) <= {_DB_EPS2}),
+    nbr AS (SELECT id_a AS u, id_b AS v FROM d2
+            UNION ALL SELECT id_b, id_a FROM d2),
+    deg AS (SELECT u, count(*) AS deg FROM nbr GROUP BY u),
+    core AS (SELECT u FROM deg WHERE deg >= {_DB_MINPTS - 1}),
+    ce AS (SELECT n.u, n.v FROM nbr n
+           JOIN core c1 ON n.u = c1.u JOIN core c2 ON n.v = c2.u),
+    walk(u, label) AS (
+      SELECT u, u FROM core
+      UNION
+      SELECT ce.v, walk.label FROM walk JOIN ce ON ce.u = walk.u),
+    comp AS (SELECT u, min(label) AS label FROM walk GROUP BY u),
+    border AS (
+      SELECT n.u, min(c.label) AS label
+      FROM nbr n JOIN comp c ON n.v = c.u
+      WHERE n.u NOT IN (SELECT u FROM core)
+      GROUP BY n.u),
+    assigned AS (
+      SELECT u, 'core' AS role, label FROM comp
+      UNION ALL
+      SELECT u, 'border' AS role, label FROM border)
+    SELECT p.vec_id, coalesce(a.role, 'noise') AS role,
+           a.label AS cluster
+    FROM pts p LEFT JOIN assigned a ON p.vec_id = a.u
+    """
+
+
+@register("cluster_dbscan_lsh", oracle=_dbscan_oracle(),
+          tags=("llm", "similarity", "cluster"))
+def cluster_dbscan_lsh(spark, sf_dir):
+    """DBSCAN over the corpus embeddings (llm/similarity.py:
+    dbscan_lsh — eps=1.3, minPts=4): density-based clusters with
+    core/border/noise roles, the clustering that finds arbitrarily-
+    shaped dense groups k-means can't (`sim_ivf_kmeans_cells` is the
+    centroid sibling; `dedup_cluster_keep_best` consumes exactly this
+    kind of cluster assignment). Neighbor candidates come from the
+    OR-amplified LSH index — per-bucket posting lists, never
+    all-pairs — and every distance/label decision is exact integer
+    algebra, so even this multi-stage iterative operator hash-matches
+    a recursive-CTE oracle."""
+    from ..llm.similarity import dbscan_lsh
+    emb = table(spark, sf_dir, "embeddings")
+    return dbscan_lsh(emb, _DB_EPS2, _DB_MINPTS)

@@ -421,3 +421,30 @@ def test_pq_encode_and_adc_invariants(spark, sf_dir):
         by_q.setdefault(r["q_id"], []).append(r["rank"])
     for ranks in by_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_dbscan_lsh_invariants(spark, sf_dir):
+    """DBSCAN: roles partition the point set; every core/border point
+    carries a cluster label, noise never does; cluster labels are core
+    point ids; border points never label a cluster no core belongs to."""
+    from pyspark.sql import functions as F
+
+    from sparkstreamingproject_spark.llm.similarity import dbscan_lsh
+    from sparkstreamingproject_spark.queries.base import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    out = dbscan_lsh(emb, eps2_scaled=1_690_000_000_000, min_pts=4)
+    n = emb.count()
+    assert out.count() == n
+    assert out.select("vec_id").distinct().count() == n
+    assert out.filter((F.col("role") == "noise")
+                      & F.col("cluster").isNotNull()).count() == 0
+    assert out.filter(F.col("role").isin("core", "border")
+                      & F.col("cluster").isNull()).count() == 0
+    core_clusters = {r["cluster"] for r in
+                     out.filter(F.col("role") == "core")
+                     .select("cluster").distinct().collect()}
+    border_clusters = {r["cluster"] for r in
+                       out.filter(F.col("role") == "border")
+                       .select("cluster").distinct().collect()}
+    assert border_clusters <= core_clusters

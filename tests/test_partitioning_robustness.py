@@ -61,6 +61,7 @@ WINDOW = list(REGISTRY)[:50] + [
     "bpe_encode_apply",
     "stat_levene_test", "stat_mann_kendall_trend",
     "stat_poisson_rate_test", "events_markov_stationary",
+    "cluster_dbscan_lsh",
 ]
 
 _PERTURB = {
