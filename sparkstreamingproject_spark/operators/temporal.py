@@ -201,3 +201,37 @@ def interval_overlap_join(left: DataFrame, right: DataFrame,
     overlap = ((F.col(l_start) < F.col(r_end))
                & (F.col(r_start) < F.col(l_end)))
     return joined.filter(overlap).drop("_b").distinct()
+
+
+def asof_join_nearest(left: DataFrame, right: DataFrame, key: str,
+                      left_ts: str, right_ts: str, left_id: str,
+                      right_cols: list[str], tiebreak: str) -> DataFrame:
+    """Nearest-in-time as-of join: each left row takes the right row
+    minimizing |right_ts - left_ts| for the same key; an exact
+    |delta| tie prefers the backward (at-or-before) match. Composed
+    from one backward and one forward ``asof_join`` pass (each one
+    key shuffle + per-key sort) + a per-left-row argmin — still
+    O(n log n) per key, never left x right. Timestamp columns must be
+    TIMESTAMP (compared via unix_micros).
+    """
+    lcols = left.columns
+    b = asof_join(left, right, key, left_ts, right_ts,
+                  right_cols=right_cols, tiebreak=tiebreak,
+                  direction="backward")
+    f = asof_join(left, right, key, left_ts, right_ts,
+                  right_cols=right_cols, tiebreak=tiebreak,
+                  direction="forward")
+    b = b.select(*lcols, *[F.col(c).alias(f"_b_{c}") for c in right_cols])
+    f = f.select(F.col(left_id),
+                 *[F.col(c).alias(f"_f_{c}") for c in right_cols])
+    j = b.join(f, left_id)
+    db = F.abs(F.unix_micros(F.col(left_ts))
+               - F.unix_micros(F.col(f"_b_{right_ts}")))
+    df_ = F.abs(F.unix_micros(F.col(f"_f_{right_ts}"))
+                - F.unix_micros(F.col(left_ts)))
+    take_b = F.when(F.col(f"_b_{right_ts}").isNull(), F.lit(False)) \
+              .when(F.col(f"_f_{right_ts}").isNull(), F.lit(True)) \
+              .otherwise(db <= df_)
+    picked = [F.when(take_b, F.col(f"_b_{c}")).otherwise(F.col(f"_f_{c}"))
+              .alias(c) for c in right_cols]
+    return j.select(*lcols, *picked)

@@ -62,6 +62,7 @@ WINDOW = list(REGISTRY)[:50] + [
     "stat_levene_test", "stat_mann_kendall_trend",
     "stat_poisson_rate_test", "events_markov_stationary",
     "cluster_dbscan_lsh",
+    "stat_friedman_test", "asof_nearest_purchase", "multimodal_scene_cuts",
 ]
 
 _PERTURB = {
