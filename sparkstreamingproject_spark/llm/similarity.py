@@ -630,3 +630,112 @@ def dbscan_lsh(df: DataFrame, eps2_scaled: int, min_pts: int,
     return (assigned.unionAll(noise)
             .select(F.col("u").alias(id_col), "role",
                     F.col("label").alias("cluster")))
+
+
+# ----------------------------------------------------------- IVFADC
+
+def ivfadc_index(df: DataFrame, n_cells: int = 8, m_sub: int = PQ_SUBSPACES,
+                 k: int = PQ_CODES, cb_offset: int = 8,
+                 id_col: str = "vec_id", emb_col: str = "embedding",
+                 dim: int = EMB_DIM):
+    """Build the FAISS-style IVFADC index layout: coarse quantizer
+    cells + product-quantized RESIDUALS (x - centroid) per cell.
+
+    Returns (cents, cb, codes):
+    - cents (cell, cv): integer coarse centroids (first ``n_cells``
+      ids — deterministic; a production build Lloyd-refines with
+      ``kmeans_centroids``, the layout is identical);
+    - cb (sub, code, cv2): the shared residual codebook (subvectors of
+      ids [cb_offset, cb_offset+k) — offset past the centroids so no
+      zero-residual degenerates train it);
+    - codes (id, cell, sub, code): the persisted index — N*m small
+      ints partitionable BY CELL, which is the 100 TB layout: a probe
+      touches only its cells' code partitions.
+
+    Every distance is an exact integer sum over 1e6-quantized
+    elements; residuals subtract exactly; assignment ties break on
+    cell/code id — the whole index is bit-reproducible.
+    """
+    d_sub = dim // m_sub
+    q = F.transform(F.col(emb_col).cast("array<double>"),
+                    lambda x: F.round(x * 1e6).cast("long"))
+    pts = df.select(F.col(id_col), q.alias("iv"))
+    cents = (pts.filter(F.col(id_col) < n_cells)
+             .select(F.col(id_col).cast("int").alias("cell"),
+                     F.col("iv").alias("cv")))
+    w = Window.partitionBy(id_col).orderBy("d", "cell")
+    assigned = (pts.crossJoin(F.broadcast(cents))
+                .select(id_col, "iv", "cell", "cv",
+                        _sq_l2_int(F.col("iv"), F.col("cv")).alias("d"))
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select(id_col, "cell",
+                        F.zip_with("iv", "cv", lambda x, y: x - y)
+                        .alias("rv")))
+    subs = F.array(*[
+        F.struct(F.lit(s).alias("sub"),
+                 F.slice("rv", s * d_sub + 1, d_sub).alias("sv"))
+        for s in range(m_sub)])
+    rsubs = (assigned.select(id_col, "cell", F.explode(subs).alias("p"))
+             .select(id_col, "cell", F.col("p.sub").alias("sub"),
+                     F.col("p.sv").alias("sv")))
+    cb = (rsubs.filter((F.col(id_col) >= cb_offset)
+                       & (F.col(id_col) < cb_offset + k))
+          .select("sub", (F.col(id_col) - cb_offset).cast("int")
+                  .alias("code"), F.col("sv").alias("cv2")))
+    wc = Window.partitionBy(id_col, "sub").orderBy("d", "code")
+    codes = (rsubs.join(F.broadcast(cb), "sub")
+             .select(id_col, "cell", "sub", "code",
+                     _sq_l2_int(F.col("sv"), F.col("cv2")).alias("d"))
+             .withColumn("rn", F.row_number().over(wc))
+             .filter(F.col("rn") == 1)
+             .select(id_col, "cell", "sub", "code"))
+    return cents, cb, codes
+
+
+def ivfadc_search(queries: DataFrame, cents: DataFrame, cb: DataFrame,
+                  codes: DataFrame, nprobe: int = 2, topk: int = 5,
+                  m_sub: int = PQ_SUBSPACES, id_col: str = "vec_id",
+                  emb_col: str = "embedding",
+                  dim: int = EMB_DIM) -> DataFrame:
+    """IVFADC query path: probe the ``nprobe`` nearest cells, compute
+    the per-(cell, subspace) residual LUT against the codebook, score
+    candidates through a LUT join + m-row integer sum — raw database
+    vectors never participate (the ADC property), and only probed
+    cells' codes are read (the IVF property). Output: (q_id, id, cell,
+    adc_dist, rank)."""
+    d_sub = dim // m_sub
+    q6 = F.transform(F.col(emb_col).cast("array<double>"),
+                     lambda x: F.round(x * 1e6).cast("long"))
+    qs = queries.select(F.col(id_col).alias("q_id"), q6.alias("qv"))
+    wp = Window.partitionBy("q_id").orderBy("d", "cell")
+    probes = (qs.crossJoin(F.broadcast(cents))
+              .select("q_id", "qv", "cell", "cv",
+                      _sq_l2_int(F.col("qv"), F.col("cv")).alias("d"))
+              .withColumn("rn", F.row_number().over(wp))
+              .filter(F.col("rn") <= nprobe)
+              .select("q_id", "qv", "cell", "cv"))
+    qres = probes.select(
+        "q_id", "cell",
+        F.zip_with("qv", "cv", lambda x, y: x - y).alias("qr"))
+    subs = F.array(*[
+        F.struct(F.lit(s).alias("sub"),
+                 F.slice("qr", s * d_sub + 1, d_sub).alias("qsv"))
+        for s in range(m_sub)])
+    qrsubs = (qres.select("q_id", "cell", F.explode(subs).alias("p"))
+              .select("q_id", "cell", F.col("p.sub").alias("sub"),
+                      F.col("p.qsv").alias("qsv")))
+    lut = (qrsubs.join(F.broadcast(cb), "sub")
+           .select("q_id", "cell", "sub", "code",
+                   _sq_l2_int(F.col("qsv"), F.col("cv2")).alias("d")))
+    cand = (codes.join(F.broadcast(probes.select("q_id", "cell")), "cell")
+            .filter(F.col(id_col) != F.col("q_id")))
+    tot = (cand.join(F.broadcast(lut), ["q_id", "cell", "sub", "code"])
+           .groupBy("q_id", id_col, "cell")
+           .agg(F.sum("d").alias("adc_int")))
+    wr = Window.partitionBy("q_id").orderBy("adc_int", id_col)
+    return (tot.withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= topk)
+            .select("q_id", F.col(id_col), "cell",
+                    F.round(F.col("adc_int") / F.lit(1e12), 6)
+                    .alias("adc_dist"), "rank"))

@@ -205,3 +205,115 @@ def cluster_dbscan_lsh(spark, sf_dir):
     from ..llm.similarity import dbscan_lsh
     emb = table(spark, sf_dir, "embeddings")
     return dbscan_lsh(emb, _DB_EPS2, _DB_MINPTS)
+
+
+# ------------------------------------------------ IVFADC
+
+_IVFADC_CELLS = 8
+_IVFADC_CB_OFF = 8    # codebook trains on ids 8..23 (past the centroids)
+_IVFADC_QLO = 24      # queries: ids 24..31
+_IVFADC_QHI = 32
+_IVFADC_NPROBE = 2
+_IVFADC_TOPK = 5
+
+
+def _ivfadc_oracle() -> str:
+    k = _K_CODES
+    return f"""
+    WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+    el AS (SELECT vec_id,
+                  CAST((i - 1) // {64 // _M_SUB} AS INT) AS sub,
+                  CAST((i - 1) % {64 // _M_SUB} AS INT) AS pos_in,
+                  CAST(i - 1 AS INT) AS pos,
+                  CAST(round(v[i] * 1000000) AS BIGINT) AS x
+           FROM pts, unnest(range(1, len(v) + 1)) AS g(i)),
+    cents AS (SELECT CAST(vec_id AS INT) AS cell, pos, x AS cx
+              FROM el WHERE vec_id < {_IVFADC_CELLS}),
+    cd AS (SELECT e.vec_id, c.cell, sum((e.x - c.cx) * (e.x - c.cx)) AS d
+           FROM el e JOIN cents c ON e.pos = c.pos
+           GROUP BY 1, 2),
+    asg AS (SELECT vec_id, cell FROM (
+              SELECT vec_id, cell,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY d, cell) AS rn
+              FROM cd) WHERE rn = 1),
+    res AS (SELECT e.vec_id, a.cell, e.sub, e.pos_in, e.pos,
+                   e.x - c.cx AS r
+            FROM el e
+            JOIN asg a ON a.vec_id = e.vec_id
+            JOIN cents c ON c.cell = a.cell AND c.pos = e.pos),
+    cb AS (SELECT sub, CAST(vec_id - {_IVFADC_CB_OFF} AS INT) AS code,
+                  pos_in, r AS y
+           FROM res WHERE vec_id >= {_IVFADC_CB_OFF}
+                      AND vec_id < {_IVFADC_CB_OFF + k}),
+    cdist AS (SELECT r.vec_id, r.cell, r.sub, b.code,
+                     sum((r.r - b.y) * (r.r - b.y)) AS d
+              FROM res r JOIN cb b
+                ON b.sub = r.sub AND b.pos_in = r.pos_in
+              GROUP BY 1, 2, 3, 4),
+    codes AS (SELECT vec_id, cell, sub, code FROM (
+                SELECT vec_id, cell, sub, code,
+                       row_number() OVER (PARTITION BY vec_id, sub
+                                          ORDER BY d, code) AS rn
+                FROM cdist) WHERE rn = 1),
+    qel AS (SELECT vec_id AS q_id, sub, pos_in, pos, x FROM el
+            WHERE vec_id >= {_IVFADC_QLO} AND vec_id < {_IVFADC_QHI}),
+    qcd AS (SELECT q.q_id, c.cell, sum((q.x - c.cx) * (q.x - c.cx)) AS d
+            FROM qel q JOIN cents c ON q.pos = c.pos
+            GROUP BY 1, 2),
+    probes AS (SELECT q_id, cell FROM (
+                 SELECT q_id, cell,
+                        row_number() OVER (PARTITION BY q_id
+                                           ORDER BY d, cell) AS rn
+                 FROM qcd) WHERE rn <= {_IVFADC_NPROBE}),
+    qres AS (SELECT q.q_id, p.cell, q.sub, q.pos_in, q.x - c.cx AS qr
+             FROM qel q
+             JOIN probes p ON p.q_id = q.q_id
+             JOIN cents c ON c.cell = p.cell AND c.pos = q.pos),
+    lut AS (SELECT r.q_id, r.cell, r.sub, b.code,
+                   sum((r.qr - b.y) * (r.qr - b.y)) AS d
+            FROM qres r JOIN cb b
+              ON b.sub = r.sub AND b.pos_in = r.pos_in
+            GROUP BY 1, 2, 3, 4),
+    tot AS (SELECT p.q_id, cd2.vec_id, cd2.cell,
+                   sum(l.d) AS adc_int
+            FROM probes p
+            JOIN codes cd2 ON cd2.cell = p.cell AND cd2.vec_id <> p.q_id
+            JOIN lut l ON l.q_id = p.q_id AND l.cell = cd2.cell
+                      AND l.sub = cd2.sub AND l.code = cd2.code
+            GROUP BY 1, 2, 3)
+    SELECT q_id, vec_id, CAST(cell AS INT) AS cell,
+           round(CAST(adc_int AS DOUBLE) / 1e12, 6) AS adc_dist,
+           CAST(rank AS INT) AS rank
+    FROM (SELECT q_id, vec_id, cell, adc_int,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY adc_int, vec_id) AS rank
+          FROM tot)
+    WHERE rank <= {_IVFADC_TOPK}
+    """
+
+
+@register("sim_ann_ivfadc", oracle=_ivfadc_oracle(),
+          tags=("llm", "similarity", "pq"))
+def sim_ann_ivfadc(spark, sf_dir):
+    """The complete IVFADC pipeline (llm/similarity.py:ivfadc_index /
+    ivfadc_search) — the layout FAISS ships for billion-scale ANN:
+    coarse quantizer cells + product-quantized RESIDUALS, probed
+    nprobe=2 cells per query, ADC scoring through a residual LUT join.
+    This composes the registry's IVF (`sim_ivf_kmeans_cells`) and PQ
+    (`sim_ann_pq_adc`) halves into the real thing: only probed cells'
+    codes are read (IVF), raw vectors never participate in the scan
+    (ADC), and residual encoding shrinks quantization error vs plain
+    PQ. Integer-exact end to end; even this 4-stage index
+    hash-matches its oracle."""
+    from ..llm.similarity import ivfadc_index, ivfadc_search
+    emb = table(spark, sf_dir, "embeddings")
+    cents, cb, codes = ivfadc_index(
+        emb, n_cells=_IVFADC_CELLS, m_sub=_M_SUB, k=_K_CODES,
+        cb_offset=_IVFADC_CB_OFF)
+    queries = emb.filter((F.col("vec_id") >= _IVFADC_QLO)
+                         & (F.col("vec_id") < _IVFADC_QHI))
+    return ivfadc_search(queries, cents, cb, codes,
+                         nprobe=_IVFADC_NPROBE, topk=_IVFADC_TOPK,
+                         m_sub=_M_SUB)

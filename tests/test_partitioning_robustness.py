@@ -63,6 +63,7 @@ WINDOW = list(REGISTRY)[:50] + [
     "stat_poisson_rate_test", "events_markov_stationary",
     "cluster_dbscan_lsh",
     "stat_friedman_test", "asof_nearest_purchase", "multimodal_scene_cuts",
+    "sim_ann_ivfadc",
 ]
 
 _PERTURB = {
