@@ -103,3 +103,35 @@ def ansi_try_arithmetic(spark, sf_dir):
                  F.sum(F.when(F.col("k") == 0, 1).otherwise(0))
                  .alias("n_div_null"),
                  F.round(F.avg(ratio), 4).alias("avg_ratio")))
+
+
+@register(
+    "sql_group_by_all",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+    tags=("sql", "modern"),
+)
+def sql_group_by_all(spark, sf_dir):
+    """Modern SQL ergonomics surface: `SELECT * EXCEPT (...)` +
+    `GROUP BY ALL` (Spark 4 SQL) — every non-aggregate select item
+    becomes a grouping key without repetition, and the star-except
+    prunes the payload columns BEFORE aggregation (so column pruning
+    reaches the scan even in the sugar form; the oracle is the
+    desugared standard GROUP BY). The engine-level capability being
+    verified is that the sugar resolves to the identical aggregate."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gba")
+    return spark.sql("""
+        SELECT s.* EXCEPT (cents),
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS revenue_cents
+        FROM (SELECT o_orderstatus, o_orderpriority,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders_gba) s
+        GROUP BY ALL
+    """)
