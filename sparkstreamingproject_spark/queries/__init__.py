@@ -88,16 +88,18 @@ _ROUND4_WINDOW = [
 
 # --- round-5 window plan (do NOT reorder this round: the r04 driver
 # check must see _ROUND4_WINDOW as the first 50) -----------------------
-# After VERDICT_r04, rotate the window to the 37 queries with no
-# driver CORRECTNESS row: the 7 analytics6 additions +
-# sketch_countmin_words (registered past the r04 cap) + the 29
+# After VERDICT_r04, rotate the window to the oldest 50 queries with
+# no driver CORRECTNESS row. The never-checked backlog (registration
+# order): the 7 analytics6 additions + sketch_countmin_words, the 29
 # round-4-continuation additions (analytics7-9, llm4, analytics8
-# append, privacy). All 37 are pre-flighted: parity-green at
-# sf0.001/0.01/0.1, green under TZ=America/New_York, and bit-stable
-# under hostile partitioning (tests/test_partitioning_robustness.py
-# WINDOW list). That fills 37 of 50 slots; backfill the rest with
-# canaries (flagship entry + the bench headline set's oracle-backed
-# rows) for regression cover.
+# append, privacy), the wave-10/11 additions (analytics10/11,
+# dedup_simhash_hamming), and the wave-12..17 additions (llm5 PQ/
+# DBSCAN/IVFADC, analytics12-16, bpe_encode_apply, sql_group_by_all)
+# — ~75 total, so r05 takes the first 50 in registration order and
+# r06 closes the ledger. ALL of them are pre-flighted: parity-green
+# at sf0.001/0.01/0.1, green under TZ=America/New_York, and
+# bit-stable under hostile partitioning
+# (tests/test_partitioning_robustness.py WINDOW list).
 
 
 def _reorder() -> None:

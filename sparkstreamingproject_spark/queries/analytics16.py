@@ -148,3 +148,139 @@ def ivm_join_agg_delta(spark, sf_dir):
     return (merged.groupBy("nation")
             .agg(F.sum("n_orders").cast("long").alias("n_orders"),
                  F.sum("revenue_cents").cast("long").alias("revenue_cents")))
+
+
+# ------------------------------------------------ Wald-Wolfowitz runs
+
+@register(
+    "stat_runs_test",
+    oracle=f"""
+    WITH d AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1),
+    m AS (SELECT quantile_cont(cents, 0.5) * 2 AS med2 FROM d),
+    s AS (
+      SELECT day, CASE WHEN 2 * cents > med2 THEN 1 ELSE 0 END AS up
+      FROM d, m WHERE 2 * cents <> med2),
+    lagged AS (
+      SELECT up, lag(up) OVER (ORDER BY day) AS prev FROM s),
+    a AS (
+      SELECT CAST(sum(up) AS BIGINT) AS n1,
+             CAST(sum(1 - up) AS BIGINT) AS n2,
+             CAST(1 + sum(CASE WHEN prev IS NOT NULL AND up <> prev
+                               THEN 1 ELSE 0 END) AS BIGINT) AS runs
+      FROM lagged)
+    SELECT n1, n2, runs,
+           round((runs - (2.0 * n1 * n2 / (n1 + n2) + 1))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / ((CAST(n1 + n2 AS DOUBLE))
+                           * (n1 + n2) * (n1 + n2 - 1))), 4) AS z
+    FROM a
+    """,
+    tags=("stat", "timeseries"),
+)
+def stat_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test on the daily revenue series: is the
+    above/below-median sequence random, or does it cluster (trend /
+    mean-reversion)? The randomness screen that complements
+    `stat_mann_kendall_trend` (MK asks 'is there a trend', runs asks
+    'is it even random'). Days at exactly the median drop (both
+    engines; median doubled to stay integer-comparable); runs count is
+    an exact integer lag-transition sum over the day-grain series; z
+    is one terminal float."""
+    from pyspark.sql import Window as W
+    e = table(spark, sf_dir, "events")
+    d = (e.groupBy((F.unix_micros("ts") / 86_400_000_000).cast("long")
+                   .alias("day"))
+         .agg(F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+              .cast("long").alias("cents")))
+    m = d.agg((F.expr("percentile(cents, 0.5)") * 2).alias("med2"))
+    s = (d.crossJoin(F.broadcast(m))
+         .filter(2 * F.col("cents") != F.col("med2"))
+         .select("day", F.when(2 * F.col("cents") > F.col("med2"), 1)
+                 .otherwise(0).alias("up")))
+    lagged = s.select("up", F.lag("up").over(W.orderBy("day")).alias("prev"))
+    a = lagged.agg(
+        F.sum("up").cast("long").alias("n1"),
+        F.sum(1 - F.col("up")).cast("long").alias("n2"),
+        (1 + F.sum(F.when(F.col("prev").isNotNull()
+                          & (F.col("up") != F.col("prev")), 1).otherwise(0)))
+        .cast("long").alias("runs"))
+    n1, n2 = F.col("n1"), F.col("n2")
+    mu = 2.0 * n1 * n2 / (n1 + n2) + 1
+    var = (2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+           / ((n1 + n2).cast("double") * (n1 + n2) * (n1 + n2 - 1)))
+    return a.select("n1", "n2", "runs",
+                    F.round((F.col("runs") - mu) / F.sqrt(var), 4)
+                    .alias("z"))
+
+
+# ------------------------------------------------ degree assortativity
+
+@register(
+    "graph_degree_assortativity",
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    dc AS (SELECT c, CAST(count(*) AS BIGINT) AS dc FROM e0 GROUP BY c),
+    dp AS (SELECT p, CAST(count(*) AS BIGINT) AS dp FROM e0 GROUP BY p),
+    j AS (
+      SELECT dc.dc AS x, dp.dp AS y
+      FROM e0 JOIN dc ON e0.c = dc.c JOIN dp ON e0.p = dp.p),
+    a AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             sum(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+             sum(CAST(y AS DECIMAL(38,0)) * y) AS syy,
+             sum(CAST(x AS DECIMAL(38,0)) * y) AS sxy
+      FROM j)
+    SELECT m,
+           round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * sy)), 4)
+             AS assortativity
+    FROM a
+    """,
+    tags=("graph", "stat"),
+)
+def graph_degree_assortativity(spark, sf_dir):
+    """Degree assortativity of the customer-part purchase graph:
+    Pearson correlation between endpoint degrees across edges — do
+    broad buyers buy popular parts (assortative, r>0) or niche ones
+    (disassortative, r<0)? The structural summary that contextualizes
+    `graph_hits_hubs_authorities`. Two degree aggregates + one
+    edge-keyed join-back; the correlation reduces to six exact
+    integer/DECIMAL(38,0) sums and one terminal float — the same
+    moment recipe as `stat_corr_matrix`, over edges instead of rows."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    e0 = (o.join(li, o.o_orderkey == li.l_orderkey)
+          .select(F.col("o_custkey").alias("c"),
+                  F.col("l_partkey").alias("p"))
+          .distinct())
+    dc = e0.groupBy("c").agg(F.count("*").cast("long").alias("dc"))
+    dp = e0.groupBy("p").agg(F.count("*").cast("long").alias("dp"))
+    j = (e0.join(dc, "c").join(dp, "p")
+         .select(F.col("dc").alias("x"), F.col("dp").alias("y")))
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    a = j.agg(F.count("*").cast("long").alias("m"),
+              F.sum("x").cast("long").alias("sx"),
+              F.sum("y").cast("long").alias("sy"),
+              F.sum(xd * F.col("x")).alias("sxx"),
+              F.sum(yd * F.col("y")).alias("syy"),
+              F.sum(xd * F.col("y")).alias("sxy"))
+    md = F.col("m").cast("double")
+    num = md * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy")
+    den = F.sqrt((md * F.col("sxx").cast("double")
+                  - F.col("sx").cast("double") * F.col("sx"))
+                 * (md * F.col("syy").cast("double")
+                    - F.col("sy").cast("double") * F.col("sy")))
+    return a.select("m", F.round(num / den, 4).alias("assortativity"))

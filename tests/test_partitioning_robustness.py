@@ -65,6 +65,7 @@ WINDOW = list(REGISTRY)[:50] + [
     "stat_friedman_test", "asof_nearest_purchase", "multimodal_scene_cuts",
     "sim_ann_ivfadc",
     "stat_jarque_bera", "ivm_join_agg_delta", "sql_group_by_all",
+    "stat_runs_test", "graph_degree_assortativity",
 ]
 
 _PERTURB = {

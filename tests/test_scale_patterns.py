@@ -244,3 +244,42 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path,
+                                                       sf_dir):
+    """Dynamic partition pruning: a partitioned fact joined to a
+    filtered dim must prune fact partitions at RUNTIME from the dim's
+    build side — at 100 TB this is the difference between scanning one
+    priority's files and scanning all of them. Pinned by the
+    `dynamicpruning` subquery expression in the optimized plan AND by
+    result equality with the pre-filtered join."""
+    fact_path = str(tmp_path / "orders_part")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o.write.partitionBy("o_orderpriority").mode("overwrite") \
+        .parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    dim = (spark.createDataFrame(
+        [("1-URGENT", "u"), ("5-LOW", "x")], ["prio", "tag"])
+        .filter(F.col("tag") == "u"))  # selective predicate -> DPP fires
+    joined = (fact.join(dim, fact.o_orderpriority == dim.prio)
+              .select("o_orderkey", "tag"))
+    plan = joined._jdf.queryExecution().optimizedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    expected = (fact.filter(F.col("o_orderpriority") == "1-URGENT")
+                .count())
+    assert joined.count() == expected
+
+
+def test_pq_and_ivfadc_plans_broadcast_codebooks(spark, sf_dir):
+    """The PQ/IVFADC kernels must keep their codebook/LUT joins
+    broadcast (the codebook is KBs by design) and never plan a
+    cartesian product — the property that lets the codes scan scale
+    linearly."""
+    from sparkstreamingproject_spark.queries import REGISTRY
+    for name in ("embedding_pq_codebook", "sim_ann_pq_adc",
+                 "sim_ann_ivfadc"):
+        plan = (REGISTRY[name].fn(spark, sf_dir)._jdf.queryExecution()
+                .executedPlan().toString())
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
