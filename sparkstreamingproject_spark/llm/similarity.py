@@ -610,7 +610,12 @@ def dbscan_lsh(df: DataFrame, eps2_scaled: int, min_pts: int,
           .join(cs, nbr.v == cs.cu)
           .filter(F.col("u") < F.col("v"))
           .select(F.col("u").alias("id_a"), F.col("v").alias("id_b")))
-    comp = connected_components(ce)  # (u, label) — cores with core edges
+    # max_iter raised well past the default 25: DBSCAN's signature
+    # clusters are long eps-chains of core points, and the oracle's
+    # recursive CTE always reaches the fixpoint — the label pass must
+    # too. connected_components exits early on convergence, so the
+    # higher cap costs nothing once the diameter is covered.
+    comp = connected_components(ce, max_iter=200)
     core_lab = (core.join(comp, "u", "left")
                 .select("u", F.coalesce("label", F.col("u")).alias("label"))
                 .localCheckpoint())

@@ -213,7 +213,18 @@ def asof_join_nearest(left: DataFrame, right: DataFrame, key: str,
     key shuffle + per-key sort) + a per-left-row argmin — still
     O(n log n) per key, never left x right. Timestamp columns must be
     TIMESTAMP (compared via unix_micros).
+
+    Preconditions (validated): ``right_ts`` must be listed in
+    ``right_cols`` (the argmin needs both candidates' timestamps
+    back), and ``left_id`` must uniquely identify left rows — the
+    backward/forward recombination joins on it, so duplicates would
+    cross-multiply candidate rows.
     """
+    if right_ts not in right_cols:
+        raise ValueError(
+            f"right_ts {right_ts!r} must be included in right_cols "
+            f"{right_cols!r} — the nearest argmin compares both "
+            "directions' timestamps")
     lcols = left.columns
     b = asof_join(left, right, key, left_ts, right_ts,
                   right_cols=right_cols, tiebreak=tiebreak,

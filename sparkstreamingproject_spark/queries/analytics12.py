@@ -83,21 +83,30 @@ def stat_kruskal_wallis(spark, sf_dir):
          .select(grp.alias("grp"),
                  F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
                  .alias("cents")))
-    dr = (2 * F.rank().over(Window.orderBy("cents"))
-          + F.count("*").over(Window.partitionBy("cents")) - 1)
-    r = p.select("grp", dr.alias("dr"))
+    # value histogram: one row per distinct cent value with per-group
+    # counts — the ordered rank pass runs over THIS bounded relation,
+    # never the fact table (the oracle keeps the per-row rank form;
+    # the algebra is identical)
+    vc = (p.groupBy("cents")
+          .agg(F.count("*").alias("t"),
+               *[F.sum(F.when(F.col("grp") == i, 1).otherwise(0))
+                 .alias(f"g{i}") for i in range(1, 6)]))
+    wv = (Window.orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # doubled average rank of every row holding value v:
+    # dr_v = 2*(count strictly below) + t_v + 1
+    vc = vc.withColumn("dr", 2 * (F.sum("t").over(wv) - F.col("t"))
+                       + F.col("t") + 1)
     aggs = []
     for i in range(1, 6):
-        aggs.append(F.sum(F.when(F.col("grp") == i, 1).otherwise(0))
-                    .cast("long").alias(f"n{i}"))
-        aggs.append(F.sum(F.when(F.col("grp") == i, F.col("dr")).otherwise(0))
-                    .cast("long").alias(f"rd{i}"))
-    aggs.append(F.count("*").cast("long").alias("n"))
-    a = r.agg(*aggs)
-    t = (p.groupBy("cents").agg(F.count("*").alias("c"))
-         .agg(F.sum(F.col("c").cast("decimal(38,0)") * F.col("c") * F.col("c")
-                    - F.col("c")).cast("decimal(38,0)").alias("tsum")))
-    j = a.crossJoin(F.broadcast(t))
+        aggs.append(F.sum(f"g{i}").cast("long").alias(f"n{i}"))
+        aggs.append(F.sum(F.col(f"g{i}") * F.col("dr")).cast("long")
+                    .alias(f"rd{i}"))
+    aggs.append(F.sum("t").cast("long").alias("n"))
+    aggs.append(F.sum(F.col("t").cast("decimal(38,0)") * F.col("t")
+                      * F.col("t") - F.col("t")).cast("decimal(38,0)")
+                .alias("tsum"))
+    j = vc.agg(*aggs)
     ssum = None
     for i in range(1, 6):
         term = (F.col(f"rd{i}").cast("double") * F.col(f"rd{i}")
@@ -324,9 +333,14 @@ def funnel_time_to_convert(spark, sf_dir):
             FROM w WHERE len(ws) >= 6),
     suf AS (SELECT doc_id,
                    ws[-3] || ' ' || ws[-2] || ' ' || ws[-1] AS k
-            FROM w WHERE len(ws) >= 6)
+            FROM w WHERE len(ws) >= 6),
+    hot AS (
+      SELECT k FROM (
+        SELECT k FROM pre UNION ALL SELECT k FROM suf)
+      GROUP BY k HAVING count(*) > 50)
     SELECT s.doc_id AS id_suffix, p.doc_id AS id_prefix, s.k AS edge_key
     FROM suf s JOIN pre p ON s.k = p.k AND s.doc_id <> p.doc_id
+    WHERE s.k NOT IN (SELECT k FROM hot)
     """,
     tags=("llm", "dedup"),
 )
@@ -336,10 +350,12 @@ def dedup_doc_edge_overlap(spark, sf_dir):
     across chunks by a scraper, which per-doc dedup can never see.
     Candidate pairs come from an equi-join on the edge keys (each doc
     contributes exactly one prefix row and one suffix row — at corpus
-    scale only a 16-byte key hash per doc shuffles; a hot boilerplate
-    edge key gets the same stop-key cap as `dedup_ngram_jaccard`). A
-    stitching pass would order the pairs into chains with
-    `dedup_connected_components`."""
+    scale only a 16-byte key hash per doc shuffles), with a stop-key
+    cap: edge keys appearing in > 50 edge rows (a scraper banner
+    shared by thousands of docs) are dropped before pair generation,
+    the same quadratic-blowup guard as `dedup_ngram_jaccard`'s
+    max_postings. A stitching pass would order the pairs into chains
+    with `dedup_connected_components`."""
     from ..llm.dedup import words_col
     d = table(spark, sf_dir, "documents")
     ws = words_col("text")
@@ -349,7 +365,11 @@ def dedup_doc_edge_overlap(spark, sf_dir):
                    F.concat_ws(" ", F.slice("ws", 1, 3)).alias("k"))
     suf = w.select(F.col("doc_id").alias("id_suffix"),
                    F.concat_ws(" ", F.slice("ws", -3, 3)).alias("k"))
+    hot = (pre.select("k").unionAll(suf.select("k"))
+           .groupBy("k").agg(F.count("*").alias("c"))
+           .filter(F.col("c") > 50).select("k"))
     return (suf.join(pre, "k")
+            .join(hot, "k", "left_anti")
             .filter(F.col("id_suffix") != F.col("id_prefix"))
             .select("id_suffix", "id_prefix", F.col("k").alias("edge_key")))
 

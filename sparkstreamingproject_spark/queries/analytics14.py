@@ -188,7 +188,8 @@ def stat_mann_kendall_trend(spark, sf_dir):
     oracle=f"""
     WITH d AS (
       SELECT epoch_us(ts) // {_US_DAY}
-               - (SELECT min(epoch_us(ts) // {_US_DAY}) FROM events)
+               - (SELECT min(epoch_us(ts) // {_US_DAY}) FROM events
+                  WHERE event_type = 'purchase')
                AS rel_day
       FROM events WHERE event_type = 'purchase'),
     a AS (
@@ -206,7 +207,9 @@ def stat_mann_kendall_trend(spark, sf_dir):
 )
 def stat_poisson_rate_test(spark, sf_dir):
     """Two-sample Poisson rate test: did the purchase rate change
-    between the first and second 15-day half of the window? Under
+    between the first and second 15-day half of the window (halves
+    measured from the first PURCHASE day — the same baseline in both
+    engines)? Under
     H0 (equal rates, equal exposure) n1 | n1+n2 ~ Binomial(n, 1/2), so
     z = (n1-n2)/sqrt(n1+n2) — the one-line count-data A/B test (the
     count-process sibling of `stat_ab_proportion_ztest`). Two integer

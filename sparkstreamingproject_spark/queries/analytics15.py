@@ -53,7 +53,7 @@ def _friedman_oracle() -> str:
     k AS (SELECT 3 AS k)
     SELECT n, CAST(2 AS INT) AS df,
            round((3.0 / (CAST(n AS DOUBLE) * k.k * (k.k + 1)))
-                 * ({ssum}) / 4
+                 * ({ssum})
                  - 3.0 * n * (k.k + 1), 4) AS q_stat
     FROM r, k
     """
@@ -94,8 +94,11 @@ def stat_friedman_test(spark, sf_dir):
     for y in ys:
         term = F.col(f"rd{y}").cast("double") * F.col(f"rd{y}")
         ssum = term if ssum is None else ssum + term
+    # Q = 12/(nk(k+1))·ΣR² − 3n(k+1); with doubled ranks ΣR² = ΣRd²/4,
+    # so the 12 becomes 3 — the /4 is ALREADY absorbed (perfect
+    # agreement must give Q = 2n; verified numerically)
     kk = 3
-    q = ((3.0 / (F.col("n").cast("double") * kk * (kk + 1))) * ssum / 4
+    q = ((3.0 / (F.col("n").cast("double") * kk * (kk + 1))) * ssum
          - 3.0 * F.col("n") * (kk + 1))
     return r.select("n", F.lit(2).cast("int").alias("df"),
                     F.round(q, 4).alias("q_stat"))

@@ -16,9 +16,9 @@ from .base import register, table
 _BPE_ITERS = 3
 
 
-def _bpe_oracle() -> str:
-    """Unrolled K-iteration BPE oracle (same technique as the k-means
-    and PageRank oracles — the loop runs at SQL-generation time)."""
+def _bpe_oracle_chain() -> str:
+    """The unrolled K-iteration CTE chain up to seg{K} (no final
+    SELECT) — shared by the learn oracle and the encode oracle."""
     parts = ["""
     WITH words AS (
       SELECT w, count(*) AS freq FROM (
@@ -47,11 +47,16 @@ def _bpe_oracle() -> str:
              replace(s, '·' || t.l || '·' || t.r || '·',
                      '·' || t.l || t.r || '·') AS s
       FROM seg{k - 1}, top{k} t)""")
+    return "".join(parts)
+
+
+def _bpe_oracle() -> str:
+    """Unrolled K-iteration BPE oracle (same technique as the k-means
+    and PageRank oracles — the loop runs at SQL-generation time)."""
     finals = " UNION ALL ".join(
         f"SELECT CAST({k} AS INT) AS iteration, l, r, cnt FROM top{k}"
         for k in range(1, _BPE_ITERS + 1))
-    parts.append(f"\n    {finals}")
-    return "".join(parts)
+    return f"{_bpe_oracle_chain()}\n    {finals}"
 
 
 @register(
@@ -80,6 +85,14 @@ def bpe_learn_merges(spark, sf_dir):
     left-to-right in one pass (verified: '·a·a·a·' → '·aa·a·' in
     both), so the shared-boundary variant is identically defined.
     Symbols are '·'-delimited, a character absent from the corpus."""
+    merges, _ = _bpe_run(spark, sf_dir)
+    return merges
+
+
+def _bpe_run(spark, sf_dir):
+    """The K-round merge loop; returns (merges relation, final
+    segmentation relation) — learn returns the first, encode consumes
+    the second."""
     docs = table(spark, sf_dir, "documents")
     words = (docs.select(F.explode(F.split("text", " ")).alias("w"))
              .filter(F.col("w") != "")
@@ -110,29 +123,13 @@ def bpe_learn_merges(spark, sf_dir):
                 "replace(s, '·' || ml || '·' || mr || '·',"
                 " '·' || ml || mr || '·')"))
             .drop("ml", "mr"))
-    bpe_learn_merges.last_seg = seg
-    return merges
-
-
-def _bpe_final_seg(spark, sf_dir):
-    """Re-run the merge loop and return the final (w, freq, s)
-    segmentation relation (the learned subword vocabulary applied to
-    every corpus word)."""
-    bpe_learn_merges(spark, sf_dir)
-    return bpe_learn_merges.last_seg
-
-
-def _bpe_seg_chain_sql() -> str:
-    """The learn oracle's CTE chain up to seg{K} (no final SELECT)."""
-    full = _bpe_oracle()
-    # the chain ends right before the final UNION ALL select list
-    return full[:full.rindex("\n    SELECT CAST(1 AS INT)")]
+    return merges, seg
 
 
 @register(
     "bpe_encode_apply",
     oracle=f"""
-    {_bpe_seg_chain_sql()},
+    {_bpe_oracle_chain()},
     dw AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS w
       FROM documents),
@@ -164,7 +161,7 @@ def bpe_encode_apply(spark, sf_dir):
     tokens/word, chars/token fertility) are the metrics a tokenizer
     eval reports. All counts integer; two terminal ratio divides."""
     docs = table(spark, sf_dir, "documents")
-    seg = _bpe_final_seg(spark, sf_dir)
+    _, seg = _bpe_run(spark, sf_dir)
     seg_tok = seg.select(
         "w", F.expr("size(split(trim(BOTH '·' FROM s), '·'))").alias("n_tok"))
     dw = (docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))

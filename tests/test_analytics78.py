@@ -164,3 +164,58 @@ def test_winsorized_stats_bounds(spark, sf_dir):
         b = bounds[r.event_type]
         assert b.lo - 0.01 <= r.wins_mean <= b.hi + 0.01
         assert r.wins_std <= b.sd + 1e-6
+
+
+def test_chi_square_family_statistics_are_nonnegative(spark, sf_dir):
+    """Oracle parity cannot catch algebra that is wrong IDENTICALLY in
+    both engines (the r04 Friedman /4 bug). Chi-square-family
+    statistics are nonnegative by definition — pin that property."""
+    from sparkstreamingproject_spark.queries import REGISTRY
+    checks = {
+        "stat_friedman_test": "q_stat",
+        "stat_kruskal_wallis": "h_stat",
+        "stat_chi_square": None,  # first double col
+        "stat_anova_oneway": "f_stat",
+    }
+    for name, col in checks.items():
+        row = REGISTRY[name].fn(spark, sf_dir).first()
+        if col is None:
+            vals = [v for v in row if isinstance(v, float)]
+        else:
+            vals = [row[col]]
+        for v in vals:
+            assert v is not None and v >= 0, f"{name}: {col}={v}"
+
+
+def test_friedman_perfect_agreement_equals_2n(spark):
+    """Friedman Q on perfectly consistent blocks must equal 2n for
+    k=3 (closed form) — an absolute-value check no oracle can fake."""
+    from pyspark.sql import functions as F
+
+    from sparkstreamingproject_spark.queries.analytics15 import (
+        stat_friedman_test)
+    import sparkstreamingproject_spark.queries.analytics15 as a15
+
+    # 6 blocks where 1993 < 1994 < 1995 spend strictly, built by
+    # monkey-driving the query over a fabricated orders/customer pair
+    rows_o, rows_c = [], []
+    for b in range(6):
+        rows_c.append((b, b))
+        for yi, y in enumerate(a15._FR_YEARS):
+            rows_o.append((b * 10 + yi, b, f"{y}-06-01", 100.0 * (yi + 1)))
+    o = spark.createDataFrame(
+        rows_o, ["o_orderkey", "o_custkey", "d", "o_totalprice"]
+    ).withColumn("o_orderdate", F.col("d").cast("timestamp")).drop("d")
+    c = spark.createDataFrame(rows_c, ["c_custkey", "c_nationkey"])
+
+    import sparkstreamingproject_spark.queries.base as base
+    orig = base.table
+    try:
+        base.table = lambda s, sd, n: {"orders": o, "customer": c}[n]
+        a15.table = base.table
+        out = stat_friedman_test(spark, "ignored").first()
+    finally:
+        base.table = orig
+        a15.table = orig
+    assert out["n"] == 6
+    assert abs(out["q_stat"] - 12.0) < 1e-9  # 2n = 12 for n=6, k=3
