@@ -479,3 +479,45 @@ def test_rollup_maintenance_stream_equals_batch(spark, tmp_path, sf_dir):
                "CAST(round(o_totalprice * 100) AS BIGINT)"))
                .alias("cents"), F.count("*").alias("n")).collect()}
     assert got == exp
+
+
+def test_hll_rollup_stream_equals_batch(spark, tmp_path, sf_dir):
+    """Streaming HLL register maintenance (foreachBatch MAX-merge)
+    must produce byte-identical registers — and therefore identical
+    distinct estimates — to a direct batch sketch over all events,
+    with files arriving as separate micro-batches. Max-merge is
+    idempotent, so this holds even under replay."""
+    from pyspark.sql.window import Window as W
+
+    from sparkstreamingproject_spark.streaming.hll_maintain import (
+        day_user_registers, estimate_daily_distinct, hll_rollup_stream)
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    land = str(tmp_path / "events_land")
+    (events.withColumn("_b", F.ntile(3).over(W.orderBy("user_id", "ts")))
+     .repartition(3, "_b").drop("_b").write.parquet(land))
+
+    from sparkstreamingproject_spark.sources.streams import file_stream
+    stream = file_stream(spark, land, events.schema,
+                         max_files_per_trigger=1)
+    regs_dir = str(tmp_path / "hll_regs")
+    q = hll_rollup_stream(stream, regs_dir, str(tmp_path / "ck_hll"))
+    q.awaitTermination(180)
+
+    maintained = spark.read.parquet(regs_dir)
+    direct = day_user_registers(events)
+    got = {(r.day, r.bucket): r.m for r in maintained.collect()}
+    exp = {(r.day, r.bucket): r.m for r in direct.collect()}
+    assert got == exp  # registers byte-identical, not just estimates
+
+    est = {r.day: r.hll_est
+           for r in estimate_daily_distinct(maintained).collect()}
+    exact = {r.day: r.n for r in
+             events.groupBy((F.unix_micros("ts") / 86_400_000_000)
+                            .cast("long").alias("day"))
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert set(est) == set(exact)
+    for day, n in exact.items():
+        # linear-counting regime at this SF: tight relative error
+        assert abs(est[day] - n) <= max(0.2 * n, 3), (day, est[day], n)
