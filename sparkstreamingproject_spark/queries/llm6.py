@@ -243,3 +243,83 @@ def dedup_semantic_lexical_pairs(spark, sf_dir):
                     F.coalesce("jaccard", F.lit(0.0)).alias("jaccard"))
             .orderBy(F.col("cosine").desc(), "id_a", "id_b")
             .limit(20))
+
+
+@register(
+    "curation_dedup_funnel",
+    oracle=f"""
+    WITH s0 AS (SELECT doc_id, text FROM documents),
+    s1 AS (  -- exact: keep min doc_id per content hash
+      SELECT min(doc_id) AS doc_id FROM s0 GROUP BY md5(text)),
+    s1d AS (SELECT s0.doc_id, s0.text FROM s0
+            JOIN s1 ON s0.doc_id = s1.doc_id),
+    s2 AS (  -- normalized exact on exact survivors
+      SELECT min(doc_id) AS doc_id FROM (
+        SELECT doc_id,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                     '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS h
+        FROM s1d) GROUP BY h),
+    s2d AS (SELECT s0.doc_id, s0.text FROM s0
+            JOIN s2 ON s0.doc_id = s2.doc_id),
+    {MINHASH_CTE},
+    bands AS (
+{_BAND_SELECTS}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+                               AND a.doc_id < b.doc_id),
+    drop3 AS (  -- near-dup: drop the larger id of a surviving pair
+      SELECT DISTINCT c.id_b AS doc_id
+      FROM cand c
+      JOIN s2 x ON x.doc_id = c.id_a
+      JOIN s2 y ON y.doc_id = c.id_b),
+    s3 AS (SELECT doc_id FROM s2
+           WHERE doc_id NOT IN (SELECT doc_id FROM drop3)),
+    stages AS (
+      SELECT 0 AS stage, 'raw' AS stage_name,
+             CAST((SELECT count(*) FROM s0) AS BIGINT) AS n_docs
+      UNION ALL SELECT 1, 'exact',
+             CAST((SELECT count(*) FROM s1) AS BIGINT)
+      UNION ALL SELECT 2, 'normalized',
+             CAST((SELECT count(*) FROM s2) AS BIGINT)
+      UNION ALL SELECT 3, 'minhash_lsh',
+             CAST((SELECT count(*) FROM s3) AS BIGINT))
+    SELECT CAST(stage AS INT) AS stage, stage_name, n_docs FROM stages
+    """,
+    tags=("llm", "dedup", "curation"),
+)
+def curation_dedup_funnel(spark, sf_dir):
+    """The dedup FUNNEL a corpus build reports: documents surviving
+    each successive stage — raw → exact hash → normalized hash →
+    MinHash-LSH near-dup — each stage operating on the previous
+    stage's survivors (the real pipeline composition, not four
+    independent counts; `curation_pipeline` is the quality-gate
+    sibling). Near-dup keeps the smaller id of each surviving
+    candidate pair (the banded index proposes; no all-pairs). Every
+    stage is a hash-keyed aggregate or anti-join over 16-32 byte
+    digests — document bodies never shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    s0 = docs.select("doc_id", "text")
+    s1 = (s0.groupBy(F.md5("text"))
+          .agg(F.min("doc_id").alias("doc_id")).select("doc_id"))
+    s1d = s0.join(s1, "doc_id")
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "), " +", " "))
+    s2 = (s1d.groupBy(F.md5(norm))
+          .agg(F.min("doc_id").alias("doc_id")).select("doc_id"))
+    cand = D.lsh_candidate_pairs(docs)
+    drop3 = (cand
+             .join(s2.select(F.col("doc_id").alias("id_a")), "id_a")
+             .join(s2.select(F.col("doc_id").alias("id_b")), "id_b")
+             .select(F.col("id_b").alias("doc_id")).distinct())
+    s3 = s2.join(drop3, "doc_id", "left_anti")
+
+    def stage(i, name, df):
+        return df.agg(F.count("*").cast("long").alias("n_docs")).select(
+            F.lit(i).cast("int").alias("stage"),
+            F.lit(name).alias("stage_name"), "n_docs")
+
+    return (stage(0, "raw", s0)
+            .unionAll(stage(1, "exact", s1))
+            .unionAll(stage(2, "normalized", s2))
+            .unionAll(stage(3, "minhash_lsh", s3)))

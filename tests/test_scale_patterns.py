@@ -283,3 +283,48 @@ def test_pq_and_ivfadc_plans_broadcast_codebooks(spark, sf_dir):
                 .executedPlan().toString())
         assert "BroadcastHashJoin" in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_runtime_bloom_filter_join_injection(spark, sf_dir):
+    """Spark's runtime row-level Bloom filter (InjectRuntimeFilter):
+    a selective dim side injects a bloom_filter_agg subquery whose
+    might_contain() prunes fact rows BEFORE the shuffle — the built-in
+    engine counterpart of operators/bloom.py's explicit kernel, and
+    the standard big-join reducer at 100 TB (shuffle only rows that
+    can match). Pinned by plan markers + result equality."""
+    saved = {}
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+             .filter(F.col("o_orderpriority") == "1-URGENT"))
+        j = li.join(o, li.l_orderkey == o.o_orderkey).select("l_quantity")
+        opt = j._jdf.queryExecution().optimizedPlan().toString().lower()
+        assert "bloom" in opt, opt[:1500]
+        phys = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in phys.lower(), phys[:1500]
+        n_with = j.count()
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        n_without = (li.join(o, li.l_orderkey == o.o_orderkey)
+                     .select("l_quantity").count())
+        assert n_with == n_without
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
