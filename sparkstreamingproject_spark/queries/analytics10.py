@@ -53,28 +53,32 @@ def stat_mann_whitney_u(spark, sf_dir):
     assumed (`stat_ttest_welch` is the parametric sibling).
 
     Integer discipline: tied ranks average to .5 halves, so ranks are
-    kept DOUBLED (dr = 2·rank + ties − 1 — an integer), making the rank
-    sum and 2·U exact integers in both engines; the normal-approximation
-    z-score is the single terminal float (tie variance correction
-    omitted, documented). The global rank is a window over the two
-    groups' pooled values — at 100 TB the same statistic comes from a
-    value-histogram + prefix-offset two-pass (the rank of a value only
-    needs counts below it), so state is bounded by distinct values, not
-    rows."""
+    kept DOUBLED (dr = 2·(count below) + t + 1 — an integer), making
+    the rank sum and 2·U exact integers in both engines; the
+    normal-approximation z-score is the single terminal float (tie
+    variance correction omitted, documented). Ranks come from a
+    value-histogram + prefix offsets (the `stat_kruskal_wallis` plan):
+    the ordered pass runs over one row per distinct cent value — state
+    bounded by the value domain, never the fact table. The oracle
+    keeps the per-row rank form; the algebra is identical."""
     p = (table(spark, sf_dir, "orders")
          .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
          .select(F.when(F.col("o_orderpriority") == "1-URGENT", 1)
                  .otherwise(2).alias("grp"),
                  F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
                  .alias("cents")))
-    dr = (2 * F.rank().over(Window.orderBy("cents"))
-          + F.count("*").over(Window.partitionBy("cents")) - 1)
-    r = p.select("grp", dr.alias("dr"))
-    a = r.agg(
-        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("long").alias("n1"),
-        F.sum(F.when(F.col("grp") == 2, 1).otherwise(0)).cast("long").alias("n2"),
-        F.sum(F.when(F.col("grp") == 1, F.col("dr")).otherwise(0))
-        .cast("long").alias("r1d"))
+    vc = (p.groupBy("cents")
+          .agg(F.count("*").alias("t"),
+               F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("g1"),
+               F.sum(F.when(F.col("grp") == 2, 1).otherwise(0)).alias("g2")))
+    wv = (Window.orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    vc = vc.withColumn("dr", 2 * (F.sum("t").over(wv) - F.col("t"))
+                       + F.col("t") + 1)
+    a = vc.agg(
+        F.sum("g1").cast("long").alias("n1"),
+        F.sum("g2").cast("long").alias("n2"),
+        F.sum(F.col("g1") * F.col("dr")).cast("long").alias("r1d"))
     u1_x2 = F.col("r1d") - F.col("n1") * (F.col("n1") + 1)
     z = (u1_x2 - F.col("n1").cast("double") * F.col("n2")) / (
         2.0 * F.sqrt(F.col("n1") * F.col("n2")
