@@ -308,3 +308,98 @@ def events_markov_stationary(spark, sf_dir):
                                     / F.col("tot")).cast("long").alias("pi")))
     return pi.select(F.col("st").alias("event_type"),
                      F.col("pi").alias("pi_ppm"))
+
+
+# ------------------------------------------------ Holt linear forecast
+
+_HOLT_W = 15
+_HOLT_ALPHA, _HOLT_BETA = 0.5, 0.3
+
+
+def _holt_weights():
+    """Coefficient vectors of the truncated Holt recursion (l_0 = y_0,
+    b_0 = 0, then W-1 update steps) — computed once at import, shared
+    as literals by both engines (the `ts_ewma_priority_revenue`
+    truncated-kernel recipe extended to two state variables)."""
+    lw = [0.0] * _HOLT_W
+    bw = [0.0] * _HOLT_W
+    lw[0] = 1.0
+    for t in range(1, _HOLT_W):
+        e = [1.0 if i == t else 0.0 for i in range(_HOLT_W)]
+        l_new = [_HOLT_ALPHA * e[i]
+                 + (1 - _HOLT_ALPHA) * (lw[i] + bw[i])
+                 for i in range(_HOLT_W)]
+        b_new = [_HOLT_BETA * (l_new[i] - lw[i])
+                 + (1 - _HOLT_BETA) * bw[i] for i in range(_HOLT_W)]
+        lw, bw = l_new, b_new
+    return ([round(x, 12) for x in lw], [round(x, 12) for x in bw])
+
+
+_HOLT_LW, _HOLT_BW = _holt_weights()
+
+
+def _holt_oracle() -> str:
+    ycols = ",\n             ".join(
+        f"CAST(max(CASE WHEN idx = {i} THEN cents END) AS BIGINT) AS y{i}"
+        for i in range(_HOLT_W))
+    lsum = " + ".join(f"({w!r} * y{i})" for i, w in enumerate(_HOLT_LW))
+    bsum = " + ".join(f"({w!r} * y{i})" for i, w in enumerate(_HOLT_BW))
+    return f"""
+    WITH d AS (
+      SELECT epoch_us(ts) // {_US_DAY} AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1),
+    r AS (
+      SELECT cents,
+             {_HOLT_W} - row_number() OVER (ORDER BY day DESC) AS idx
+      FROM d),
+    p AS (
+      SELECT {ycols},
+             CAST(count(*) AS BIGINT) AS n_used
+      FROM r WHERE idx >= 0)
+    SELECT n_used,
+           round(({lsum}) / 100, 4) AS level,
+           round(({bsum}) / 100, 4) AS trend,
+           round((({lsum}) + ({bsum})) / 100, 4) AS forecast_next
+    FROM p
+    """
+
+
+@register("ts_holt_linear_forecast", oracle=_holt_oracle(),
+          tags=("timeseries", "forecast"))
+def ts_holt_linear_forecast(spark, sf_dir):
+    """Holt's linear-trend (double exponential smoothing) one-step
+    forecast of daily revenue — the trend-aware upgrade of
+    `ts_ewma_priority_revenue`'s level-only smoother, via the same
+    truncated-kernel technique: the (level, trend) recursion over the
+    last 15 days unrolls at IMPORT time into two fixed literal
+    coefficient vectors, so each statistic is a fixed-arity dot
+    product of exact integer day-totals with shared literals —
+    identical operand order in both engines, no recursion at run
+    time. Scale: the kernel reads the day-grain aggregate (bounded by
+    calendar span); the pivot to fixed y_i columns is one conditional
+    aggregate."""
+    e = table(spark, sf_dir, "events")
+    d = (e.groupBy((F.unix_micros("ts") / _US_DAY).cast("long").alias("day"))
+         .agg(F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+              .cast("long").alias("cents")))
+    r = d.select(
+        "cents",
+        (_HOLT_W - F.row_number().over(Window.orderBy(F.col("day").desc())))
+        .alias("idx")).filter(F.col("idx") >= 0)
+    p = r.agg(
+        *[F.max(F.when(F.col("idx") == i, F.col("cents"))).cast("long")
+          .alias(f"y{i}") for i in range(_HOLT_W)],
+        F.count("*").cast("long").alias("n_used"))
+    lsum = None
+    bsum = None
+    for i in range(_HOLT_W):
+        lt = F.lit(_HOLT_LW[i]) * F.col(f"y{i}")
+        bt = F.lit(_HOLT_BW[i]) * F.col(f"y{i}")
+        lsum = lt if lsum is None else lsum + lt
+        bsum = bt if bsum is None else bsum + bt
+    return p.select("n_used",
+                    F.round(lsum / 100, 4).alias("level"),
+                    F.round(bsum / 100, 4).alias("trend"),
+                    F.round((lsum + bsum) / 100, 4).alias("forecast_next"))

@@ -67,7 +67,7 @@ WINDOW = list(REGISTRY)[:50] + [
     "stat_jarque_bera", "ivm_join_agg_delta", "sql_group_by_all",
     "stat_runs_test", "graph_degree_assortativity",
     "dedup_minhash_pr_sweep", "dedup_semantic_lexical_pairs",
-    "curation_dedup_funnel",
+    "curation_dedup_funnel", "ts_holt_linear_forecast",
 ]
 
 _PERTURB = {
