@@ -225,3 +225,45 @@ def audio_window_plan(df: DataFrame, id_col: str = "doc_id",
                     start.alias("byte_start"),
                     F.least(start + win_b, F.col("byte_len"))
                     .alias("byte_end")))
+
+
+def extract_features_arrow(media: DataFrame) -> DataFrame:
+    """`mapInArrow` variant of ``extract_features``: the decode loop
+    receives raw ``pyarrow.RecordBatch`` objects — no Arrow→pandas
+    conversion at the boundary, which matters when the heavy payload
+    column would otherwise be copied into pandas object cells (binary
+    columns are the worst case for that copy). Produces byte-identical
+    features to the pandas path (pinned by test); a real decoder that
+    consumes buffers (libjpeg/ffmpeg via pyarrow buffers) plugs into
+    this form with zero-copy access.
+
+    This is the fifth extension surface in the repo's inventory:
+    JVM HOFs / mapInPandas / SQL UDTF / Python DataSource / mapInArrow.
+    """
+    import pyarrow as pa
+
+    def run(batches):
+        for rb in batches:
+            tbl = pa.table(rb)
+            ids = tbl.column("doc_id").to_pylist()
+            payloads = tbl.column("payload").to_pylist()
+            feats, lens = [], []
+            for b in payloads:
+                b = b or b""
+                lens.append(len(b))
+                feats.append(_stub_feature_bytes(b))
+            yield pa.record_batch(
+                [pa.array(ids, pa.int64()),
+                 pa.array(lens, pa.int64()),
+                 pa.array(feats, pa.list_(pa.float32()))],
+                names=["doc_id", "byte_len", "feature"])
+
+    return media.select("doc_id", "payload").mapInArrow(
+        run, FEATURE_SCHEMA)
+
+
+def _stub_feature_bytes(b: bytes) -> list[float]:
+    """The same deterministic stand-in feature as
+    ``decode_stub_features`` — the two decode paths must produce
+    byte-identical output (pinned by test)."""
+    return [float(sum(b[i::FEATURE_DIM]) % 997) for i in range(FEATURE_DIM)]

@@ -448,3 +448,24 @@ def test_dbscan_lsh_invariants(spark, sf_dir):
                        out.filter(F.col("role") == "border")
                        .select("cluster").distinct().collect()}
     assert border_clusters <= core_clusters
+
+
+def test_map_in_arrow_features_match_pandas_path(spark, sf_dir):
+    """The mapInArrow decode path must produce byte-identical features
+    to the mapInPandas path — the zero-copy RecordBatch boundary is a
+    transport change, not a semantic one. Checked under a hostile
+    Arrow batch size so batch boundaries differ between runs too."""
+    from sparkstreamingproject_spark.llm.multimodal import (
+        attach_payload, extract_features, extract_features_arrow)
+    from sparkstreamingproject_spark.queries.base import table
+
+    media = attach_payload(table(spark, sf_dir, "documents"))
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "37")
+    try:
+        a = {r.doc_id: (r.byte_len, tuple(r.feature))
+             for r in extract_features_arrow(media).collect()}
+        p = {r.doc_id: (r.byte_len, tuple(r.feature))
+             for r in extract_features(media).collect()}
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    assert a == p and len(a) == media.count()
