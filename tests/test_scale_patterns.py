@@ -328,3 +328,28 @@ def test_runtime_bloom_filter_join_injection(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_analyze_table_stats_inform_broadcast_decision(spark, sf_dir,
+                                                       bucketed_db):
+    """Cost-based optimization needs catalog statistics: ANALYZE TABLE
+    records rowCount/sizeInBytes, and the planner broadcasts a table
+    it KNOWS is small even when the broadcast threshold would
+    otherwise be decided from raw file size. At 100 TB, stats are what
+    keep a 6-way join from picking a shuffle plan for a dimension —
+    run ANALYZE after large loads."""
+    spark.sql(f"DROP TABLE IF EXISTS {bucketed_db}.nation_s")
+    (spark.read.parquet(f"{sf_dir}/nation.parquet")
+     .write.saveAsTable(f"{bucketed_db}.nation_s"))
+    spark.sql(f"ANALYZE TABLE {bucketed_db}.nation_s COMPUTE STATISTICS")
+    desc = spark.sql(
+        f"DESCRIBE EXTENDED {bucketed_db}.nation_s").collect()
+    stats_row = [r for r in desc if r.col_name == "Statistics"]
+    assert stats_row, "ANALYZE recorded no Statistics row"
+    assert "rows" in stats_row[0].data_type  # e.g. '3456 bytes, 25 rows'
+
+    n = spark.table(f"{bucketed_db}.nation_s")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    plan = explain_str(c.join(n, c.c_nationkey == n.n_nationkey)
+                       .select("c_custkey", "n_name"))
+    assert "BroadcastHashJoin" in plan
