@@ -56,14 +56,14 @@ def decode_stub_features(batch: pd.DataFrame) -> pd.DataFrame:
     A real implementation would decode the media here (PIL/librosa/
     ffmpeg) — same signature, same batch shape.
     """
-    feats = []
+    feats, lens = [], []
     for payload in batch["payload"]:
-        b = bytes(payload)
-        # deterministic fake: byte-sum folded into FEATURE_DIM floats
-        feats.append([float(sum(b[i::FEATURE_DIM]) % 997) for i in range(FEATURE_DIM)])
+        b = bytes(payload) if payload is not None else b""
+        lens.append(len(b))
+        feats.append(_stub_feature_bytes(b))
     return pd.DataFrame({
         "doc_id": batch["doc_id"],
-        "byte_len": batch["payload"].map(len).astype("int64"),
+        "byte_len": pd.Series(lens, dtype="int64"),
         "feature": feats,
     })
 

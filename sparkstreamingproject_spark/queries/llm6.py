@@ -91,7 +91,7 @@ def dedup_minhash_pr_sweep(spark, sf_dir):
     measurement that tunes (bands, rows) before a corpus-scale dedup
     run. Ground truth is complete by construction: any pair with
     J ≥ 0.5 shares a shingle, so the posting-list pair generation
-    (stop-shingle cap {50}, the production default) enumerates every
+    (stop-shingle cap 50, the production default) enumerates every
     qualifying pair. Threshold membership is the integer
     cross-multiplication 10·i ≥ t·union — no float compare. Scale:
     truth costs one shingle self-pairing (capped), candidates one
@@ -102,15 +102,9 @@ def dedup_minhash_pr_sweep(spark, sf_dir):
               .filter(F.col("cnt") <= _PR_CAP).select("shingle"))
     sh = sh0.join(capped, "shingle")
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("c"))
-    lists = (sh.groupBy("shingle")
-             .agg(F.sort_array(F.collect_set("doc_id")).alias("ids")))
-    pair_expr = F.expr(
-        "flatten(transform(ids, (x, i) -> "
-        "transform(slice(ids, i + 2, size(ids) - i - 1), "
-        "y -> struct(x AS id_a, y AS id_b))))")
-    inter = (lists.filter(F.size("ids") >= 2)
-             .select(F.explode(pair_expr).alias("p"))
-             .select("p.id_a", "p.id_b")
+    # one pair occurrence per shared shingle -> count IS the
+    # intersection (the shared posting-list kernel, llm/dedup.py)
+    inter = (D.pairs_from_postings(sh, ["shingle"], "doc_id")
              .groupBy("id_a", "id_b")
              .agg(F.count("*").cast("long").alias("i")))
     ca = counts.select(F.col("doc_id").alias("id_a"),
@@ -220,15 +214,16 @@ def dedup_semantic_lexical_pairs(spark, sf_dir):
                    .alias("cosine")))
     sh = D.word_shingles(docs)
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("c"))
-    lists = (sh.groupBy("shingle")
-             .agg(F.sort_array(F.collect_set("doc_id")).alias("ids")))
-    pair_expr = F.expr(
-        "flatten(transform(ids, (x, i) -> "
-        "transform(slice(ids, i + 2, size(ids) - i - 1), "
-        "y -> struct(x AS id_a, y AS id_b))))")
-    inter = (lists.filter(F.size("ids") >= 2)
-             .select(F.explode(pair_expr).alias("p"))
-             .select("p.id_a", "p.id_b")
+    # intersection computed for CANDIDATE pairs only (the
+    # lsh_verified_pairs cost shape: candidates join shingles by id_a,
+    # then by (id_b, shingle) — candidate docs' shingles only, never
+    # every shingle-sharing pair in the corpus)
+    inter = (cand
+             .join(sh.select(F.col("doc_id").alias("id_a"), "shingle"),
+                   "id_a")
+             .join(sh.select(F.col("doc_id").alias("id_b"),
+                             F.col("shingle").alias("shingle")),
+                   ["id_b", "shingle"])
              .groupBy("id_a", "id_b")
              .agg(F.count("*").cast("long").alias("i")))
     ca = counts.select(F.col("doc_id").alias("id_a"), F.col("c").alias("ca"))

@@ -21,27 +21,11 @@ point of sketch rollups at 100 TB.
 
 from __future__ import annotations
 
-import os
-import shutil
-import uuid
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-HLL_M = 512  # registers (shared with queries/sketches.py)
-
-
-def _swap_in(merged: DataFrame, table_dir: str) -> None:
-    tmp = f"{table_dir}.tmp-{uuid.uuid4().hex[:8]}"
-    merged.write.mode("overwrite").parquet(tmp)
-    if os.path.isdir(table_dir):
-        shutil.rmtree(table_dir)
-    os.rename(tmp, table_dir)
-
-
-def _table_exists(table_dir: str) -> bool:
-    return os.path.isdir(table_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(table_dir))
+from ..queries.sketches import _HLL_M as HLL_M  # one register-count constant
+from .rollup_maintain import _swap_in, _table_exists
 
 
 def day_user_registers(events: DataFrame) -> DataFrame:
@@ -53,6 +37,9 @@ def day_user_registers(events: DataFrame) -> DataFrame:
     w = F.conv(F.substring(hx, 4, 8), 16, 10).cast("long")
     m = F.when(w == 0, 33).otherwise(33 - F.length(F.bin(w)))
     return (events
+            # NULL ids must not register: countDistinct ignores NULLs,
+            # and md5(NULL)=NULL would emit a junk row that inflates v
+            .filter(F.col("user_id").isNotNull())
             .select((F.unix_micros("ts") / 86_400_000_000).cast("long")
                     .alias("day"), bucket.alias("bucket"), m.alias("m"))
             .groupBy("day", "bucket").agg(F.max("m").alias("m")))

@@ -330,26 +330,25 @@ def test_runtime_bloom_filter_join_injection(spark, sf_dir):
                 spark.conf.set(k, v)
 
 
-def test_analyze_table_stats_inform_broadcast_decision(spark, sf_dir,
-                                                       bucketed_db):
-    """Cost-based optimization needs catalog statistics: ANALYZE TABLE
-    records rowCount/sizeInBytes, and the planner broadcasts a table
-    it KNOWS is small even when the broadcast threshold would
-    otherwise be decided from raw file size. At 100 TB, stats are what
-    keep a 6-way join from picking a shuffle plan for a dimension —
-    run ANALYZE after large loads."""
+def test_analyze_table_records_catalog_statistics(spark, sf_dir,
+                                                  bucketed_db):
+    """ANALYZE TABLE is the CBO feed at scale (join reordering and
+    build-side choice read catalog stats, not file listings, on a
+    Hive metastore — the in-memory test catalog always has file-size
+    estimates, so what is pinnable here is the stats themselves):
+    table-level rowCount must be EXACT and column-level min/max/ndv
+    must land in the catalog for the optimizer to consume."""
     spark.sql(f"DROP TABLE IF EXISTS {bucketed_db}.nation_s")
     (spark.read.parquet(f"{sf_dir}/nation.parquet")
      .write.saveAsTable(f"{bucketed_db}.nation_s"))
-    spark.sql(f"ANALYZE TABLE {bucketed_db}.nation_s COMPUTE STATISTICS")
+    spark.sql(f"ANALYZE TABLE {bucketed_db}.nation_s COMPUTE STATISTICS "
+              "FOR COLUMNS n_nationkey, n_name")
+    n_rows = spark.table(f"{bucketed_db}.nation_s").count()
     desc = spark.sql(
         f"DESCRIBE EXTENDED {bucketed_db}.nation_s").collect()
     stats_row = [r for r in desc if r.col_name == "Statistics"]
-    assert stats_row, "ANALYZE recorded no Statistics row"
-    assert "rows" in stats_row[0].data_type  # e.g. '3456 bytes, 25 rows'
-
-    n = spark.table(f"{bucketed_db}.nation_s")
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    plan = explain_str(c.join(n, c.c_nationkey == n.n_nationkey)
-                       .select("c_custkey", "n_name"))
-    assert "BroadcastHashJoin" in plan
+    assert stats_row and f"{n_rows} rows" in stats_row[0].data_type
+    cdesc = {r.info_name: r.info_value for r in spark.sql(
+        f"DESCRIBE EXTENDED {bucketed_db}.nation_s n_nationkey").collect()}
+    assert cdesc.get("distinct_count") == str(n_rows)
+    assert cdesc.get("min") == "0" and cdesc.get("max") == str(n_rows - 1)
