@@ -1,0 +1,147 @@
+"""Round-4 continuation, wave 22: global clustering coefficient and
+tokenizer OOV-rate sweep.
+
+Float discipline: wedge and triangle counts are exact integers
+(DECIMAL(38,0) wedge sum); the clustering coefficient and OOV rates
+are single terminal divides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .base import register, table
+
+_OOV_SIZES = (100, 500, 1000)
+
+
+@register(
+    "graph_clustering_coefficient",
+    oracle="""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+    sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u),
+    w AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(CAST(d AS DECIMAL(38,0)) * (d - 1) / 2)
+                  AS DECIMAL(38,0)) AS wedges
+      FROM deg),
+    tri AS (
+      SELECT CAST(count(*) AS BIGINT) AS triangles
+      FROM e e1
+      JOIN e e2 ON e1.v = e2.u
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+    ne AS (SELECT CAST(count(*) AS BIGINT) AS edges FROM e)
+    SELECT w.n_nodes, ne.edges, CAST(w.wedges AS BIGINT) AS wedges,
+           tri.triangles,
+           round(3.0 * tri.triangles / CAST(w.wedges AS DOUBLE), 6)
+             AS global_clustering
+    FROM w, tri, ne
+    """,
+    tags=("graph", "stat"),
+)
+def graph_clustering_coefficient(spark, sf_dir):
+    """Global clustering coefficient of the supplier co-occurrence
+    graph: C = 3·triangles / wedges — how much the graph closes its
+    open triads (the cohesion summary that contextualizes
+    `graph_triangle_count`; C ≈ p for a random graph, ≫ p for a
+    clustered one). Triangles reuse the oriented wedge-closure plan;
+    wedges are Σ d(d−1)/2 over one degree aggregate — both exact
+    integers, one terminal divide. Scale: edge generation is bounded
+    by order width; everything downstream is keyed joins/aggregates
+    on the edge list."""
+    li = (table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_suppkey").distinct())
+    a, b = li.alias("a"), li.alias("b")
+    e = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_suppkey") < F.col("b.l_suppkey")))
+         .select(F.col("a.l_suppkey").alias("u"),
+                 F.col("b.l_suppkey").alias("v"))
+         .distinct().localCheckpoint())
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count("*").cast("long").alias("d"))
+    w = deg.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum(F.col("d").cast("decimal(38,0)") * (F.col("d") - 1) / 2)
+        .cast("decimal(38,0)").alias("wedges"))
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+           .join(e3, (F.col("e3.u") == F.col("e1.u"))
+                 & (F.col("e3.v") == F.col("e2.v")))
+           .agg(F.count("*").cast("long").alias("triangles")))
+    ne = e.agg(F.count("*").cast("long").alias("edges"))
+    return (w.crossJoin(F.broadcast(tri)).crossJoin(F.broadcast(ne))
+            .select("n_nodes", "edges",
+                    F.col("wedges").cast("long").alias("wedges"),
+                    "triangles",
+                    F.round(3.0 * F.col("triangles")
+                            / F.col("wedges").cast("double"), 6)
+                    .alias("global_clustering")))
+
+
+@register(
+    "tokenizer_oov_sweep",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    wc AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c
+      FROM words WHERE w <> '' GROUP BY w),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rnk
+      FROM wc),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS n_types
+            FROM ranked),
+    vs AS (SELECT unnest([{", ".join(str(v) for v in _OOV_SIZES)}])
+             AS vocab_size),
+    cov AS (
+      SELECT vs.vocab_size,
+             CAST(coalesce(sum(CASE WHEN r.rnk <= vs.vocab_size
+                                    THEN r.c ELSE 0 END), 0) AS BIGINT)
+               AS covered
+      FROM vs, ranked r GROUP BY vs.vocab_size)
+    SELECT CAST(cov.vocab_size AS INT) AS vocab_size, tot.n_types,
+           cov.covered, tot.total,
+           round(1.0 - CAST(cov.covered AS DOUBLE) / tot.total, 6)
+             AS oov_rate
+    FROM cov, tot
+    """,
+    tags=("llm", "tokenize", "eval"),
+)
+def tokenizer_oov_sweep(spark, sf_dir):
+    """Out-of-vocabulary rate as a function of vocabulary size (top-V
+    words by frequency, deterministic (count, word) tie-break) — the
+    coverage curve that sizes a word-level vocabulary before training
+    (`vocab_build_topk` builds the chosen V; `bpe_encode_apply`
+    measures the subword alternative). One corpus scan builds the
+    frequency table; the rank pass runs over the TYPE relation
+    (vocabulary-sized, not corpus-sized); the sweep is a 3-row
+    conditional aggregate. All counts exact; terminal divide."""
+    docs = table(spark, sf_dir, "documents")
+    wc = (docs.select(F.explode(F.split("text", " ")).alias("w"))
+          .filter(F.col("w") != "")
+          .groupBy("w").agg(F.count("*").cast("long").alias("c")))
+    ranked = wc.select(
+        "c", F.row_number().over(
+            Window.orderBy(F.col("c").desc(), "w")).alias("rnk"))
+    tot = ranked.agg(F.sum("c").cast("long").alias("total"),
+                     F.count("*").cast("long").alias("n_types"))
+    vs = spark.createDataFrame([(v,) for v in _OOV_SIZES], ["vocab_size"])
+    cov = (ranked.crossJoin(F.broadcast(vs))
+           .groupBy("vocab_size")
+           .agg(F.coalesce(
+               F.sum(F.when(F.col("rnk") <= F.col("vocab_size"),
+                            F.col("c")).otherwise(0)), F.lit(0))
+               .cast("long").alias("covered")))
+    return (cov.crossJoin(F.broadcast(tot))
+            .select(F.col("vocab_size").cast("int").alias("vocab_size"),
+                    "n_types", "covered", "total",
+                    F.round(1.0 - F.col("covered").cast("double")
+                            / F.col("total"), 6).alias("oov_rate")))

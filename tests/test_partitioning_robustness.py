@@ -68,6 +68,7 @@ WINDOW = list(REGISTRY)[:50] + [
     "stat_runs_test", "graph_degree_assortativity",
     "dedup_minhash_pr_sweep", "dedup_semantic_lexical_pairs",
     "curation_dedup_funnel", "ts_holt_linear_forecast",
+    "graph_clustering_coefficient", "tokenizer_oov_sweep",
 ]
 
 _PERTURB = {
