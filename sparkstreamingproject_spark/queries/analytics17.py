@@ -145,3 +145,131 @@ def tokenizer_oov_sweep(spark, sf_dir):
                     "n_types", "covered", "total",
                     F.round(1.0 - F.col("covered").cast("double")
                             / F.col("total"), 6).alias("oov_rate")))
+
+
+# ------------------------------------------------ Cochran-Armitage
+
+def _ca_oracle() -> str:
+    ps = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    cells = []
+    for i, p in enumerate(ps, 1):
+        cells.append(
+            f"CAST(sum(CASE WHEN o_orderpriority = '{p}' THEN 1 ELSE 0 END) AS BIGINT) AS n{i},\n"
+            f"             CAST(sum(CASE WHEN o_orderpriority = '{p}' AND l_returnflag = 'R' "
+            f"THEN 1 ELSE 0 END) AS BIGINT) AS r{i}")
+    sr = " + ".join(f"r{i}" for i in range(1, 6))
+    sn = " + ".join(f"n{i}" for i in range(1, 6))
+    swr = " + ".join(f"{i} * r{i}" for i in range(1, 6))
+    swn = " + ".join(f"{i} * n{i}" for i in range(1, 6))
+    sw2n = " + ".join(f"{i * i} * n{i}" for i in range(1, 6))
+    return f"""
+    WITH g AS (
+      SELECT {cells[0]},
+             {cells[1]},
+             {cells[2]},
+             {cells[3]},
+             {cells[4]}
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    e AS (
+      SELECT CAST({sn} AS BIGINT) AS n, CAST({sr} AS BIGINT) AS r,
+             CAST({swr} AS BIGINT) AS swr, CAST({swn} AS BIGINT) AS swn,
+             CAST({sw2n} AS BIGINT) AS sw2n
+      FROM g)
+    SELECT n, r,
+           round((CAST(swr AS DOUBLE) - CAST(r AS DOUBLE) * swn / n)
+                 / sqrt((CAST(r AS DOUBLE) / n)
+                        * (1 - CAST(r AS DOUBLE) / n)
+                        * (CAST(sw2n AS DOUBLE)
+                           - CAST(swn AS DOUBLE) * swn / n)), 4) AS z
+    FROM e
+    """
+
+
+@register("stat_cochran_armitage", oracle=_ca_oracle(), tags=("stat",))
+def stat_cochran_armitage(spark, sf_dir):
+    """Cochran-Armitage trend test: does the RETURN rate trend
+    monotonically across the 5 ordered priority levels (scores 1..5)?
+    The ordered-categories sibling of `stat_chi_square` (chi-square
+    sees any deviation; CA targets a dose-response trend, gaining
+    power when order matters). One fact-dim join + one conditional
+    pivot; z is a fixed-arity float over 5 exact (n_i, r_i) pairs."""
+    ps = _CA_PRIORITIES
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    aggs = []
+    for i, p in enumerate(ps, 1):
+        is_p = F.col("o_orderpriority") == p
+        aggs.append(F.sum(F.when(is_p, 1).otherwise(0))
+                    .cast("long").alias(f"n{i}"))
+        aggs.append(F.sum(F.when(is_p & (F.col("l_returnflag") == "R"), 1)
+                          .otherwise(0)).cast("long").alias(f"r{i}"))
+    g = j.agg(*aggs)
+    sn = sum(F.col(f"n{i}") for i in range(1, 6))
+    sr = sum(F.col(f"r{i}") for i in range(1, 6))
+    swr = sum(i * F.col(f"r{i}") for i in range(1, 6))
+    swn = sum(i * F.col(f"n{i}") for i in range(1, 6))
+    sw2n = sum(i * i * F.col(f"n{i}") for i in range(1, 6))
+    e = g.select(sn.cast("long").alias("n"), sr.cast("long").alias("r"),
+                 swr.cast("long").alias("swr"),
+                 swn.cast("long").alias("swn"),
+                 sw2n.cast("long").alias("sw2n"))
+    p_bar = F.col("r").cast("double") / F.col("n")
+    z = ((F.col("swr").cast("double")
+          - F.col("r").cast("double") * F.col("swn") / F.col("n"))
+         / F.sqrt(p_bar * (1 - p_bar)
+                  * (F.col("sw2n").cast("double")
+                     - F.col("swn").cast("double") * F.col("swn")
+                     / F.col("n"))))
+    return e.select("n", "r", F.round(z, 4).alias("z"))
+
+
+_CA_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+                  "5-LOW"]
+
+
+# ------------------------------------------------ repeat purchase
+
+@register(
+    "orders_repeat_purchase_curve",
+    oracle="""
+    WITH oc AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_custkey),
+    base AS (SELECT CAST(count(*) AS BIGINT) AS n_buyers FROM oc),
+    ks AS (SELECT unnest([1, 2, 3, 5, 10]) AS k)
+    SELECT CAST(ks.k AS INT) AS k,
+           CAST(coalesce(sum(CASE WHEN oc.n_orders >= ks.k
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_customers,
+           round(CAST(coalesce(sum(CASE WHEN oc.n_orders >= ks.k
+                                        THEN 1 ELSE 0 END), 0) AS DOUBLE)
+                 / base.n_buyers, 6) AS share_of_buyers
+    FROM ks, oc, base
+    GROUP BY ks.k, base.n_buyers
+    """,
+    tags=("analytics", "behavioral"),
+)
+def orders_repeat_purchase_curve(spark, sf_dir):
+    """Repeat-purchase survival curve: the share of buyers who placed
+    at least k orders, k ∈ {1,2,3,5,10} — the loyalty summary behind
+    `events_new_vs_returning` and the input to repeat-rate forecasting
+    (`orders_cohort_ltv` gives the revenue view). One customer-keyed
+    count + a 5-row threshold sweep (conditional aggregate — the
+    customer relation is scanned once, not once per k). All integers;
+    terminal share divide."""
+    o = table(spark, sf_dir, "orders")
+    oc = o.groupBy("o_custkey").agg(F.count("*").cast("long")
+                                    .alias("n_orders"))
+    base = oc.agg(F.count("*").cast("long").alias("n_buyers"))
+    ks = spark.createDataFrame([(k,) for k in (1, 2, 3, 5, 10)], ["k"])
+    return (oc.crossJoin(F.broadcast(ks))
+            .groupBy("k")
+            .agg(F.coalesce(F.sum(F.when(F.col("n_orders") >= F.col("k"), 1)
+                                  .otherwise(0)), F.lit(0))
+                 .cast("long").alias("n_customers"))
+            .crossJoin(F.broadcast(base))
+            .select(F.col("k").cast("int").alias("k"), "n_customers",
+                    F.round(F.col("n_customers").cast("double")
+                            / F.col("n_buyers"), 6)
+                    .alias("share_of_buyers")))

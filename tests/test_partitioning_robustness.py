@@ -69,6 +69,7 @@ WINDOW = list(REGISTRY)[:50] + [
     "dedup_minhash_pr_sweep", "dedup_semantic_lexical_pairs",
     "curation_dedup_funnel", "ts_holt_linear_forecast",
     "graph_clustering_coefficient", "tokenizer_oov_sweep",
+    "stat_cochran_armitage", "orders_repeat_purchase_curve",
 ]
 
 _PERTURB = {
