@@ -317,3 +317,87 @@ def sim_ann_ivfadc(spark, sf_dir):
     return ivfadc_search(queries, cents, cb, codes,
                          nprobe=_IVFADC_NPROBE, topk=_IVFADC_TOPK,
                          m_sub=_M_SUB)
+
+
+# ------------------------------------- top eigenvector (power iteration)
+
+_PI_ITERS = 3
+
+_COV_CTE = """
+    x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+    u AS (SELECT vec_id, CAST(i - 1 AS INT) AS i,
+                 CAST(round(v[i] * 1000000) AS BIGINT) AS q
+          FROM x, unnest(range(1, len(v) + 1)) AS g(i)),
+    m AS (SELECT i, sum(CAST(q AS DECIMAL(38,0))) AS c, count(*) AS n
+          FROM u GROUP BY i),
+    cmat AS (
+      SELECT g.i, g.j,
+             CAST(round((CAST(g.s AS DOUBLE)
+                         - CAST(ma.c AS DOUBLE) * CAST(mb.c AS DOUBLE)
+                           / CAST(ma.n AS DOUBLE))
+                        / (CAST(ma.n AS DOUBLE) - 1.0) / 1e6)
+                  AS BIGINT) AS cq
+      FROM (SELECT a.i AS i, b.i AS j,
+                   sum(CAST(a.q AS DECIMAL(38,0))
+                       * CAST(b.q AS DECIMAL(38,0))) AS s
+            FROM u a JOIN u b ON a.vec_id = b.vec_id GROUP BY 1, 2) g
+      JOIN m ma ON ma.i = g.i JOIN m mb ON mb.i = g.j)
+"""
+
+
+def _eigvec_oracle() -> str:
+    parts = [f"""
+    WITH {_COV_CTE},
+    dims AS (SELECT DISTINCT i FROM cmat),
+    v0 AS (SELECT i, CAST(1000000 AS BIGINT) AS p FROM dims)"""]
+    for t in range(1, _PI_ITERS + 1):
+        parts.append(f""",
+    r{t} AS (SELECT c.i, CAST(sum(c.cq * v.p) AS BIGINT) AS raw
+             FROM cmat c JOIN v{t - 1} v ON v.i = c.j
+             GROUP BY c.i),
+    v{t} AS (SELECT i, CAST(round(CAST(raw AS DOUBLE) * 1000000
+                                  / (SELECT max(abs(raw)) FROM r{t}))
+                            AS BIGINT) AS p
+             FROM r{t})""")
+    parts.append(f"""
+    SELECT i AS dim, p AS eigvec_ppm FROM v{_PI_ITERS}""")
+    return "".join(parts)
+
+
+@register("embedding_top_eigvec_power", oracle=_eigvec_oracle(),
+          tags=("llm", "embedding", "iterative"))
+def embedding_top_eigvec_power(spark, sf_dir):
+    """Top eigenvector of the embedding covariance by power iteration
+    — the oracle-expressible core of PCA (`embedding_pca_project` is
+    the rows-only full projection; this query hash-verifies the
+    dominant direction itself). The covariance comes from the exact
+    integer Gram algebra (the r03 fix), quantized once to a BIGINT
+    matrix; each iteration is C·v as exact integer sums over the
+    d²-row relation, re-quantized to integer ppm by max-|component|
+    (the HITS discipline), so three matrix-vector products are
+    bit-reproducible in both engines. Convergence is eigengap-paced —
+    3 iterations demonstrate the kernel; production runs more (each
+    is one d²-row join) and the Rayleigh quotient improves
+    monotonically either way (pinned by the numpy-replication test).
+    Scale: after ONE corpus scan builds C (d² rows — dimension-, not
+    corpus-, sized), iterations are corpus-independent."""
+    from ..llm.features import covariance_matrix
+    emb = table(spark, sf_dir, "embeddings")
+    cov = covariance_matrix(emb)  # (i, j, cov) — cov rounded 6dp
+    cmat = cov.select("i", "j", F.round(F.col("cov") * 1e6)
+                      .cast("long").alias("cq")).localCheckpoint()
+    dims = cmat.select("i").distinct()
+    v = dims.select("i", F.lit(1_000_000).cast("long").alias("p"))
+    for _ in range(_PI_ITERS):
+        raw = (cmat.join(v.select(F.col("i").alias("j"),
+                                  F.col("p").alias("vp")), "j")
+               .groupBy("i")
+               .agg(F.sum(F.col("cq") * F.col("vp")).cast("long")
+                    .alias("raw")))
+        mx = raw.agg(F.max(F.abs("raw")).alias("mx"))
+        v = (raw.crossJoin(F.broadcast(mx))
+             .select("i", F.round(F.col("raw").cast("double") * 1e6
+                                  / F.col("mx")).cast("long").alias("p")))
+    return v.select(F.col("i").alias("dim"),
+                    F.col("p").alias("eigvec_ppm"))

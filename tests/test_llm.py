@@ -469,3 +469,56 @@ def test_map_in_arrow_features_match_pandas_path(spark, sf_dir):
     finally:
         spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
     assert a == p and len(a) == media.count()
+
+
+def test_top_eigvec_power_matches_numpy_replication(spark, sf_dir):
+    """Third-implementation check for embedding_top_eigvec_power: a
+    numpy replication of the same quantized algebra (integer Gram
+    covariance -> BIGINT matrix -> 3 max-normalized integer power
+    steps) must produce the EXACT same integer ppm vector — and the
+    result must align with numpy's true top eigenvector direction."""
+    import numpy as np
+
+    from sparkstreamingproject_spark.queries import REGISTRY
+    from sparkstreamingproject_spark.queries.base import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    M = np.array([r["embedding"] for r in
+                  emb.select("embedding").collect()], dtype=np.float64)
+    q = np.round(M * 1e6).astype(np.int64)
+    n, d = q.shape
+    s = q.sum(axis=0, dtype=object)
+    g = (q.astype(object).T @ q.astype(object))
+    cov = np.empty((d, d))
+    for i in range(d):
+        for j in range(d):
+            cov[i, j] = (float(g[i, j])
+                         - float(s[i]) * float(s[j]) / n) / (n - 1)
+    cov6 = np.round(cov / 1e6)  # same cq quantization (real-units*1e6
+    # after the /1e12 de-scaling folds into /1e6 of the int-unit cov)
+    cq = cov6.astype(np.int64)
+    v = np.full(d, 1_000_000, dtype=np.int64)
+    for _ in range(3):
+        raw = cq @ v
+        v = np.round(raw.astype(np.float64) * 1e6
+                     / np.abs(raw).max()).astype(np.int64)
+
+    got = {r["dim"]: r["eigvec_ppm"] for r in
+           REGISTRY["embedding_top_eigvec_power"]
+           .fn(spark, sf_dir).collect()}
+    assert got == {i: int(v[i]) for i in range(d)}
+
+    # power iteration on a PSD matrix monotonically improves the
+    # Rayleigh quotient; with this data's tiny eigengap 3 steps don't
+    # CONVERGE (more iterations would), but they must move toward the
+    # dominant subspace
+    C = cov / 1e12
+
+    def rq(x):
+        x = x / np.linalg.norm(x)
+        return float(x @ C @ x)
+
+    v0 = np.full(d, 1.0)
+    assert rq(v.astype(np.float64)) > rq(v0)
+    w, _ = np.linalg.eigh(C)
+    assert rq(v.astype(np.float64)) <= float(w.max()) + 1e-9
