@@ -273,3 +273,88 @@ def orders_repeat_purchase_curve(spark, sf_dir):
                     F.round(F.col("n_customers").cast("double")
                             / F.col("n_buyers"), 6)
                     .alias("share_of_buyers")))
+
+
+# ------------------------------------------------ OLS (2 features)
+
+# terminal math shared VERBATIM by both engines (Spark selectExpr +
+# DuckDB SELECT): Cramer's rule on the 3x3 normal equations, then R².
+_OLS_DET = ("(n * (s11 * s22 - s12 * s12) "
+            "- s1 * (s1 * s22 - s12 * s2) "
+            "+ s2 * (s1 * s12 - s11 * s2))")
+_OLS_B0 = ("(sy * (s11 * s22 - s12 * s12) "
+           "- s1 * (s1y * s22 - s12 * s2y) "
+           "+ s2 * (s1y * s12 - s11 * s2y))")
+_OLS_B1 = ("(n * (s1y * s22 - s12 * s2y) "
+           "- sy * (s1 * s22 - s12 * s2) "
+           "+ s2 * (s1 * s2y - s1y * s2))")
+_OLS_B2 = ("(n * (s11 * s2y - s1y * s12) "
+           "- s1 * (s1 * s2y - s1y * s2) "
+           "+ sy * (s1 * s12 - s11 * s2))")
+_OLS_SELECT = f"""
+           CAST(n AS BIGINT) AS n,
+           round({_OLS_B0} / {_OLS_DET}, 6) AS intercept_cents,
+           round({_OLS_B1} / {_OLS_DET}, 6) AS beta_qty,
+           round({_OLS_B2} / {_OLS_DET}, 6) AS beta_disc_pct,
+           round(1 - (syy - ({_OLS_B0} / {_OLS_DET}) * sy
+                          - ({_OLS_B1} / {_OLS_DET}) * s1y
+                          - ({_OLS_B2} / {_OLS_DET}) * s2y)
+                   / (syy - sy * sy / n), 6) AS r2
+"""
+
+
+@register(
+    "stat_ols_two_features",
+    oracle=f"""
+    WITH x AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x1,
+             CAST(round(l_discount * 100) AS BIGINT) AS x2,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem),
+    m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(x1 AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(x2 AS DECIMAL(38,0))) AS DOUBLE) AS s2,
+             CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x1 AS DECIMAL(38,0)) * x1) AS DOUBLE) AS s11,
+             CAST(sum(CAST(x2 AS DECIMAL(38,0)) * x2) AS DOUBLE) AS s22,
+             CAST(sum(CAST(x1 AS DECIMAL(38,0)) * x2) AS DOUBLE) AS s12,
+             CAST(sum(CAST(x1 AS DECIMAL(38,0)) * y) AS DOUBLE) AS s1y,
+             CAST(sum(CAST(x2 AS DECIMAL(38,0)) * y) AS DOUBLE) AS s2y,
+             CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE) AS syy
+      FROM x)
+    SELECT {_OLS_SELECT}
+    FROM m
+    """,
+    tags=("stat", "ml"),
+)
+def stat_ols_two_features(spark, sf_dir):
+    """Multiple linear regression (2 features + intercept) by exact
+    normal equations: extendedprice ~ quantity + discount — the
+    closed-form ML-in-SQL primitive (`stat_linear_trend` is the
+    1-feature sibling; for wide feature sets the same moments feed a
+    driver-side solve like `embedding_pca_project`). All ten moment
+    sums are exact DECIMAL(38,0) integers; the 3x3 Cramer solve and
+    R² are ONE terminal float expression shared VERBATIM with the
+    oracle (same string through selectExpr), so operand order is
+    identical by construction. One scan, one aggregate row,
+    corpus-size-independent solve."""
+    li = table(spark, sf_dir, "lineitem")
+    x = li.select(
+        F.expr("CAST(l_quantity AS BIGINT)").alias("x1"),
+        F.expr("CAST(round(l_discount * 100) AS BIGINT)").alias("x2"),
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("y"))
+    d = lambda c: F.col(c).cast("decimal(38,0)")
+    m = x.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(d("x1")).cast("double").alias("s1"),
+        F.sum(d("x2")).cast("double").alias("s2"),
+        F.sum(d("y")).cast("double").alias("sy"),
+        F.sum(d("x1") * F.col("x1")).cast("double").alias("s11"),
+        F.sum(d("x2") * F.col("x2")).cast("double").alias("s22"),
+        F.sum(d("x1") * F.col("x2")).cast("double").alias("s12"),
+        F.sum(d("x1") * F.col("y")).cast("double").alias("s1y"),
+        F.sum(d("x2") * F.col("y")).cast("double").alias("s2y"),
+        F.sum(d("y") * F.col("y")).cast("double").alias("syy"))
+    return m.selectExpr(*[
+        p.strip() for p in _OLS_SELECT.split(",\n") if p.strip()])

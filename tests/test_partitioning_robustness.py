@@ -70,7 +70,7 @@ WINDOW = list(REGISTRY)[:50] + [
     "curation_dedup_funnel", "ts_holt_linear_forecast",
     "graph_clustering_coefficient", "tokenizer_oov_sweep",
     "stat_cochran_armitage", "orders_repeat_purchase_curve",
-    "embedding_top_eigvec_power",
+    "embedding_top_eigvec_power", "stat_ols_two_features",
 ]
 
 _PERTURB = {
