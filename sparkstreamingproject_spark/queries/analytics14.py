@@ -403,3 +403,104 @@ def ts_holt_linear_forecast(spark, sf_dir):
                     F.round(lsum / 100, 4).alias("level"),
                     F.round(bsum / 100, 4).alias("trend"),
                     F.round((lsum + bsum) / 100, 4).alias("forecast_next"))
+
+
+# ------------------------------------------------ periodogram
+
+_PG_DAYS = 28          # 4 complete weeks
+_PG_PERIODS = (7, 14, 28)
+
+
+def _pg_weights():
+    """cos/sin weights per (period, day-index) — literal Fourier
+    coefficients computed once at import (the Holt-kernel recipe):
+    spectral power needs no runtime trig, no libm in either engine."""
+    import math
+    out = {}
+    for p in _PG_PERIODS:
+        cos = [round(math.cos(2 * math.pi * i / p), 12)
+               for i in range(_PG_DAYS)]
+        sin = [round(math.sin(2 * math.pi * i / p), 12)
+               for i in range(_PG_DAYS)]
+        out[p] = (cos, sin)
+    return out
+
+
+_PG_W = _pg_weights()
+
+
+def _pg_oracle() -> str:
+    ycols = ",\n             ".join(
+        f"CAST(max(CASE WHEN idx = {i} THEN cents END) AS BIGINT) AS y{i}"
+        for i in range(_PG_DAYS))
+    rows = []
+    for p in _PG_PERIODS:
+        cos, sin = _PG_W[p]
+        cs = " + ".join(f"({w!r} * (y{i} - mu))"
+                        for i, w in enumerate(cos))
+        sn = " + ".join(f"({w!r} * (y{i} - mu))"
+                        for i, w in enumerate(sin))
+        rows.append(
+            f"SELECT {p} AS period_days, "
+            f"round((({cs}) * ({cs}) + ({sn}) * ({sn}))"
+            f" / {_PG_DAYS} / 1e4, 4) AS power FROM p")
+    union = "\n    UNION ALL\n    ".join(rows)
+    return f"""
+    WITH d AS (
+      SELECT epoch_us(ts) // {_US_DAY} AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1),
+    r AS (
+      SELECT cents,
+             {_PG_DAYS} - row_number() OVER (ORDER BY day DESC) AS idx
+      FROM d),
+    p AS (
+      SELECT {ycols},
+             CAST(avg(cents) AS DOUBLE) AS mu
+      FROM r WHERE idx >= 0)
+    {union}
+    """
+
+
+@register("ts_periodogram", oracle=_pg_oracle(),
+          tags=("timeseries", "stat"))
+def ts_periodogram(spark, sf_dir):
+    """Periodogram of the daily revenue series at candidate periods
+    7/14/28 days — the SPECTRAL seasonality detector
+    (`ts_seasonal_decompose` assumes weekly structure; this measures
+    which period actually carries power). Fourier cos/sin weights are
+    import-time literals (no runtime trig, no libm divergence risk);
+    each power is a fixed-arity expression over the mean-centered
+    last-28-day pivot of exact integer day totals. Power scaled to
+    dollars² per day. Scale: reads the day-grain aggregate only."""
+    e = table(spark, sf_dir, "events")
+    d = (e.groupBy((F.unix_micros("ts") / _US_DAY).cast("long").alias("day"))
+         .agg(F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+              .cast("long").alias("cents")))
+    r = d.select(
+        "cents",
+        (_PG_DAYS - F.row_number().over(Window.orderBy(F.col("day").desc())))
+        .alias("idx")).filter(F.col("idx") >= 0)
+    p = r.agg(
+        *[F.max(F.when(F.col("idx") == i, F.col("cents"))).cast("long")
+          .alias(f"y{i}") for i in range(_PG_DAYS)],
+        F.avg("cents").cast("double").alias("mu"))
+    outs = []
+    for per in _PG_PERIODS:
+        cos, sin = _PG_W[per]
+        cs = None
+        sn = None
+        for i in range(_PG_DAYS):
+            ct = F.lit(cos[i]) * (F.col(f"y{i}") - F.col("mu"))
+            st = F.lit(sin[i]) * (F.col(f"y{i}") - F.col("mu"))
+            cs = ct if cs is None else cs + ct
+            sn = st if sn is None else sn + st
+        outs.append(p.select(
+            F.lit(per).cast("int").alias("period_days"),
+            F.round((cs * cs + sn * sn) / _PG_DAYS / 1e4, 4)
+            .alias("power")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out

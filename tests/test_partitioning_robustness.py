@@ -71,6 +71,7 @@ WINDOW = list(REGISTRY)[:50] + [
     "graph_clustering_coefficient", "tokenizer_oov_sweep",
     "stat_cochran_armitage", "orders_repeat_purchase_curve",
     "embedding_top_eigvec_power", "stat_ols_two_features",
+    "ts_periodogram",
 ]
 
 _PERTURB = {
