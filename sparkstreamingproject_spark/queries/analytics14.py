@@ -431,7 +431,8 @@ _PG_W = _pg_weights()
 
 def _pg_oracle() -> str:
     ycols = ",\n             ".join(
-        f"CAST(max(CASE WHEN idx = {i} THEN cents END) AS BIGINT) AS y{i}"
+        f"CAST(coalesce(max(CASE WHEN idx = {i} THEN cents END), 0)"
+        f" AS BIGINT) AS y{i}"
         for i in range(_PG_DAYS))
     rows = []
     for p in _PG_PERIODS:
@@ -453,11 +454,11 @@ def _pg_oracle() -> str:
       FROM events GROUP BY 1),
     r AS (
       SELECT cents,
-             {_PG_DAYS} - row_number() OVER (ORDER BY day DESC) AS idx
+             day - (SELECT max(day) FROM d) + {_PG_DAYS} - 1 AS idx
       FROM d),
     p AS (
       SELECT {ycols},
-             CAST(avg(cents) AS DOUBLE) AS mu
+             CAST(sum(cents) AS DOUBLE) / {_PG_DAYS} AS mu
       FROM r WHERE idx >= 0)
     {union}
     """
@@ -472,20 +473,27 @@ def ts_periodogram(spark, sf_dir):
     which period actually carries power). Fourier cos/sin weights are
     import-time literals (no runtime trig, no libm divergence risk);
     each power is a fixed-arity expression over the mean-centered
-    last-28-day pivot of exact integer day totals. Power scaled to
+    last-28-CALENDAR-day pivot of exact integer day totals (missing
+    days zero-fill in their own slot, keeping the Fourier phase
+    aligned; mean over the fixed 28-day window). Power scaled to
     dollars² per day. Scale: reads the day-grain aggregate only."""
     e = table(spark, sf_dir, "events")
     d = (e.groupBy((F.unix_micros("ts") / _US_DAY).cast("long").alias("day"))
          .agg(F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
               .cast("long").alias("cents")))
-    r = d.select(
-        "cents",
-        (_PG_DAYS - F.row_number().over(Window.orderBy(F.col("day").desc())))
-        .alias("idx")).filter(F.col("idx") >= 0)
+    mx = d.agg(F.max("day").alias("mxd"))
+    # CALENDAR-day index (not observed-row index): a missing day keeps
+    # its slot and zero-fills, so the Fourier phase stays aligned on
+    # gappy data; the mean uses the fixed 28-day denominator
+    r = (d.crossJoin(F.broadcast(mx))
+         .select("cents", (F.col("day") - F.col("mxd") + _PG_DAYS - 1)
+                 .alias("idx"))
+         .filter(F.col("idx") >= 0))
     p = r.agg(
-        *[F.max(F.when(F.col("idx") == i, F.col("cents"))).cast("long")
+        *[F.coalesce(F.max(F.when(F.col("idx") == i, F.col("cents"))),
+                     F.lit(0)).cast("long")
           .alias(f"y{i}") for i in range(_PG_DAYS)],
-        F.avg("cents").cast("double").alias("mu"))
+        (F.sum("cents").cast("double") / _PG_DAYS).alias("mu"))
     outs = []
     for per in _PG_PERIODS:
         cos, sin = _PG_W[per]

@@ -29,7 +29,7 @@ _OOV_SIZES = (100, 500, 1000)
     deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u),
     w AS (
       SELECT CAST(count(*) AS BIGINT) AS n_nodes,
-             CAST(sum(CAST(d AS DECIMAL(38,0)) * (d - 1) / 2)
+             CAST(sum(CAST(d * (d - 1) // 2 AS DECIMAL(38,0)))
                   AS DECIMAL(38,0)) AS wedges
       FROM deg),
     tri AS (
@@ -66,9 +66,12 @@ def graph_clustering_coefficient(spark, sf_dir):
          .distinct().localCheckpoint())
     sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = sym.groupBy("u").agg(F.count("*").cast("long").alias("d"))
+    # d*(d-1) is always even -> per-node integer halves; the sum is an
+    # exact DECIMAL in BOTH engines (a /2 after a DECIMAL product types
+    # as DOUBLE in DuckDB — the at-scale exactness leak to avoid)
     w = deg.agg(
         F.count("*").cast("long").alias("n_nodes"),
-        F.sum(F.col("d").cast("decimal(38,0)") * (F.col("d") - 1) / 2)
+        F.sum(F.expr("CAST(d * (d - 1) div 2 AS DECIMAL(38,0))"))
         .cast("decimal(38,0)").alias("wedges"))
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (e1.join(e2, F.col("e1.v") == F.col("e2.u"))
@@ -149,8 +152,12 @@ def tokenizer_oov_sweep(spark, sf_dir):
 
 # ------------------------------------------------ Cochran-Armitage
 
+_CA_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+                  "5-LOW"]
+
+
 def _ca_oracle() -> str:
-    ps = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    ps = _CA_PRIORITIES
     cells = []
     for i, p in enumerate(ps, 1):
         cells.append(
@@ -222,10 +229,6 @@ def stat_cochran_armitage(spark, sf_dir):
                      - F.col("swn").cast("double") * F.col("swn")
                      / F.col("n"))))
     return e.select("n", "r", F.round(z, 4).alias("z"))
-
-
-_CA_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
-                  "5-LOW"]
 
 
 # ------------------------------------------------ repeat purchase

@@ -707,15 +707,10 @@ def text_ngram_top(spark, sf_dir):
             .orderBy(F.desc("c"), "w1", "w2").limit(20))
 
 
-@register(
-    "embedding_covariance",
-    # Exact-integer Gram algebra (r03 fix): elements quantized once to
-    # BIGINT(round(v*1e6)) in BOTH engines, partials summed as exact
-    # DECIMAL(38,0) (order-free under any partitioning), and the single
-    # float divide + round(.,6) happens last on identical inputs — so
-    # the hash is partition-order independent.
-    oracle="""
-    WITH x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+# shared integer-Gram CTE chain + covariance expression — consumed by
+# the embedding_covariance oracle here AND the power-iteration oracle
+# in llm5.py (one definition, no silent divergence)
+GRAM_CTE = """x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings),
     u AS (SELECT vec_id, CAST(i - 1 AS INT) AS i,
                  CAST(round(v[i] * 1000000) AS BIGINT) AS q
@@ -724,12 +719,27 @@ def text_ngram_top(spark, sf_dir):
           FROM u GROUP BY i),
     g AS (SELECT a.i AS i, b.i AS j,
                  sum(CAST(a.q AS DECIMAL(38,0)) * CAST(b.q AS DECIMAL(38,0))) AS s
-          FROM u a JOIN u b ON a.vec_id = b.vec_id GROUP BY 1, 2)
-    SELECT g.i, g.j,
-           round((CAST(g.s AS DOUBLE)
+          FROM u a JOIN u b ON a.vec_id = b.vec_id GROUP BY 1, 2)"""
+
+# covariance of the 1e6-quantized ints, in ORIGINAL units (float expr
+# over the exact integer partials; identical text in every consumer)
+COV_EXPR = """(CAST(g.s AS DOUBLE)
                   - CAST(ma.c AS DOUBLE) * CAST(mb.c AS DOUBLE)
                     / CAST(ma.n AS DOUBLE))
-                 / (CAST(ma.n AS DOUBLE) - 1.0) / 1e12, 6) AS cov
+                 / (CAST(ma.n AS DOUBLE) - 1.0) / 1e12"""
+
+
+@register(
+    "embedding_covariance",
+    # Exact-integer Gram algebra (r03 fix): elements quantized once to
+    # BIGINT(round(v*1e6)) in BOTH engines, partials summed as exact
+    # DECIMAL(38,0) (order-free under any partitioning), and the single
+    # float divide + round(.,6) happens last on identical inputs — so
+    # the hash is partition-order independent.
+    oracle=f"""
+    WITH {GRAM_CTE}
+    SELECT g.i, g.j,
+           round({COV_EXPR}, 6) AS cov
     FROM g JOIN m ma ON ma.i = g.i JOIN m mb ON mb.i = g.j
     """,
     tags=("llm", "embedding", "stats"),

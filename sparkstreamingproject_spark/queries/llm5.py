@@ -323,32 +323,23 @@ def sim_ann_ivfadc(spark, sf_dir):
 
 _PI_ITERS = 3
 
-_COV_CTE = """
-    x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-          FROM embeddings),
-    u AS (SELECT vec_id, CAST(i - 1 AS INT) AS i,
-                 CAST(round(v[i] * 1000000) AS BIGINT) AS q
-          FROM x, unnest(range(1, len(v) + 1)) AS g(i)),
-    m AS (SELECT i, sum(CAST(q AS DECIMAL(38,0))) AS c, count(*) AS n
-          FROM u GROUP BY i),
+# the Gram/covariance CTEs are SHARED with the embedding_covariance
+# oracle (llm2.GRAM_CTE / COV_EXPR — one definition); cq applies the
+# SAME two-step rounding as the Spark side (cov rounded to 6dp first,
+# then scaled to an integer) so no double-rounding asymmetry exists
+# between engines
+from .llm2 import COV_EXPR, GRAM_CTE  # noqa: E402
+
+_CMAT_CTE = f"""{GRAM_CTE},
     cmat AS (
       SELECT g.i, g.j,
-             CAST(round((CAST(g.s AS DOUBLE)
-                         - CAST(ma.c AS DOUBLE) * CAST(mb.c AS DOUBLE)
-                           / CAST(ma.n AS DOUBLE))
-                        / (CAST(ma.n AS DOUBLE) - 1.0) / 1e6)
-                  AS BIGINT) AS cq
-      FROM (SELECT a.i AS i, b.i AS j,
-                   sum(CAST(a.q AS DECIMAL(38,0))
-                       * CAST(b.q AS DECIMAL(38,0))) AS s
-            FROM u a JOIN u b ON a.vec_id = b.vec_id GROUP BY 1, 2) g
-      JOIN m ma ON ma.i = g.i JOIN m mb ON mb.i = g.j)
-"""
+             CAST(round(round({COV_EXPR}, 6) * 1000000) AS BIGINT) AS cq
+      FROM g JOIN m ma ON ma.i = g.i JOIN m mb ON mb.i = g.j)"""
 
 
 def _eigvec_oracle() -> str:
     parts = [f"""
-    WITH {_COV_CTE},
+    WITH {_CMAT_CTE},
     dims AS (SELECT DISTINCT i FROM cmat),
     v0 AS (SELECT i, CAST(1000000 AS BIGINT) AS p FROM dims)"""]
     for t in range(1, _PI_ITERS + 1):

@@ -482,10 +482,14 @@ def test_top_eigvec_power_matches_numpy_replication(spark, sf_dir):
     from sparkstreamingproject_spark.queries import REGISTRY
     from sparkstreamingproject_spark.queries.base import table
 
+    def rha(x):  # round half AWAY from zero — the engines' round(),
+        # NOT numpy's banker's rounding (half-to-even)
+        return (np.sign(x) * np.floor(np.abs(x) + 0.5))
+
     emb = table(spark, sf_dir, "embeddings")
     M = np.array([r["embedding"] for r in
                   emb.select("embedding").collect()], dtype=np.float64)
-    q = np.round(M * 1e6).astype(np.int64)
+    q = rha(M * 1e6).astype(np.int64)
     n, d = q.shape
     s = q.sum(axis=0, dtype=object)
     g = (q.astype(object).T @ q.astype(object))
@@ -494,14 +498,14 @@ def test_top_eigvec_power_matches_numpy_replication(spark, sf_dir):
         for j in range(d):
             cov[i, j] = (float(g[i, j])
                          - float(s[i]) * float(s[j]) / n) / (n - 1)
-    cov6 = np.round(cov / 1e6)  # same cq quantization (real-units*1e6
-    # after the /1e12 de-scaling folds into /1e6 of the int-unit cov)
-    cq = cov6.astype(np.int64)
+    # same TWO-STEP quantization as both engines: round real-units cov
+    # to 6dp first, then scale to an integer
+    cq = rha(rha(cov / 1e12 * 1e6) / 1e6 * 1e6).astype(np.int64)
     v = np.full(d, 1_000_000, dtype=np.int64)
     for _ in range(3):
         raw = cq @ v
-        v = np.round(raw.astype(np.float64) * 1e6
-                     / np.abs(raw).max()).astype(np.int64)
+        v = rha(raw.astype(np.float64) * 1e6
+                / np.abs(raw).max()).astype(np.int64)
 
     got = {r["dim"]: r["eigvec_ppm"] for r in
            REGISTRY["embedding_top_eigvec_power"]
