@@ -40,6 +40,7 @@ from . import analytics15  # noqa: E402,F401
 from . import analytics16  # noqa: E402,F401
 from . import llm6  # noqa: E402,F401
 from . import analytics17  # noqa: E402,F401
+from . import analytics18  # noqa: E402,F401
 
 # --- driver-window ordering --------------------------------------------------
 # The verify driver checks the FIRST 50 registry entries per round

@@ -72,6 +72,8 @@ WINDOW = list(REGISTRY)[:50] + [
     "stat_cochran_armitage", "orders_repeat_purchase_curve",
     "embedding_top_eigvec_power", "stat_ols_two_features",
     "ts_periodogram",
+    "text_chi2_keyness", "embedding_drift_centroid_shift",
+    "asof_tolerance_recent_order",
 ]
 
 _PERTURB = {
