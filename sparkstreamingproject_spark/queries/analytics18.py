@@ -234,3 +234,134 @@ def asof_tolerance_recent_order(spark, sf_dir):
         (F.unix_micros("ts") - o_us) <= tol_us, F.col("o_orderkey"))
     return out.select("event_id", "user_id",
                       within.alias("within_orderkey"))
+
+
+# ------------------------------------------------ lifecycle accounting
+
+_US_WEEK = 7 * 86_400_000_000
+
+
+@register(
+    "events_lifecycle_accounting",
+    oracle=f"""
+    WITH uw AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // {_US_WEEK} AS week
+      FROM events),
+    fs AS (SELECT user_id, min(week) AS first_week FROM uw
+           GROUP BY user_id),
+    lagged AS (
+      SELECT uw.user_id, uw.week, fs.first_week,
+             lag(uw.week) OVER (PARTITION BY uw.user_id
+                                ORDER BY uw.week) AS prev_week
+      FROM uw JOIN fs USING (user_id)),
+    states AS (
+      SELECT week,
+             CASE WHEN week = first_week THEN 'new'
+                  WHEN prev_week = week - 1 THEN 'retained'
+                  ELSE 'resurrected' END AS state
+      FROM lagged),
+    active AS (
+      SELECT week, state, CAST(count(*) AS BIGINT) AS n
+      FROM states GROUP BY 1, 2),
+    churn AS (
+      SELECT week + 1 AS week, 'churned' AS state,
+             CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT user_id, week,
+                   lead(week) OVER (PARTITION BY user_id
+                                    ORDER BY week) AS next_week
+            FROM uw)
+      WHERE next_week IS NULL OR next_week > week + 1
+      GROUP BY 1, 2),
+    allw AS (SELECT week FROM uw GROUP BY week)
+    SELECT s.week, s.state, s.n
+    FROM (SELECT * FROM active
+          UNION ALL
+          SELECT c.week, c.state, c.n FROM churn c
+          JOIN allw ON allw.week = c.week) s
+    """,
+    tags=("analytics", "behavioral"),
+)
+def events_lifecycle_accounting(spark, sf_dir):
+    """Weekly growth accounting: every active user is exactly one of
+    new / retained / resurrected, and users active in week w but not
+    w+1 are counted as churned in w+1 — the full lifecycle state
+    machine behind `events_new_vs_returning` (which only splits
+    new/returning) and `events_dau_wau` (which only counts). One
+    distinct (user, week) relation feeds everything; states come from
+    first-seen + one lag window per user (integer week arithmetic,
+    state per row is a CASE); churn is the lead-gap complement. All
+    counts exact. Scale: user-keyed windows over the deduplicated
+    (user, week) relation — rows bounded by users x weeks, not
+    events."""
+    e = table(spark, sf_dir, "events")
+    uw = (e.select("user_id",
+                   (F.unix_micros("ts") / _US_WEEK).cast("long")
+                   .alias("week"))
+          .distinct().localCheckpoint())
+    fs = uw.groupBy("user_id").agg(F.min("week").alias("first_week"))
+    wu = Window.partitionBy("user_id").orderBy("week")
+    lagged = (uw.join(fs, "user_id")
+              .withColumn("prev_week", F.lag("week").over(wu)))
+    state = (F.when(F.col("week") == F.col("first_week"), "new")
+             .when(F.col("prev_week") == F.col("week") - 1, "retained")
+             .otherwise("resurrected"))
+    active = (lagged.select("week", state.alias("state"))
+              .groupBy("week", "state")
+              .agg(F.count("*").cast("long").alias("n")))
+    churn = (uw.withColumn("next_week", F.lead("week").over(wu))
+             .filter(F.col("next_week").isNull()
+                     | (F.col("next_week") > F.col("week") + 1))
+             .select((F.col("week") + 1).alias("week"),
+                     F.lit("churned").alias("state"))
+             .groupBy("week", "state")
+             .agg(F.count("*").cast("long").alias("n")))
+    allw = uw.select("week").distinct()
+    churn_in_range = churn.join(allw, "week")
+    return active.unionByName(churn_in_range)
+
+
+# ------------------------------------------------ class balancing
+
+@register(
+    "sample_class_balance",
+    oracle="""
+    WITH lc AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n
+      FROM embeddings GROUP BY label),
+    mn AS (SELECT CAST(min(n) AS BIGINT) AS min_n FROM lc),
+    keep AS (
+      SELECT e.vec_id, e.label
+      FROM embeddings e JOIN lc ON lc.label = e.label
+      CROSS JOIN mn
+      WHERE CAST(('0x' || substr(md5(CAST(e.vec_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 1000000
+            < CAST(mn.min_n AS BIGINT) * 1000000 / lc.n)
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           min(vec_id) AS min_kept_id
+    FROM keep GROUP BY label
+    """,
+    tags=("llm", "sampling"),
+)
+def sample_class_balance(spark, sf_dir):
+    """Class-balanced downsampling: per-label keep rates target the
+    MINORITY class size (keep_rate = min_n / n_label), decided by a
+    deterministic md5 bucket per row — the label-space sibling of
+    `domain_mix_rebalance` (sources) and the standard rebalancing
+    step before training a classifier on skewed labels. The keep
+    decision is an integer cross-multiplication (bucket·n < min_n·1e6
+    — no float rate), reproducible row-by-row on any cluster. One
+    label-count aggregate broadcasts; the filter fuses into the
+    scan."""
+    emb = table(spark, sf_dir, "embeddings")
+    lc = emb.groupBy("label").agg(F.count("*").cast("long").alias("n"))
+    mn = lc.agg(F.min("n").cast("long").alias("min_n"))
+    bucket = (F.conv(F.substring(F.md5(F.col("vec_id").cast("string")),
+                                 1, 8), 16, 10).cast("long") % 1_000_000)
+    keep = (emb.join(F.broadcast(lc), "label")
+            .crossJoin(F.broadcast(mn))
+            .filter(bucket * F.col("n")
+                    < F.col("min_n") * F.lit(1_000_000)))
+    return (keep.groupBy("label")
+            .agg(F.count("*").cast("long").alias("n_kept"),
+                 F.min("vec_id").alias("min_kept_id")))

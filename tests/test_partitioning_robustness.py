@@ -74,6 +74,7 @@ WINDOW = list(REGISTRY)[:50] + [
     "ts_periodogram",
     "text_chi2_keyness", "embedding_drift_centroid_shift",
     "asof_tolerance_recent_order",
+    "events_lifecycle_accounting", "sample_class_balance",
 ]
 
 _PERTURB = {
