@@ -98,10 +98,13 @@ _ROUND4_WINDOW = [
 # append, privacy), the wave-10/11 additions (analytics10/11,
 # dedup_simhash_hamming), and the wave-12..17 additions (llm5 PQ/
 # DBSCAN/IVFADC, analytics12-16, bpe_encode_apply, sql_group_by_all)
-# — ~75 total, so r05 takes the first 50 in registration order and
-# r06 closes the ledger. ALL of them are pre-flighted: parity-green
-# at sf0.001/0.01/0.1, green under TZ=America/New_York, and
-# bit-stable under hostile partitioning
+# and the wave-19..28 additions (llm6 eval harnesses + funnel,
+# analytics17/18, eigvec/OLS/periodogram/IVFADC) — 93 total after a
+# green r04 (286 registered − 143 driver-green − 50 in the r04
+# window), so r05 takes the first 50 in registration order and r06
+# closes the ledger. ALL of them are pre-flighted: parity-green at
+# sf0.001/0.01/0.1, green under TZ=America/New_York, and bit-stable
+# under hostile partitioning
 # (tests/test_partitioning_robustness.py WINDOW list).
 
 
