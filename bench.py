@@ -61,6 +61,17 @@ HEADLINE = [
     "text_chunk_windows",
 ]
 
+# non-gating sidecar set: heaviest operators added after the headline
+# freeze — graph, iterative, tokenizer, and rerank families. Timed and
+# reported under "sidecar" in the JSON line; never added to the frozen
+# headline total.
+SIDECAR = [
+    "graph_triangle_count",
+    "recursive_trade_reach",
+    "bpe_learn_merges",
+    "sim_topk_int8_rerank",
+]
+
 def main() -> None:
     spark = get_spark("sparkstreamingproject-bench")
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
@@ -77,12 +88,24 @@ def main() -> None:
         assert rows is not None
         times[name] = round(time.perf_counter() - t0, 3)
 
+    # non-gating sidecar: the newest heavy operator families, timed so
+    # a scale regression is visible BEFORE one ever enters a headline
+    # (VERDICT r04 §next 6). NOT part of the frozen headline total.
+    sidecar: dict[str, float] = {}
+    for name in SIDECAR:
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        rows = fn(spark, SF_DIR).collect()
+        assert rows is not None
+        sidecar[name] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(times.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": times,
+        "sidecar": sidecar,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()

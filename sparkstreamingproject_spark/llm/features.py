@@ -33,7 +33,9 @@ def zscore_normalize(df: DataFrame, key_col: str, id_col: str,
         return pd.DataFrame({
             id_col: pdf[id_col],
             key_col: pdf[key_col],
-            "z": z.round(digits),
+            # + 0.0 canonicalizes IEEE -0.0 (numpy round preserves the
+            # sign of round(-1e-9); mirrored in the oracle)
+            "z": z.round(digits) + 0.0,
         })
 
     out_schema = f"{id_col} long, {key_col} long, z double"
@@ -113,10 +115,14 @@ def covariance_matrix(df: DataFrame, emb_col: str = "embedding",
                                         F.col("c").alias("cj"))),
                   F.col("j") == F.col("m_j"))
             .select("i", "j",
-                    F.round((F.col("s").cast("double")
-                             - F.col("c") * F.col("cj") / F.col("n"))
-                            / (F.col("n") - F.lit(1.0))
-                            / F.lit(unscale), digits)
+                    # + 0.0 canonicalizes IEEE -0.0 → +0.0 (a no-op on
+                    # this side — Spark's BigDecimal round never emits
+                    # -0.0 — mirrored in the DuckDB oracle, whose
+                    # native double round() does; VERDICT r04)
+                    (F.round((F.col("s").cast("double")
+                              - F.col("c") * F.col("cj") / F.col("n"))
+                             / (F.col("n") - F.lit(1.0))
+                             / F.lit(unscale), digits) + F.lit(0.0))
                     .alias("cov")))
 
 

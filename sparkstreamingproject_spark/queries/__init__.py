@@ -44,74 +44,60 @@ from . import analytics18  # noqa: E402,F401
 
 # --- driver-window ordering --------------------------------------------------
 # The verify driver checks the FIRST 50 registry entries per round
-# (CORRECTNESS_r01/r02/r03.json == first 50 of insertion order).
-# Rounds 1-3 drove 143 distinct queries green (CORRECTNESS_r0{1,2,3});
-# the one red row was embedding_covariance (float summation order —
-# fixed to exact-integer Gram algebra this round). Round 4's window is
-# exactly the 40 queries with no driver-green row yet: the 36 round-3
-# additions, the 3 round-3 deferrals, and the re-checked
-# embedding_covariance. ≤50, so this round closes the ledger: every
-# registered query driver-checked. All 40 are additionally pre-flighted
-# for partition-order determinism by
-# tests/test_partitioning_robustness.py (the r03 covariance flake was
-# local-green but driver-red; that class of bug is now caught locally).
-_ROUND4_WINDOW = [
-    # the fixed red row first
-    "embedding_covariance",
-    # round-3 deferrals
-    "dedup_jaccard_capped", "embedding_pca_project",
-    "multimodal_audio_windows",
-    # round-3 additions, in registry order
-    "asof_forward_next_purchase", "sketch_hll_time_merge",
-    "event_path_transitions", "ts_anomaly_zscore", "events_dau_wau",
-    "dedup_normalized_exact", "embedding_norm_stats",
-    "stat_ab_proportion_ztest", "session_paths_top",
-    "funnel_3step_conversion", "events_hourly_seasonality",
-    "interval_join_session_overlap", "graph_pagerank_transitions",
-    "orders_ship_latency", "ts_moving_avg_pct_change",
-    "pareto_top_parts", "customer_order_gap_stats",
-    "supplier_part_hhi", "events_value_outliers_iqr",
-    "events_user_entropy", "window_funnel_levels",
-    "nation_trade_balance", "text_zipf_slope", "events_burstiness_fano",
-    "brand_revenue_share", "domain_mix_rebalance", "sim_hard_negatives",
-    "multimodal_image_resize", "dedup_containment",
-    "dedup_minhash_estimate", "dedup_cluster_keep_best",
-    "embedding_label_centroids", "embedding_quantile_bins",
-    "json_variant_extract", "string_collation_ci_group",
-    "ansi_try_arithmetic",
-    # positions 40-47: round-4 additions (new operators, pre-flighted by
-    # the same parity + partitioning-robustness gates) — the driver cap
-    # is 50, so these get checked alongside the 40 above
-    "doc_quality_rules_gate", "split_stratified_hash",
-    "embedding_centroid_classify", "graph_triangle_count",
-    "agg_cube_status_priority", "lateral_topk_suppliers",
-    "events_gap_sessionize", "events_outliers_mad",
-    "recursive_trade_reach", "bitmap_user_segments",
+# (CORRECTNESS_r01..r04.json == first 50 of insertion order).
+# Ledger after r04: 286 registered, 191 driver-checked-green (incl.
+# the documented no-oracle pca row), 2 driver-red (embedding_covariance
+# + embedding_quantile_bins — IEEE signed zero, fixed this round with
+# terminal `+ 0.0` canonicalization in oracle AND Spark expression,
+# plus the oracle_harness._norm copysign fix so the class reproduces
+# locally), 93 never-checked. Round 5's window: the 2 re-checks at
+# positions 0-1 (VERDICT r04 §next 2), then the first 48 of the
+# never-checked backlog in registration order; r06 takes the remaining
+# 45 and closes the ledger. All 50 are pre-flighted: DuckDB parity at
+# sf0.001/0.01/0.1 under TZ=America/New_York, and bit-stability under
+# hostile partitioning (tests/test_partitioning_robustness.py WINDOW).
+_ROUND5_WINDOW = [
+    # the two signed-zero re-checks first
+    "embedding_covariance", "embedding_quantile_bins",
+    # never-driver-checked backlog, registration order
+    "sketch_countmin_words", "sql_group_by_all",
+    "orders_yoy_revenue_growth", "part_price_histogram",
+    "text_keyword_in_context", "graph_common_neighbors",
+    "events_intergap_buckets", "nation_yearly_rank_change",
+    "ts_ewma_priority_revenue", "ts_cusum_nation_drift",
+    "corpus_boilerplate_shingles", "sketch_kmv_jaccard",
+    "stat_theil_sen_trend", "fact_key_skew_profile",
+    "dq_expectations_report", "agg_incremental_merge",
+    "ts_seasonal_decompose", "agg_winsorized_stats",
+    "join_fuzzy_blocked", "orders_decile_lift",
+    "bpe_learn_merges", "bpe_encode_apply",
+    "sample_poisson_bootstrap", "multimodal_frame_dedup",
+    "sim_recall_at_k_eval", "dedup_simhash_hamming",
+    "events_attribution_last_touch", "basket_association_rules",
+    "text_next_word_suggest", "orders_cohort_ltv",
+    "part_abc_classification", "orders_open_backlog_daily",
+    "graph_kcore_peel", "events_new_vs_returning",
+    "window_cume_dist_price", "ts_seasonal_naive_backtest",
+    "stat_spearman_rank", "pii_pseudonymize_fk",
+    "privacy_k_anonymity", "stat_mann_whitney_u",
+    "stat_ks_two_sample", "ts_autocorrelation_lags",
+    "graph_label_propagation", "hof_array_pipeline",
+    "join_null_safe_eq", "stat_benford_first_digit",
+    "stat_anova_oneway", "text_rake_keywords",
 ]
 
-# --- round-5 window plan (do NOT reorder this round: the r04 driver
-# check must see _ROUND4_WINDOW as the first 50) -----------------------
-# After VERDICT_r04, rotate the window to the oldest 50 queries with
-# no driver CORRECTNESS row. The never-checked backlog (registration
-# order): the 7 analytics6 additions + sketch_countmin_words, the 29
-# round-4-continuation additions (analytics7-9, llm4, analytics8
-# append, privacy), the wave-10/11 additions (analytics10/11,
-# dedup_simhash_hamming), and the wave-12..17 additions (llm5 PQ/
-# DBSCAN/IVFADC, analytics12-16, bpe_encode_apply, sql_group_by_all)
-# and the wave-19..28 additions (llm6 eval harnesses + funnel,
-# analytics17/18, eigvec/OLS/periodogram/IVFADC) — 93 total after a
-# green r04 (286 registered − 143 driver-green − 50 in the r04
-# window), so r05 takes the first 50 in registration order and r06
-# closes the ledger. ALL of them are pre-flighted: parity-green at
-# sf0.001/0.01/0.1, green under TZ=America/New_York, and bit-stable
-# under hostile partitioning
-# (tests/test_partitioning_robustness.py WINDOW list).
+# --- round-6 window plan (do NOT reorder this round: the r05 driver
+# check must see _ROUND5_WINDOW as the first 50) -----------------------
+# After VERDICT_r05, rotate to the remaining 45 never-checked queries
+# (registration order, from rfm_migration_matrix through
+# sample_class_balance) plus any r05 reds; ≤50, so r06 closes the
+# ledger: every registered query driver-checked.
 
 
 def _reorder() -> None:
-    missing = [n for n in _ROUND4_WINDOW if n not in REGISTRY]
+    missing = [n for n in _ROUND5_WINDOW if n not in REGISTRY]
     assert not missing, f"window names not registered: {missing}"
-    ordered = {n: REGISTRY[n] for n in _ROUND4_WINDOW}
+    ordered = {n: REGISTRY[n] for n in _ROUND5_WINDOW}
     ordered.update((n, s) for n, s in REGISTRY.items() if n not in ordered)
     REGISTRY.clear()
     REGISTRY.update(ordered)

@@ -355,7 +355,12 @@ def text_search_match(spark, sf_dir):
     "pandas_grouped_zscore",
     oracle="""
     SELECT event_id, user_id,
-           round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 4) AS z
+           -- + 0.0 canonicalizes IEEE -0.0 (both engines' native
+           -- double rounds preserve the sign of a tiny negative, but
+           -- the SIGN of a ~1e-17 intermediate can differ between
+           -- engines' summation orders; VERDICT r04 class)
+           round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 4)
+             + 0.0 AS z
     FROM events
     WINDOW w AS (PARTITION BY user_id)
     """,

@@ -735,11 +735,16 @@ COV_EXPR = """(CAST(g.s AS DOUBLE)
     # BIGINT(round(v*1e6)) in BOTH engines, partials summed as exact
     # DECIMAL(38,0) (order-free under any partitioning), and the single
     # float divide + round(.,6) happens last on identical inputs — so
-    # the hash is partition-order independent.
+    # the hash is partition-order independent. The terminal `+ 0.0`
+    # canonicalizes IEEE signed zero (r04 fix): DuckDB's native double
+    # round() preserves the sign of round(-4e-7, 6) → -0.0 while
+    # Spark's BigDecimal round() yields +0.0; `-0.0 + 0.0 = +0.0`
+    # makes both engines emit the same bit pattern (mirrored as a
+    # no-op `+ lit(0.0)` on the Spark side for identical shape).
     oracle=f"""
     WITH {GRAM_CTE}
     SELECT g.i, g.j,
-           round({COV_EXPR}, 6) AS cov
+           round({COV_EXPR}, 6) + 0.0 AS cov
     FROM g JOIN m ma ON ma.i = g.i JOIN m mb ON mb.i = g.j
     """,
     tags=("llm", "embedding", "stats"),
@@ -774,3 +779,69 @@ def embedding_pca_project(spark, sf_dir):
     in an embedding pipeline."""
     from ..llm.features import pca_project
     return pca_project(table(spark, sf_dir, "embeddings"), k=2)
+
+
+@register(
+    "pca_variance_invariants",
+    # Gives the otherwise un-hashable eigendecomposition a
+    # driver-checkable row (VERDICT r04 §next 4). The oracle computes
+    # the exact-integer trace of the covariance matrix (sum of the
+    # 6dp-rounded diagonal, quantized to BIGINT and summed as
+    # DECIMAL — order-free) plus literal TRUE for the eigen
+    # invariants; the Spark side computes the SAME trace from the
+    # driver-checked covariance output AND evaluates the invariants
+    # over the actual PCA projection. If eigh, sign canonicalization,
+    # or the projection kernel ever breaks, a flag flips to false and
+    # the driver hash mismatches. Tolerances sit 3+ orders of
+    # magnitude from the true values, so no partitioning can flip
+    # them (pc scores are rounded at 4dp; orthogonality noise is
+    # ~1e-8, tested against 1e-3).
+    oracle=f"""
+    WITH {GRAM_CTE},
+    diag AS (
+      SELECT sum(CAST(CAST(round(round({COV_EXPR}, 6) * 1000000)
+                           AS BIGINT) AS DECIMAL(38,0))) AS tq
+      FROM g JOIN m ma ON ma.i = g.i JOIN m mb ON mb.i = g.j
+      WHERE g.i = g.j)
+    SELECT CAST(diag.tq AS DOUBLE) / 1000000.0 AS trace_var,
+           (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_vec,
+           TRUE AS ok_var_order, TRUE AS ok_orth, TRUE AS ok_sum_leq,
+           TRUE AS ok_pc1_pos
+    FROM diag
+    """,
+    tags=("llm", "embedding", "stats"),
+)
+def pca_variance_invariants(spark, sf_dir):
+    """Hashable eigen-invariants of the top-2 PCA projection: the
+    projected variances must be ordered (pc1 >= pc2), jointly bounded
+    by the covariance trace (total variance), mutually orthogonal
+    (sample covariance of the scores ~ 0), and pc1 must carry positive
+    variance. The trace is recomputed from the exact-integer
+    covariance diagonal with the same algebra as the oracle, so the
+    float value hashes identically; the booleans certify the
+    driver-side eigh + broadcast projection (llm/features.py:
+    pca_project) without shipping eigenvalues into SQL."""
+    from ..llm.features import covariance_matrix, pca_project
+    emb = table(spark, sf_dir, "embeddings")
+    proj = pca_project(emb, k=2)
+    stats = proj.agg(
+        F.count("*").alias("n_vec"),
+        F.var_samp("pc1").alias("v1"),
+        F.var_samp("pc2").alias("v2"),
+        F.covar_samp("pc1", "pc2").alias("c12"))
+    trace = (covariance_matrix(emb, digits=6)
+             .filter(F.col("i") == F.col("j"))
+             .agg(F.sum(F.round(F.col("cov") * F.lit(1000000.0))
+                        .cast("long").cast("decimal(38,0)")).alias("tq"))
+             .select((F.col("tq").cast("double") / F.lit(1000000.0))
+                     .alias("trace_var")))
+    return (stats.crossJoin(F.broadcast(trace))
+            .select("trace_var",
+                    F.col("n_vec").cast("long").alias("n_vec"),
+                    (F.col("v1") >= F.col("v2") - F.lit(1e-9))
+                    .alias("ok_var_order"),
+                    (F.abs(F.col("c12")) <= F.lit(1e-3)).alias("ok_orth"),
+                    (F.col("v1") + F.col("v2")
+                     <= F.col("trace_var") + F.lit(1e-6))
+                    .alias("ok_sum_leq"),
+                    (F.col("v1") > F.lit(0.0)).alias("ok_pc1_pos")))

@@ -374,7 +374,10 @@ def embedding_label_centroids(spark, sf_dir):
              ntile(4) OVER (PARTITION BY pos ORDER BY v, vec_id) AS bin
       FROM x)
     SELECT pos, bin, CAST(count(*) AS BIGINT) AS n,
-           round(min(v), 4) AS min_v, round(max(v), 4) AS max_v
+           -- + 0.0 canonicalizes IEEE -0.0 (DuckDB's native double
+           -- round keeps the sign; Spark's BigDecimal round cannot)
+           round(min(v), 4) + 0.0 AS min_v,
+           round(max(v), 4) + 0.0 AS max_v
     FROM b GROUP BY pos, bin
     """,
     tags=("llm", "embedding", "feature"),
@@ -395,5 +398,7 @@ def embedding_quantile_bins(spark, sf_dir):
     return (x.withColumn("bin", F.ntile(4).over(w))
             .groupBy("pos", "bin")
             .agg(F.count("*").alias("n"),
-                 F.round(F.min("v"), 4).alias("min_v"),
-                 F.round(F.max("v"), 4).alias("max_v")))
+                 # + 0.0 mirrors the oracle's signed-zero
+                 # canonicalization (no-op here; VERDICT r04)
+                 (F.round(F.min("v"), 4) + F.lit(0.0)).alias("min_v"),
+                 (F.round(F.max("v"), 4) + F.lit(0.0)).alias("max_v")))
