@@ -52,3 +52,110 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                          .alias("rank"))
                  .localCheckpoint())
     return ranks
+
+
+def triangle_count(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
+    """Exact triangle count over an undirected edge list (one row per
+    edge, ``u < v``), returning a single ``triangles`` BIGINT row.
+
+    Every edge is oriented from its (degree, id)-smaller endpoint to
+    the larger one, so oriented out-degree is O(sqrt(m)) even on hub
+    vertices, and each triangle is counted exactly once as
+    |N+(src) ∩ N+(dst)| on its lowest-ranked edge.
+
+    Two physical strategies behind one logical op, picked by a
+    vertex-cardinality size guard (same pattern as the broadcast
+    BLAS kernel in llm/similarity.py):
+
+    * **bitmap kernel** (dense/small-id regime, mask matrix ≤ 64 MB —
+      n_vertices × ceil(max_id/64) words): each vertex's oriented
+      neighbor set becomes a packed bit row of a numpy matrix built
+      distributed (mapInPandas over the adjacency relation, O(deg) per
+      vertex), collected (n²/8 bytes, bounded by the guard) and
+      broadcast; a mapInPandas pass over the EDGE LIST then counts
+      popcount(M[src] & M[dst]) per Arrow batch. The wedge population
+      is never materialized, shuffled, or even looped per-element —
+      it collapses into SIMD AND + popcount, which is what survives
+      the near-complete co-occurrence graphs dense datasets produce.
+
+    * **array-intersect fallback** (large/sparse regime): the same
+      oriented adjacency as array<long> rows, joined to the edge list
+      (broadcast when small), closing wedges with per-row
+      ``array_intersect`` in codegen — O(deg+) per edge, no wedge
+      shuffle, no driver state beyond the two guard scalars.
+    """
+    import numpy as np
+    import pandas as pd
+
+    deg = (edges.select(F.col(u).alias("x"))
+           .unionAll(edges.select(F.col(v).alias("x")))
+           .groupBy("x").agg(F.count("*").alias("deg")))
+    du = deg.select(F.col("x").alias(u), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("x").alias(v), F.col("deg").alias("deg_v"))
+    lower = ((F.col("deg_u") < F.col("deg_v"))
+             | ((F.col("deg_u") == F.col("deg_v")) & (F.col(u) < F.col(v))))
+    oriented = (edges.join(F.broadcast(du), u).join(F.broadcast(dv), v)
+                .select(F.when(lower, F.col(u)).otherwise(F.col(v))
+                        .alias("src"),
+                        F.when(lower, F.col(v)).otherwise(F.col(u))
+                        .alias("dst")))
+    adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+
+    # ---- strategy guard: two vertex-cardinality scalars ----
+    stats = deg.agg(F.max("x").alias("mx"), F.count("*").alias("nv")).first()
+    if stats["mx"] is None:
+        return edges.sparkSession.createDataFrame(
+            [(0,)], "triangles bigint")
+    n_words = int(stats["mx"]) // 64 + 1
+    mask_bytes = int(stats["nv"]) * n_words * 8
+
+    if mask_bytes <= (64 << 20):
+        def pack(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                rows = np.zeros((len(pdf), n_words), dtype=np.uint64)
+                for r, nb in enumerate(pdf["nbrs"]):
+                    a = np.asarray(nb, dtype=np.int64)
+                    np.bitwise_or.at(
+                        rows[r], a >> 6,
+                        np.left_shift(np.uint64(1),
+                                      (a & 63).astype(np.uint64)))
+                yield pd.DataFrame({"src": pdf["src"],
+                                    "mask": list(rows.astype(np.int64))})
+
+        mask_rows = (adj.mapInPandas(pack, schema="src long, mask array<long>")
+                     .collect())  # n_vertices rows, bounded by the guard
+        M = np.zeros((int(stats["mx"]) + 1, n_words), dtype=np.uint64)
+        for r in mask_rows:
+            M[r["src"]] = np.asarray(r["mask"], dtype=np.int64).view(np.uint64)
+        bcast = edges.sparkSession.sparkContext.broadcast(M)
+        pop_lut = np.unpackbits(
+            np.arange(256, dtype=np.uint8)[:, None], axis=1
+        ).sum(axis=1).astype(np.uint32)
+
+        def count(batches):
+            Mm = bcast.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                s = pdf["src"].to_numpy(dtype=np.int64)
+                d = pdf["dst"].to_numpy(dtype=np.int64)
+                z = Mm[s] & Mm[d]
+                n = int(pop_lut[z.view(np.uint8)].sum())
+                yield pd.DataFrame({"c": [n]})
+
+        partials = oriented.mapInPandas(count, schema="c long")
+        return partials.agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long")
+                            .alias("triangles"))
+
+    a_src = adj.select(F.col("src").alias("s_key"),
+                       F.col("nbrs").alias("n_src"))
+    a_dst = adj.select(F.col("src").alias("d_key"),
+                       F.col("nbrs").alias("n_dst"))
+    return (oriented
+            .join(F.broadcast(a_src), F.col("src") == F.col("s_key"))
+            .join(F.broadcast(a_dst), F.col("dst") == F.col("d_key"))
+            .select(F.size(F.array_intersect("n_src", "n_dst")).alias("c"))
+            .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long")
+                 .alias("triangles")))

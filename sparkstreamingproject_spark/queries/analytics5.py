@@ -242,11 +242,16 @@ def graph_triangle_count(spark, sf_dir):
 
     Scale shape: edges are generated by an order-key self-join whose
     per-key fanout is BOUNDED by order size (≤7 lineitems in TPC-H ⇒
-    ≤21 pairs/order), never all-pairs; the edge list is oriented
-    (u < v) so each triangle is counted exactly once with two hash
-    joins on edge endpoints — the classic oriented-wedge-closure plan
-    whose cost is Σ deg(u)·deg(v) over edges, the best known for
-    distributed triangle counting. All integers."""
+    ≤21 pairs/order), never all-pairs. Triangle closure is the
+    adaptive ``operators/graph.py:triangle_count`` op: degree-ordered
+    orientation (out-degree O(√m)), then a size-guarded packed-bitmap
+    popcount kernel for the dense/small-id regime (this graph is 91%
+    complete at sf0.1) or per-edge ``array_intersect`` adjacency
+    closure for the large/sparse regime — either way the wedge
+    population Σ deg⁺(u)·deg⁺(v) is never materialized or shuffled
+    (the r04 wedge-join formulation shuffled ~1e8 wedge rows at sf0.1
+    and grows with density³). All integers."""
+    from ..operators.graph import triangle_count
     li = (table(spark, sf_dir, "lineitem")
           .select("l_orderkey", "l_suppkey").distinct())
     a, b = li.alias("a"), li.alias("b")
@@ -255,13 +260,11 @@ def graph_triangle_count(spark, sf_dir):
          .select(F.col("a.l_suppkey").alias("u"),
                  F.col("b.l_suppkey").alias("v"))
          .distinct())
-    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
-    tri = (e1.join(e2, F.col("e1.v") == F.col("e2.u"))
-           .join(e3, (F.col("e3.u") == F.col("e1.u"))
-                 & (F.col("e3.v") == F.col("e2.v")))
-           .agg(F.count("*").alias("triangles")))
+    # the edge list feeds four actions (degree guard, mask build,
+    # closure pass, edge count) — materialize the self-join ONCE
+    e = e.localCheckpoint()
     edges = e.agg(F.count("*").alias("edges"))
-    return edges.crossJoin(tri)
+    return edges.crossJoin(triangle_count(e))
 
 
 # --------------------------------------------------------------------------

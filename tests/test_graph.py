@@ -32,3 +32,34 @@ def test_pagerank_cycle_is_uniform(spark):
 def test_pagerank_empty_edges(spark):
     edges = spark.createDataFrame([], "src string, dst string")
     assert pagerank(edges, n_iter=3).count() == 0
+
+
+def _tri(spark, pairs):
+    from sparkstreamingproject_spark.operators.graph import triangle_count
+    df = spark.createDataFrame(pairs, "u bigint, v bigint")
+    return triangle_count(df).collect()[0]["triangles"]
+
+
+def test_triangle_count_k4_closed_form(spark):
+    """K4 has exactly C(4,3) = 4 triangles (bitmap-kernel path)."""
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    assert _tri(spark, k4) == 4
+
+
+def test_triangle_count_path_graph_has_none(spark):
+    assert _tri(spark, [(0, 1), (1, 2), (2, 3)]) == 0
+
+
+def test_triangle_count_array_fallback_matches(spark):
+    """Offsetting vertex ids past the bitmap guard (mask matrix would
+    be GBs for 4 vertices) forces the array-intersect strategy; the
+    count is id-invariant, so K4 must still give 4."""
+    off = 1 << 33
+    k4 = [(off + a, off + b) for a in range(4) for b in range(a + 1, 4)]
+    assert _tri(spark, k4) == 4
+
+
+def test_triangle_count_two_shared_triangles(spark):
+    """Two triangles sharing edge (0,1): {0,1,2} and {0,1,3}."""
+    e = [(0, 1), (0, 2), (1, 2), (0, 3), (1, 3)]
+    assert _tri(spark, e) == 2
