@@ -12,7 +12,7 @@ llm/similarity.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import band_keys, word_shingles
@@ -195,3 +195,57 @@ def incremental_dedup(existing: DataFrame, incoming: DataFrame,
                 .join(ex_bands, ["band", "key"], "left_semi")
                 .select(id_col).distinct())
     return new_exact.join(near_hit, id_col, "left_anti")
+
+
+def shard_by_token_budget(docs: DataFrame, budget: int,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Assign every document to a training shard so that shards are
+    contiguous runs of a deterministic global shuffle order and each
+    holds ~``budget`` tokens — the write-side step that turns a curated
+    corpus into balanced, reproducible training files.
+
+    Order is (md5(id), id): a seeded uniform shuffle that any engine
+    reproduces; shard = exclusive-prefix-sum(tokens) // budget, so a
+    document's shard depends only on the corpus content, never on
+    partitioning or retries.
+
+    Scale shape: a naive ``sum() OVER (ORDER BY ...)`` collapses to a
+    single partition at 100 TB. Instead the prefix sum is two-phase:
+    split the hash order into 16 ranges on the first hex digit (a
+    prefix of the sort key, so ranges are order-contiguous), take
+    per-range token totals (16-row relation), turn them into exclusive
+    range offsets with a window over those 16 rows, broadcast the
+    offsets back, and run the within-range cumulative sum as a window
+    PARTITIONED by range — 16-way parallel, and in production the
+    range count is a knob (e.g. first 3 hex digits = 4096 ranges).
+    All arithmetic is integer — exact under any partitioning.
+
+    Returns (id, ntok, h, shard).
+    """
+    h = F.md5(F.col(id_col).cast("string"))
+    toks = (docs.select(F.col(id_col),
+                        F.size(F.filter(F.split(F.col(text_col), " "),
+                                        lambda w: w != ""))
+                        .cast("bigint").alias("ntok"))
+            .withColumn("h", h)
+            .withColumn("rng", F.substring("h", 1, 1)))
+    per_range = (toks.groupBy("rng").agg(F.sum("ntok").alias("rt")))
+    offsets = per_range.select(
+        "rng",
+        (F.sum("rt").over(
+            Window.partitionBy(F.lit(1)).orderBy("rng")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+         - F.col("rt")).alias("off"))
+    cum = (toks.join(F.broadcast(offsets), "rng")
+           .withColumn(
+               "cum_excl",
+               F.col("off")
+               + F.sum("ntok").over(
+                   Window.partitionBy("rng").orderBy("h", id_col)
+                   .rowsBetween(Window.unboundedPreceding,
+                                Window.currentRow))
+               - F.col("ntok")))
+    return cum.select(id_col, "ntok", "h",
+                      F.expr(f"cum_excl div {int(budget)}")
+                      .cast("int").alias("shard"))

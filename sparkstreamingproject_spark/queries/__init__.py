@@ -41,6 +41,8 @@ from . import analytics16  # noqa: E402,F401
 from . import llm6  # noqa: E402,F401
 from . import analytics17  # noqa: E402,F401
 from . import analytics18  # noqa: E402,F401
+from . import llm7  # noqa: E402,F401
+from . import analytics19  # noqa: E402,F401
 
 # --- driver-window ordering --------------------------------------------------
 # The verify driver checks the FIRST 50 registry entries per round
@@ -88,10 +90,12 @@ _ROUND5_WINDOW = [
 
 # --- round-6 window plan (do NOT reorder this round: the r05 driver
 # check must see _ROUND5_WINDOW as the first 50) -----------------------
-# After VERDICT_r05, rotate to the remaining 45 never-checked queries
-# (registration order, from rfm_migration_matrix through
-# sample_class_balance) plus any r05 reds; ≤50, so r06 closes the
-# ledger: every registered query driver-checked.
+# After VERDICT_r05, rotate to the first 50 of the 52 never-checked
+# queries: the 45 from rounds 1-4 (registration order,
+# rfm_migration_matrix through sample_class_balance) + the round-5
+# additions (pca_variance_invariants, then llm7 and analytics19) —
+# the 2 past the cap plus any r05 reds roll to r07, which closes the
+# ledger.
 
 
 def _reorder() -> None:

@@ -52,6 +52,9 @@ WINDOW = list(REGISTRY)[:50] + [
     "events_lifecycle_accounting", "sample_class_balance",
     # round-5 additions (r07 window candidates)
     "pca_variance_invariants",
+    "nb_lang_classifier", "shard_token_budget_assign",
+    "curation_perplexity_filter", "graph_jaccard_link_prediction",
+    "skyline_price_size", "rolling_ols_slope_30d",
     # driver-green in r01 but touched by the r05 signed-zero fix —
     # keep it under the hostile-partitioning gate permanently
     "pandas_grouped_zscore",
