@@ -70,6 +70,9 @@ SIDECAR = [
     "recursive_trade_reach",
     "bpe_learn_merges",
     "sim_topk_int8_rerank",
+    # round-5 heavy additions
+    "dedup_basket_setsim",
+    "graph_jaccard_link_prediction",
 ]
 
 def main() -> None:

@@ -249,3 +249,22 @@ def shard_by_token_budget(docs: DataFrame, budget: int,
     return cum.select(id_col, "ntok", "h",
                       F.expr(f"cum_excl div {int(budget)}")
                       .cast("int").alias("shard"))
+
+
+def write_token_shards(docs: DataFrame, budget: int, path: str,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> int:
+    """Materialize the token-budget sharding as one parquet file per
+    shard directory — the actual write step of a training-data
+    pipeline (balanced, reproducible input files for the trainer).
+
+    ``repartition(shard)`` routes each shard to exactly one task, so
+    ``partitionBy(shard)`` emits exactly one file per shard directory;
+    at cluster scale that is one writer task per shard, all parallel.
+    Returns the number of shards written.
+    """
+    assignments = shard_by_token_budget(docs, budget, text_col, id_col)
+    out = docs.join(assignments.select(id_col, "shard"), id_col)
+    (out.repartition("shard")
+        .write.mode("overwrite").partitionBy("shard").parquet(path))
+    return out.select("shard").distinct().count()

@@ -159,3 +159,101 @@ def triangle_count(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
             .select(F.size(F.array_intersect("n_src", "n_dst")).alias("c"))
             .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long")
                  .alias("triangles")))
+
+
+def common_neighbor_counts(edges: DataFrame, u: str = "u",
+                           v: str = "v") -> DataFrame:
+    """All vertex pairs (u < v) sharing at least one neighbor, with the
+    exact shared-neighbor count — the candidate+feature relation of
+    common-neighbor / Jaccard link prediction.
+
+    Unlike triangles, orientation cannot prune this wedge population
+    (every center contributes C(deg,2) pairs regardless of direction),
+    so the dense regime is where the naive adjacency self-join
+    explodes. Two strategies behind one logical op, mirroring
+    ``triangle_count``:
+
+    * **bitmap kernel** (vertex count <= 4096 and mask matrix <=
+      64 MB): packed full-adjacency bit rows built distributed and
+      broadcast; a mapInPandas pass over the (vertex x vertex) pair
+      relation ANDs + popcounts per Arrow batch and emits only pairs
+      with a nonzero count. n²/2 popcounts of ceil(max_id/64) words —
+      SIMD arithmetic, no wedge ever shuffled.
+
+    * **wedge self-join fallback** (large/sparse regime): symmetric
+      adjacency joined on the shared center and aggregated per pair —
+      the Σdeg² plan, correct at any vertex cardinality and cheap
+      exactly when the graph is sparse enough that bitmaps would not
+      pay off.
+    """
+    import numpy as np
+    import pandas as pd
+
+    adj = (edges.select(F.col(u).alias("a"), F.col(v).alias("b"))
+           .unionAll(edges.select(F.col(v).alias("a"),
+                                  F.col(u).alias("b"))))
+    stats = (adj.agg(F.max("a").alias("mx"),
+                     F.countDistinct("a").alias("nv")).first())
+    if stats["mx"] is None:
+        return edges.sparkSession.createDataFrame(
+            [], f"{u} long, {v} long, common bigint")
+    n_words = int(stats["mx"]) // 64 + 1
+    mask_bytes = int(stats["nv"]) * n_words * 8
+
+    if stats["nv"] <= 4096 and mask_bytes <= (64 << 20):
+        grouped = adj.groupBy("a").agg(F.collect_list("b").alias("nbrs"))
+
+        def pack(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                rows = np.zeros((len(pdf), n_words), dtype=np.uint64)
+                for r, nb in enumerate(pdf["nbrs"]):
+                    arr = np.asarray(nb, dtype=np.int64)
+                    np.bitwise_or.at(
+                        rows[r], arr >> 6,
+                        np.left_shift(np.uint64(1),
+                                      (arr & 63).astype(np.uint64)))
+                yield pd.DataFrame({"a": pdf["a"],
+                                    "mask": list(rows.astype(np.int64))})
+
+        mask_rows = (grouped.mapInPandas(
+            pack, schema="a long, mask array<long>").collect())
+        M = np.zeros((int(stats["mx"]) + 1, n_words), dtype=np.uint64)
+        for r in mask_rows:
+            M[r["a"]] = np.asarray(r["mask"],
+                                   dtype=np.int64).view(np.uint64)
+        bcast = edges.sparkSession.sparkContext.broadcast(M)
+        pop_lut = np.unpackbits(
+            np.arange(256, dtype=np.uint8)[:, None], axis=1
+        ).sum(axis=1).astype(np.uint32)
+
+        nodes = adj.select(F.col("a").alias("x")).distinct()
+        pairs = (nodes.join(nodes.select(F.col("x").alias("y")),
+                            F.col("x") < F.col("y")))
+
+        def count(batches):
+            Mm = bcast.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                xs = pdf["x"].to_numpy(dtype=np.int64)
+                ys = pdf["y"].to_numpy(dtype=np.int64)
+                z = Mm[xs] & Mm[ys]
+                c = pop_lut[z.view(np.uint8)].reshape(len(pdf), -1) \
+                    .sum(axis=1).astype(np.int64)
+                keep = c > 0
+                yield pd.DataFrame({"u": xs[keep], "v": ys[keep],
+                                    "common": c[keep]})
+
+        out = pairs.mapInPandas(count,
+                                schema="u long, v long, common long")
+        return out.select(F.col("u").alias(u), F.col("v").alias(v),
+                          "common")
+
+    a1 = adj.select(F.col("b").alias("w"), F.col("a").alias("p"))
+    a2 = adj.select(F.col("b").alias("w"), F.col("a").alias("q"))
+    return (a1.join(a2, "w")
+            .filter(F.col("p") < F.col("q"))
+            .groupBy(F.col("p").alias(u), F.col("q").alias(v))
+            .agg(F.count("*").alias("common")))

@@ -43,6 +43,7 @@ from . import analytics17  # noqa: E402,F401
 from . import analytics18  # noqa: E402,F401
 from . import llm7  # noqa: E402,F401
 from . import analytics19  # noqa: E402,F401
+from . import analytics20  # noqa: E402,F401
 
 # --- driver-window ordering --------------------------------------------------
 # The verify driver checks the FIRST 50 registry entries per round

@@ -214,19 +214,25 @@ def graph_jaccard_link_prediction(spark, sf_dir):
          .groupBy(F.col("a.l_suppkey").alias("u"),
                   F.col("b.l_suppkey").alias("v"))
          .agg(F.count("*").alias("w")))
+    np_ = p.agg(F.count("*").alias("np"))
     rk = (p.withColumn("rn", F.row_number().over(
               Window.partitionBy(F.lit(1))
               .orderBy(F.desc("w"), "u", "v")))
-          .withColumn("np", F.count("*").over(
-              Window.partitionBy(F.lit(1)))))
-    e = rk.filter(F.col("rn") * 4 <= F.col("np")).select("u", "v")
+          .crossJoin(F.broadcast(np_)))
+    # the rank-cutoff edge list is consumed by four plans (degrees,
+    # kernel guard, kernel, anti-join) — materialize it once
+    e = (rk.filter(F.col("rn") * 4 <= F.col("np")).select("u", "v")
+         .localCheckpoint())
     adj = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = adj.groupBy("u").agg(F.count("*").alias("d"))
-    a1, a2 = adj.alias("a1"), adj.alias("a2")
-    cn = (a1.join(a2, (F.col("a1.v") == F.col("a2.v"))
-                  & (F.col("a1.u") < F.col("a2.u")))
-          .groupBy(F.col("a1.u").alias("u"), F.col("a2.u").alias("v"))
-          .agg(F.count("*").alias("common")))
+    # shared-neighbor counts via the size-guarded bitmap kernel
+    # (operators/graph.py:common_neighbor_counts): a near-complete
+    # co-occurrence graph makes the adjacency self-join shuffle ~10^7
+    # wedge rows; the packed-bitmap AND+popcount path collapses that
+    # to SIMD arithmetic, with the Σdeg² wedge join as the
+    # large/sparse fallback
+    from ..operators.graph import common_neighbor_counts
+    cn = common_neighbor_counts(e, "u", "v")
     ne = cn.join(e, ["u", "v"], "left_anti")
     j = (ne.join(deg.select(F.col("u").alias("du_k"),
                             F.col("d").alias("deg_u")),

@@ -115,3 +115,42 @@ def privacy_k_anonymity(spark, sf_dir):
             .agg(F.count("*").alias("n_groups"),
                  F.sum("k").cast("long").alias("n_individuals"),
                  F.min("k").cast("long").alias("min_k")))
+
+
+@register(
+    "privacy_dp_histogram",
+    oracle="""
+    WITH h AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+               FROM documents GROUP BY 1, 2),
+    u AS (SELECT source, lang, n,
+                 (CAST(('0x' || substr(md5('dp-' || source || '-' || lang),
+                                       1, 8)) AS BIGINT) + 0.5)
+                   / 4294967296.0 AS uu
+          FROM h)
+    SELECT source, lang, n,
+           round(n - sign(uu - 0.5) * ln(1 - 2 * abs(uu - 0.5)), 4)
+             AS noisy_n
+    FROM u
+    """,
+    tags=("privacy",),
+)
+def privacy_dp_histogram(spark, sf_dir):
+    """Differentially-private release histogram (Laplace mechanism,
+    eps=1, sensitivity 1 for a per-document count): every (source,
+    lang) cell gets Laplace(1) noise via inverse-CDF sampling of a
+    SEEDED uniform — the md5 of the cell key — so the release is
+    reproducible across engines, partitionings, and retries (the
+    seeded-PRNG reproducibility pattern of production DP pipelines;
+    rotate the seed string per release). Scale: noise is a per-cell
+    scalar expression fused onto a cell-cardinality aggregate —
+    nothing beyond the base groupBy touches data."""
+    docs = table(spark, sf_dir, "documents")
+    h = docs.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    uu = ((F.conv(F.substring(
+        F.md5(F.concat(F.lit("dp-"), F.col("source"), F.lit("-"),
+                       F.col("lang"))), 1, 8), 16, 10).cast("long")
+        + F.lit(0.5)) / F.lit(4294967296.0))
+    noise = (F.signum(uu - 0.5)
+             * F.log(F.lit(1.0) - 2 * F.abs(uu - F.lit(0.5))))
+    return h.select("source", "lang", "n",
+                    F.round(F.col("n") - noise, 4).alias("noisy_n"))

@@ -95,3 +95,28 @@ def test_shard_sizes_hug_the_budget(spark):
         if r["shard"] != last:
             # spans a full budget window (can overhang into the next)
             assert r["tokens"] >= 97 - 9  # budget minus max doc size
+
+
+def test_write_token_shards_one_file_per_shard(spark, tmp_path):
+    """The writer must emit exactly one parquet file per shard dir and
+    round-trip every document with its assignment."""
+    import glob
+    import os
+
+    from sparkstreamingproject_spark.llm.curation import write_token_shards
+
+    rows = [(i, "xx", " ".join(["t"] * 10)) for i in range(80)]
+    docs = spark.createDataFrame(rows, DOCS_SCHEMA)
+    path = str(tmp_path / "shards")
+    n = write_token_shards(docs, 100, path)
+    dirs = sorted(glob.glob(os.path.join(path, "shard=*")))
+    assert len(dirs) == n == 8  # 800 tokens / 100
+    for d in dirs:
+        assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 80
+    assert back.select("doc_id").distinct().count() == 80
+    # per-shard token mass equals the assignment's promise
+    per = (back.groupBy("shard")
+           .agg(F.count("*").alias("docs")).collect())
+    assert all(r["docs"] == 10 for r in per)

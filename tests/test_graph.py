@@ -63,3 +63,37 @@ def test_triangle_count_two_shared_triangles(spark):
     """Two triangles sharing edge (0,1): {0,1,2} and {0,1,3}."""
     e = [(0, 1), (0, 2), (1, 2), (0, 3), (1, 3)]
     assert _tri(spark, e) == 2
+
+
+def _cn(spark, pairs):
+    from sparkstreamingproject_spark.operators.graph import (
+        common_neighbor_counts)
+    df = spark.createDataFrame(pairs, "u bigint, v bigint")
+    return {(r["u"], r["v"]): r["common"]
+            for r in common_neighbor_counts(df).collect()}
+
+
+def test_common_neighbors_path_graph_bitmap_path(spark):
+    """P4 (1-2-3-4): (1,3) share 2, (2,4) share 3, (1,4) share none."""
+    got = _cn(spark, [(1, 2), (2, 3), (3, 4)])
+    assert got == {(1, 3): 1, (2, 4): 1}
+
+
+def test_common_neighbors_k4_every_pair_shares_two(spark):
+    got = _cn(spark, [(a, b) for a in range(1, 5)
+                      for b in range(a + 1, 5)])
+    assert got == {(a, b): 2 for a in range(1, 5)
+                   for b in range(a + 1, 5)}
+
+
+def test_common_neighbors_huge_ids_take_wedge_fallback(spark):
+    """Ids past the 64 MB mask guard must fall back to the wedge
+    self-join and still give the P4 answer."""
+    base = 10**12
+    got = _cn(spark, [(base + 1, base + 2), (base + 2, base + 3),
+                      (base + 3, base + 4)])
+    assert got == {(base + 1, base + 3): 1, (base + 2, base + 4): 1}
+
+
+def test_common_neighbors_empty_edges(spark):
+    assert _cn(spark, []) == {}

@@ -55,6 +55,8 @@ WINDOW = list(REGISTRY)[:50] + [
     "nb_lang_classifier", "shard_token_budget_assign",
     "curation_perplexity_filter", "graph_jaccard_link_prediction",
     "skyline_price_size", "rolling_ols_slope_30d",
+    "dedup_basket_setsim", "events_attribution_linear",
+    "sim_ann_multiprobe", "privacy_dp_histogram",
     # driver-green in r01 but touched by the r05 signed-zero fix —
     # keep it under the hostile-partitioning gate permanently
     "pandas_grouped_zscore",
