@@ -229,7 +229,11 @@ def common_neighbor_counts(edges: DataFrame, u: str = "u",
         ).sum(axis=1).astype(np.uint32)
 
         nodes = adj.select(F.col("a").alias("x")).distinct()
-        pairs = (nodes.join(nodes.select(F.col("x").alias("y")),
+        # broadcast one side: the guard bounds nodes to <=4096, so the
+        # non-equi pair generation plans as BroadcastNestedLoopJoin
+        # (the sanctioned bounded shape), never CartesianProduct
+        pairs = (nodes.join(F.broadcast(nodes.select(F.col("x")
+                                                     .alias("y"))),
                             F.col("x") < F.col("y")))
 
         def count(batches):

@@ -44,6 +44,8 @@ from . import analytics18  # noqa: E402,F401
 from . import llm7  # noqa: E402,F401
 from . import analytics19  # noqa: E402,F401
 from . import analytics20  # noqa: E402,F401
+from . import analytics21  # noqa: E402,F401
+from . import analytics22  # noqa: E402,F401
 
 # --- driver-window ordering --------------------------------------------------
 # The verify driver checks the FIRST 50 registry entries per round

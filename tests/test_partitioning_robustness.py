@@ -57,6 +57,9 @@ WINDOW = list(REGISTRY)[:50] + [
     "skyline_price_size", "rolling_ols_slope_30d",
     "dedup_basket_setsim", "events_attribution_linear",
     "sim_ann_multiprobe", "privacy_dp_histogram",
+    "text_keyphrase_textrank", "sim_item_cooccurrence_cosine",
+    "survival_km_ship_latency", "sim_maxsim_late_interaction",
+    "dq_psi_price_drift",
     # driver-green in r01 but touched by the r05 signed-zero fix —
     # keep it under the hostile-partitioning gate permanently
     "pandas_grouped_zscore",
