@@ -27,11 +27,16 @@ from oracle_harness import compare  # noqa: E402
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    if len(sys.argv) > 3 or (len(sys.argv) == 3 and not sys.argv[2].isdigit()):
-        names = sys.argv[2:]
+    rest = sys.argv[2:]
+    if len(rest) == 1 and rest[0].isdigit():
+        names = list(REGISTRY)[:int(rest[0])]
+    elif rest:
+        unknown = [n for n in rest if n not in REGISTRY]
+        if unknown:
+            print(f"unknown queries (skipped): {unknown}")
+        names = [n for n in rest if n in REGISTRY]
     else:
-        n = int(sys.argv[2]) if len(sys.argv) > 2 else 50
-        names = list(REGISTRY)[:n]
+        names = list(REGISTRY)[:50]
     spark = get_spark("preflight", master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '16')}]")
     failed = []
     for i, name in enumerate(names):

@@ -126,8 +126,6 @@ def pack_sequences(df: DataFrame, window_tokens: int = 128,
 
     Output: (doc_id, bucket, n_tokens, bin_id, bin_offset).
     """
-    from pyspark.sql import Window
-
     bucket = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
                      16, 10).cast("long") % n_buckets)
     t = df.select(F.col(id_col),
@@ -267,4 +265,8 @@ def write_token_shards(docs: DataFrame, budget: int, path: str,
     out = docs.join(assignments.select(id_col, "shard"), id_col)
     (out.repartition("shard")
         .write.mode("overwrite").partitionBy("shard").parquet(path))
-    return out.select("shard").distinct().count()
+    # count shards from the WRITTEN output (partition-column listing —
+    # metadata-cheap), not by re-running the whole assignment lineage
+    spark = docs.sparkSession
+    return (spark.read.parquet(path)
+            .select("shard").distinct().count())

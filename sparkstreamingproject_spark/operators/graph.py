@@ -54,6 +54,49 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     return ranks
 
 
+def _popcount_lut():
+    """256-entry byte-popcount table for the bitmap kernels."""
+    import numpy as np
+    return np.unpackbits(
+        np.arange(256, dtype=np.uint8)[:, None], axis=1
+    ).sum(axis=1).astype(np.uint32)
+
+
+def _pack_mask_matrix(grouped: DataFrame, key_col: str, mx: int,
+                      n_words: int):
+    """Packed-bitmap adjacency: build each vertex's neighbor bitset
+    distributed (mapInPandas, O(deg) per vertex per Arrow batch),
+    collect the (key, mask) rows — bounded by the caller's size guard
+    — and assemble the id-indexed uint64 matrix. Shared by the
+    triangle and common-neighbor kernels so the size-guard semantics
+    can never drift between them."""
+    import numpy as np
+    import pandas as pd
+
+    def pack(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = np.zeros((len(pdf), n_words), dtype=np.uint64)
+            for r, nb in enumerate(pdf["nbrs"]):
+                a = np.asarray(nb, dtype=np.int64)
+                np.bitwise_or.at(
+                    rows[r], a >> 6,
+                    np.left_shift(np.uint64(1),
+                                  (a & 63).astype(np.uint64)))
+            yield pd.DataFrame({"k": pdf["k"],
+                                "mask": list(rows.astype(np.int64))})
+
+    mask_rows = (grouped
+                 .select(F.col(key_col).alias("k"), "nbrs")
+                 .mapInPandas(pack, schema="k long, mask array<long>")
+                 .collect())
+    M = np.zeros((mx + 1, n_words), dtype=np.uint64)
+    for r in mask_rows:
+        M[r["k"]] = np.asarray(r["mask"], dtype=np.int64).view(np.uint64)
+    return M
+
+
 def triangle_count(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
     """Exact triangle count over an undirected edge list (one row per
     edge, ``u < v``), returning a single ``triangles`` BIGINT row.
@@ -99,40 +142,28 @@ def triangle_count(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
                         .alias("src"),
                         F.when(lower, F.col(v)).otherwise(F.col(u))
                         .alias("dst")))
+    # duplicate edge rows would double-count in the array-intersect
+    # fallback while the bitmap OR dedups them — canonicalize once so
+    # both strategies agree on any input
+    oriented = oriented.distinct()
     adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
 
-    # ---- strategy guard: two vertex-cardinality scalars ----
-    stats = deg.agg(F.max("x").alias("mx"), F.count("*").alias("nv")).first()
+    # ---- strategy guard ----
+    stats = (deg.agg(F.max("x").alias("mx"), F.min("x").alias("mn"),
+                     F.count("*").alias("nv")).first())
     if stats["mx"] is None:
         return edges.sparkSession.createDataFrame(
             [(0,)], "triangles bigint")
     n_words = int(stats["mx"]) // 64 + 1
-    mask_bytes = int(stats["nv"]) * n_words * 8
+    # the mask matrix is id-indexed: (max_id + 1) rows, NOT n_vertices
+    # (a sparse large-id graph would otherwise pass the guard and OOM
+    # the driver); negative ids would wrap numpy indexing — fallback
+    mask_bytes = (int(stats["mx"]) + 1) * n_words * 8
 
-    if mask_bytes <= (64 << 20):
-        def pack(batches):
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                rows = np.zeros((len(pdf), n_words), dtype=np.uint64)
-                for r, nb in enumerate(pdf["nbrs"]):
-                    a = np.asarray(nb, dtype=np.int64)
-                    np.bitwise_or.at(
-                        rows[r], a >> 6,
-                        np.left_shift(np.uint64(1),
-                                      (a & 63).astype(np.uint64)))
-                yield pd.DataFrame({"src": pdf["src"],
-                                    "mask": list(rows.astype(np.int64))})
-
-        mask_rows = (adj.mapInPandas(pack, schema="src long, mask array<long>")
-                     .collect())  # n_vertices rows, bounded by the guard
-        M = np.zeros((int(stats["mx"]) + 1, n_words), dtype=np.uint64)
-        for r in mask_rows:
-            M[r["src"]] = np.asarray(r["mask"], dtype=np.int64).view(np.uint64)
+    if int(stats["mn"]) >= 0 and mask_bytes <= (64 << 20):
+        M = _pack_mask_matrix(adj, "src", int(stats["mx"]), n_words)
         bcast = edges.sparkSession.sparkContext.broadcast(M)
-        pop_lut = np.unpackbits(
-            np.arange(256, dtype=np.uint8)[:, None], axis=1
-        ).sum(axis=1).astype(np.uint32)
+        pop_lut = _popcount_lut()
 
         def count(batches):
             Mm = bcast.value
@@ -173,12 +204,13 @@ def common_neighbor_counts(edges: DataFrame, u: str = "u",
     explodes. Two strategies behind one logical op, mirroring
     ``triangle_count``:
 
-    * **bitmap kernel** (vertex count <= 4096 and mask matrix <=
+    * **bitmap kernel** (non-negative ids, vertex count <= 4096, and
+      the id-indexed (max_id+1) x ceil(max_id/64)-word mask matrix <=
       64 MB): packed full-adjacency bit rows built distributed and
       broadcast; a mapInPandas pass over the (vertex x vertex) pair
       relation ANDs + popcounts per Arrow batch and emits only pairs
-      with a nonzero count. n²/2 popcounts of ceil(max_id/64) words —
-      SIMD arithmetic, no wedge ever shuffled.
+      with a nonzero count. n²/2 popcounts — SIMD arithmetic, no
+      wedge ever shuffled.
 
     * **wedge self-join fallback** (large/sparse regime): symmetric
       adjacency joined on the shared center and aggregated per pair —
@@ -189,44 +221,28 @@ def common_neighbor_counts(edges: DataFrame, u: str = "u",
     import numpy as np
     import pandas as pd
 
+    # distinct-ify: duplicate edge rows (or both orientations supplied)
+    # would inflate wedge counts in the fallback while the bitmap OR
+    # dedups them — canonicalize so both strategies agree on any input
     adj = (edges.select(F.col(u).alias("a"), F.col(v).alias("b"))
            .unionAll(edges.select(F.col(v).alias("a"),
-                                  F.col(u).alias("b"))))
-    stats = (adj.agg(F.max("a").alias("mx"),
+                                  F.col(u).alias("b")))
+           .distinct())
+    stats = (adj.agg(F.max("a").alias("mx"), F.min("a").alias("mn"),
                      F.countDistinct("a").alias("nv")).first())
     if stats["mx"] is None:
         return edges.sparkSession.createDataFrame(
             [], f"{u} long, {v} long, common bigint")
     n_words = int(stats["mx"]) // 64 + 1
-    mask_bytes = int(stats["nv"]) * n_words * 8
+    # id-indexed matrix: (max_id + 1) rows — see triangle_count's guard
+    mask_bytes = (int(stats["mx"]) + 1) * n_words * 8
 
-    if stats["nv"] <= 4096 and mask_bytes <= (64 << 20):
+    if (int(stats["mn"]) >= 0 and stats["nv"] <= 4096
+            and mask_bytes <= (64 << 20)):
         grouped = adj.groupBy("a").agg(F.collect_list("b").alias("nbrs"))
-
-        def pack(batches):
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                rows = np.zeros((len(pdf), n_words), dtype=np.uint64)
-                for r, nb in enumerate(pdf["nbrs"]):
-                    arr = np.asarray(nb, dtype=np.int64)
-                    np.bitwise_or.at(
-                        rows[r], arr >> 6,
-                        np.left_shift(np.uint64(1),
-                                      (arr & 63).astype(np.uint64)))
-                yield pd.DataFrame({"a": pdf["a"],
-                                    "mask": list(rows.astype(np.int64))})
-
-        mask_rows = (grouped.mapInPandas(
-            pack, schema="a long, mask array<long>").collect())
-        M = np.zeros((int(stats["mx"]) + 1, n_words), dtype=np.uint64)
-        for r in mask_rows:
-            M[r["a"]] = np.asarray(r["mask"],
-                                   dtype=np.int64).view(np.uint64)
+        M = _pack_mask_matrix(grouped, "a", int(stats["mx"]), n_words)
         bcast = edges.sparkSession.sparkContext.broadcast(M)
-        pop_lut = np.unpackbits(
-            np.arange(256, dtype=np.uint8)[:, None], axis=1
-        ).sum(axis=1).astype(np.uint32)
+        pop_lut = _popcount_lut()
 
         nodes = adj.select(F.col("a").alias("x")).distinct()
         # broadcast one side: the guard bounds nodes to <=4096, so the

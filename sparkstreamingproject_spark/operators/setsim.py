@@ -45,20 +45,25 @@ def setsim_self_join(rel: DataFrame, key_col: str, item_col: str,
     prefix_len = (F.col("sz")
                   - F.ceil(F.col("sz") * t / 100).cast("bigint")
                   + F.lit(1))
-    pref = (sets.select("k", "items", "sz",
-                        F.slice("items", 1, prefix_len).alias("prefix"))
-            .select("k", "items", "sz",
-                    F.explode("prefix").alias("tok")))
-    a = pref.select(F.col("k").alias("ka"), F.col("items").alias("ia"),
-                    F.col("sz").alias("sa"), "tok")
-    b = pref.select(F.col("k").alias("kb"), F.col("items").alias("ib"),
-                    F.col("sz").alias("sb"), "tok")
-    cand = (a.join(b, "tok")
+    # candidate generation carries ONLY keys: a pair sharing k prefix
+    # tokens would otherwise shuffle k copies of both full item arrays
+    # and run distinct() over whole-array rows — the standard PPJoin
+    # formulation dedups (ka, kb) first and joins the sets back once
+    pref = (sets.select("k",
+                        F.explode(F.slice("items", 1, prefix_len))
+                        .alias("tok")))
+    cand = (pref.select(F.col("k").alias("ka"), "tok")
+            .join(pref.select(F.col("k").alias("kb"), "tok"), "tok")
             .filter(F.col("ka") < F.col("kb"))
-            .select("ka", "kb", "ia", "ib", "sa", "sb")
+            .select("ka", "kb")
             .distinct())
+    sa = sets.select(F.col("k").alias("ka"), F.col("items").alias("ia"),
+                     F.col("sz").alias("sa"))
+    sb = sets.select(F.col("k").alias("kb"), F.col("items").alias("ib"),
+                     F.col("sz").alias("sb"))
     inter = F.size(F.array_intersect("ia", "ib")).cast("bigint")
-    verified = (cand.withColumn("inter", inter)
+    verified = (cand.join(sa, "ka").join(sb, "kb")
+                .withColumn("inter", inter)
                 .filter(F.col("inter") * 100
                         >= (F.col("sa") + F.col("sb") - F.col("inter"))
                         * t)

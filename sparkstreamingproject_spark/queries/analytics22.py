@@ -56,7 +56,7 @@ _MV_TOP = 10
     q AS (SELECT pri, t, d, n,
                  CAST(round(ln(1.0 - CAST(d AS DOUBLE) / n) * 1000000)
                       AS BIGINT) AS ql
-          FROM r WHERE d > 0 AND t <= {_KM_HORIZON}),
+          FROM r WHERE d > 0 AND d < n AND t <= {_KM_HORIZON}),
     s AS (SELECT pri, t, d, n,
                  CAST(sum(ql) OVER (PARTITION BY pri ORDER BY t)
                       AS BIGINT) AS cql
@@ -79,7 +79,10 @@ def survival_km_ship_latency(spark, sf_dir):
     cumsum of micro-unit-quantized ln factors — a windowed float
     product would accumulate engine-specific rounding; the quantized
     sum is bit-identical everywhere. Negative latencies (synthetic
-    uncorrelated dates) are excluded as data errors."""
+    uncorrelated dates) are excluded as data errors, and a day that
+    exhausts the whole remaining risk set (d == n, survival exactly 0
+    — ln(0) is -inf in DuckDB but NULL in Spark) is excluded by the
+    identical d < n predicate on both sides."""
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
     f = li.groupBy("l_orderkey").agg(F.min("l_shipdate").alias("ship0"))
@@ -102,7 +105,8 @@ def survival_km_ship_latency(spark, sf_dir):
     r = (g.join(tot, "pri")
          .withColumn("n", F.col("total")
                      - (F.sum("cnt").over(wcum) - F.col("cnt"))))
-    q = (r.filter((F.col("d") > 0) & (F.col("t") <= _KM_HORIZON))
+    q = (r.filter((F.col("d") > 0) & (F.col("d") < F.col("n"))
+                  & (F.col("t") <= _KM_HORIZON))
          .withColumn("ql", F.round(F.log(
              F.lit(1.0) - F.col("d").cast("double") / F.col("n"))
              * 1_000_000, 0).cast("bigint")))
