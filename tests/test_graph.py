@@ -97,3 +97,21 @@ def test_common_neighbors_huge_ids_take_wedge_fallback(spark):
 
 def test_common_neighbors_empty_edges(spark):
     assert _cn(spark, []) == {}
+
+
+def test_common_neighbors_duplicate_edges_match_across_strategies(spark):
+    """Duplicate rows and pre-symmetrized input must not inflate
+    counts, and the bitmap and wedge strategies must agree on the
+    same logical graph (the fallback is forced via huge ids)."""
+    from sparkstreamingproject_spark.operators.graph import (
+        common_neighbor_counts)
+    dup = [(1, 2), (1, 2), (2, 1), (2, 3), (2, 3)]
+    small = spark.createDataFrame(dup, "u bigint, v bigint")
+    got_small = {(r["u"], r["v"]): r["common"]
+                 for r in common_neighbor_counts(small).collect()}
+    base = 10**12
+    huge = spark.createDataFrame(
+        [(base + a, base + b) for a, b in dup], "u bigint, v bigint")
+    got_huge = {(r["u"] - base, r["v"] - base): r["common"]
+                for r in common_neighbor_counts(huge).collect()}
+    assert got_small == got_huge == {(1, 3): 1}

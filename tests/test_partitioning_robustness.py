@@ -60,6 +60,7 @@ WINDOW = list(REGISTRY)[:50] + [
     "text_keyphrase_textrank", "sim_item_cooccurrence_cosine",
     "survival_km_ship_latency", "sim_maxsim_late_interaction",
     "dq_psi_price_drift",
+    "graph_adamic_adar", "sessions_peak_concurrency",
     # driver-green in r01 but touched by the r05 signed-zero fix —
     # keep it under the hostile-partitioning gate permanently
     "pandas_grouped_zscore",
