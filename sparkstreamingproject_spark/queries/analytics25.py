@@ -21,6 +21,7 @@ from .base import register, table
 _MK_ITER = 12
 _CHANNELS = ["view", "click", "signup", "error"]
 _SCEN = ["base"] + _CHANNELS
+_GAP_US = 1_800_000_000  # 30-minute session gap
 
 
 def _markov_oracle() -> str:
@@ -155,3 +156,75 @@ def events_attribution_markov_removal(spark, sf_dir):
                     F.col("v").alias("p_conv_e6"),
                     F.expr("CAST(1000000 - (v * 1000000) div vb "
                            "AS BIGINT)").alias("removal_effect_e6")))
+
+
+@register(
+    "sessions_entry_exit_bounce",
+    oracle="""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+               FROM events),
+    g AS (SELECT user_id, us, event_id, event_type,
+                 CASE WHEN us - lag(us) OVER (PARTITION BY user_id
+                                              ORDER BY us, event_id)
+                           > 1800000000
+                      OR lag(us) OVER (PARTITION BY user_id
+                                       ORDER BY us, event_id) IS NULL
+                      THEN 1 ELSE 0 END AS brk
+          FROM e),
+    sid AS (SELECT user_id, us, event_id, event_type,
+                   sum(brk) OVER (PARTITION BY user_id
+                                  ORDER BY us, event_id) AS s
+            FROM g),
+    rn AS (SELECT user_id, s, event_type,
+                  row_number() OVER (PARTITION BY user_id, s
+                                     ORDER BY us, event_id) AS r1,
+                  row_number() OVER (PARTITION BY user_id, s
+                                     ORDER BY us DESC, event_id DESC)
+                    AS r2
+           FROM sid),
+    sess AS (SELECT user_id, s, CAST(count(*) AS BIGINT) AS n_events
+             FROM rn GROUP BY 1, 2),
+    en AS (SELECT user_id, s, event_type AS entry FROM rn WHERE r1 = 1),
+    ex AS (SELECT user_id, s, event_type AS exit FROM rn WHERE r2 = 1)
+    SELECT en.entry, ex.exit, CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN sess.n_events = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bounces
+    FROM sess JOIN en USING (user_id, s) JOIN ex USING (user_id, s)
+    GROUP BY 1, 2
+    """,
+    tags=("events", "analytics", "window"),
+)
+def sessions_entry_exit_bounce(spark, sf_dir):
+    """Web-analytics session triptych: entry type x exit type x
+    session count x bounce count (single-event sessions) over
+    30-minute gap sessions. All windows share the (user, time) sort;
+    entry/exit are deterministic row_number endpoints (full tiebreak
+    on event_id), so the whole query is integers and strings — the
+    dashboard query behind every landing/exit-page report."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_id",
+        "event_type")
+    wu = Window.partitionBy("user_id").orderBy("us", "event_id")
+    brk = F.when(
+        (F.col("us") - F.lag("us").over(wu) > _GAP_US)
+        | F.lag("us").over(wu).isNull(), 1).otherwise(0)
+    sid = (ev.withColumn("brk", brk)
+           .withColumn("s", F.sum("brk").over(
+               wu.rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow))))
+    ws = Window.partitionBy("user_id", "s").orderBy("us", "event_id")
+    wsd = (Window.partitionBy("user_id", "s")
+           .orderBy(F.desc("us"), F.desc("event_id")))
+    rn = sid.select("user_id", "s", "event_type",
+                    F.row_number().over(ws).alias("r1"),
+                    F.row_number().over(wsd).alias("r2"))
+    sess = rn.groupBy("user_id", "s").agg(F.count("*").alias("n_events"))
+    en = (rn.filter(F.col("r1") == 1)
+          .select("user_id", "s", F.col("event_type").alias("entry")))
+    ex = (rn.filter(F.col("r2") == 1)
+          .select("user_id", "s", F.col("event_type").alias("exit")))
+    return (sess.join(en, ["user_id", "s"]).join(ex, ["user_id", "s"])
+            .groupBy("entry", "exit")
+            .agg(F.count("*").alias("n_sessions"),
+                 F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+                 .alias("n_bounces")))
