@@ -49,6 +49,7 @@ from . import analytics22  # noqa: E402,F401
 from . import analytics23  # noqa: E402,F401
 from . import analytics24  # noqa: E402,F401
 from . import analytics25  # noqa: E402,F401
+from . import analytics26  # noqa: E402,F401
 
 # --- driver-window ordering --------------------------------------------------
 # The verify driver checks the FIRST 50 registry entries per round
@@ -96,11 +97,11 @@ _ROUND5_WINDOW = [
 
 # --- round-6 window plan (do NOT reorder this round: the r05 driver
 # check must see _ROUND5_WINDOW as the first 50) -----------------------
-# After VERDICT_r05, rotate to the first 50 of the 67 never-checked
+# After VERDICT_r05, rotate to the first 50 of the 68 never-checked
 # queries: the 45 from rounds 1-4 (registration order,
-# rfm_migration_matrix through sample_class_balance) + the 22 round-5
-# additions (pca_variance_invariants, llm7, analytics19-25,
-# privacy_dp_histogram) — the 17 past the cap plus any r05 reds roll
+# rfm_migration_matrix through sample_class_balance) + the 23 round-5
+# additions (pca_variance_invariants, llm7, analytics19-26,
+# privacy_dp_histogram) — the 18 past the cap plus any r05 reds roll
 # to r07, which closes the ledger. Every candidate is pre-flighted:
 # parity at sf0.001/0.01/0.1 under TZ=America/New_York, robustness
 # (hostile partitioning) at sf0.001 AND sf0.01.

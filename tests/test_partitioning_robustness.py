@@ -63,6 +63,7 @@ WINDOW = list(REGISTRY)[:50] + [
     "graph_adamic_adar", "sessions_peak_concurrency",
     "text_feature_hash_retrieval", "sketch_hll_intersect_estimate",
     "events_attribution_markov_removal", "sessions_entry_exit_bounce",
+    "text_jsd_source_pairs",
     # driver-green in r01 but touched by the r05 signed-zero fix —
     # keep it under the hostile-partitioning gate permanently
     "pandas_grouped_zscore",
