@@ -75,6 +75,20 @@ SIDECAR = [
     "graph_jaccard_link_prediction",
 ]
 
+# sidecar comparison floor: first measurements (BENCH_r05, sf=0.1,
+# local[32], quiet run) — pinned per VERDICT r05 §next 4 so every
+# later round's JSON line carries the per-query ratio vs r05 under the
+# same >2×-on-a-quiet-run regression rule as the headline table in
+# BASELINE.md.
+SIDECAR_R05 = {
+    "graph_triangle_count": 5.003,
+    "recursive_trade_reach": 2.607,
+    "bpe_learn_merges": 1.753,
+    "sim_topk_int8_rerank": 0.860,
+    "dedup_basket_setsim": 6.315,
+    "graph_jaccard_link_prediction": 4.620,
+}
+
 def main() -> None:
     spark = get_spark("sparkstreamingproject-bench")
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
@@ -109,6 +123,9 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sidecar": sidecar,
+        "sidecar_vs_r05": {
+            n: round(t / SIDECAR_R05[n], 2)
+            for n, t in sidecar.items() if n in SIDECAR_R05},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()

@@ -95,22 +95,64 @@ _ROUND5_WINDOW = [
     "stat_anova_oneway", "text_rake_keywords",
 ]
 
-# --- round-6 window plan (do NOT reorder this round: the r05 driver
-# check must see _ROUND5_WINDOW as the first 50) -----------------------
-# After VERDICT_r05, rotate to the first 50 of the 68 never-checked
-# queries: the 45 from rounds 1-4 (registration order,
-# rfm_migration_matrix through sample_class_balance) + the 23 round-5
-# additions (pca_variance_invariants, llm7, analytics19-26,
-# privacy_dp_histogram) — the 18 past the cap plus any r05 reds roll
-# to r07, which closes the ledger. Every candidate is pre-flighted:
-# parity at sf0.001/0.01/0.1 under TZ=America/New_York, robustness
-# (hostile partitioning) at sf0.001 AND sf0.01.
+# --- round-6 window ---------------------------------------------------------
+# CORRECTNESS_r05 came back 50/50 green, so the r05 window rotates out.
+# This window is the first 50 of the 68 never-driver-checked queries
+# (registry order minus the union of CORRECTNESS_r01-r05 keys, per
+# VERDICT r05 §next 1): pca_variance_invariants leads (closing the one
+# non-green ledger row's companion), then the rounds-1-4 backlog and
+# the round-5 additions in registration order. The remaining 18
+# (graph_jaccard_link_prediction .. text_jsd_source_pairs) are pinned
+# directly after the window so r07 closes the ledger with positions
+# 50-67 intact regardless of import order. Registry growth is FROZEN
+# until the ledger closes (VERDICT r05 §next 3).
+# Pre-flight: parity at sf0.001/0.01/0.1 under TZ=America/New_York +
+# hostile partitioning (tests/test_partitioning_robustness.py).
+_ROUND6_WINDOW = [
+    "pca_variance_invariants", "privacy_dp_histogram",
+    "rfm_migration_matrix", "sample_neyman_allocation",
+    "map_functions_surface", "ts_cross_correlation",
+    "embedding_pq_codebook", "sim_ann_pq_adc",
+    "cluster_dbscan_lsh", "sim_ann_ivfadc",
+    "embedding_top_eigvec_power", "stat_kruskal_wallis",
+    "stat_wilcoxon_signed_rank", "stat_kendall_tau",
+    "funnel_time_to_convert", "dedup_doc_edge_overlap",
+    "docs_ngram_novelty", "ts_changepoint_pettitt",
+    "privacy_l_diversity", "sim_matryoshka_eval",
+    "graph_hits_hubs_authorities", "stat_levene_test",
+    "stat_mann_kendall_trend", "stat_poisson_rate_test",
+    "events_markov_stationary", "ts_holt_linear_forecast",
+    "ts_periodogram", "stat_friedman_test",
+    "asof_nearest_purchase", "multimodal_scene_cuts",
+    "stat_jarque_bera", "ivm_join_agg_delta",
+    "stat_runs_test", "graph_degree_assortativity",
+    "dedup_minhash_pr_sweep", "dedup_semantic_lexical_pairs",
+    "curation_dedup_funnel", "graph_clustering_coefficient",
+    "tokenizer_oov_sweep", "stat_cochran_armitage",
+    "orders_repeat_purchase_curve", "stat_ols_two_features",
+    "text_chi2_keyness", "embedding_drift_centroid_shift",
+    "asof_tolerance_recent_order", "events_lifecycle_accounting",
+    "sample_class_balance", "nb_lang_classifier",
+    "shard_token_budget_assign", "curation_perplexity_filter",
+    # --- r07 closing window (positions 50-67; never-checked tail) ---
+    "graph_jaccard_link_prediction", "skyline_price_size",
+    "rolling_ols_slope_30d", "dedup_basket_setsim",
+    "events_attribution_linear", "sim_ann_multiprobe",
+    "text_keyphrase_textrank", "sim_item_cooccurrence_cosine",
+    "survival_km_ship_latency", "sim_maxsim_late_interaction",
+    "dq_psi_price_drift", "graph_adamic_adar",
+    "sessions_peak_concurrency", "text_feature_hash_retrieval",
+    "sketch_hll_intersect_estimate", "events_attribution_markov_removal",
+    "sessions_entry_exit_bounce", "text_jsd_source_pairs",
+]
 
 
 def _reorder() -> None:
-    missing = [n for n in _ROUND5_WINDOW if n not in REGISTRY]
+    window = _ROUND6_WINDOW
+    missing = [n for n in window if n not in REGISTRY]
     assert not missing, f"window names not registered: {missing}"
-    ordered = {n: REGISTRY[n] for n in _ROUND5_WINDOW}
+    assert len(set(window)) == len(window), "duplicate window entries"
+    ordered = {n: REGISTRY[n] for n in window}
     ordered.update((n, s) for n, s in REGISTRY.items() if n not in ordered)
     REGISTRY.clear()
     REGISTRY.update(ordered)

@@ -85,13 +85,13 @@ def skyline_price_size(spark, sf_dir):
              CAST(count(*) OVER w AS BIGINT) AS n,
              CAST(sum(x) OVER w AS BIGINT) AS sx,
              CAST(sum(cents) OVER w AS BIGINT) AS sy,
-             CAST(sum(x * cents) OVER w AS BIGINT) AS sxy,
+             sum(CAST(x AS HUGEINT) * cents) OVER w AS sxy,
              CAST(sum(x * x) OVER w AS BIGINT) AS sxx
       FROM rev
       WINDOW w AS (PARTITION BY n_name ORDER BY x
                    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW))
     SELECT n_name, d, n,
-           CAST((n * sxy - sx * sy) * {_SLOPE_SCALE}
+           CAST((n * sxy - CAST(sx AS HUGEINT) * sy) * {_SLOPE_SCALE}
                 // (n * sxx - sx * sx) AS BIGINT) AS slope_sc
     FROM win WHERE n >= 2
     """,
@@ -105,7 +105,14 @@ def rolling_ols_slope_30d(spark, sf_dir):
     the window parallelizes across the natural key at any scale.
     All accumulators are exact integers (day index × cents); the slope
     ships as a scaled truncating integer ratio — both engines truncate
-    toward zero, so the value is bit-exact."""
+    toward zero, so the value is bit-exact. The Σxy accumulator and
+    the n·Σxy − Σx·Σy numerator run in 128-bit integers
+    (DECIMAL(38,0) here, HUGEINT in the oracle): cents-scale revenue
+    × day index squares past int64 once daily-nation revenue nears
+    1e16 cents, and Spark (ANSI off) would wrap silently while DuckDB
+    raised — the class of silent scale divergence this repo bans.
+    The denominator stays int64 (n ≤ 30, x ≤ calendar days: ≤ ~6e9
+    forever)."""
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
     n = table(spark, sf_dir, "nation")
@@ -123,11 +130,13 @@ def rolling_ols_slope_30d(spark, sf_dir):
         F.count("*").over(w).alias("n"),
         F.sum("x").over(w).cast("bigint").alias("sx"),
         F.sum("cents").over(w).alias("sy"),
-        F.sum(F.col("x") * F.col("cents")).over(w).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("cents"))
+        .over(w).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).over(w).cast("bigint")
         .alias("sxx"))
     return (win.filter(F.col("n") >= 2)
             .select("n_name", "d", "n",
-                    F.expr(f"(n * sxy - sx * sy) * {_SLOPE_SCALE}"
+                    F.expr(f"(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy)"
+                           f" * {_SLOPE_SCALE}"
                            f" div (n * sxx - sx * sx)")
-                    .alias("slope_sc")))
+                    .cast("bigint").alias("slope_sc")))

@@ -52,8 +52,9 @@ _POW33 = 8589934592  # 2^33
             FROM v JOIN eq ON eq.dim = v.dim GROUP BY 1, 2),
     sc AS (SELECT dot.doc_id, dot.vec_id,
                   CAST((CASE WHEN dot.d < 0 THEN -1 ELSE 1 END)
-                       * (dot.d * dot.d * 1000000)
-                       // (nv.nv2 * ne.ne2) AS BIGINT) AS cos2_e6
+                       * (CAST(dot.d AS HUGEINT) * dot.d * 1000000)
+                       // (CAST(nv.nv2 AS HUGEINT) * ne.ne2)
+                       AS BIGINT) AS cos2_e6
            FROM dot JOIN nv ON nv.doc_id = dot.doc_id
                     JOIN ne ON ne.vec_id = dot.vec_id
            WHERE nv.nv2 > 0 AND ne.ne2 > 0)
@@ -75,7 +76,11 @@ def text_feature_hash_retrieval(spark, sf_dir):
     Hashed vectors are integers; embedding coordinates quantize once
     to e3 ints; the ranking key is sign-preserving squared cosine in
     exact integer 1e-6 units. The sparse dot is a dim-keyed join —
-    |dims| = 64 keys, so the query side broadcasts."""
+    |dims| = 64 keys, so the query side broadcasts. The d²·1e6 and
+    nv2·ne2 products run in 128-bit integers (DECIMAL(38,0) here,
+    HUGEINT in the oracle): d² passes int64 once |d| > ~3e6, which
+    long documents reach at corpus scale, and Spark (ANSI off) would
+    wrap silently while DuckDB raised."""
     docs = table(spark, sf_dir, "documents")
     emb = table(spark, sf_dir, "embeddings")
     w = (docs.filter(F.col("doc_id") < _FH_DOCS)
@@ -105,7 +110,8 @@ def text_feature_hash_retrieval(spark, sf_dir):
           .filter((F.col("nv2") > 0) & (F.col("ne2") > 0))
           .select("doc_id", "vec_id",
                   (F.when(F.col("d") < 0, -1).otherwise(1)
-                   * F.expr("(d * d * 1000000) div (nv2 * ne2)"))
+                   * F.expr("(CAST(d AS DECIMAL(38,0)) * d * 1000000)"
+                            " div (CAST(nv2 AS DECIMAL(38,0)) * ne2)"))
                   .cast("bigint").alias("cos2_e6")))
     wnd = (Window.partitionBy("doc_id")
            .orderBy(F.desc("cos2_e6"), "vec_id"))

@@ -69,8 +69,10 @@ _PPL_GATE = -3.41235
 )
 def nb_lang_classifier(spark, sf_dir):
     """fastText-style corpus classifier as one declarative plan
-    (llm/classify.py): add-one multinomial NB trained on an 80% hash
-    split, held-out 20% scored and argmax'd, confusion matrix out.
+    (llm/classify.py): add-one multinomial NB trained on the 80% of
+    docs with doc_id % 5 != 0 (a plain modulo split — deterministic
+    and cheap; hash doc_id first if ids are not uniformly assigned),
+    the held-out 20% scored and argmax'd, confusion matrix out.
     Model relations are classes x vocab — broadcast joins against the
     token stream, integer-quantized log-probs so the argmax is exact."""
     from ..llm.classify import nb_train_predict

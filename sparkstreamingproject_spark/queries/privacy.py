@@ -134,20 +134,32 @@ def privacy_k_anonymity(spark, sf_dir):
     """,
     tags=("privacy",),
 )
-def privacy_dp_histogram(spark, sf_dir):
-    """Differentially-private release histogram (Laplace mechanism,
-    eps=1, sensitivity 1 for a per-document count): every (source,
-    lang) cell gets Laplace(1) noise via inverse-CDF sampling of a
-    SEEDED uniform — the md5 of the cell key — so the release is
-    reproducible across engines, partitionings, and retries (the
-    seeded-PRNG reproducibility pattern of production DP pipelines;
-    rotate the seed string per release). Scale: noise is a per-cell
-    scalar expression fused onto a cell-cardinality aggregate —
-    nothing beyond the base groupBy touches data."""
+def privacy_dp_histogram(spark, sf_dir, seed: str = "dp-"):
+    """Laplace-noised histogram (eps=1, sensitivity 1 for a
+    per-document count): every (source, lang) cell gets Laplace(1)
+    noise via inverse-CDF sampling of a uniform derived from
+    md5(seed || cell key), so the release is reproducible across
+    engines, partitionings, and retries.
+
+    PRIVACY CAVEAT (do not skip): the noise is a deterministic
+    function of (seed, cell key). The mechanism is only a real DP
+    release when ``seed`` is a SECRET, per-release value that is
+    never published or derivable from the released columns — with a
+    known seed anyone can recompute the noise and subtract it to
+    recover exact counts. The default ``seed="dp-"`` here is public
+    by construction (the DuckDB oracle must reproduce it), so THIS
+    REGISTRY ENTRY IS AN ENGINE-PARITY FIXTURE demonstrating the
+    seeded-reproducibility plumbing, NOT a private release.
+    Production use: pass a fresh secret seed per release and destroy
+    it after publishing.
+
+    Scale: noise is a per-cell scalar expression fused onto a
+    cell-cardinality aggregate — nothing beyond the base groupBy
+    touches data."""
     docs = table(spark, sf_dir, "documents")
     h = docs.groupBy("source", "lang").agg(F.count("*").alias("n"))
     uu = ((F.conv(F.substring(
-        F.md5(F.concat(F.lit("dp-"), F.col("source"), F.lit("-"),
+        F.md5(F.concat(F.lit(seed), F.col("source"), F.lit("-"),
                        F.col("lang"))), 1, 8), 16, 10).cast("long")
         + F.lit(0.5)) / F.lit(4294967296.0))
     noise = (F.signum(uu - 0.5)

@@ -47,35 +47,37 @@ def ingest_batch(batch: DataFrame, index_dir: str, corpus_dir: str,
     ex_hash = _maybe_read(spark, hash_path, "h string")
     fresh = hashed.join(ex_hash, "h", "left_anti")
 
-    # near-dup: band keys of the fresh docs
-    fb = band_keys(fresh, id_col, text_col).persist()
-    try:
-        # cross-batch near
-        ex_bands = _maybe_read(spark, band_path,
-                               f"{id_col} long, band int, key string")
-        hit = (fb.join(ex_bands.select("band", "key"), ["band", "key"],
-                       "left_semi").select(id_col).distinct())
-        # in-batch near collapse: canonical (min) id per bucket; a doc
-        # survives only if it IS the canonical id of every bucket it
-        # occupies (min over its buckets' mins == itself ⇒ keep min-id
-        # doc per connected bucket group, single pass)
-        canon = (fb.groupBy("band", "key")
-                 .agg(F.min(id_col).alias("canon")))
-        loser = (fb.join(canon, ["band", "key"])
-                 .filter(F.col(id_col) != F.col("canon"))
-                 .select(id_col).distinct())
-        survivors = (fresh.join(hit, id_col, "left_anti")
-                     .join(loser, id_col, "left_anti"))
-        survivors.persist()
-        try:
-            (survivors.drop("h").write.mode("append").parquet(corpus_dir))
-            (survivors.select("h").write.mode("append").parquet(hash_path))
-            (fb.join(survivors.select(id_col), id_col, "left_semi")
-             .write.mode("append").parquet(band_path))
-        finally:
-            survivors.unpersist()
-    finally:
-        fb.unpersist()
+    # near-dup: band keys of the fresh docs. localCheckpoint (NOT
+    # persist): the appends below go to the very paths fresh/fb read
+    # (hash_path, band_path), and each append recaches-by-path every
+    # cached plan that scans the written path — a persisted
+    # ``survivors`` would silently recompute against the NEW index
+    # after the hash append, anti-join itself away, and the band write
+    # would append nothing (caught by the stream≡batch index test:
+    # every batch-2+ survivor's band keys vanished from the index).
+    # Checkpointing cuts the lineage to the materialized rows, so the
+    # later writes can never observe the earlier ones.
+    fb = band_keys(fresh, id_col, text_col).localCheckpoint()
+    # cross-batch near
+    ex_bands = _maybe_read(spark, band_path,
+                           f"{id_col} long, band int, key string")
+    hit = (fb.join(ex_bands.select("band", "key"), ["band", "key"],
+                   "left_semi").select(id_col).distinct())
+    # in-batch near collapse: canonical (min) id per bucket; a doc
+    # survives only if it IS the canonical id of every bucket it
+    # occupies (min over its buckets' mins == itself ⇒ keep min-id
+    # doc per connected bucket group, single pass)
+    canon = (fb.groupBy("band", "key")
+             .agg(F.min(id_col).alias("canon")))
+    loser = (fb.join(canon, ["band", "key"])
+             .filter(F.col(id_col) != F.col("canon"))
+             .select(id_col).distinct())
+    survivors = (fresh.join(hit, id_col, "left_anti")
+                 .join(loser, id_col, "left_anti")).localCheckpoint()
+    (survivors.drop("h").write.mode("append").parquet(corpus_dir))
+    (survivors.select("h").write.mode("append").parquet(hash_path))
+    (fb.join(survivors.select(id_col), id_col, "left_semi")
+     .write.mode("append").parquet(band_path))
 
 
 def dedup_within_watermark_stream(doc_stream: DataFrame, out_dir: str,

@@ -31,9 +31,11 @@ def test_nb_learns_separable_vocabulary(spark):
 
 def test_nb_unseen_words_fall_back_to_prior(spark):
     """A test doc of only unseen words gets the majority-prior class.
-    Both classes carry the SAME train token total (30), so the
+    After the modulo holdout (doc_id % 5 == 0) both classes carry the
+    SAME train token total — 24 'x' tokens for big (24 one-token
+    train docs) vs 24 for small (8 three-token train docs) — so the
     smoothed unknown mass 1/(T+V) is identical and only the doc prior
-    can break the tie — 30 'big' docs vs 10 'small' docs."""
+    (24 big train docs vs 8 small) can break the tie."""
     rows = [(i, "big", "x") for i in range(1, 40) if i % 4]
     rows += [(i, "small", "x y z") for i in range(1, 40) if not i % 4]
     rows.append((40, "small", "unseen words only"))  # id 40 % 5 == 0

@@ -23,50 +23,24 @@ import pytest
 
 from sparkstreamingproject_spark.queries import REGISTRY
 
-# the driver checks the first 50 registry entries (the r05 window, see
-# queries/__init__.py) — pre-flight every one, plus the remaining 45
-# never-driver-checked queries that form the r06 closing window
-WINDOW = list(REGISTRY)[:50] + [
-    "rfm_migration_matrix", "sample_neyman_allocation",
-    "map_functions_surface", "ts_cross_correlation",
-    "embedding_pq_codebook", "sim_ann_pq_adc",
-    "cluster_dbscan_lsh", "sim_ann_ivfadc",
-    "embedding_top_eigvec_power",
-    "stat_kruskal_wallis", "stat_wilcoxon_signed_rank",
-    "stat_kendall_tau", "funnel_time_to_convert",
-    "dedup_doc_edge_overlap", "docs_ngram_novelty",
-    "ts_changepoint_pettitt", "privacy_l_diversity",
-    "sim_matryoshka_eval", "graph_hits_hubs_authorities",
-    "stat_levene_test", "stat_mann_kendall_trend",
-    "stat_poisson_rate_test", "events_markov_stationary",
-    "ts_holt_linear_forecast", "ts_periodogram",
-    "stat_friedman_test", "asof_nearest_purchase",
-    "multimodal_scene_cuts", "stat_jarque_bera",
-    "ivm_join_agg_delta", "stat_runs_test",
-    "graph_degree_assortativity", "dedup_minhash_pr_sweep",
-    "dedup_semantic_lexical_pairs", "curation_dedup_funnel",
-    "graph_clustering_coefficient", "tokenizer_oov_sweep",
-    "stat_cochran_armitage", "orders_repeat_purchase_curve",
-    "stat_ols_two_features", "text_chi2_keyness",
-    "embedding_drift_centroid_shift", "asof_tolerance_recent_order",
-    "events_lifecycle_accounting", "sample_class_balance",
-    # round-5 additions (r07 window candidates)
-    "pca_variance_invariants",
-    "nb_lang_classifier", "shard_token_budget_assign",
-    "curation_perplexity_filter", "graph_jaccard_link_prediction",
-    "skyline_price_size", "rolling_ols_slope_30d",
-    "dedup_basket_setsim", "events_attribution_linear",
-    "sim_ann_multiprobe", "privacy_dp_histogram",
-    "text_keyphrase_textrank", "sim_item_cooccurrence_cosine",
-    "survival_km_ship_latency", "sim_maxsim_late_interaction",
-    "dq_psi_price_drift",
-    "graph_adamic_adar", "sessions_peak_concurrency",
-    "text_feature_hash_retrieval", "sketch_hll_intersect_estimate",
-    "events_attribution_markov_removal", "sessions_entry_exit_bounce",
-    "text_jsd_source_pairs",
+# the driver checks the first 50 registry entries (the r06 window, see
+# queries/__init__.py). Pre-flight the full never-checked head (r06
+# window + the 18-query r07 closing tail = registry positions 0-67),
+# plus the r05 window (already driver-green — kept under the gate as
+# regression cover for the signed-zero/fsum fixes) and the permanent
+# keepers below. Dedup at the end keeps parametrize ids unique.
+from sparkstreamingproject_spark.queries import _ROUND5_WINDOW  # noqa: E402
+
+_KEEPERS = [
     # driver-green in r01 but touched by the r05 signed-zero fix —
     # keep it under the hostile-partitioning gate permanently
     "pandas_grouped_zscore",
+]
+
+_seen: set[str] = set()
+WINDOW = [
+    n for n in (list(REGISTRY)[:68] + _ROUND5_WINDOW + _KEEPERS)
+    if not (n in _seen or _seen.add(n))
 ]
 
 _PERTURB = {
