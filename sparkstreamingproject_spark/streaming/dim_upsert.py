@@ -17,32 +17,18 @@ so the rewrite cost is bounded.
 
 from __future__ import annotations
 
-import os
-import shutil
-import uuid
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+from .statestore import swap_in as _swap_in
+from .statestore import table_exists as _table_exists
 
 
 def latest_per_key(df: DataFrame, key_cols: list[str], version_col: str) -> DataFrame:
     w = Window.partitionBy(*key_cols).orderBy(F.col(version_col).desc())
     return (df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1).drop("_rn"))
-
-
-def _swap_in(merged: DataFrame, table_dir: str) -> None:
-    tmp = f"{table_dir}.tmp-{uuid.uuid4().hex[:8]}"
-    merged.write.mode("overwrite").parquet(tmp)
-    if os.path.isdir(table_dir):
-        shutil.rmtree(table_dir)
-    os.rename(tmp, table_dir)
-
-
-def _table_exists(table_dir: str) -> bool:
-    return os.path.isdir(table_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(table_dir))
 
 
 def upsert_dim_parquet(updates: DataFrame, table_dir: str,

@@ -19,25 +19,11 @@ swap rewrites the (dimension-sized) rollup atomically.
 
 from __future__ import annotations
 
-import os
-import shutil
-import uuid
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-
-def _swap_in(merged: DataFrame, table_dir: str) -> None:
-    tmp = f"{table_dir}.tmp-{uuid.uuid4().hex[:8]}"
-    merged.write.mode("overwrite").parquet(tmp)
-    if os.path.isdir(table_dir):
-        shutil.rmtree(table_dir)
-    os.rename(tmp, table_dir)
-
-
-def _table_exists(table_dir: str) -> bool:
-    return os.path.isdir(table_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(table_dir))
+from .statestore import swap_in as _swap_in
+from .statestore import table_exists as _table_exists
 
 
 def merge_rollup(batch: DataFrame, table_dir: str) -> None:

@@ -557,11 +557,19 @@ def test_dedup_ingest_stream_index_equals_batch_over_three_batches(
     st = StructType([StructField("doc_id", LongType()),
                      StructField("text", StringType())])
 
-    # land each chunk as exactly one file → one micro-batch each
+    # land each chunk as exactly one file → one micro-batch each.
+    # FileStreamSource orders new files by modification time; pin each
+    # chunk's mtime strictly increasing so an mtime tie can never flip
+    # micro-batch order (chunk order decides WHICH near-dup id wins).
     src = str(tmp_path / "land3")
-    for rows in chunks:
+    for i, rows in enumerate(chunks):
+        before = set(os.listdir(src)) if os.path.isdir(src) else set()
         (spark.createDataFrame(rows, schema).coalesce(1)
          .write.mode("append").parquet(src))
+        for f in set(os.listdir(src)) - before:
+            if f.endswith(".parquet"):
+                os.utime(os.path.join(src, f), (1_700_000_000 + i,
+                                                1_700_000_000 + i))
     n_files = len([f for f in os.listdir(src) if f.endswith(".parquet")])
     assert n_files == 3
 
@@ -583,6 +591,13 @@ def test_dedup_ingest_stream_index_equals_batch_over_three_batches(
     corpus_b = spark.read.parquet(corp_b)
     assert rows_of(corpus_s, ["doc_id", "text"]) == \
         rows_of(corpus_b, ["doc_id", "text"])
+    # ADVICE r06: chunk 3 replays doc 21 identically (same id AND
+    # text) inside ONE micro-batch — exactly what an at-least-once
+    # source does. Symmetric stream≡batch equality can't see a dup
+    # present on BOTH sides, so pin multiplicity-level uniqueness too.
+    for corp in (corpus_s, corpus_b):
+        rows = rows_of(corp, ["doc_id", "text"])
+        assert len(rows) == len(set(rows)), "identical replayed row ingested twice"
     assert rows_of(spark.read.parquet(f"{idx_s}/content_hash"), ["h"]) == \
         rows_of(spark.read.parquet(f"{idx_b}/content_hash"), ["h"])
     got_bands = spark.read.parquet(f"{idx_s}/bands")
@@ -596,3 +611,143 @@ def test_dedup_ingest_stream_index_equals_batch_over_three_batches(
     ids = {r["doc_id"] for r in corpus_s.collect()}
     assert 10 not in ids and 11 not in ids and 20 not in ids
     assert {1, 2, 12, 21} <= ids
+
+
+def test_swap_in_crash_between_renames_preserves_rollup_state(
+        spark, tmp_path, monkeypatch):
+    """VERDICT r06 §wrong: the old swap (write tmp → rmtree(table) →
+    rename) had a window where NO table exists; a foreachBatch replay
+    then saw an empty table and silently dropped every prior batch's
+    rollup state. The rename-aside swap + recovery must survive a
+    crash injected exactly between the two renames: prior state is
+    restored on the next read and the replayed batch re-folds onto it.
+    """
+    import os as _os
+
+    from sparkstreamingproject_spark.streaming import statestore
+    from sparkstreamingproject_spark.streaming.rollup_maintain import merge_rollup
+
+    table = str(tmp_path / "rollup")
+    sch = "o_orderdate string, o_totalprice double"
+    b1 = spark.createDataFrame(
+        [("1995-01-01", 10.0), ("1995-01-02", 5.0)], sch)
+    b2 = spark.createDataFrame([("1995-01-01", 2.5)], sch)
+    merge_rollup(b1, table)
+
+    real_rename = _os.rename
+    calls = {"n": 0}
+
+    def flaky(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:  # aside succeeded; crash before rename-in
+            raise OSError("injected crash between rename-aside and rename-in")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(statestore.os, "rename", flaky)
+    with pytest.raises(OSError, match="injected"):
+        merge_rollup(b2, table)
+    monkeypatch.setattr(statestore.os, "rename", real_rename)
+
+    # the table directory itself is gone — the exact layout the old
+    # rmtree-based swap turned into total state loss
+    assert not _os.path.isdir(table)
+
+    # foreachBatch replay of the uncommitted batch (same data)
+    merge_rollup(b2, table)
+    got = {str(r.day): (r.cents, r.n)
+           for r in spark.read.parquet(table).collect()}
+    assert got == {"1995-01-01": (1250, 2), "1995-01-02": (500, 1)}
+    # no swap debris survives recovery
+    left = [d for d in _os.listdir(str(tmp_path))
+            if d.startswith("rollup.")]
+    assert left == [], left
+
+
+def test_swap_in_recovery_adopts_orphans_for_dim_upsert(
+        spark, tmp_path, monkeypatch):
+    """Same crash window through the dim-LWW caller, plus tmp/old
+    debris cleanup: a stale .tmp from a crashed write and a leftover
+    .old from a completed swap are both removed, and the .old of an
+    interrupted swap is adopted as the table."""
+    import os as _os
+    import shutil as _shutil
+
+    from sparkstreamingproject_spark.streaming import statestore
+
+    table = str(tmp_path / "dim")
+    sch = "k long, v string, ver long"
+    b1 = spark.createDataFrame([(1, "a", 1), (2, "b", 1)], sch)
+    b2 = spark.createDataFrame([(1, "a2", 2), (3, "c", 1)], sch)
+    upsert_dim_parquet(b1, table, ["k"], "ver")
+
+    # stale tmp from a write that died mid-flight → cleaned on read
+    _os.makedirs(table + ".tmp-deadbeef")
+    assert statestore.table_exists(table)
+    assert not _os.path.isdir(table + ".tmp-deadbeef")
+
+    real_rename = _os.rename
+    calls = {"n": 0}
+
+    def flaky(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("injected")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(statestore.os, "rename", flaky)
+    with pytest.raises(OSError, match="injected"):
+        upsert_dim_parquet(b2, table, ["k"], "ver")
+    monkeypatch.setattr(statestore.os, "rename", real_rename)
+    assert not _os.path.isdir(table)
+
+    upsert_dim_parquet(b2, table, ["k"], "ver")  # replay
+    got = {r.k: (r.v, r.ver) for r in spark.read.parquet(table).collect()}
+    assert got == {1: ("a2", 2), 2: ("b", 1), 3: ("c", 1)}
+
+    # a leftover .old of a COMPLETED swap (crash after rename-in,
+    # before the delete) must be discarded, never adopted over the
+    # newer table
+    _shutil.copytree(table, table + ".old-feedface")
+    upsert_dim_parquet(
+        spark.createDataFrame([(2, "b2", 2)], sch), table, ["k"], "ver")
+    assert not _os.path.isdir(table + ".old-feedface")
+    got = {r.k: (r.v, r.ver) for r in spark.read.parquet(table).collect()}
+    assert got == {1: ("a2", 2), 2: ("b2", 2), 3: ("c", 1)}
+
+
+def test_dedup_ingest_batch_retry_is_idempotent(spark, tmp_path):
+    """ADVICE r06: with a batch_id, ingest_batch must converge under
+    retry after ANY prefix of its three writes landed — the retry's
+    index reads exclude the batch's own partitions, so it recomputes
+    the identical survivor set and overwrites in place. Simulate the
+    worst prefix (hash index committed, corpus + bands lost): the old
+    append path would anti-join the in-flight docs away forever."""
+    from sparkstreamingproject_spark.streaming.dedup_ingest import ingest_batch
+
+    idx, corp = str(tmp_path / "idx"), str(tmp_path / "corp")
+    sch = "doc_id long, text string"
+    b0 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again"),
+         (2, "completely different content one two three four five")], sch)
+    b1 = spark.createDataFrame(
+        [(10, "novel second batch text with fresh vocabulary entirely")], sch)
+    ingest_batch(b0, idx, corp, batch_id=0)
+
+    # crashed attempt of batch 1: ONLY the hash index write survived
+    (b1.withColumn("h", F.md5("text")).select("h")
+     .write.mode("overwrite").parquet(f"{idx}/content_hash/ingest_batch=1"))
+
+    ingest_batch(b1, idx, corp, batch_id=1)  # streaming retry
+
+    corpus = spark.read.parquet(corp)
+    ids = sorted(r.doc_id for r in corpus.select("doc_id").collect())
+    assert ids == [1, 2, 10], "retry lost or duplicated the in-flight doc"
+    # index is exactly the from-scratch index of the final corpus
+    from sparkstreamingproject_spark.llm.dedup import band_keys
+    got_b = sorted(map(tuple, spark.read.parquet(f"{idx}/bands")
+                       .select("doc_id", "band", "key").collect()))
+    exp_b = sorted(map(tuple, band_keys(corpus).select(
+        "doc_id", "band", "key").collect()))
+    assert got_b == exp_b
+    n_h = spark.read.parquet(f"{idx}/content_hash").select("h").distinct().count()
+    assert spark.read.parquet(f"{idx}/content_hash").count() == 3 == n_h
