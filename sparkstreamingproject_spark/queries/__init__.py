@@ -50,6 +50,7 @@ from . import analytics23  # noqa: E402,F401
 from . import analytics24  # noqa: E402,F401
 from . import analytics25  # noqa: E402,F401
 from . import analytics26  # noqa: E402,F401
+from . import streaming_parity  # noqa: E402,F401
 
 # --- driver-window ordering --------------------------------------------------
 # The verify driver checks the FIRST 50 registry entries per round
@@ -146,9 +147,58 @@ _ROUND6_WINDOW = [
     "sessions_entry_exit_bounce", "text_jsd_source_pairs",
 ]
 
+# --- round-7 window ---------------------------------------------------------
+# CORRECTNESS_r06 came back 50/50 green; this window CLOSES THE LEDGER
+# (VERDICT r06 §next 1): positions 0-17 are the 18 never-driver-checked
+# queries (the pinned r06 tail, registry order), so after this round
+# every one of the 309 registered queries has a driver CORRECTNESS row.
+# Positions 18-49 are the highest-value re-checks, in priority order:
+#  - 18-21: every row that was EVER driver-red (embedding_covariance /
+#    embedding_quantile_bins: r04 signed-zero, fixed+green r05;
+#    json_parse / json_props_extract: r01 oracle-typing artifact,
+#    green r02) — re-certified on current code;
+#  - 22-24: the eigen siblings + the applyInPandas surface
+#    (pca_variance_invariants, embedding_top_eigvec_power,
+#    pandas_grouped_zscore);
+#  - 25-32: the EIGHT queries whose Spark AND oracle expressions were
+#    edited by this round's int64-overflow audit (rank-sum/moment
+#    accumulators promoted to DECIMAL(38,0); see COVERAGE.md r07) —
+#    the exact class that must not be assumed green from old parity;
+#  - 33-49: the bench headliners / heaviest kernels (dedup families,
+#    BM25/tf-idf, as-of/range joins, TPC-H heavies, graph sidecars).
+# Pre-flight: parity at sf0.001/0.01/0.1 under TZ=America/New_York +
+# hostile partitioning (tests/test_partitioning_robustness.py).
+_ROUND7_WINDOW = [
+    # 0-17: never-driver-checked tail — the ledger closers
+    "graph_jaccard_link_prediction", "skyline_price_size",
+    "rolling_ols_slope_30d", "dedup_basket_setsim",
+    "events_attribution_linear", "sim_ann_multiprobe",
+    "text_keyphrase_textrank", "sim_item_cooccurrence_cosine",
+    "survival_km_ship_latency", "sim_maxsim_late_interaction",
+    "dq_psi_price_drift", "graph_adamic_adar",
+    "sessions_peak_concurrency", "text_feature_hash_retrieval",
+    "sketch_hll_intersect_estimate", "events_attribution_markov_removal",
+    "sessions_entry_exit_bounce", "text_jsd_source_pairs",
+    # 18-24: ever-red rows + eigen siblings + pandas surface
+    "embedding_covariance", "embedding_quantile_bins", "json_parse",
+    "json_props_extract", "pca_variance_invariants",
+    "embedding_top_eigvec_power", "pandas_grouped_zscore",
+    # 25-32: this round's overflow-audit edits (both sides touched)
+    "stat_mann_whitney_u", "stat_ks_two_sample", "ts_autocorrelation_lags",
+    "stat_kruskal_wallis", "sample_neyman_allocation",
+    "fact_key_skew_profile", "agg_winsorized_stats", "stat_spearman_rank",
+    # 33-49: bench headliners and heavy kernels
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_embedding_cosine",
+    "bloom_semi_join_prune", "q21_sole_returner", "sketch_hll_distinct",
+    "text_tfidf_top_terms", "text_search_bm25", "asof_join_latest_order",
+    "range_join_event_pairs", "agg_pricing_summary", "join_shipping_priority",
+    "q9_product_profit", "split_5way_log", "graph_triangle_count",
+    "recursive_trade_reach", "sim_topk_int8_rerank",
+]
+
 
 def _reorder() -> None:
-    window = _ROUND6_WINDOW
+    window = _ROUND7_WINDOW
     missing = [n for n in window if n not in REGISTRY]
     assert not missing, f"window names not registered: {missing}"
     assert len(set(window)) == len(window), "duplicate window entries"

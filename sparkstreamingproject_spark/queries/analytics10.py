@@ -36,12 +36,16 @@ from .base import register, table
     a AS (
       SELECT CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
              CAST(sum(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
-             CAST(sum(CASE WHEN grp = 1 THEN dr ELSE 0 END) AS BIGINT) AS r1d
+             CAST(sum(CASE WHEN grp = 1 THEN CAST(dr AS DECIMAL(38,0))
+                           ELSE 0 END) AS DECIMAL(38,0)) AS r1d
       FROM r)
     SELECT n1, n2,
-           CAST(r1d - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
-           round((r1d - n1 * (n1 + 1) - CAST(n1 AS DOUBLE) * n2)
-                 / (2.0 * sqrt(n1 * n2 * (n1 + n2 + 1) / 12.0)), 4) AS z
+           CAST(r1d - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1)
+                AS DECIMAL(38,0)) AS u1_x2,
+           round(CAST(r1d - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1)
+                      - CAST(n1 AS DECIMAL(38,0)) * n2 AS DOUBLE)
+                 / (2.0 * sqrt(CAST(n1 AS DOUBLE) * n2 * (n1 + n2 + 1)
+                               / 12.0)), 4) AS z
     FROM a
     """,
     tags=("stat",),
@@ -75,15 +79,23 @@ def stat_mann_whitney_u(spark, sf_dir):
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     vc = vc.withColumn("dr", 2 * (F.sum("t").over(wv) - F.col("t"))
                        + F.col("t") + 1)
+    # r1d ≈ n1·2n and u1 ≤ n1·n2 square past int64 once the two groups
+    # hold ~3e9 orders (SF ~2000); accumulate and EMIT in DECIMAL(38,0)
+    # (HUGEINT in the oracle) — Spark (ANSI off) would wrap the bigint
+    # silently while DuckDB raised, the silent-divergence class this
+    # repo bans. n1/n2 stay bigint (row counts).
     a = vc.agg(
         F.sum("g1").cast("long").alias("n1"),
         F.sum("g2").cast("long").alias("n2"),
-        F.sum(F.col("g1") * F.col("dr")).cast("long").alias("r1d"))
-    u1_x2 = F.col("r1d") - F.col("n1") * (F.col("n1") + 1)
-    z = (u1_x2 - F.col("n1").cast("double") * F.col("n2")) / (
-        2.0 * F.sqrt(F.col("n1") * F.col("n2")
+        F.sum(F.col("g1") * F.col("dr").cast("decimal(38,0)"))
+        .cast("decimal(38,0)").alias("r1d"))
+    u1_x2 = (F.col("r1d") - F.col("n1").cast("decimal(38,0)")
+             * (F.col("n1") + 1))
+    z = ((u1_x2 - F.col("n1").cast("decimal(38,0)") * F.col("n2"))
+         .cast("double")) / (
+        2.0 * F.sqrt(F.col("n1").cast("double") * F.col("n2")
                      * (F.col("n1") + F.col("n2") + 1) / 12.0))
-    return a.select("n1", "n2", u1_x2.cast("long").alias("u1_x2"),
+    return a.select("n1", "n2", u1_x2.cast("decimal(38,0)").alias("u1_x2"),
                     F.round(z, 4).alias("z"))
 
 
@@ -106,9 +118,13 @@ def stat_mann_whitney_u(spark, sf_dir):
     t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
                  CAST(sum(c2) AS BIGINT) AS n2 FROM b)
     SELECT t.n1, t.n2,
-           CAST(max(abs(f1 * t.n2 - f2 * t.n1)) AS BIGINT) AS d_num,
-           round(max(abs(f1 * t.n2 - f2 * t.n1)) * 1.0 / (t.n1 * t.n2), 6)
-             AS d_stat
+           CAST(max(abs(CAST(f1 AS DECIMAL(38,0)) * t.n2
+                        - CAST(f2 AS DECIMAL(38,0)) * t.n1))
+                AS DECIMAL(38,0)) AS d_num,
+           round(CAST(max(abs(CAST(f1 AS DECIMAL(38,0)) * t.n2
+                              - CAST(f2 AS DECIMAL(38,0)) * t.n1))
+                      AS DOUBLE)
+                 / (CAST(t.n1 AS DOUBLE) * t.n2), 6) AS d_stat
     FROM c, t GROUP BY t.n1, t.n2
     """,
     tags=("stat",),
@@ -140,14 +156,19 @@ def stat_ks_two_sample(spark, sf_dir):
                  F.sum("c2").over(w).alias("f2"))
     t = b.agg(F.sum("c1").cast("long").alias("n1"),
               F.sum("c2").cast("long").alias("n2"))
+    # F·n cross-products square past int64 once each sample holds ~3e9
+    # events; exact DECIMAL(38,0) both sides (Spark would wrap the
+    # bigint silently, DuckDB would raise), d_stat's divisor in double
     d = (c.crossJoin(F.broadcast(t))
          .groupBy("n1", "n2")
-         .agg(F.max(F.abs(F.col("f1") * F.col("n2")
-                          - F.col("f2") * F.col("n1")))
-              .cast("long").alias("d_num")))
+         .agg(F.max(F.abs(F.col("f1").cast("decimal(38,0)") * F.col("n2")
+                          - F.col("f2").cast("decimal(38,0)")
+                          * F.col("n1")))
+              .cast("decimal(38,0)").alias("d_num")))
     return d.select("n1", "n2", "d_num",
-                    F.round(F.col("d_num") * 1.0
-                            / (F.col("n1") * F.col("n2")), 6).alias("d_stat"))
+                    F.round(F.col("d_num").cast("double")
+                            / (F.col("n1").cast("double") * F.col("n2")),
+                            6).alias("d_stat"))
 
 
 # ------------------------------------------------ autocorrelation
@@ -159,7 +180,7 @@ def _acf_oracle() -> str:
     leads = ",\n             ".join(
         f"lead(x, {k}) OVER (ORDER BY d) AS x{k}" for k in range(1, _ACF_LAGS + 1))
     aggs = ",\n             ".join(
-        f"CAST(sum(x * x{k}) AS BIGINT) AS p{k},\n             "
+        f"CAST(sum(CAST(x AS DECIMAL(38,0)) * x{k}) AS DECIMAL(38,0)) AS p{k},\n             "
         f"CAST(sum(CASE WHEN x{k} IS NOT NULL THEN x ELSE 0 END) AS BIGINT) AS a{k},\n             "
         f"CAST(sum(x{k}) AS BIGINT) AS b{k}"
         for k in range(1, _ACF_LAGS + 1))
@@ -182,7 +203,7 @@ def _acf_oracle() -> str:
     g AS (
       SELECT CAST(count(*) AS BIGINT) AS n,
              CAST(sum(x) AS BIGINT) AS s,
-             CAST(sum(x * x) AS BIGINT) AS q,
+             CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS q,
              {aggs}
       FROM l)
     {rows}
@@ -213,12 +234,17 @@ def ts_autocorrelation_lags(spark, sf_dir):
     lead_cols = [F.lead("x", k).over(w).alias(f"x{k}")
                  for k in range(1, _ACF_LAGS + 1)]
     l = daily.select("x", *lead_cols)
+    # Σx² and Σx·x_k square past int64 once daily order counts near
+    # ~6e7 over a ~2500-day span (SF ~1e5): exact DECIMAL(38,0)
+    # accumulators both sides; Σx itself is row-count-linear and safe
     aggs = [F.count("*").cast("long").alias("n"),
             F.sum("x").cast("long").alias("s"),
-            F.sum(F.col("x") * F.col("x")).cast("long").alias("q")]
+            F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+            .cast("decimal(38,0)").alias("q")]
     for k in range(1, _ACF_LAGS + 1):
         aggs += [
-            F.sum(F.col("x") * F.col(f"x{k}")).cast("long").alias(f"p{k}"),
+            F.sum(F.col("x").cast("decimal(38,0)") * F.col(f"x{k}"))
+            .cast("decimal(38,0)").alias(f"p{k}"),
             F.sum(F.when(F.col(f"x{k}").isNotNull(), F.col("x")).otherwise(0))
             .cast("long").alias(f"a{k}"),
             F.sum(f"x{k}").cast("long").alias(f"b{k}")]

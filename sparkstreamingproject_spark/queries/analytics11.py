@@ -262,8 +262,8 @@ _NEYMAN_BUDGET = 1000
       SELECT c_nationkey,
              CAST(count(*) AS BIGINT) AS n_h,
              CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_c,
-             CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)
-                      * CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_c2
+             CAST(sum(CAST(round(c_acctbal * 100) AS DECIMAL(38,0))
+                      * CAST(round(c_acctbal * 100) AS BIGINT)) AS DECIMAL(38,0)) AS sum_c2
       FROM customer GROUP BY 1),
     w AS (
       SELECT c_nationkey, n_h,
@@ -298,8 +298,11 @@ def sample_neyman_allocation(spark, sf_dir):
     s = (c.groupBy("c_nationkey")
          .agg(F.count("*").cast("long").alias("n_h"),
               F.sum("cents").cast("long").alias("sum_c"),
-              F.sum(F.col("cents") * F.col("cents")).cast("long")
-              .alias("sum_c2")))
+              # Σcents² per stratum passes int64 once a nation holds
+              # ~1e7 customers (SF ~1e4): exact DECIMAL(38,0) both
+              # sides, converted to double only inside sqrt
+              F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents"))
+              .cast("decimal(38,0)").alias("sum_c2")))
     sd = F.sqrt((F.col("sum_c2").cast("double") * F.col("n_h")
                  - F.col("sum_c").cast("double") * F.col("sum_c"))
                 / (F.col("n_h").cast("double") * F.col("n_h")))

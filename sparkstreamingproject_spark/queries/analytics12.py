@@ -27,7 +27,8 @@ def _kw_oracle() -> str:
     for i, p in enumerate(_PRIORITIES, 1):
         rd.append(
             f"CAST(sum(CASE WHEN grp = {i} THEN 1 ELSE 0 END) AS BIGINT) AS n{i},\n"
-            f"             CAST(sum(CASE WHEN grp = {i} THEN dr ELSE 0 END) AS BIGINT) AS rd{i}")
+            f"             CAST(sum(CASE WHEN grp = {i} THEN CAST(dr AS DECIMAL(38,0))"
+            f" ELSE 0 END) AS DECIMAL(38,0)) AS rd{i}")
     grp_case = "CASE " + " ".join(
         f"WHEN o_orderpriority = '{p}' THEN {i}"
         for i, p in enumerate(_PRIORITIES, 1)) + " END"
@@ -98,10 +99,14 @@ def stat_kruskal_wallis(spark, sf_dir):
     vc = vc.withColumn("dr", 2 * (F.sum("t").over(wv) - F.col("t"))
                        + F.col("t") + 1)
     aggs = []
+    # per-group rank sums Rd_i ≈ n_i·2n square past int64 once orders
+    # near ~3e9 rows (SF ~2000): exact DECIMAL(38,0) both sides —
+    # Spark (ANSI off) would wrap silently where DuckDB raised
     for i in range(1, 6):
         aggs.append(F.sum(f"g{i}").cast("long").alias(f"n{i}"))
-        aggs.append(F.sum(F.col(f"g{i}") * F.col("dr")).cast("long")
-                    .alias(f"rd{i}"))
+        aggs.append(F.sum(F.col(f"g{i}")
+                          * F.col("dr").cast("decimal(38,0)"))
+                    .cast("decimal(38,0)").alias(f"rd{i}"))
     aggs.append(F.sum("t").cast("long").alias("n"))
     aggs.append(F.sum(F.col("t").cast("decimal(38,0)") * F.col("t")
                       * F.col("t") - F.col("t")).cast("decimal(38,0)")

@@ -401,8 +401,9 @@ def stat_theil_sen_trend(spark, sf_dir):
       FROM cnt)
     SELECT CAST(max(n) AS BIGINT) AS n_keys,
            CAST(max(tot) AS BIGINT) AS total_rows,
-           round(CAST(sum((2 * i - n - 1) * x) AS BIGINT) * 1.0
-                 / (max(n) * max(tot)), 6) AS gini,
+           round(CAST(sum(CAST(2 * i - n - 1 AS DECIMAL(38,0)) * x)
+                      AS DOUBLE)
+                 / (CAST(max(n) AS DOUBLE) * max(tot)), 6) AS gini,
            round(max(x) * 1.0 / max(tot), 6) AS top1_share,
            round(CAST(sum(CASE WHEN i > n - 10 THEN x ELSE 0 END)
                       AS BIGINT) * 1.0 / max(tot), 6) AS top10_share
@@ -431,11 +432,17 @@ def fact_key_skew_profile(spark, sf_dir):
         "x", F.row_number().over(wi).alias("i"),
         F.count("*").over(wa).alias("n"),
         F.sum("x").over(wa).alias("tot"))
+    # Gini numerator Σ(2i−n−1)·x and the n·total denominator product
+    # square past int64 once the key domain nears ~1e9 (SF ~1e3 for
+    # suppliers): exact DECIMAL(38,0) numerator, double denominator —
+    # both engines identically (Spark would wrap silently, DuckDB raise)
     return r.agg(
         F.max("n").cast("long").alias("n_keys"),
         F.max("tot").cast("long").alias("total_rows"),
-        F.round(F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("x"))
-                * 1.0 / (F.max("n") * F.max("tot")), 6).alias("gini"),
+        F.round(F.sum((2 * F.col("i") - F.col("n") - 1)
+                      .cast("decimal(38,0)") * F.col("x")).cast("double")
+                / (F.max("n").cast("double") * F.max("tot")), 6)
+        .alias("gini"),
         F.round(F.max("x") * 1.0 / F.max("tot"), 6).alias("top1_share"),
         F.round(F.sum(F.when(F.col("i") > F.col("n") - 10,
                              F.col("x")).otherwise(0))

@@ -337,7 +337,11 @@ def agg_winsorized_stats(spark, sf_dir):
                  "n"))
     n_ = F.max("n")
     sw = F.sum("w")
-    sww = F.sum(F.col("w") * F.col("w"))
+    # Σw² passes int64 once an event type holds ~1e9 rows (w ≤ 1e5
+    # cents after the clip): accumulate in DECIMAL(38,0) — the bigint
+    # sum would wrap SILENTLY before the decimal casts below (DuckDB's
+    # sum is HUGEINT-backed and cannot wrap, so no oracle change)
+    sww = F.sum(F.col("w").cast("decimal(38,0)") * F.col("w"))
     return c.groupBy("event_type").agg(
         n_.cast("long").alias("n_events"),
         F.round(sw / n_ / 100.0, 4).alias("wins_mean"),

@@ -607,16 +607,20 @@ def ts_seasonal_naive_backtest(spark, sf_dir):
            unnest(range(0, c.cnt)) AS g(i)),
     s AS (
       SELECT count(*) AS n,
-             CAST(sum(ra2) AS BIGINT) AS sa,
-             CAST(sum(rb2) AS BIGINT) AS sb,
-             CAST(sum(ra2 * rb2) AS BIGINT) AS sab,
-             CAST(sum(ra2 * ra2) AS BIGINT) AS saa,
-             CAST(sum(rb2 * rb2) AS BIGINT) AS sbb
+             CAST(sum(CAST(ra2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sa,
+             CAST(sum(CAST(rb2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sb,
+             CAST(sum(CAST(ra2 AS DECIMAL(38,0)) * rb2) AS DECIMAL(38,0)) AS sab,
+             CAST(sum(CAST(ra2 AS DECIMAL(38,0)) * ra2) AS DECIMAL(38,0)) AS saa,
+             CAST(sum(CAST(rb2 AS DECIMAL(38,0)) * rb2) AS DECIMAL(38,0)) AS sbb
       FROM eb)
     SELECT CAST(n AS BIGINT) AS n,
-           round((n * sab - sa * sb)
-                 / (sqrt(n * saa - sa * sa * 1.0)
-                    * sqrt(n * sbb - sb * sb * 1.0)), 6) AS spearman_rho
+           round((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+                  - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                 / (sqrt(CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                         - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                           - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))),
+                 6) AS spearman_rho
     FROM s
     """,
     tags=("stats",),
@@ -651,15 +655,27 @@ def stat_spearman_rank(spark, sf_dir):
                F.count("*").alias("cnt")))
     eb = rb.select("ra2", "rb2",
                    F.explode(F.sequence(F.lit(1), F.col("cnt"))).alias("i"))
+    # doubled-rank moments square (Σr ≈ n², Σr·r ≈ 4n³) past int64 once
+    # the part dimension nears ~1.5e9 keys (SF ~1e4): accumulate in
+    # exact DECIMAL(38,0) (headroom to n ≈ 4e12), then assemble
+    # n·Σab − Σa·Σb IN DOUBLE — the n⁴-scale cross terms exceed even
+    # 128-bit integers at that n, and the identical fixed-arity float
+    # expression on both engines is the honest terminal (the
+    # `graph_degree_assortativity` recipe)
+    dec = "decimal(38,0)"
     s = eb.agg(F.count("*").alias("n"),
-               F.sum("ra2").alias("sa"), F.sum("rb2").alias("sb"),
-               F.sum(F.col("ra2") * F.col("rb2")).alias("sab"),
-               F.sum(F.col("ra2") * F.col("ra2")).alias("saa"),
-               F.sum(F.col("rb2") * F.col("rb2")).alias("sbb"))
-    num = F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")
-    den = (F.sqrt(F.col("n") * F.col("saa")
-                  - F.col("sa") * F.col("sa") * 1.0)
-           * F.sqrt(F.col("n") * F.col("sbb")
-                    - F.col("sb") * F.col("sb") * 1.0))
+               F.sum(F.col("ra2").cast(dec)).cast(dec).alias("sa"),
+               F.sum(F.col("rb2").cast(dec)).cast(dec).alias("sb"),
+               F.sum(F.col("ra2").cast(dec) * F.col("rb2")).cast(dec)
+               .alias("sab"),
+               F.sum(F.col("ra2").cast(dec) * F.col("ra2")).cast(dec)
+               .alias("saa"),
+               F.sum(F.col("rb2").cast(dec) * F.col("rb2")).cast(dec)
+               .alias("sbb"))
+    nd = F.col("n").cast("double")
+    sad, sbd = F.col("sa").cast("double"), F.col("sb").cast("double")
+    num = nd * F.col("sab").cast("double") - sad * sbd
+    den = (F.sqrt(nd * F.col("saa").cast("double") - sad * sad)
+           * F.sqrt(nd * F.col("sbb").cast("double") - sbd * sbd))
     return s.select(F.col("n").cast("long").alias("n"),
                     F.round(num / den, 6).alias("spearman_rho"))

@@ -23,13 +23,15 @@ import pytest
 
 from sparkstreamingproject_spark.queries import REGISTRY
 
-# the driver checks the first 50 registry entries (the r06 window, see
-# queries/__init__.py). Pre-flight the full never-checked head (r06
-# window + the 18-query r07 closing tail = registry positions 0-67),
-# plus the r05 window (already driver-green — kept under the gate as
-# regression cover for the signed-zero/fsum fixes) and the permanent
-# keepers below. Dedup at the end keeps parametrize ids unique.
+# the driver checks the first 50 registry entries (the r07
+# ledger-closing window, see queries/__init__.py). Pre-flight the
+# window plus a head margin (positions 0-67), plus the r05 AND r06
+# windows (already driver-green — kept under the gate as regression
+# cover for the signed-zero/fsum and overflow-promotion fixes) and the
+# permanent keepers below. Dedup at the end keeps parametrize ids
+# unique.
 from sparkstreamingproject_spark.queries import _ROUND5_WINDOW  # noqa: E402
+from sparkstreamingproject_spark.queries import _ROUND6_WINDOW  # noqa: E402
 
 _KEEPERS = [
     # driver-green in r01 but touched by the r05 signed-zero fix —
@@ -39,7 +41,8 @@ _KEEPERS = [
 
 _seen: set[str] = set()
 WINDOW = [
-    n for n in (list(REGISTRY)[:68] + _ROUND5_WINDOW + _KEEPERS)
+    n for n in (list(REGISTRY)[:68] + _ROUND5_WINDOW + _ROUND6_WINDOW
+                + _KEEPERS)
     if not (n in _seen or _seen.add(n))
 ]
 

@@ -751,3 +751,72 @@ def test_dedup_ingest_batch_retry_is_idempotent(spark, tmp_path):
     assert got_b == exp_b
     n_h = spark.read.parquet(f"{idx}/content_hash").select("h").distinct().count()
     assert spark.read.parquet(f"{idx}/content_hash").count() == 3 == n_h
+
+
+def test_swap_in_crash_recovery_hll_and_scd2(spark, tmp_path, monkeypatch):
+    """Generalize the crash-window coverage across the remaining two
+    _swap_in callers (VERDICT r06 §next 6a): HLL register max-merge
+    and SCD2 history rebuild both survive a crash injected between the
+    rename-aside and rename-in, replay included."""
+    import os as _os
+
+    from sparkstreamingproject_spark.streaming import statestore
+    from sparkstreamingproject_spark.streaming.dim_upsert import (
+        upsert_scd2_parquet)
+    from sparkstreamingproject_spark.streaming.hll_maintain import (
+        day_user_registers, merge_hll_registers)
+
+    def crash_second_rename():
+        real = _os.rename
+        calls = {"n": 0}
+
+        def flaky(src, dst):
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise OSError("injected")
+            real(src, dst)
+        return flaky, real
+
+    # --- HLL registers ---
+    from datetime import datetime, timezone
+    hll = str(tmp_path / "hll")
+    sch = "user_id long, ts timestamp"
+    t1 = datetime(2024, 1, 1, 10, tzinfo=timezone.utc)
+    t2 = datetime(2024, 1, 2, 10, tzinfo=timezone.utc)
+    b1 = spark.createDataFrame([(i, t1) for i in range(40)], sch)
+    b2 = spark.createDataFrame([(i, t2) for i in range(20, 60)], sch)
+    merge_hll_registers(b1, hll)
+    flaky, real = crash_second_rename()
+    monkeypatch.setattr(statestore.os, "rename", flaky)
+    with pytest.raises(OSError, match="injected"):
+        merge_hll_registers(b2, hll)
+    monkeypatch.setattr(statestore.os, "rename", real)
+    assert not _os.path.isdir(hll)
+    merge_hll_registers(b2, hll)  # replay
+    got = {(r.day, r.bucket): r.m
+           for r in spark.read.parquet(hll).collect()}
+    exp = {(r.day, r.bucket): r.m
+           for r in day_user_registers(b1.unionByName(b2)).collect()}
+    assert got == exp  # registers byte-identical to batch recompute
+
+    # --- SCD2 history ---
+    scd = str(tmp_path / "scd2")
+    csch = "k long, ts timestamp, v string"
+    d1 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    d2 = datetime(2024, 2, 1, tzinfo=timezone.utc)
+    c1 = spark.createDataFrame([(1, d1, "a"), (2, d1, "x")], csch)
+    c2 = spark.createDataFrame([(1, d2, "b")], csch)
+    upsert_scd2_parquet(c1, scd, "k", "ts", ["v"])
+    flaky, real = crash_second_rename()
+    monkeypatch.setattr(statestore.os, "rename", flaky)
+    with pytest.raises(OSError, match="injected"):
+        upsert_scd2_parquet(c2, scd, "k", "ts", ["v"])
+    monkeypatch.setattr(statestore.os, "rename", real)
+    assert not _os.path.isdir(scd)
+    upsert_scd2_parquet(c2, scd, "k", "ts", ["v"])  # replay
+    hist = spark.read.parquet(scd)
+    rows = {(r.k, r.v): (r.valid_from_us, r.valid_to_us)
+            for r in hist.collect()}
+    # key 1 has two tiled versions; key 2 (untouched by batch 2) survived
+    assert set(rows) == {(1, "a"), (1, "b"), (2, "x")}
+    assert rows[(1, "a")][1] == rows[(1, "b")][0]  # tiling repaired
