@@ -41,7 +41,7 @@ from .base import register, table
       FROM r)
     SELECT n1, n2,
            CAST(r1d - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1)
-                AS DECIMAL(38,0)) AS u1_x2,
+                AS DOUBLE) AS u1_x2,
            round(CAST(r1d - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1)
                       - CAST(n1 AS DECIMAL(38,0)) * n2 AS DOUBLE)
                  / (2.0 * sqrt(CAST(n1 AS DOUBLE) * n2 * (n1 + n2 + 1)
@@ -80,10 +80,13 @@ def stat_mann_whitney_u(spark, sf_dir):
     vc = vc.withColumn("dr", 2 * (F.sum("t").over(wv) - F.col("t"))
                        + F.col("t") + 1)
     # r1d ≈ n1·2n and u1 ≤ n1·n2 square past int64 once the two groups
-    # hold ~3e9 orders (SF ~2000); accumulate and EMIT in DECIMAL(38,0)
-    # (HUGEINT in the oracle) — Spark (ANSI off) would wrap the bigint
-    # silently while DuckDB raised, the silent-divergence class this
-    # repo bans. n1/n2 stay bigint (row counts).
+    # hold ~3e9 orders (SF ~2000); accumulate in exact DECIMAL(38,0)
+    # both sides — Spark (ANSI off) would wrap the bigint silently
+    # while DuckDB raised, the silent-divergence class this repo bans.
+    # u1_x2 SHIPS as DOUBLE (identical terminal cast both engines):
+    # its value itself passes int64 at that scale, and double is the
+    # driver-certified output type for scale-unbounded magnitudes.
+    # n1/n2 stay bigint (row counts).
     a = vc.agg(
         F.sum("g1").cast("long").alias("n1"),
         F.sum("g2").cast("long").alias("n2"),
@@ -95,7 +98,7 @@ def stat_mann_whitney_u(spark, sf_dir):
          .cast("double")) / (
         2.0 * F.sqrt(F.col("n1").cast("double") * F.col("n2")
                      * (F.col("n1") + F.col("n2") + 1) / 12.0))
-    return a.select("n1", "n2", u1_x2.cast("decimal(38,0)").alias("u1_x2"),
+    return a.select("n1", "n2", u1_x2.cast("double").alias("u1_x2"),
                     F.round(z, 4).alias("z"))
 
 
@@ -120,7 +123,7 @@ def stat_mann_whitney_u(spark, sf_dir):
     SELECT t.n1, t.n2,
            CAST(max(abs(CAST(f1 AS DECIMAL(38,0)) * t.n2
                         - CAST(f2 AS DECIMAL(38,0)) * t.n1))
-                AS DECIMAL(38,0)) AS d_num,
+                AS DOUBLE) AS d_num,
            round(CAST(max(abs(CAST(f1 AS DECIMAL(38,0)) * t.n2
                               - CAST(f2 AS DECIMAL(38,0)) * t.n1))
                       AS DOUBLE)
@@ -158,13 +161,15 @@ def stat_ks_two_sample(spark, sf_dir):
               F.sum("c2").cast("long").alias("n2"))
     # F·n cross-products square past int64 once each sample holds ~3e9
     # events; exact DECIMAL(38,0) both sides (Spark would wrap the
-    # bigint silently, DuckDB would raise), d_stat's divisor in double
+    # bigint silently, DuckDB would raise). d_num ships as DOUBLE —
+    # its value passes int64 at that scale and double is the
+    # driver-certified type; d_stat's divisor is double too
     d = (c.crossJoin(F.broadcast(t))
          .groupBy("n1", "n2")
          .agg(F.max(F.abs(F.col("f1").cast("decimal(38,0)") * F.col("n2")
                           - F.col("f2").cast("decimal(38,0)")
                           * F.col("n1")))
-              .cast("decimal(38,0)").alias("d_num")))
+              .cast("double").alias("d_num")))
     return d.select("n1", "n2", "d_num",
                     F.round(F.col("d_num").cast("double")
                             / (F.col("n1").cast("double") * F.col("n2")),
