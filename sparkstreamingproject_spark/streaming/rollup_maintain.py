@@ -53,9 +53,21 @@ def maintain_rollup_stream(orders_stream: DataFrame, table_dir: str,
                            checkpoint_dir: str,
                            trigger_seconds: int | None = None):
     """writeStream.foreachBatch wrapper: every micro-batch folds into
-    the rollup; the checkpoint makes each fold exactly-once."""
+    the rollup. Unlike the LWW/SCD2/HLL-max sinks, the additive fold
+    is NOT naturally idempotent — a crash after the swap completes but
+    before the checkpoint commits would re-fold the batch on replay —
+    so the fold runs under the per-batch-id marker from
+    ``idempotent.idempotent_foreach_batch``: a fully-committed batch id
+    is skipped on replay. (The marker itself commits via atomic rename
+    AFTER the swap; the residual crash window between swap and marker
+    is the parquet-level approximation that a lakehouse MERGE commit
+    closes — documented in ``idempotent.py``.)"""
+    from .idempotent import idempotent_foreach_batch
+    fold = idempotent_foreach_batch(
+        lambda b, _id: merge_rollup(b, table_dir),
+        marker_dir=f"{checkpoint_dir}/_rollup_markers")
     writer = (orders_stream.writeStream
-              .foreachBatch(lambda b, _id: merge_rollup(b, table_dir))
+              .foreachBatch(fold)
               .option("checkpointLocation", checkpoint_dir))
     if trigger_seconds is None:
         writer = writer.trigger(availableNow=True)

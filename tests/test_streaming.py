@@ -820,3 +820,29 @@ def test_swap_in_crash_recovery_hll_and_scd2(spark, tmp_path, monkeypatch):
     # key 1 has two tiled versions; key 2 (untouched by batch 2) survived
     assert set(rows) == {(1, "a"), (1, "b"), (2, "x")}
     assert rows[(1, "a")][1] == rows[(1, "b")][0]  # tiling repaired
+
+
+def test_rollup_stream_fold_is_batchid_idempotent(spark, tmp_path):
+    """The additive rollup fold must not double-count a replayed
+    micro-batch: maintain_rollup_stream wraps merge_rollup in the
+    per-batch-id marker, so re-invoking the fold with an
+    already-committed batch id is a no-op (the crash-after-checkpoint
+    -uncommitted replay scenario)."""
+    from sparkstreamingproject_spark.streaming.idempotent import (
+        idempotent_foreach_batch)
+    from sparkstreamingproject_spark.streaming.rollup_maintain import (
+        merge_rollup)
+
+    table = str(tmp_path / "rollup")
+    fold = idempotent_foreach_batch(
+        lambda b, _id: merge_rollup(b, table),
+        marker_dir=str(tmp_path / "ck" / "_rollup_markers"))
+    b = spark.createDataFrame([("1995-01-01", 10.0)],
+                              "o_orderdate string, o_totalprice double")
+    fold(b, 0)
+    fold(b, 0)  # replay of a fully-committed batch: skipped
+    rows = spark.read.parquet(table).collect()
+    assert len(rows) == 1 and (rows[0].cents, rows[0].n) == (1000, 1)
+    fold(b, 1)  # a NEW batch id still folds
+    rows = spark.read.parquet(table).collect()
+    assert (rows[0].cents, rows[0].n) == (2000, 2)
