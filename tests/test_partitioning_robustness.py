@@ -37,6 +37,8 @@ _KEEPERS = [
     # driver-green in r01 but touched by the r05 signed-zero fix —
     # keep it under the hostile-partitioning gate permanently
     "pandas_grouped_zscore",
+    # r07 registry additions behind the driver window (certify in r08)
+    "stream_session_late_closed", "stream_join_click_purchase_window",
 ]
 
 _seen: set[str] = set()
