@@ -171,7 +171,7 @@ def stat_ks_two_sample(spark, sf_dir):
                           * F.col("n1")))
               .cast("double").alias("d_num")))
     return d.select("n1", "n2", "d_num",
-                    F.round(F.col("d_num").cast("double")
+                    F.round(F.col("d_num")
                             / (F.col("n1").cast("double") * F.col("n2")),
                             6).alias("d_stat"))
 

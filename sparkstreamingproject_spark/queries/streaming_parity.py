@@ -31,8 +31,11 @@ _DELAY_S = 3 * 86400
     oracle=f"""
     WITH flagged AS (
       SELECT user_id, ts,
+             -- STRICT > : Spark's session_window MERGES two events
+             -- exactly gap apart (verified empirically), so a new
+             -- session starts only when the gap is exceeded
              CASE WHEN lag(ts) OVER w IS NULL
-                    OR ts - lag(ts) OVER w >= INTERVAL {_GAP_S} SECOND
+                    OR ts - lag(ts) OVER w > INTERVAL {_GAP_S} SECOND
                   THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -85,10 +88,10 @@ _JOIN_WINDOW_S = 24 * 3600
     "stream_join_click_purchase_window",
     oracle=f"""
     WITH c AS (
-      SELECT event_id, user_id, epoch_us(ts) AS cus
+      SELECT user_id, epoch_us(ts) AS cus
       FROM events WHERE event_type = 'click'),
     p AS (
-      SELECT event_id, user_id, epoch_us(ts) AS pus
+      SELECT user_id, epoch_us(ts) AS pus
       FROM events WHERE event_type = 'purchase'),
     j AS (
       SELECT c.user_id, c.cus, p.pus

@@ -81,8 +81,13 @@ def ts_sliding_window(spark, sf_dir):
     oracle="""
     WITH flagged AS (
       SELECT user_id, ts,
+             -- STRICT > : Spark's session_window MERGES two events
+             -- exactly gap apart, so a new session starts only when
+             -- the gap is exceeded (r07 review; latent-only here —
+             -- microsecond timestamps never land exactly 1 day apart
+             -- in the synthetic data — but the boundary must match)
              CASE WHEN lag(ts) OVER w IS NULL
-                    OR ts - lag(ts) OVER w >= INTERVAL 1 DAY
+                    OR ts - lag(ts) OVER w > INTERVAL 1 DAY
                   THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

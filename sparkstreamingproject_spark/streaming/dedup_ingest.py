@@ -41,21 +41,31 @@ from pyspark.sql import functions as F
 from ..llm.dedup import band_keys
 
 
+def _has_parquet(path: str) -> bool:
+    for _root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
 def _maybe_read(spark, path: str, schema: str, exclude_batch=None):
     """Read an index relation if it exists (else an empty relation of
     ``schema``). Streaming-written relations carry an ``ingest_batch``
     partition column; ``exclude_batch`` masks the current micro-batch's
     own (possibly partial, pre-crash) output so retries are idempotent
-    — partition pruning makes the exclusion free."""
-    if os.path.isdir(path):
-        try:
-            df = spark.read.parquet(path)
-        except Exception:  # dir exists but holds no readable footers yet
-            return spark.createDataFrame([], schema)
-        if exclude_batch is not None and "ingest_batch" in df.columns:
-            df = df.filter(F.col("ingest_batch") != F.lit(exclude_batch))
-        return df
-    return spark.createDataFrame([], schema)
+    — partition pruning makes the exclusion free.
+
+    Empty-index detection is an explicit data-file probe, NOT a broad
+    except around the read: swallowing a real read failure (corrupt
+    footer, mixed layouts) as "empty index" would silently disable
+    dedup and re-ingest the whole batch as duplicates — corruption
+    must propagate loudly."""
+    if not os.path.isdir(path) or not _has_parquet(path):
+        return spark.createDataFrame([], schema)
+    df = spark.read.parquet(path)
+    if exclude_batch is not None and "ingest_batch" in df.columns:
+        df = df.filter(F.col("ingest_batch") != F.lit(exclude_batch))
+    return df
 
 
 def _write(df: DataFrame, path: str, batch_id) -> None:

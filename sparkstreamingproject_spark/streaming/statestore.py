@@ -82,6 +82,13 @@ def swap_in(merged: DataFrame, table_dir: str) -> None:
     crash at any point leaves either the old or the new state
     recoverable (never neither)."""
     table_dir = os.path.abspath(table_dir)
+    # recover HERE too, not only in table_exists: the at-most-one-.old
+    # invariant must hold locally even for a caller that writes without
+    # reading first, or a crash mid-swap could strand TWO .old dirs and
+    # make the next recovery's choice arbitrary. (merged's lineage reads
+    # the live table dir, which recovery only ever restores, never
+    # moves — safe before the write.)
+    _recover(table_dir)
     token = uuid.uuid4().hex[:8]
     tmp = f"{table_dir}.tmp-{token}"
     # materializes the plan — the LAST moment merged still reads the

@@ -846,3 +846,43 @@ def test_rollup_stream_fold_is_batchid_idempotent(spark, tmp_path):
     fold(b, 1)  # a NEW batch id still folds
     rows = spark.read.parquet(table).collect()
     assert (rows[0].cents, rows[0].n) == (2000, 2)
+
+
+def test_session_gap_boundary_matches_oracle_semantics(spark):
+    """r07 review finding: Spark's session_window MERGES two events
+    exactly gap apart; the DuckDB gaps-and-islands oracles must use
+    STRICT > (new session only when the gap is exceeded) or the
+    engines diverge on exact-gap pairs. Pin both engines on a crafted
+    boundary triple: gaps of exactly 3600s (merge) and 3601s (split).
+    """
+    from datetime import datetime, timezone
+
+    import duckdb
+
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    rows = [(1, t0), (1, datetime(2024, 1, 1, 1, tzinfo=timezone.utc)),
+            (1, datetime(2024, 1, 1, 2, 0, 1, tzinfo=timezone.utc))]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = sorted(r.n for r in df.groupBy(
+        F.session_window("ts", "3600 seconds"), "user_id")
+        .agg(F.count("*").alias("n")).collect())
+    assert got == [1, 2]  # first two merge (exact gap), third splits
+
+    con = duckdb.connect()
+    duck = con.sql("""
+        WITH v(u, ts) AS (VALUES
+          (1, TIMESTAMP '2024-01-01 00:00:00'),
+          (1, TIMESTAMP '2024-01-01 01:00:00'),
+          (1, TIMESTAMP '2024-01-01 02:00:01')),
+        f AS (SELECT u, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 3600 SECOND
+                          THEN 1 ELSE 0 END AS ns
+              FROM v WINDOW w AS (PARTITION BY u ORDER BY ts)),
+        n AS (SELECT u, sum(ns) OVER (PARTITION BY u ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM f)
+        SELECT count(*) AS n FROM n GROUP BY u, sid ORDER BY n
+    """).fetchall()
+    con.close()
+    assert [r[0] for r in duck] == got
