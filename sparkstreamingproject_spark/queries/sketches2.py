@@ -1,0 +1,99 @@
+"""Mergeable histogram quantile sketch — the missing classic in the
+sketch family (HLL = distinct, CountMin = frequency, KMV = set
+overlap, Bloom = membership; THIS = quantiles).
+
+Exact percentiles need a global sort (or a full value histogram, which
+the winsorized/percentile queries already use at value-domain
+cardinality). The production pattern at 100 TB is a FIXED-BIN
+histogram: per-partition bin counts are one map-side aggregate, bins
+merge by ADDITION (associative/commutative — the same mergeability as
+HLL register max), and any quantile reads off the cumulative counts.
+Error is bounded by bin width; state is bins × groups regardless of
+row count — the trade every serving system (Prometheus, HDR-histogram)
+makes. ``streaming/histogram_maintain.py`` folds the same bins
+incrementally under the crash-safe swap + batch-id markers.
+
+Determinism discipline: bin index, cumulative ranks, and the midpoint
+estimate are ALL integer arithmetic (cents, truncating div), written
+identically in both engines; the only float is the terminal /100
+dollars conversion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .base import register, table
+
+HQ_WIDTH_CENTS = 400        # bin width: $4
+HQ_BINS = 256               # covers values up to $1024, clamp above
+_HQ_QS = (50, 90, 99)
+
+
+def value_bins(events):
+    """(bin, n) integer histogram of event value cents — the sketch.
+    One map-side-combinable aggregate; ≤ HQ_BINS rows out."""
+    b = F.expr(f"least(CAST(round(value * 100) AS BIGINT)"
+               f" div {HQ_WIDTH_CENTS}, {HQ_BINS - 1})")
+    return (events.filter(F.col("value").isNotNull())
+            .select(b.cast("long").alias("bin"))
+            .groupBy("bin").agg(F.count("*").alias("n")))
+
+
+@register(
+    "sketch_histogram_quantiles",
+    oracle=f"""
+    WITH h AS (
+      SELECT least(CAST(round(value * 100) AS BIGINT)
+                   // {HQ_WIDTH_CENTS}, {HQ_BINS - 1}) AS bin,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE value IS NOT NULL GROUP BY 1),
+    c AS (
+      SELECT bin, n,
+             sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(n) OVER () AS total
+      FROM h),
+    qs AS (SELECT unnest([{", ".join(str(q) for q in _HQ_QS)}]) AS q),
+    r AS (
+      SELECT qs.q,
+             min(c.bin) AS qbin,
+             max(c.total) AS total
+      FROM qs JOIN c
+        ON c.cum * 100 >= qs.q * c.total
+      GROUP BY qs.q)
+    SELECT CAST(q AS INT) AS q,
+           CAST(total AS BIGINT) AS n_rows,
+           round((qbin * {HQ_WIDTH_CENTS} + {HQ_WIDTH_CENTS} // 2)
+                 / 100.0, 2) AS est_value
+    FROM r
+    """,
+    tags=("sketch", "stats"),
+)
+def sketch_histogram_quantiles(spark, sf_dir):
+    """P50/P90/P99 of event value from the fixed-bin histogram sketch:
+    rank r(q) = smallest bin whose cumulative count covers q% of rows
+    (integer cross-multiplication ``cum·100 ≥ q·total`` — no float
+    ranks), estimate = bin midpoint in cents. Accuracy is ±half a bin
+    width ($2 here) by construction. The cumulative window runs over
+    at most 256 bins — a constant — so the whole quantile read costs one
+    tiny ordered pass after a map-side-combinable aggregate; at 1000
+    executors the fact scan never shuffles more than bins × partitions
+    partial rows."""
+    h = value_bins(table(spark, sf_dir, "events"))
+    wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding,
+                                           Window.currentRow)
+    wt = Window.partitionBy()
+    c = h.select("bin", F.sum("n").over(wc).alias("cum"),
+                 F.sum("n").over(wt).alias("total"))
+    qs = spark.range(0, 1).select(
+        F.explode(F.array(*[F.lit(q) for q in _HQ_QS])).alias("q"))
+    r = (qs.join(F.broadcast(c),
+                 F.col("cum") * 100 >= F.col("q") * F.col("total"))
+         .groupBy("q")
+         .agg(F.min("bin").alias("qbin"), F.max("total").alias("total")))
+    return r.select(
+        F.col("q").cast("int").alias("q"),
+        F.col("total").cast("long").alias("n_rows"),
+        F.round((F.col("qbin") * HQ_WIDTH_CENTS + HQ_WIDTH_CENTS // 2)
+                / 100.0, 2).alias("est_value"))

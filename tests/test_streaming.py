@@ -886,3 +886,39 @@ def test_session_gap_boundary_matches_oracle_semantics(spark):
     """).fetchall()
     con.close()
     assert [r[0] for r in duck] == got
+
+
+def test_histogram_rollup_stream_equals_batch(spark, tmp_path, sf_dir):
+    """The maintained histogram sketch ≡ batch recompute over the same
+    events (bin counts are additive), and a replayed batch id does not
+    double-fold (marker-guarded like the daily rollup)."""
+    from sparkstreamingproject_spark.queries.sketches2 import value_bins
+    from sparkstreamingproject_spark.sources.streams import file_stream
+    from sparkstreamingproject_spark.streaming.histogram_maintain import (
+        histogram_rollup_stream, merge_histogram)
+    from sparkstreamingproject_spark.streaming.idempotent import (
+        idempotent_foreach_batch)
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    land = str(tmp_path / "land")
+    events.repartition(3).write.parquet(land)
+
+    table = str(tmp_path / "hist")
+    q = histogram_rollup_stream(
+        file_stream(spark, land, events.schema, max_files_per_trigger=1),
+        table, str(tmp_path / "ck"))
+    q.awaitTermination(180)
+
+    got = {(r.bin): r.n for r in spark.read.parquet(table).collect()}
+    exp = {(r.bin): r.n for r in value_bins(events).collect()}
+    assert got == exp  # maintained sketch byte-equal to batch recompute
+
+    # replayed batch id is a no-op
+    fold = idempotent_foreach_batch(
+        lambda b, _id: merge_histogram(b, table),
+        marker_dir=str(tmp_path / "ck2" / "_hist_markers"))
+    fold(events.limit(10), 0)
+    snap = {(r.bin): r.n for r in spark.read.parquet(table).collect()}
+    fold(events.limit(10), 0)  # replay: skipped
+    assert {(r.bin): r.n
+            for r in spark.read.parquet(table).collect()} == snap
