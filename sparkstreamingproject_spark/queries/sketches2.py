@@ -97,3 +97,67 @@ def sketch_histogram_quantiles(spark, sf_dir):
         F.col("total").cast("long").alias("n_rows"),
         F.round((F.col("qbin") * HQ_WIDTH_CENTS + HQ_WIDTH_CENTS // 2)
                 / 100.0, 2).alias("est_value"))
+
+
+@register(
+    "sketch_histogram_quantiles_by_type",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type,
+             least(CAST(round(value * 100) AS BIGINT)
+                   // {HQ_WIDTH_CENTS}, {HQ_BINS - 1}) AS bin,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    c AS (
+      SELECT event_type, bin, n,
+             sum(n) OVER (PARTITION BY event_type ORDER BY bin
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(n) OVER (PARTITION BY event_type) AS total
+      FROM h),
+    qs AS (SELECT unnest([{", ".join(str(q) for q in _HQ_QS)}]) AS q),
+    r AS (
+      SELECT c.event_type, qs.q,
+             min(c.bin) AS qbin,
+             max(c.total) AS total
+      FROM qs JOIN c
+        ON c.cum * 100 >= qs.q * c.total
+      GROUP BY c.event_type, qs.q)
+    SELECT event_type, CAST(q AS INT) AS q,
+           CAST(total AS BIGINT) AS n_rows,
+           round((qbin * {HQ_WIDTH_CENTS} + {HQ_WIDTH_CENTS} // 2)
+                 / 100.0, 2) AS est_value
+    FROM r
+    """,
+    tags=("sketch", "stats"),
+)
+def sketch_histogram_quantiles_by_type(spark, sf_dir):
+    """Per-event-type P50/P90/P99 from the grouped histogram sketch —
+    the percentile-dashboard shape (latency by endpoint, value by
+    type). Same integer discipline as the global form; the cumulative
+    window partitions by the group key, so per-group state stays at
+    most HQ_BINS rows and the groups parallelize independently —
+    quantiles over any number of groups cost one map-side-combinable
+    aggregate plus a bins-sized ordered pass per group."""
+    ev = table(spark, sf_dir, "events")
+    b = F.expr(f"least(CAST(round(value * 100) AS BIGINT)"
+               f" div {HQ_WIDTH_CENTS}, {HQ_BINS - 1})")
+    h = (ev.filter(F.col("value").isNotNull())
+         .select("event_type", b.cast("long").alias("bin"))
+         .groupBy("event_type", "bin").agg(F.count("*").alias("n")))
+    wc = (Window.partitionBy("event_type").orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wt = Window.partitionBy("event_type")
+    c = h.select("event_type", "bin",
+                 F.sum("n").over(wc).alias("cum"),
+                 F.sum("n").over(wt).alias("total"))
+    qs = spark.range(0, 1).select(
+        F.explode(F.array(*[F.lit(q) for q in _HQ_QS])).alias("q"))
+    r = (qs.join(F.broadcast(c),
+                 F.col("cum") * 100 >= F.col("q") * F.col("total"))
+         .groupBy("event_type", "q")
+         .agg(F.min("bin").alias("qbin"), F.max("total").alias("total")))
+    return r.select(
+        "event_type", F.col("q").cast("int").alias("q"),
+        F.col("total").cast("long").alias("n_rows"),
+        F.round((F.col("qbin") * HQ_WIDTH_CENTS + HQ_WIDTH_CENTS // 2)
+                / 100.0, 2).alias("est_value"))

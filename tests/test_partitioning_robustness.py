@@ -39,7 +39,7 @@ _KEEPERS = [
     "pandas_grouped_zscore",
     # r07 registry additions behind the driver window (certify in r08)
     "stream_session_late_closed", "stream_join_click_purchase_window",
-    "sketch_histogram_quantiles",
+    "sketch_histogram_quantiles", "sketch_histogram_quantiles_by_type",
 ]
 
 _seen: set[str] = set()
