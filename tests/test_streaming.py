@@ -922,3 +922,68 @@ def test_histogram_rollup_stream_equals_batch(spark, tmp_path, sf_dir):
     fold(events.limit(10), 0)  # replay: skipped
     assert {(r.bin): r.n
             for r in spark.read.parquet(table).collect()} == snap
+
+
+def test_ivf_ingest_stream_postings_equal_batch_assign(spark, tmp_path,
+                                                       sf_dir):
+    """Streaming IVF index maintenance ≡ batch ivf_assign against the
+    same frozen centroids, over three micro-batches; a crashed
+    partial write converges on retry (overwrite-by-batch-id)."""
+    import os
+
+    from sparkstreamingproject_spark.sources.streams import file_stream
+    from sparkstreamingproject_spark.streaming.ivf_ingest import (
+        assign_to_centroids, ingest_embeddings_batch, init_centroids,
+        ivf_ingest_stream, read_postings)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    init_centroids(emb, idx)
+
+    # land three disjoint id-range chunks with pinned mtimes
+    land = str(tmp_path / "land")
+    n = emb.count()
+    cuts = [(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n + 8)]
+    for i, (lo, hi) in enumerate(cuts):
+        before = set(os.listdir(land)) if os.path.isdir(land) else set()
+        (emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+         .coalesce(1).write.mode("append").parquet(land))
+        for f in set(os.listdir(land)) - before:
+            if f.endswith(".parquet"):
+                os.utime(os.path.join(land, f),
+                         (1_700_000_000 + i, 1_700_000_000 + i))
+
+    ivf_ingest_stream(
+        file_stream(spark, land, emb.schema, max_files_per_trigger=1),
+        idx, str(tmp_path / "ck")).awaitTermination(180)
+
+    got = sorted((r.vec_id, r.cell) for r in
+                 read_postings(spark, idx).select("vec_id", "cell").collect())
+    cents = spark.read.parquet(f"{idx}/centroids")
+    exp = sorted((r.vec_id, r.cell) for r in
+                 assign_to_centroids(emb, cents)
+                 .select("vec_id", "cell").collect())
+    assert got == exp and len(got) == n
+
+    # crashed attempt of a later batch: partial partition overwritten
+    extra = emb.limit(5).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    (assign_to_centroids(extra.limit(2), cents)
+     .write.partitionBy("cell").mode("overwrite")
+     .parquet(f"{idx}/postings/ingest_batch=99"))       # partial prefix
+    ingest_embeddings_batch(extra, idx, batch_id=99)    # retry
+    after = read_postings(spark, idx).filter(
+        F.col("vec_id") >= 1_000_000).count()
+    assert after == 5, "retry must replace the partial batch wholesale"
+
+    # probe over the MAINTAINED index == ivf_topk over the full relation
+    from sparkstreamingproject_spark.llm.similarity import ivf_topk
+    from sparkstreamingproject_spark.streaming.ivf_ingest import (
+        probe_postings)
+    full = emb.select("vec_id", "embedding").unionByName(extra)
+    qset = emb.filter(F.col("vec_id").isin(10, 11, 12))
+    got_p = sorted(map(tuple, probe_postings(spark, qset, idx, k=5)
+                       .select("query_id", "cand_id", "rank").collect()))
+    exp_p = sorted(map(tuple, ivf_topk(full, qset, k=5)
+                       .select("query_id", "cand_id", "rank").collect()))
+    assert got_p == exp_p
