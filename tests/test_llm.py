@@ -526,3 +526,51 @@ def test_top_eigvec_power_matches_numpy_replication(spark, sf_dir):
     assert rq(v.astype(np.float64)) > rq(v0)
     w, _ = np.linalg.eigh(C)
     assert rq(v.astype(np.float64)) <= float(w.max()) + 1e-9
+
+
+def test_repeated_substring_span_semantics(spark, tmp_path):
+    """Pin the maximal-span merge rules of ``dedup_repeated_substring``
+    on a constructed corpus: cross-doc repeats, within-doc repeats,
+    full-doc identity, the gap == K adjacent-merge boundary, and the
+    gap > K split boundary; unique and sub-K docs are absent."""
+    import pandas as pd
+    from sparkstreamingproject_spark.queries import REGISTRY
+
+    docs = [
+        # 0/1: two shared 5-grams, starts 6 resp. 7 apart -> two spans
+        (0, "a b c d e X f g h i j"),
+        (1, "a b c d e Y Z f g h i j"),
+        # 2/3: identical docs -> one full-coverage span each
+        (2, "p q r s t u v w"),
+        (3, "p q r s t u v w"),
+        # 4: all shingles unique -> no output row
+        (4, "k1 k2 k3 k4 k5 k6 k7 k8 k9"),
+        # 5: shorter than K tokens -> no shingles at all
+        (5, "x y"),
+        # 6: WITHIN-doc repeat of one 5-gram, starts 7 apart -> split
+        (6, "m n o p q g1 g2 m n o p q"),
+        # 7: two dup shingles with starts exactly K apart -> contiguous
+        #    coverage, MERGED into one 10-token span
+        (7, "c1 c2 c3 c4 c5 d1 d2 d3 d4 d5 t1"),
+        (8, "z1 z2 c1 c2 c3 c4 c5 z3 z4 z5"),
+        (9, "d1 d2 d3 d4 d5 w1 w2 w3 w4"),
+    ]
+    pd.DataFrame(docs, columns=["doc_id", "text"]).to_parquet(
+        str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r for r in
+           REGISTRY["dedup_repeated_substring"]
+           .fn(spark, str(tmp_path)).collect()}
+
+    assert set(out) == {0, 1, 2, 3, 6, 7, 8, 9}
+    def spans(r):
+        return (r["n_spans"], r["dup_tokens"], r["longest_span"],
+                r["n_tokens"])
+    assert spans(out[0]) == (2, 10, 5, 11)
+    assert spans(out[1]) == (2, 10, 5, 12)
+    assert spans(out[2]) == (1, 8, 8, 8)   # whole doc covered
+    assert out[2]["dup_frac"] == 1.0
+    assert spans(out[3]) == (1, 8, 8, 8)
+    assert spans(out[6]) == (2, 10, 5, 12)  # within-doc repeat splits
+    assert spans(out[7]) == (1, 10, 10, 11)  # gap == K merges
+    assert spans(out[8]) == (1, 5, 5, 10)
+    assert spans(out[9]) == (1, 5, 5, 9)
