@@ -987,3 +987,118 @@ def test_ivf_ingest_stream_postings_equal_batch_assign(spark, tmp_path,
     exp_p = sorted(map(tuple, ivf_topk(full, qset, k=5)
                        .select("query_id", "cand_id", "rank").collect()))
     assert got_p == exp_p
+
+
+def test_sessionize_stream_equals_batch(spark, tmp_path, sf_dir):
+    """Incremental sessionization (foreachBatch session-merge fold)
+    must equal the events_gap_sessionize batch query over all events,
+    with three time-ordered micro-batches — sessions spanning chunk
+    boundaries must coalesce across the fold."""
+    import os
+
+    from pyspark.sql.window import Window as W
+
+    from sparkstreamingproject_spark.queries import REGISTRY
+    from sparkstreamingproject_spark.queries.base import table as qtable
+    from sparkstreamingproject_spark.sources.streams import file_stream
+    from sparkstreamingproject_spark.streaming.sessionize_maintain import (
+        maintain_sessions_stream, session_summary)
+
+    ev = (qtable(spark, sf_dir, "events")
+          .select("user_id", "event_id", F.unix_micros("ts").alias("us")))
+    # split on GLOBAL event-time order (which implies per-user order —
+    # the module's ordering contract); one file per chunk, mtimes
+    # strictly increasing so FileStreamSource replays them in order
+    chunks = ev.withColumn(
+        "_b", F.ntile(3).over(W.orderBy("us", "event_id")))
+    src = str(tmp_path / "land_sess")
+    for i in (1, 2, 3):
+        before = set(os.listdir(src)) if os.path.isdir(src) else set()
+        (chunks.filter(F.col("_b") == i).drop("_b").coalesce(1)
+         .write.mode("append").parquet(src))
+        for f in set(os.listdir(src)) - before:
+            if f.endswith(".parquet"):
+                os.utime(os.path.join(src, f),
+                         (1_700_000_000 + i, 1_700_000_000 + i))
+
+    state = str(tmp_path / "sess_state")
+    q = maintain_sessions_stream(
+        file_stream(spark, src, spark.read.parquet(src).schema,
+                    max_files_per_trigger=1),
+        state, str(tmp_path / "ck_sess"))
+    q.awaitTermination(180)
+
+    got = {r.user_id: (r.n_sessions, r.n_events, r.max_session_events)
+           for r in session_summary(spark.read.parquet(state)).collect()}
+    exp = {r.user_id: (r.n_sessions, r.n_events, r.max_session_events)
+           for r in REGISTRY["events_gap_sessionize"]
+           .fn(spark, sf_dir).collect()}
+    assert got == exp
+
+
+def test_sessionize_merge_semantics(spark, tmp_path):
+    """Pin the session-merge fold algebra on constructed batches:
+    coalesce at EXACTLY the gap (strict-> split rule), close past the
+    gap, interior batch sessions close immediately, and a
+    multi-session batch whose first session absorbs the open one."""
+    from sparkstreamingproject_spark.streaming.sessionize_maintain import (
+        merge_sessions, session_summary)
+
+    MIN = 60_000_000  # one minute in microseconds
+    state = str(tmp_path / "sess_st")
+
+    def fold(rows):
+        merge_sessions(spark.createDataFrame(
+            rows, "user_id long, event_id long, us long"), state)
+
+    def summary():
+        return {r.user_id: (r.n_sessions, r.n_events,
+                            r.max_session_events)
+                for r in session_summary(
+                    spark.read.parquet(state)).collect()}
+
+    # batch 1 — u1: two in-batch sessions (gap 31 min); u2: one session
+    fold([(1, 1, 0), (1, 2, 10 * MIN), (1, 3, 41 * MIN),
+          (2, 4, 0), (2, 5, 5 * MIN)])
+    assert summary() == {1: (2, 3, 2), 2: (1, 2, 2)}
+
+    # batch 2 — u1: gap EXACTLY 30 min from open (71-41) -> coalesce;
+    # u2: 95 min gap -> open closes; u3: new user, two sessions
+    fold([(1, 6, 71 * MIN), (2, 7, 100 * MIN),
+          (3, 8, 0), (3, 9, 100 * MIN)])
+    assert summary() == {1: (2, 4, 2), 2: (2, 3, 2), 3: (2, 2, 1)}
+
+    # batch 3 — u1 multi-session batch: first session (101,102) merges
+    # into the open (41,71) -> 4-event closed session; interior (200)
+    # closes; (300) becomes the open session
+    fold([(1, 10, 101 * MIN), (1, 11, 102 * MIN),
+          (1, 12, 200 * MIN), (1, 13, 300 * MIN)])
+    assert summary()[1] == (4, 8, 4)
+
+
+def test_sessionize_fold_is_batchid_idempotent(spark, tmp_path):
+    """A replayed fully-committed micro-batch must not re-close or
+    re-count sessions: the fold runs under the per-batch-id marker."""
+    from sparkstreamingproject_spark.streaming.idempotent import (
+        idempotent_foreach_batch)
+    from sparkstreamingproject_spark.streaming.sessionize_maintain import (
+        merge_sessions, session_summary)
+
+    MIN = 60_000_000
+    table = str(tmp_path / "sess_idem")
+    fold = idempotent_foreach_batch(
+        lambda b, _id: merge_sessions(b, table),
+        marker_dir=str(tmp_path / "ck" / "_sess_markers"))
+    b = spark.createDataFrame([(1, 1, 0), (1, 2, 10 * MIN)],
+                              "user_id long, event_id long, us long")
+    fold(b, 0)
+    fold(b, 0)  # replay of a committed batch id: skipped
+    got = {r.user_id: (r.n_sessions, r.n_events, r.max_session_events)
+           for r in session_summary(spark.read.parquet(table)).collect()}
+    assert got == {1: (1, 2, 2)}
+    # a NEW batch id past the gap closes the open session
+    fold(spark.createDataFrame([(1, 3, 100 * MIN)],
+                               "user_id long, event_id long, us long"), 1)
+    got = {r.user_id: (r.n_sessions, r.n_events, r.max_session_events)
+           for r in session_summary(spark.read.parquet(table)).collect()}
+    assert got == {1: (2, 3, 2)}
