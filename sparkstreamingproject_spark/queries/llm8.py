@@ -125,3 +125,106 @@ def dedup_repeated_substring(spark, sf_dir):
                     "n_tokens",
                     F.round(F.col("dup_tokens") / F.col("n_tokens"), 6)
                     .alias("dup_frac")))
+
+
+#: IVF recall sweep settings — same protocol as ``sim_recall_at_k_eval``
+_NP_K = 10
+_NP_MOD = 499
+_NP_PROBES = (1, 2, 4)
+
+
+@register(
+    "sim_ann_nprobe_recall_sweep",
+    oracle=f"""
+    WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    cents AS (SELECT vec_id AS cell, emb AS c_emb FROM b WHERE vec_id < 8),
+    q AS (SELECT vec_id AS query_id, emb AS q_emb FROM b
+          WHERE vec_id % {_NP_MOD} = 0),
+    nq AS (SELECT count(*) AS n_queries FROM q),
+    gt AS (
+      SELECT query_id, cand_id FROM (
+        SELECT q.query_id, c.vec_id AS cand_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round(list_cosine_similarity(q.q_emb, c.emb),
+                                6) DESC, c.vec_id) AS rank
+        FROM q JOIN b c ON c.vec_id != q.query_id)
+      WHERE rank <= {_NP_K}),
+    asg AS (
+      SELECT vec_id AS cand_id, emb AS cand_emb, cell FROM (
+        SELECT e.vec_id, e.emb, c.cell,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.emb, c.c_emb),
+                                6) DESC, c.cell) AS rn
+        FROM b e CROSS JOIN cents c)
+      WHERE rn = 1),
+    qcells AS (
+      SELECT query_id, q_emb, cell,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY round(list_cosine_similarity(q_emb, c_emb),
+                              6) DESC, cell) AS crank
+      FROM q CROSS JOIN cents),
+    cand AS (
+      SELECT qc.query_id, a.cand_id, qc.crank,
+             round(list_cosine_similarity(qc.q_emb, a.cand_emb), 6)
+               AS cosine
+      FROM qcells qc JOIN asg a USING (cell)
+      WHERE a.cand_id != qc.query_id),
+    np AS (SELECT unnest([{", ".join(str(p) for p in _NP_PROBES)}])
+             AS nprobe),
+    sweep AS (
+      SELECT np.nprobe, c.query_id, c.cand_id,
+             row_number() OVER (PARTITION BY np.nprobe, c.query_id
+                                ORDER BY c.cosine DESC, c.cand_id)
+               AS rank
+      FROM np CROSS JOIN cand c
+      WHERE c.crank <= np.nprobe),
+    hits AS (
+      SELECT s.nprobe, count(*) AS n_hits
+      FROM sweep s JOIN gt g ON g.query_id = s.query_id
+                            AND g.cand_id = s.cand_id
+      WHERE s.rank <= {_NP_K}
+      GROUP BY s.nprobe)
+    SELECT CAST(np.nprobe AS INT) AS nprobe,
+           nq.n_queries,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           round(coalesce(h.n_hits, 0) * 1.0
+                 / (nq.n_queries * {_NP_K}), 6) AS recall
+    FROM np CROSS JOIN nq LEFT JOIN hits h USING (nprobe)
+    """,
+    tags=("llm", "similarity", "eval"),
+)
+def sim_ann_nprobe_recall_sweep(spark, sf_dir):
+    """IVF nprobe→recall trade-off curve — the tuning sweep a vector
+    pipeline runs after building an IVF index (the analog of
+    ``dedup_minhash_pr_sweep`` for LSH banding and
+    ``sim_recall_at_k_eval`` for single-table sign-LSH): recall@10 vs
+    exact ground truth at nprobe ∈ {1, 2, 4}, in one result.
+
+    Scale protocol as in ``sim_recall_at_k_eval``: ground truth scores
+    the FIXED query subset (vec_id % 499) against the corpus
+    (|q|·N, never N²); each probe arm touches only the probed cells'
+    inverted lists. Counts integer; recall is one terminal rounded
+    division."""
+    from ..llm.similarity import brute_force_topk, ivf_topk
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % _NP_MOD == 0)
+    gt = brute_force_topk(emb, q, k=_NP_K).select("query_id", "cand_id")
+    nq = q.agg(F.count("*").alias("n_queries"))
+    res = None
+    for np_ in _NP_PROBES:
+        ann = (ivf_topk(emb, q, k=_NP_K, nprobe=np_)
+               .select("query_id", "cand_id"))
+        r = (gt.join(ann, ["query_id", "cand_id"])
+             .agg(F.count("*").alias("n_hits"))
+             .withColumn("nprobe", F.lit(np_)))
+        res = r if res is None else res.unionByName(r)
+    return (res.crossJoin(F.broadcast(nq))
+            .select(F.col("nprobe").cast("int").alias("nprobe"),
+                    "n_queries", "n_hits",
+                    F.round(F.col("n_hits")
+                            / (F.col("n_queries") * _NP_K), 6)
+                    .alias("recall")))

@@ -574,3 +574,19 @@ def test_repeated_substring_span_semantics(spark, tmp_path):
     assert spans(out[7]) == (1, 10, 10, 11)  # gap == K merges
     assert spans(out[8]) == (1, 5, 5, 10)
     assert spans(out[9]) == (1, 5, 5, 9)
+
+
+def test_nprobe_recall_sweep_monotone(spark, sf_dir):
+    """Probing more IVF cells can only widen the candidate set, so
+    recall@k must be non-decreasing in nprobe, and hits can never
+    exceed the ground-truth size."""
+    from sparkstreamingproject_spark.queries import REGISTRY
+    rows = sorted((r.nprobe, r.n_hits, r.n_queries, r.recall)
+                  for r in REGISTRY["sim_ann_nprobe_recall_sweep"]
+                  .fn(spark, sf_dir).collect())
+    assert [p for p, *_ in rows] == [1, 2, 4]
+    hits = [h for _, h, *_ in rows]
+    assert hits == sorted(hits)
+    for _, h, nq, rec in rows:
+        assert 0 <= h <= nq * 10
+        assert rec == round(h / (nq * 10), 6)

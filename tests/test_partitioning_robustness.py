@@ -40,7 +40,7 @@ _KEEPERS = [
     # r07 registry additions behind the driver window (certify in r08)
     "stream_session_late_closed", "stream_join_click_purchase_window",
     "sketch_histogram_quantiles", "sketch_histogram_quantiles_by_type",
-    "dedup_repeated_substring",
+    "dedup_repeated_substring", "sim_ann_nprobe_recall_sweep",
 ]
 
 _seen: set[str] = set()

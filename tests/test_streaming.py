@@ -1102,3 +1102,23 @@ def test_sessionize_fold_is_batchid_idempotent(spark, tmp_path):
     got = {r.user_id: (r.n_sessions, r.n_events, r.max_session_events)
            for r in session_summary(spark.read.parquet(table)).collect()}
     assert got == {1: (2, 3, 2)}
+
+
+def test_sessionize_fold_empty_batch_is_noop(spark, tmp_path):
+    """Empty micro-batches are routine (trigger with no new files);
+    the session fold must leave state untouched."""
+    from sparkstreamingproject_spark.streaming.sessionize_maintain import (
+        merge_sessions, session_summary)
+
+    MIN = 60_000_000
+    table = str(tmp_path / "sess_empty")
+    schema = "user_id long, event_id long, us long"
+    merge_sessions(spark.createDataFrame(
+        [(1, 1, 0), (1, 2, 50 * MIN)], schema), table)
+    before = sorted(map(tuple, spark.read.parquet(table).collect()))
+    merge_sessions(spark.createDataFrame([], schema), table)
+    after = sorted(map(tuple, spark.read.parquet(table).collect()))
+    assert before == after
+    got = {r.user_id: (r.n_sessions, r.n_events, r.max_session_events)
+           for r in session_summary(spark.read.parquet(table)).collect()}
+    assert got == {1: (2, 2, 1)}
