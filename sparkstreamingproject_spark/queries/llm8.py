@@ -228,3 +228,105 @@ def sim_ann_nprobe_recall_sweep(spark, sf_dir):
                     F.round(F.col("n_hits")
                             / (F.col("n_queries") * _NP_K), 6)
                     .alias("recall")))
+
+
+#: Bloom FPR sweep: k fixed at 3 probes, m swept over three sizes
+_BF_K = 3
+_BF_MS = (4096, 16384, 65536)
+
+
+@register(
+    "sketch_bloom_fpr_sweep",
+    oracle=f"""
+    WITH members AS (SELECT DISTINCT s_suppkey AS x FROM supplier),
+    probes AS (SELECT DISTINCT c_custkey AS x FROM customer
+               WHERE c_custkey NOT IN (SELECT x FROM members)),
+    mh AS (SELECT x,
+                  CAST('0x' || substr(md5(CAST(x AS VARCHAR)), 1, 8)
+                       AS BIGINT) AS h1,
+                  CAST('0x' || substr(md5(CAST(x AS VARCHAR)), 9, 8)
+                       AS BIGINT) AS h2
+           FROM members),
+    ph AS (SELECT x,
+                  CAST('0x' || substr(md5(CAST(x AS VARCHAR)), 1, 8)
+                       AS BIGINT) AS h1,
+                  CAST('0x' || substr(md5(CAST(x AS VARCHAR)), 9, 8)
+                       AS BIGINT) AS h2
+           FROM probes),
+    ms AS (SELECT unnest([{", ".join(str(m) for m in _BF_MS)}]) AS m),
+    js AS (SELECT unnest([0, 1, 2]) AS j),
+    mpos AS (
+      SELECT DISTINCT ms.m, (mh.h1 + js.j * mh.h2) % ms.m AS p
+      FROM ms CROSS JOIN mh CROSS JOIN js),
+    ppos AS (
+      SELECT ms.m, ph.x, (ph.h1 + js.j * ph.h2) % ms.m AS p
+      FROM ms CROSS JOIN ph CROSS JOIN js),
+    fp AS (
+      SELECT pp.m, pp.x
+      FROM ppos pp LEFT JOIN mpos b ON b.m = pp.m AND b.p = pp.p
+      GROUP BY pp.m, pp.x
+      HAVING count(b.p) = {_BF_K}),
+    fpc AS (SELECT m, CAST(count(*) AS BIGINT) AS nfp FROM fp GROUP BY m)
+    SELECT CAST(ms.m AS INT) AS m_bits,
+           (SELECT CAST(count(*) AS BIGINT) FROM members) AS n_members,
+           (SELECT CAST(count(*) AS BIGINT) FROM probes) AS n_probes,
+           coalesce(f.nfp, 0) AS n_false_pos,
+           round(coalesce(f.nfp, 0) * 1.0
+                 / (SELECT count(*) FROM probes), 6) AS fpr
+    FROM ms LEFT JOIN fpc f ON f.m = ms.m
+    """,
+    tags=("sketch", "eval", "scale"),
+)
+def sketch_bloom_fpr_sweep(spark, sf_dir):
+    """Measured Bloom false-positive rate vs filter size — the eval
+    the sketch family still lacked (HLL/CMS/KMV/histogram each have an
+    estimate-vs-exact query; the Bloom semi-join had no measured-FPR
+    companion). Members = supplier keys; probes = customer keys
+    provably NOT in the set (anti-join); a probe is a false positive
+    when all K double-hashed positions land on set bits. Swept at
+    m ∈ {4096, 16384, 65536} with k=3 in one result.
+
+    The production operator (operators/bloom.py) hashes with xxhash64
+    into a broadcast bitset; this eval re-expresses membership
+    relationally (distinct member positions ⋈ probe positions — keys
+    only, never row payloads) with the md5-hex idiom both engines
+    share, so the measured FPR is oracle-checkable. Counts integer;
+    fpr is one terminal rounded division."""
+    sup = table(spark, sf_dir, "supplier")
+    cus = table(spark, sf_dir, "customer")
+    members = sup.select(F.col("s_suppkey").alias("x")).distinct()
+    probes = (cus.select(F.col("c_custkey").alias("x")).distinct()
+              .join(members, "x", "left_anti"))
+
+    def hashed(df):
+        h = F.md5(F.col("x").cast("string"))
+        return df.select(
+            "x",
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("h2"))
+
+    ms = spark.range(0).sparkSession.createDataFrame(
+        [(m,) for m in _BF_MS], "m int")
+    js = F.explode(F.array(*[F.lit(j) for j in range(_BF_K)])).alias("j")
+    mpos = (hashed(members).crossJoin(F.broadcast(ms)).select("m", "h1",
+                                                              "h2", js)
+            .select("m", ((F.col("h1") + F.col("j") * F.col("h2"))
+                          % F.col("m")).alias("p"))
+            .distinct())
+    ppos = (hashed(probes).crossJoin(F.broadcast(ms)).select("m", "x",
+                                                             "h1", "h2", js)
+            .select("m", "x", ((F.col("h1") + F.col("j") * F.col("h2"))
+                               % F.col("m")).alias("p")))
+    fp = (ppos.join(mpos.withColumn("hit", F.lit(1)), ["m", "p"], "left")
+          .groupBy("m", "x").agg(F.count("hit").alias("nhit"))
+          .filter(F.col("nhit") == _BF_K))
+    fpc = fp.groupBy("m").agg(F.count("*").alias("nfp"))
+    nm = members.agg(F.count("*").alias("n_members"))
+    np_ = probes.agg(F.count("*").alias("n_probes"))
+    return (ms.join(fpc, "m", "left")
+            .crossJoin(F.broadcast(nm)).crossJoin(F.broadcast(np_))
+            .select(F.col("m").alias("m_bits"), "n_members", "n_probes",
+                    F.coalesce(F.col("nfp"), F.lit(0)).cast("long")
+                    .alias("n_false_pos"),
+                    F.round(F.coalesce(F.col("nfp"), F.lit(0))
+                            / F.col("n_probes"), 6).alias("fpr")))

@@ -161,3 +161,19 @@ def test_scd2_intervals_tile_per_key(spark, sf_dir):
         assert rows[-1]["valid_to_us"] is None
         for a, b in zip(rows, rows[1:]):
             assert a["valid_to_us"] == b["valid_from_us"]
+
+
+def test_bloom_fpr_sweep_monotone_and_bounded(spark, sf_dir):
+    """A bigger filter can only clear bits relative to a smaller one's
+    load: measured FPR must be non-increasing in m, and every count
+    must sit inside [0, n_probes]."""
+    from sparkstreamingproject_spark.queries import REGISTRY
+    rows = sorted((r.m_bits, r.n_false_pos, r.n_probes, r.fpr)
+                  for r in REGISTRY["sketch_bloom_fpr_sweep"]
+                  .fn(spark, sf_dir).collect())
+    assert [m for m, *_ in rows] == [4096, 16384, 65536]
+    fprs = [f for *_, f in rows]
+    assert fprs == sorted(fprs, reverse=True)
+    for m, nfp, n_probes, fpr in rows:
+        assert 0 <= nfp <= n_probes
+        assert fpr == round(nfp / n_probes, 6)
