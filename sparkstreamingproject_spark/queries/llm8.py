@@ -330,3 +330,93 @@ def sketch_bloom_fpr_sweep(spark, sf_dir):
                     .alias("n_false_pos"),
                     F.round(F.coalesce(F.col("nfp"), F.lit(0))
                             / F.col("n_probes"), 6).alias("fpr")))
+
+
+#: zone-map pruning demo: 10-bit dims → 20-bit z-key, 64 value-range
+#: buckets per layout, ~10%-of-domain predicate per dimension
+_ZM_BITS = 10
+_ZM_FILES = 64
+_ZM_XLO, _ZM_XHI = 100, 199
+_ZM_YLO, _ZM_YHI = 300, 399
+
+
+def _zm_oracle() -> str:
+    from ..operators.zorder import zorder_sql
+    zk = zorder_sql("x", "y", _ZM_BITS)
+    xw = (1 << _ZM_BITS) // _ZM_FILES
+    zw = (1 << (2 * _ZM_BITS)) // _ZM_FILES
+    return f"""
+    WITH src AS (
+      SELECT (o_custkey % 1024) AS x,
+             (date_diff('day', DATE '1992-01-01',
+                        CAST(o_orderdate AS DATE)) % 1024) AS y
+      FROM orders),
+    lay AS (
+      SELECT 'xsort' AS layout, x, y, x // {xw} AS f FROM src
+      UNION ALL
+      SELECT 'zorder', x, y, {zk} // {zw} AS f FROM src),
+    zones AS (
+      SELECT layout, f, min(x) AS mnx, max(x) AS mxx,
+             min(y) AS mny, max(y) AS mxy
+      FROM lay GROUP BY layout, f)
+    SELECT layout,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(CASE WHEN mxx >= {_ZM_XLO} AND mnx <= {_ZM_XHI}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS touch_x,
+           CAST(sum(CASE WHEN mxy >= {_ZM_YLO} AND mny <= {_ZM_YHI}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS touch_y,
+           CAST(sum(CASE WHEN mxx >= {_ZM_XLO} AND mnx <= {_ZM_XHI}
+                          AND mxy >= {_ZM_YLO} AND mny <= {_ZM_YHI}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS touch_both
+    FROM zones GROUP BY layout
+    """
+
+
+@register(
+    "layout_zonemap_pruning",
+    oracle=_zm_oracle(),
+    tags=("layout", "scale", "eval"),
+)
+def layout_zonemap_pruning(spark, sf_dir):
+    """Zone-map pruning effectiveness of a z-ordered layout vs a
+    single-column sort — the WHY behind ``zorder_layout_key`` /
+    ``operators/zorder.write_zordered``, measured in-engine: bucket
+    rows into 64 value-range "files" under each layout, compute each
+    file's (min,max) per dimension — exactly the parquet row-group
+    stats a scan consults — and count the files a 10%-per-dimension
+    predicate cannot prune. The x-sorted layout prunes perfectly on x
+    but touches EVERY file for a y-only predicate; the z-curve bounds
+    both dimensions, so the 2-D predicate touches a handful.
+
+    Value-range bucketing (integer div on the key) rather than
+    equal-count ntile keeps the plan shuffle-only (groupBy on
+    (layout, file) — no global sort, no windows), mirroring
+    ``repartitionByRange``'s role in the real writer. All arithmetic
+    integer; both engines share the generated Morton-code expression
+    (``operators/zorder.zorder_sql``)."""
+    from ..operators.zorder import zorder_key
+    xw = (1 << _ZM_BITS) // _ZM_FILES
+    zw = (1 << (2 * _ZM_BITS)) // _ZM_FILES
+    o = table(spark, sf_dir, "orders")
+    src = o.select(
+        (F.col("o_custkey") % 1024).alias("x"),
+        (F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01"))
+         % 1024).alias("y"))
+    xsort = src.select(F.lit("xsort").alias("layout"), "x", "y",
+                       F.expr(f"x div {xw}").alias("f"))
+    zord = src.select(
+        F.lit("zorder").alias("layout"), "x", "y",
+        (zorder_key(F.col("x"), F.col("y"), _ZM_BITS) / zw)
+        .cast("long").alias("f"))
+    zones = (xsort.unionByName(zord)
+             .groupBy("layout", "f")
+             .agg(F.min("x").alias("mnx"), F.max("x").alias("mxx"),
+                  F.min("y").alias("mny"), F.max("y").alias("mxy")))
+    tx = (F.col("mxx") >= _ZM_XLO) & (F.col("mnx") <= _ZM_XHI)
+    ty = (F.col("mxy") >= _ZM_YLO) & (F.col("mny") <= _ZM_YHI)
+    return (zones.groupBy("layout")
+            .agg(F.count("*").alias("n_files"),
+                 F.sum(F.when(tx, 1).otherwise(0)).alias("touch_x"),
+                 F.sum(F.when(ty, 1).otherwise(0)).alias("touch_y"),
+                 F.sum(F.when(tx & ty, 1).otherwise(0))
+                 .alias("touch_both")))

@@ -41,7 +41,7 @@ _KEEPERS = [
     "stream_session_late_closed", "stream_join_click_purchase_window",
     "sketch_histogram_quantiles", "sketch_histogram_quantiles_by_type",
     "dedup_repeated_substring", "sim_ann_nprobe_recall_sweep",
-    "sketch_bloom_fpr_sweep",
+    "sketch_bloom_fpr_sweep", "layout_zonemap_pruning",
 ]
 
 _seen: set[str] = set()

@@ -177,3 +177,19 @@ def test_bloom_fpr_sweep_monotone_and_bounded(spark, sf_dir):
     for m, nfp, n_probes, fpr in rows:
         assert 0 <= nfp <= n_probes
         assert fpr == round(nfp / n_probes, 6)
+
+
+def test_zonemap_pruning_zorder_bounds_both_dims(spark, sf_dir):
+    """The point of the z-curve, measured: the x-sorted layout cannot
+    prune a y-only predicate (touches every file), while the z-ordered
+    layout bounds BOTH dimensions, and its 2-D-predicate cost is no
+    worse than either of its 1-D costs."""
+    from sparkstreamingproject_spark.queries import REGISTRY
+    rows = {r.layout: r for r in REGISTRY["layout_zonemap_pruning"]
+            .fn(spark, sf_dir).collect()}
+    xs, zo = rows["xsort"], rows["zorder"]
+    assert xs.touch_y == xs.n_files          # no pruning on y
+    assert xs.touch_x < xs.n_files           # perfect pruning on x
+    assert zo.touch_y < zo.n_files           # z-curve prunes y too
+    assert zo.touch_both <= min(zo.touch_x, zo.touch_y)
+    assert zo.touch_both <= xs.touch_both    # 2-D winner
