@@ -420,3 +420,61 @@ def layout_zonemap_pruning(spark, sf_dir):
                  F.sum(F.when(ty, 1).otherwise(0)).alias("touch_y"),
                  F.sum(F.when(tx & ty, 1).otherwise(0))
                  .alias("touch_both")))
+
+
+_DAY_US = 86_400_000_000
+
+
+@register(
+    "dq_freshness_by_type",
+    oracle=f"""
+    WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+    g AS (SELECT max(us) AS gmax FROM e),
+    t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+                 max(us) AS last_ts_us,
+                 CAST(count(DISTINCT us // {_DAY_US}) AS BIGINT) AS n_days
+          FROM e GROUP BY event_type),
+    ld AS (SELECT event_type, CAST(count(*) AS BIGINT) AS rows_last_day
+           FROM e, g WHERE e.us > g.gmax - {_DAY_US}
+           GROUP BY event_type)
+    SELECT t.event_type, t.n_rows, t.last_ts_us,
+           (g.gmax - t.last_ts_us) AS lag_us,
+           coalesce(ld.rows_last_day, 0) AS rows_last_day,
+           t.n_days,
+           ((g.gmax - t.last_ts_us) <= 2 * {_DAY_US}) AS fresh_2d
+    FROM t CROSS JOIN g LEFT JOIN ld USING (event_type)
+    """,
+    tags=("dq", "events"),
+)
+def dq_freshness_by_type(spark, sf_dir):
+    """Per-source data-freshness report — the DQ check every
+    multi-feed ingestion runs beside the expectations/PSI gates
+    (``dq_expectations_report`` checks VALUES, ``dq_psi_price_drift``
+    checks DISTRIBUTIONS; this checks ARRIVAL): per event type, last
+    event time, its lag behind the freshest feed, last-day volume,
+    and days of coverage, with a 2-day staleness verdict.
+
+    One groupBy per arm plus a 1-row broadcast of the global max —
+    trivially parallel at any scale. All arithmetic in integer
+    microseconds."""
+    e = (table(spark, sf_dir, "events")
+         .select("event_type", F.unix_micros("ts").alias("us")))
+    g = e.agg(F.max("us").alias("gmax"))
+    t = (e.groupBy("event_type")
+         .agg(F.count("*").alias("n_rows"),
+              F.max("us").alias("last_ts_us"),
+              F.countDistinct(F.expr(f"us div {_DAY_US}"))
+              .alias("n_days")))
+    ld = (e.crossJoin(F.broadcast(g))
+          .filter(F.col("us") > F.col("gmax") - _DAY_US)
+          .groupBy("event_type")
+          .agg(F.count("*").alias("rows_last_day")))
+    return (t.crossJoin(F.broadcast(g))
+            .join(ld, "event_type", "left")
+            .select("event_type", "n_rows", "last_ts_us",
+                    (F.col("gmax") - F.col("last_ts_us")).alias("lag_us"),
+                    F.coalesce("rows_last_day", F.lit(0)).cast("long")
+                    .alias("rows_last_day"),
+                    "n_days",
+                    ((F.col("gmax") - F.col("last_ts_us"))
+                     <= 2 * _DAY_US).alias("fresh_2d")))
