@@ -478,3 +478,78 @@ def dq_freshness_by_type(spark, sf_dir):
                     "n_days",
                     ((F.col("gmax") - F.col("last_ts_us"))
                      <= 2 * _DAY_US).alias("fresh_2d")))
+
+
+#: salting demo: 32 simulated reducers, 8 salt buckets, event_type as
+#: the hot low-cardinality key
+_SALT_P = 32
+_SALT_B = 8
+
+
+@register(
+    "events_salting_load_balance",
+    oracle=f"""
+    WITH e AS (SELECT event_type,
+                      CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                                          1, 8) AS BIGINT)
+                        % {_SALT_B} AS salt
+               FROM events),
+    p AS (
+      SELECT 'raw' AS strategy,
+             CAST('0x' || substr(md5(event_type), 1, 8) AS BIGINT)
+               % {_SALT_P} AS part
+      FROM e
+      UNION ALL
+      SELECT 'salted{_SALT_B}',
+             CAST('0x' || substr(md5(event_type || '#'
+                                     || CAST(salt AS VARCHAR)), 1, 8)
+                  AS BIGINT) % {_SALT_P}
+      FROM e),
+    c AS (SELECT strategy, part, count(*) AS n FROM p GROUP BY 1, 2)
+    SELECT strategy,
+           CAST(count(*) AS BIGINT) AS n_parts_used,
+           CAST(max(n) AS BIGINT) AS max_part_rows,
+           CAST(sum(n) AS BIGINT) AS total_rows,
+           round(max(n) * {_SALT_P} * 1.0 / sum(n), 4) AS load_factor
+    FROM c GROUP BY strategy
+    """,
+    tags=("scale", "eval", "events"),
+)
+def events_salting_load_balance(spark, sf_dir):
+    """Measured reducer load balance, raw vs salted, on a genuinely
+    hot key — the quantified WHY behind ``relational.salted_join`` and
+    the two-phase salted aggregation. ``fact_key_skew_profile``
+    reports KEY-level concentration; this simulates the REDUCER level:
+    hash-partition events by ``event_type`` (a handful of values → a
+    few hot partitions, the rest idle) vs by ``(event_type, salt)``
+    with 8 deterministic salt buckets, and report partitions used,
+    the hottest partition, and the load factor (max·P/total; 1.0 =
+    perfectly even — the straggler multiplier a 1000-executor stage
+    would see).
+
+    The salt is md5(event_id)-derived so both engines agree row-by-row
+    (the production operator uses a random salt — distribution
+    identical, determinism not required there). Counts integer; load
+    factor is one terminal rounded division."""
+    e = (table(spark, sf_dir, "events")
+         .select("event_type",
+                 (F.conv(F.substring(
+                     F.md5(F.col("event_id").cast("string")), 1, 8),
+                     16, 10).cast("long") % _SALT_B).alias("salt")))
+    part_of = lambda c: (F.conv(F.substring(F.md5(c), 1, 8), 16, 10)
+                         .cast("long") % _SALT_P)
+    raw = e.select(F.lit("raw").alias("strategy"),
+                   part_of(F.col("event_type")).alias("part"))
+    salted = e.select(
+        F.lit(f"salted{_SALT_B}").alias("strategy"),
+        part_of(F.concat_ws("#", F.col("event_type"),
+                            F.col("salt").cast("string")))
+        .alias("part"))
+    c = (raw.unionByName(salted)
+         .groupBy("strategy", "part").agg(F.count("*").alias("n")))
+    return (c.groupBy("strategy")
+            .agg(F.count("*").alias("n_parts_used"),
+                 F.max("n").alias("max_part_rows"),
+                 F.sum("n").alias("total_rows"),
+                 F.round(F.max("n") * _SALT_P / F.sum("n"), 4)
+                 .alias("load_factor")))

@@ -42,7 +42,7 @@ _KEEPERS = [
     "sketch_histogram_quantiles", "sketch_histogram_quantiles_by_type",
     "dedup_repeated_substring", "sim_ann_nprobe_recall_sweep",
     "sketch_bloom_fpr_sweep", "layout_zonemap_pruning",
-    "dq_freshness_by_type",
+    "dq_freshness_by_type", "events_salting_load_balance",
 ]
 
 _seen: set[str] = set()

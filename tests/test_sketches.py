@@ -193,3 +193,20 @@ def test_zonemap_pruning_zorder_bounds_both_dims(spark, sf_dir):
     assert zo.touch_y < zo.n_files           # z-curve prunes y too
     assert zo.touch_both <= min(zo.touch_x, zo.touch_y)
     assert zo.touch_both <= xs.touch_both    # 2-D winner
+
+
+def test_salting_spreads_hot_key_load(spark, sf_dir):
+    """Salting a low-cardinality hot key must strictly improve the
+    simulated reducer balance: more partitions used, lower load
+    factor, and invariants n_parts <= P, max*P/total == load_factor."""
+    from sparkstreamingproject_spark.queries import REGISTRY
+    rows = {r.strategy: r for r in REGISTRY["events_salting_load_balance"]
+            .fn(spark, sf_dir).collect()}
+    raw, salted = rows["raw"], rows["salted8"]
+    assert raw.total_rows == salted.total_rows
+    assert salted.n_parts_used > raw.n_parts_used
+    assert salted.load_factor < raw.load_factor
+    for r in (raw, salted):
+        assert r.n_parts_used <= 32
+        assert r.load_factor == round(r.max_part_rows * 32
+                                      / r.total_rows, 4)
