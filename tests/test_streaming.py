@@ -1122,3 +1122,67 @@ def test_sessionize_fold_empty_batch_is_noop(spark, tmp_path):
     got = {r.user_id: (r.n_sessions, r.n_events, r.max_session_events)
            for r in session_summary(spark.read.parquet(table)).collect()}
     assert got == {1: (2, 2, 1)}
+
+
+def test_progress_recorder_captures_batches(spark, tmp_path):
+    """StreamingQueryListener observability: the recorder must see
+    every micro-batch with its input-row count, the health report must
+    reconcile with the data actually processed, and lag_alerts must
+    flag exactly the over-budget batches."""
+    import os
+    import time
+
+    from sparkstreamingproject_spark.sources.streams import file_stream
+    from sparkstreamingproject_spark.streaming.monitor import (
+        ProgressRecorder, health_report, lag_alerts)
+
+    src = str(tmp_path / "mon_land")
+    for i in range(2):
+        before = set(os.listdir(src)) if os.path.isdir(src) else set()
+        (spark.createDataFrame([(j, f"r{j}") for j in range(50)],
+                               "id long, s string").coalesce(1)
+         .write.mode("append").parquet(src))
+        for f in set(os.listdir(src)) - before:
+            if f.endswith(".parquet"):
+                os.utime(os.path.join(src, f),
+                         (1_700_000_000 + i, 1_700_000_000 + i))
+
+    jsonl = str(tmp_path / "progress.jsonl")
+    rec = ProgressRecorder(jsonl_path=jsonl)
+    spark.streams.addListener(rec)
+    try:
+        q = (file_stream(spark, src, spark.read.parquet(src).schema,
+                         max_files_per_trigger=1)
+             .writeStream.format("noop")
+             .option("checkpointLocation", str(tmp_path / "ck_mon"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        # listener events arrive on the async event bus — poll briefly
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if sum(r["num_input_rows"] for r in rec.rows()) >= 100:
+                break
+            time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(rec)
+
+    rows = rec.rows()
+    assert sum(r["num_input_rows"] for r in rows) == 100
+    assert len([r for r in rows if r["num_input_rows"] > 0]) == 2
+
+    rep = health_report(rows)
+    assert rep["n_batches"] == len(rows)
+    assert rep["total_input_rows"] == 100
+    assert rep["max_batch_duration_ms"] >= rep["p50_batch_duration_ms"]
+
+    # every batch beats an absurd budget; none beats an impossible one
+    assert lag_alerts(rows, max_batch_ms=10_000_000) == []
+    assert {a["batch_id"] for a in
+            lag_alerts(rows, max_batch_ms=-1)} == \
+        {r["batch_id"] for r in rows}
+
+    # the JSONL post-mortem trail carries the same rows
+    import json as _json
+    with open(jsonl) as f:
+        disk = [_json.loads(line) for line in f]
+    assert sum(r["num_input_rows"] for r in disk) == 100
