@@ -55,3 +55,55 @@ def test_roundtrip_and_explode_invariant(spark, rows):
     assert explode_displays(env).count() == expected
     # pack_json emits one JSON line per input row
     assert pack_json(env.select("ts", "err")).count() == len(rows)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    events=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 200)),
+                    min_size=1, max_size=25),
+    cuts=st.lists(st.integers(0, 200), min_size=0, max_size=2),
+)
+def test_sessionize_fold_matches_pure_python(spark, tmp_path_factory,
+                                             events, cuts):
+    """Property: folding ANY time-ordered chunking of ANY event set
+    through the incremental sessionize state equals an independent
+    pure-Python gaps-and-islands sessionizer (strict-gap rule) —
+    not just the fixed examples the unit tests pin. Chunks are split
+    on global event-time cuts (the module's per-user ordering
+    contract); empty chunks are legal micro-batches."""
+    from sparkstreamingproject_spark.streaming.sessionize_maintain import (
+        GAP_US, merge_sessions, session_summary)
+
+    MIN = 60_000_000
+    gap_min = GAP_US // MIN
+    state = str(tmp_path_factory.mktemp("sess_prop") / "state")
+    schema = "user_id long, event_id long, us long"
+    rows = [(u, i, m * MIN) for i, (u, m) in enumerate(events)]
+
+    bounds = sorted(set(cuts))
+    chunks = []
+    lo = None
+    for b in bounds + [None]:
+        chunks.append([r for r in rows
+                       if (lo is None or r[2] >= lo * MIN)
+                       and (b is None or r[2] < b * MIN)])
+        lo = b
+    assert sum(len(c) for c in chunks) == len(rows)
+    for c in chunks:
+        merge_sessions(spark.createDataFrame(c, schema), state)
+
+    got = {r.user_id: (r.n_sessions, r.n_events, r.max_session_events)
+           for r in session_summary(
+               spark.read.parquet(state)).collect()}
+
+    exp = {}
+    for u in {u for u, _ in events}:
+        times = sorted(m for uu, m in events if uu == u)
+        counts = [1]
+        for prev, cur in zip(times, times[1:]):
+            if cur - prev > gap_min:
+                counts.append(1)
+            else:
+                counts[-1] += 1
+        exp[u] = (len(counts), sum(counts), max(counts))
+    assert got == exp
