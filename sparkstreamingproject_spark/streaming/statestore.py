@@ -77,10 +77,13 @@ def table_exists(table_dir: str) -> bool:
         f.endswith(".parquet") for f in os.listdir(table_dir))
 
 
-def swap_in(merged: DataFrame, table_dir: str) -> None:
+def swap_in(merged: DataFrame, table_dir: str,
+            partition_by: list[str] | None = None) -> None:
     """Replace ``table_dir`` with ``merged`` atomically-enough that a
     crash at any point leaves either the old or the new state
-    recoverable (never neither)."""
+    recoverable (never neither). ``partition_by`` preserves a
+    partitioned layout (e.g. the ``ingest_batch=`` dirs the streaming
+    ingest writers rely on for idempotent retries)."""
     table_dir = os.path.abspath(table_dir)
     # recover HERE too, not only in table_exists: the at-most-one-.old
     # invariant must hold locally even for a caller that writes without
@@ -93,7 +96,10 @@ def swap_in(merged: DataFrame, table_dir: str) -> None:
     tmp = f"{table_dir}.tmp-{token}"
     # materializes the plan — the LAST moment merged still reads the
     # current table, so the renames below cannot starve its lineage
-    merged.write.mode("overwrite").parquet(tmp)
+    w = merged.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(tmp)
     old = f"{table_dir}.old-{token}"
     if os.path.isdir(table_dir):
         os.rename(table_dir, old)

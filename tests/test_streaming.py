@@ -1186,3 +1186,79 @@ def test_progress_recorder_captures_batches(spark, tmp_path):
     with open(jsonl) as f:
         disk = [_json.loads(line) for line in f]
     assert sum(r["num_input_rows"] for r in disk) == 100
+
+
+def test_compaction_preserves_ingest_semantics(spark, tmp_path):
+    """Folding committed ingest_batch partitions into the consolidated
+    partition must change ONLY the file layout: the corpus and index
+    relations stay content-identical to an uncompacted control run,
+    later batches ingest identically, a replayed kept-tail batch still
+    converges, and the parquet file count actually drops."""
+    import os
+
+    from sparkstreamingproject_spark.streaming.compaction import (
+        compact_batched_output)
+    from sparkstreamingproject_spark.streaming.dedup_ingest import (
+        ingest_batch)
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    chunks = [
+        [(1, base), (2, "completely different content one two three")],
+        [(10, base), (11, "novel second batch text fresh vocabulary")],
+        [(20, base.replace("quick", "swift")),
+         (21, "third wave carrying yet more unseen tokens")],
+    ]
+    schema = "doc_id long, text string"
+
+    def run(tag, compact_after=None):
+        idx = str(tmp_path / f"idx_{tag}")
+        corp = str(tmp_path / f"corp_{tag}")
+        for bid, rows in enumerate(chunks):
+            ingest_batch(spark.createDataFrame(rows, schema), idx, corp,
+                         batch_id=bid)
+            if compact_after is not None and bid == compact_after:
+                for d in (corp, f"{idx}/content_hash", f"{idx}/bands"):
+                    stats = compact_batched_output(spark, d, keep_last=1)
+                    assert stats["folded"] >= 1
+        return idx, corp
+
+    idx_a, corp_a = run("a")                      # control
+    idx_b, corp_b = run("b", compact_after=1)     # compact mid-stream
+
+    def content(path, cols):
+        return sorted(tuple(r) for r in
+                      spark.read.parquet(path).select(*cols).collect())
+
+    assert content(corp_a, ["doc_id", "text"]) == \
+        content(corp_b, ["doc_id", "text"])
+    assert content(f"{idx_a}/content_hash", ["h"]) == \
+        content(f"{idx_b}/content_hash", ["h"])
+    assert content(f"{idx_a}/bands", ["doc_id", "band", "key"]) == \
+        content(f"{idx_b}/bands", ["doc_id", "band", "key"])
+
+    def n_files(path):
+        return sum(1 for root, _d, fs in os.walk(path)
+                   for f in fs if f.endswith(".parquet"))
+
+    # batches 0-1 of the hash index folded to target_files=1 (+ the
+    # kept batch-1? no: keep_last=1 kept batch 1; batch 0 folded; batch
+    # 2 landed after) — layout must not have MORE files than control
+    assert n_files(f"{idx_b}/content_hash") <= n_files(f"{idx_a}/content_hash")
+
+    # replay the kept tail batch id on the compacted run: overwrite-in-
+    # place semantics must still converge to the same content
+    ingest_batch(spark.createDataFrame(chunks[2], schema), idx_b, corp_b,
+                 batch_id=2)
+    assert content(corp_b, ["doc_id", "text"]) == \
+        content(corp_a, ["doc_id", "text"])
+    assert content(f"{idx_b}/bands", ["doc_id", "band", "key"]) == \
+        content(f"{idx_a}/bands", ["doc_id", "band", "key"])
+
+    # compacting everything (keep_last=0) twice is idempotent
+    st1 = compact_batched_output(spark, corp_b, keep_last=0)
+    st2 = compact_batched_output(spark, corp_b, keep_last=0)
+    assert st1["rows"] == st2["rows"]
+    assert st2["folded"] == 0
+    assert content(corp_b, ["doc_id", "text"]) == \
+        content(corp_a, ["doc_id", "text"])
+    assert n_files(corp_b) == 1
