@@ -50,12 +50,16 @@ CONSOLIDATED = -1
 
 def compact_batched_output(spark: SparkSession, table_dir: str,
                            keep_last: int = 2,
-                           target_files: int = 1) -> dict:
+                           target_files: int = 1,
+                           sub_partition_by: list[str] | None = None
+                           ) -> dict:
     """Consolidate committed ``ingest_batch`` partitions of
     ``table_dir`` into one ``ingest_batch=-1`` partition, keeping the
-    newest ``keep_last`` batch partitions replayable. Returns a small
-    stats dict (batches folded/kept, row count). No-op when there is
-    nothing to fold."""
+    newest ``keep_last`` batch partitions replayable.
+    ``sub_partition_by`` preserves a nested partition layout under the
+    batch level (e.g. the IVF postings' ``cell=`` dirs, which probe
+    pruning depends on). Returns a small stats dict (batches
+    folded/kept, row count). No-op when there is nothing to fold."""
     # adopt any interrupted-swap debris first; then a RECURSIVE data
     # probe (statestore.table_exists checks only the top level — right
     # for flat state tables, wrong for ingest_batch=* partition dirs)
@@ -83,6 +87,7 @@ def compact_batched_output(spark: SparkSession, table_dir: str,
               .withColumn("ingest_batch", F.lit(CONSOLIDATED))
               .coalesce(target_files))
     new = folded.unionByName(df.filter(F.col("ingest_batch").isin(tail)))
-    _swap_in(new, table_dir, partition_by=["ingest_batch"])
+    _swap_in(new, table_dir,
+             partition_by=["ingest_batch"] + list(sub_partition_by or []))
     return {"folded": len(fold_ids), "kept": len(tail),
             "rows": spark.read.parquet(table_dir).count()}

@@ -1262,3 +1262,59 @@ def test_compaction_preserves_ingest_semantics(spark, tmp_path):
     assert content(corp_b, ["doc_id", "text"]) == \
         content(corp_a, ["doc_id", "text"])
     assert n_files(corp_b) == 1
+
+
+def test_compaction_preserves_ivf_postings_and_cell_layout(spark, tmp_path):
+    """Compacting the IVF posting lists must preserve (a) the probe
+    results exactly and (b) the nested cell= partition dirs that probe
+    pruning reads — sub_partition_by carries the layout through the
+    swap."""
+    import os
+    import random
+
+    from sparkstreamingproject_spark.streaming.compaction import (
+        compact_batched_output)
+    from sparkstreamingproject_spark.streaming.ivf_ingest import (
+        ingest_embeddings_batch, init_centroids, probe_postings,
+        read_postings)
+
+    rng = random.Random(7)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(8)])
+            for i in range(30)]
+    schema = "vec_id long, embedding array<float>"
+    full = spark.createDataFrame(vecs, schema)
+
+    def build(tag, compact):
+        idx = str(tmp_path / f"ivf_{tag}")
+        init_centroids(full, idx)
+        for bid in range(3):
+            ingest_embeddings_batch(
+                spark.createDataFrame(vecs[bid * 10:(bid + 1) * 10],
+                                      schema), idx, batch_id=bid)
+            if compact and bid == 1:
+                st = compact_batched_output(
+                    spark, f"{idx}/postings", keep_last=1,
+                    sub_partition_by=["cell"])
+                assert st["folded"] >= 1
+        return idx
+
+    idx_a = build("a", compact=False)
+    idx_b = build("b", compact=True)
+
+    def postings(idx):
+        return sorted((r.vec_id, r.cell) for r in
+                      read_postings(spark, idx).collect())
+
+    assert postings(idx_a) == postings(idx_b)
+
+    # cell= dirs survive under the consolidated partition
+    cons = f"{idx_b}/postings/ingest_batch=-1"
+    assert os.path.isdir(cons)
+    assert any(d.startswith("cell=") for d in os.listdir(cons))
+
+    qset = full.filter(F.col("vec_id").isin(3, 17))
+    pa = sorted(map(tuple, probe_postings(spark, qset, idx_a, k=5)
+                    .select("query_id", "cand_id", "rank").collect()))
+    pb = sorted(map(tuple, probe_postings(spark, qset, idx_b, k=5)
+                    .select("query_id", "cand_id", "rank").collect()))
+    assert pa == pb
