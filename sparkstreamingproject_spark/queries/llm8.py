@@ -553,3 +553,118 @@ def events_salting_load_balance(spark, sf_dir):
                  F.sum("n").alias("total_rows"),
                  F.round(F.max("n") * _SALT_P / F.sum("n"), 4)
                  .alias("load_factor")))
+
+
+#: subsequence similarity search: window length and spike template
+_PS_L = 7
+_PS_Q = (0, 0, 0, 100, 0, 0, 0)
+_PS_SQ = sum(_PS_Q)
+_PS_QQ = sum(q * q for q in _PS_Q)
+#: L·Σq² − (Σq)² — the template's variance term, a constant
+_PS_QVAR = _PS_L * _PS_QQ - _PS_SQ * _PS_SQ
+
+
+def _ps_oracle() -> str:
+    leads = ",\n             ".join(
+        [f"v AS v0"] + [f"lead(v, {i}) OVER win AS v{i}"
+                        for i in range(1, _PS_L)]
+        + [f"lead(d, {_PS_L - 1}) OVER win AS dend"])
+    sv = " + ".join(f"v{i}" for i in range(_PS_L))
+    qv = " + ".join(f"v{i} * v{i}" for i in range(_PS_L))
+    pv = " + ".join(f"v{i} * {q}" for i, q in enumerate(_PS_Q) if q)
+    return f"""
+    WITH daily AS (
+      SELECT n.n_name,
+             date_diff('day', DATE '1992-01-01',
+                       CAST(o.o_orderdate AS DATE)) AS d,
+             CAST(count(*) AS BIGINT) AS v
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2),
+    w AS (
+      SELECT n_name, d AS start_day,
+             {leads}
+      FROM daily
+      WINDOW win AS (PARTITION BY n_name ORDER BY d)),
+    g AS (
+      SELECT n_name, start_day,
+             ({sv}) AS sv, ({qv}) AS qv, ({pv}) AS pv
+      FROM w
+      WHERE v{_PS_L - 1} IS NOT NULL
+        AND dend = start_day + {_PS_L - 1})
+    SELECT n_name, CAST(start_day AS BIGINT) AS start_day,
+           round(({_PS_L}.0 * pv - {_PS_SQ}.0 * sv)
+                 / (sqrt({_PS_L}.0 * qv - CAST(sv AS DOUBLE) * sv)
+                    * sqrt({_PS_QVAR}.0)), 6) AS spike_corr
+    FROM g
+    WHERE {_PS_L} * qv - sv * sv > 0
+    ORDER BY spike_corr DESC, n_name, start_day
+    LIMIT 20
+    """
+
+
+@register(
+    "ts_pattern_similarity_search",
+    oracle=_ps_oracle(),
+    tags=("timeseries", "similarity", "scale"),
+)
+def ts_pattern_similarity_search(spark, sf_dir):
+    """Time-series SUBSEQUENCE similarity search — given a query
+    pattern, find the most similar length-L windows across many series
+    (the streaming-similarity-search problem of Time Series Similarity
+    Search for Streaming Data, EDBT 2019, in batch form; distinct from
+    `ts_autocorrelation_lags` (self-lag) and `ts_cross_correlation`
+    (two fixed series)): per-nation daily order-count series, 7-day
+    sliding windows, ranked by Pearson correlation against a one-day
+    spike template — "which nation-week looks most like a demand
+    spike". z-normalization is implicit in Pearson r, so level and
+    scale differences between nations don't matter.
+
+    Per window, r is assembled from exact integer sums (Σv, Σv², Σv·q;
+    the template terms are constants), the `ts_cross_correlation`
+    float discipline: sqrt/division as the only float ops, rounded to
+    6dp BEFORE the rank with integer tiebreaks. Windows are lead()
+    chains PARTITIONED BY series — never global; the day-grain series
+    is thousands of rows per series at any corpus size, and flat
+    windows (zero variance) are excluded exactly."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    daily = (o.join(c, o.o_custkey == c.c_custkey)
+             .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+             .groupBy("n_name",
+                      F.datediff(F.to_date("o_orderdate"),
+                                 F.lit("1992-01-01")).alias("d"))
+             .agg(F.count("*").alias("v")))
+    win = Window.partitionBy("n_name").orderBy("d")
+    w = daily.select(
+        "n_name", F.col("d").alias("start_day"),
+        F.col("v").alias("v0"),
+        *[F.lead("v", i).over(win).alias(f"v{i}")
+          for i in range(1, _PS_L)],
+        F.lead("d", _PS_L - 1).over(win).alias("dend"))
+    sv = sum((F.col(f"v{i}") for i in range(1, _PS_L)), F.col("v0"))
+    qv = sum((F.col(f"v{i}") * F.col(f"v{i}")
+              for i in range(1, _PS_L)),
+             F.col("v0") * F.col("v0"))
+    pv_terms = [F.col(f"v{i}") * F.lit(q)
+                for i, q in enumerate(_PS_Q) if q]
+    pv = pv_terms[0]
+    for t in pv_terms[1:]:
+        pv = pv + t
+    g = (w.filter(F.col(f"v{_PS_L - 1}").isNotNull()
+                  & (F.col("dend") == F.col("start_day") + (_PS_L - 1)))
+         .select("n_name", "start_day", sv.alias("sv"),
+                 qv.alias("qv"), pv.alias("pv")))
+    corr = F.round(
+        (_PS_L * F.col("pv").cast("double")
+         - _PS_SQ * F.col("sv").cast("double"))
+        / (F.sqrt(_PS_L * F.col("qv").cast("double")
+                  - F.col("sv").cast("double") * F.col("sv"))
+           * F.sqrt(F.lit(float(_PS_QVAR)))), 6)
+    return (g.filter(_PS_L * F.col("qv") - F.col("sv") * F.col("sv") > 0)
+            .select("n_name", F.col("start_day").cast("long")
+                    .alias("start_day"), corr.alias("spike_corr"))
+            .orderBy(F.col("spike_corr").desc(), "n_name", "start_day")
+            .limit(20))

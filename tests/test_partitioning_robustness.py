@@ -43,6 +43,7 @@ _KEEPERS = [
     "dedup_repeated_substring", "sim_ann_nprobe_recall_sweep",
     "sketch_bloom_fpr_sweep", "layout_zonemap_pruning",
     "dq_freshness_by_type", "events_salting_load_balance",
+    "ts_pattern_similarity_search",
 ]
 
 _seen: set[str] = set()

@@ -149,3 +149,62 @@ def test_interval_overlap_join_matches_bruteforce(spark):
                                "id_b long, sb long, eb long")
     assert interval_overlap_join(inv, ok, "sa", "ea", "sb", "eb",
                                  bucket_us=8).count() == 0
+
+
+def test_pattern_similarity_search_spike_semantics(spark, tmp_path):
+    """Pin the subsequence search on a constructed series: a planted
+    one-day spike must rank first with the maximal correlation for the
+    spike template, a flat window is excluded (zero variance), and
+    windows spanning a gap in the series are rejected."""
+    import pandas as pd
+
+    from sparkstreamingproject_spark.queries import REGISTRY
+
+    base = pd.Timestamp("1992-01-01")
+    rows = []
+    # nation A: flat 10-order days with one 50-order spike at day 10
+    # (windows fully inside days 0..20 exist; window starting day 7
+    # has the spike exactly at template position 3)
+    for d in range(21):
+        n = 50 if d == 10 else 10
+        for i in range(n):
+            rows.append(("A", d, i))
+    # nation B: constant series -> every window flat -> excluded
+    for d in range(21):
+        for i in range(10):
+            rows.append(("B", d, i))
+    # nation C: two disjoint runs of 5 days (gap) -> no complete
+    # contiguous 7-day window at all
+    for d in list(range(5)) + list(range(50, 55)):
+        for i in range(5 + (d % 3)):
+            rows.append(("C", d, i))
+
+    # materialize as the three driver tables the query reads
+    orders = pd.DataFrame(
+        [(k, k % 3000, (base + pd.Timedelta(days=d)).to_pydatetime())
+         for k, (nat, d, i) in enumerate(rows)],
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    # force custkey -> nation mapping: customer c belongs to nation of
+    # the row that used it; build customers per row-key instead
+    orders["o_custkey"] = range(len(rows))
+    customer = pd.DataFrame(
+        {"c_custkey": range(len(rows)),
+         "c_nationkey": [{"A": 0, "B": 1, "C": 2}[nat]
+                         for nat, _d, _i in rows]})
+    nation = pd.DataFrame({"n_nationkey": [0, 1, 2],
+                           "n_name": ["A", "B", "C"]})
+    orders.to_parquet(str(tmp_path / "orders.parquet"),
+                      coerce_timestamps="us")
+    customer.to_parquet(str(tmp_path / "customer.parquet"))
+    nation.to_parquet(str(tmp_path / "nation.parquet"))
+
+    out = (REGISTRY["ts_pattern_similarity_search"]
+           .fn(spark, str(tmp_path)).collect())
+    assert out, "expected at least one scored window"
+    names = {r.n_name for r in out}
+    assert "B" not in names          # flat series has no variance
+    assert "C" not in names          # no contiguous 7-day window
+    top = out[0]
+    assert (top.n_name, top.start_day) == ("A", 7)
+    # window [7..13] IS the template shape up to affine scale -> r = 1
+    assert top.spike_corr == 1.0
