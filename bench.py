@@ -73,6 +73,10 @@ SIDECAR = [
     # round-5 heavy additions
     "dedup_basket_setsim",
     "graph_jaccard_link_prediction",
+    # round-7 wave-2 additions (no r05 floor — ratios start at their
+    # first recorded round)
+    "dedup_repeated_substring",
+    "sim_ann_nprobe_recall_sweep",
 ]
 
 # sidecar comparison floor: first measurements (BENCH_r05, sf=0.1,
