@@ -221,11 +221,24 @@ def shard_by_token_budget(docs: DataFrame, budget: int,
 
     Returns (id, ntok, h, shard).
     """
+    toks = docs.select(F.col(id_col),
+                       F.size(F.filter(F.split(F.col(text_col), " "),
+                                       lambda w: w != ""))
+                       .cast("bigint").alias("ntok"))
+    return shard_by_weight(toks, "ntok", budget, id_col=id_col)
+
+
+def shard_by_weight(rows: DataFrame, weight_col: str, budget: int,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Generalized budget sharding: ``rows`` already carries an integer
+    ``weight_col`` (tokens, payload bytes, frame counts — anything
+    additive); shard = exclusive-prefix-sum(weight) // budget over the
+    deterministic (md5(id), id) shuffle order, with the same two-phase
+    16-range prefix sum as ``shard_by_token_budget`` (whose docstring
+    states the scale argument). Returns (id, weight_col, h, shard)."""
     h = F.md5(F.col(id_col).cast("string"))
-    toks = (docs.select(F.col(id_col),
-                        F.size(F.filter(F.split(F.col(text_col), " "),
-                                        lambda w: w != ""))
-                        .cast("bigint").alias("ntok"))
+    toks = (rows.select(F.col(id_col),
+                        F.col(weight_col).cast("bigint").alias("ntok"))
             .withColumn("h", h)
             .withColumn("rng", F.substring("h", 1, 1)))
     per_range = (toks.groupBy("rng").agg(F.sum("ntok").alias("rt")))
@@ -244,7 +257,7 @@ def shard_by_token_budget(docs: DataFrame, budget: int,
                    .rowsBetween(Window.unboundedPreceding,
                                 Window.currentRow))
                - F.col("ntok")))
-    return cum.select(id_col, "ntok", "h",
+    return cum.select(id_col, F.col("ntok").alias(weight_col), "h",
                       F.expr(f"cum_excl div {int(budget)}")
                       .cast("int").alias("shard"))
 

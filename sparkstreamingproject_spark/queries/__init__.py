@@ -53,6 +53,8 @@ from . import analytics26  # noqa: E402,F401
 from . import streaming_parity  # noqa: E402,F401
 from . import sketches2  # noqa: E402,F401
 from . import llm8  # noqa: E402,F401
+from . import analytics27  # noqa: E402,F401
+from . import llm9  # noqa: E402,F401
 
 # --- driver-window ordering --------------------------------------------------
 # The verify driver checks the FIRST 50 registry entries per round

@@ -1,0 +1,283 @@
+"""Round-7 continued unfreeze, wave 3: exponential time-decay
+attribution (completing the attribution family: last-touch / linear /
+Markov-removal / time-decay), OHLC bar downsampling (the candlestick
+resample every tick-series engine ships), and dynamic-time-warping
+series distance (the classic elastic time-series measure beside the
+registry's lock-step Pearson ``ts_pattern_similarity_search``).
+
+Float discipline: attribution credit and DTW cost are pure integer
+(power-of-two decay weights via bit shifts, truncating basis-point
+division, cent-valued |difference| path sums); OHLC bars are integer
+cents/quantities with deterministic first/last tie-breaks. The only
+floats are terminal round()s shared verbatim by both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .base import register, table
+
+_US_1D = 24 * 3600 * 1_000_000
+_US_7D = 7 * _US_1D
+
+
+# ------------------------------------------- time-decay attribution
+
+@register(
+    "events_attribution_time_decay",
+    oracle=f"""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+               FROM events),
+    p AS (SELECT user_id, us, event_id FROM e
+          WHERE event_type = 'purchase'),
+    t AS (SELECT p.event_id AS pid, e2.event_type AS touch,
+                 CAST(1 << CAST(7 - (p.us - e2.us) // {_US_1D} AS INT)
+                      AS BIGINT) AS w
+          FROM p JOIN e e2 ON e2.user_id = p.user_id
+                          AND e2.us < p.us
+                          AND p.us - e2.us <= {_US_7D}
+                          AND e2.event_type <> 'purchase'),
+    k AS (SELECT pid, CAST(sum(w) AS BIGINT) AS sw FROM t
+          GROUP BY pid),
+    credit AS (SELECT t.touch AS attributed_to,
+                      CAST((10000 * t.w) // k.sw AS BIGINT) AS bp
+               FROM t JOIN k USING (pid)
+               UNION ALL
+               SELECT 'organic', CAST(10000 AS BIGINT)
+               FROM p LEFT JOIN k ON k.pid = p.event_id
+               WHERE k.pid IS NULL)
+    SELECT attributed_to, CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(bp) AS BIGINT) AS credit_bp
+    FROM credit GROUP BY 1
+    """,
+    tags=("events", "analytics", "join"),
+)
+def events_attribution_time_decay(spark, sf_dir):
+    """Exponential time-decay multi-touch attribution: each purchase
+    splits 10000 credit basis points across its prior-7-day touches
+    proportionally to a half-life-of-one-day decay weight — a touch
+    aged d whole days carries weight 2^(7-d) (128 for same-day down to
+    1 at exactly 7 days), so recency dominates but every touch in the
+    window earns credit. Weights are exact powers of two (bit shifts)
+    and the split is truncating integer division, so the whole model
+    is bit-exact in any engine; touchless purchases credit 'organic'.
+
+    Same scale shape as the driver-checked ``events_attribution_linear``
+    (a user-keyed interval join bounded by per-user activity — never a
+    cross join) plus one map-side-combinable per-purchase weight sum."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_id",
+        "event_type")
+    p = (e.filter(F.col("event_type") == "purchase")
+         .select("user_id", F.col("us").alias("pus"),
+                 F.col("event_id").alias("pid")))
+    t = (p.join(e, "user_id")
+         .filter((F.col("us") < F.col("pus"))
+                 & (F.col("pus") - F.col("us") <= _US_7D)
+                 & (F.col("event_type") != "purchase"))
+         .select("pid", F.col("event_type").alias("touch"),
+                 F.expr(f"CAST(shiftleft(1, CAST(7 - (pus - us) div {_US_1D}"
+                        " AS INT)) AS BIGINT)").alias("w")))
+    k = t.groupBy("pid").agg(F.sum("w").alias("sw"))
+    credit = (t.join(k, "pid")
+              .select(F.col("touch").alias("attributed_to"),
+                      F.expr("(10000 * w) div sw").cast("bigint").alias("bp"))
+              .unionAll(
+                  p.join(k, "pid", "left_anti")
+                  .select(F.lit("organic").alias("attributed_to"),
+                          F.lit(10000).cast("bigint").alias("bp"))))
+    return (credit.groupBy("attributed_to")
+            .agg(F.count("*").alias("n_touches"),
+                 F.sum("bp").alias("credit_bp")))
+
+
+# ------------------------------------------------------- OHLC bars
+
+@register(
+    "ts_ohlc_bars",
+    oracle="""
+    WITH t AS (
+      SELECT p.p_brand AS brand,
+             CAST(datediff('day', DATE '1995-01-01', l.l_shipdate) // 7
+                  AS INT) AS bar,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(round(l.l_quantity) AS BIGINT) AS qty,
+             l.l_shipdate AS d, l.l_orderkey AS ok, l.l_linenumber AS ln
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY brand, bar
+                                ORDER BY d, ok, ln) AS rf,
+             row_number() OVER (PARTITION BY brand, bar
+                                ORDER BY d DESC, ok DESC, ln DESC) AS rl
+      FROM t)
+    SELECT brand, bar,
+           CAST(max(CASE WHEN rf = 1 THEN cents END) AS BIGINT)
+             AS open_cents,
+           CAST(max(CASE WHEN rl = 1 THEN cents END) AS BIGINT)
+             AS close_cents,
+           CAST(max(cents) AS BIGINT) AS high_cents,
+           CAST(min(cents) AS BIGINT) AS low_cents,
+           CAST(sum(qty) AS BIGINT) AS volume,
+           CAST(count(*) AS BIGINT) AS n_ticks
+    FROM r GROUP BY 1, 2
+    """,
+    tags=("timeseries", "agg"),
+)
+def ts_ohlc_bars(spark, sf_dir):
+    """OHLC candlestick downsampling: weekly price bars per part brand
+    over the lineitem tick stream — open/close are the first/last
+    extended price under the total tick order (shipdate, orderkey,
+    linenumber — unique, so the bars are deterministic), high/low are
+    extrema, volume is total quantity. The resample every tick-store
+    ships (ts_multi_grain_rollup's additive sibling cannot express
+    first/last).
+
+    Scale shape: ONE hash aggregation on (brand, bar) with min_by /
+    max_by carrying (price, tick-key) pairs — map-side combinable, no
+    window over the fact table (the oracle states the same bars via
+    per-bar row_number, the readable but single-pass-unfriendly form).
+    The part join is dimension-side and broadcast-eligible."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr("CAST(datediff(l_shipdate, DATE '1995-01-01') div 7 AS INT)")
+        .alias("bar"),
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+        F.expr("CAST(round(l_quantity) AS BIGINT)").alias("qty"),
+        F.struct(F.col("l_shipdate").alias("d"),
+                 F.col("l_orderkey").alias("ok"),
+                 F.col("l_linenumber").alias("ln")).alias("tick"))
+    brand = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("brand"))
+    return (li.join(F.broadcast(brand), "l_partkey")
+            .groupBy("brand", "bar")
+            .agg(F.expr("min_by(cents, tick)").alias("open_cents"),
+                 F.expr("max_by(cents, tick)").alias("close_cents"),
+                 F.max("cents").alias("high_cents"),
+                 F.min("cents").alias("low_cents"),
+                 F.sum("qty").alias("volume"),
+                 F.count("*").alias("n_ticks")))
+
+
+# ------------------------------------------- dynamic time warping
+
+#: unreachable-cell sentinel — far above any real path cost
+#: (path length <= n+m <= 62 steps of cent-valued diffs) yet with
+#: 2^63/2^60 = 8x headroom against int64 even if one boundary cell
+#: is selected and added to a real cost once.
+_DTW_INF = 1 << 60
+
+
+def _dtw_oracle() -> str:
+    return f"""
+    WITH RECURSIVE
+    rev AS (
+      SELECT n.n_name AS nation,
+             datediff('day', DATE '1995-01-01', o.o_orderdate) AS day,
+             CAST(sum(round(o.o_totalprice * 100)) AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o.o_orderdate < TIMESTAMP '1995-02-01'
+      GROUP BY 1, 2),
+    base AS (SELECT nation, list(cents ORDER BY day) AS a
+             FROM rev GROUP BY 1),
+    ref AS (SELECT a AS b FROM base
+            ORDER BY len(a) DESC, nation LIMIT 1),
+    pairs AS (SELECT nation, a, b, len(a) AS n, len(b) AS m
+              FROM base, ref),
+    dp AS (
+      SELECT nation, a, b, n, m, 1 AS i, 0 AS j,
+             [CAST(0 AS BIGINT)]
+               || list_transform(range(m + 1),
+                                 x -> CAST({_DTW_INF} AS BIGINT)) AS buf
+      FROM pairs
+      UNION ALL
+      SELECT nation, a, b, n, m,
+             CASE WHEN j = m THEN i + 1 ELSE i END,
+             CASE WHEN j = m THEN 0 ELSE j + 1 END,
+             list_append(buf[2:],
+               CASE WHEN j = m THEN CAST({_DTW_INF} AS BIGINT)
+                    ELSE abs(a[i] - b[j + 1])
+                         + least(buf[1], buf[2], buf[m + 2])
+               END)
+      FROM dp WHERE NOT (i = n AND j = m))
+    SELECT nation, CAST(n AS BIGINT) AS n_days,
+           CAST(buf[m + 2] AS BIGINT) AS dtw_cents,
+           round(buf[m + 2] / (100.0 * (n + m)), 2) AS dtw_per_step
+    FROM dp WHERE i = n AND j = m
+    """
+
+
+@register(
+    "ts_dtw_distance",
+    oracle=_dtw_oracle(),
+    tags=("timeseries", "similarity", "iterative"),
+)
+def ts_dtw_distance(spark, sf_dir):
+    """Dynamic-time-warping distance from every nation's January-1995
+    daily revenue series to the densest nation's series (ties broken
+    by name) — the classic elastic measure that aligns series of
+    DIFFERENT lengths and tolerates local time shifts, where the
+    registry's ``ts_pattern_similarity_search`` Pearson windows are
+    strictly lock-step. The reference row scores 0 against itself (a
+    built-in invariant the test pins).
+
+    Exactness: series values are integer cents, cell costs are integer
+    |differences|, boundary cells are a 2^60 sentinel (never on a real
+    path; 8x int64 headroom) — the full DP is integer arithmetic, so
+    Spark's nested ``aggregate`` fold and the oracle's rolling-buffer
+    recursive CTE produce bit-identical costs.
+
+    Scale shape: the fact scan reduces to one row per (nation, day)
+    before anything quadratic; the DP runs per PAIR on two in-row
+    arrays (month-bounded, <=31 elements) inside whole-stage codegen —
+    at a million series the pair relation is what grows, never the
+    per-pair state. The reference series is a one-row broadcast."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1995-02-01"))
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey")
+    nat = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_name").alias("nation"))
+    rev = (o.join(F.broadcast(cust.join(F.broadcast(nat), "c_nationkey")),
+                  "o_custkey")
+           .groupBy("nation",
+                    F.expr("datediff(o_orderdate, DATE '1995-01-01')")
+                    .alias("day"))
+           .agg(F.expr("CAST(sum(round(o_totalprice * 100)) AS BIGINT)")
+                .alias("cents")))
+    base = (rev.groupBy("nation")
+            .agg(F.expr("transform(array_sort(collect_list(struct(day, "
+                        "cents))), x -> x.cents)").alias("a")))
+    ref = (base.orderBy(F.size("a").desc(), "nation").limit(1)
+           .select(F.col("a").alias("b")))
+    pairs = (base.crossJoin(F.broadcast(ref))
+             .withColumn("n", F.size("a"))
+             .withColumn("m", F.size("b")))
+    dtw = F.expr(f"""
+      element_at(
+        aggregate(
+          a,
+          concat(array(CAST(0 AS BIGINT)),
+                 array_repeat(CAST({_DTW_INF} AS BIGINT), m)),
+          (prev, ai) -> aggregate(
+            sequence(1, m),
+            array(CAST({_DTW_INF} AS BIGINT)),
+            (row, j) -> array_append(row,
+              abs(ai - element_at(b, j))
+              + least(element_at(row, -1),
+                      element_at(prev, j + 1),
+                      element_at(prev, j))))),
+        m + 1)
+    """)
+    return (pairs.withColumn("dtw_cents", dtw)
+            .select("nation", F.col("n").cast("long").alias("n_days"),
+                    "dtw_cents",
+                    F.round(F.col("dtw_cents")
+                            / (100.0 * (F.col("n") + F.col("m"))), 2)
+                    .alias("dtw_per_step")))

@@ -590,3 +590,81 @@ def test_nprobe_recall_sweep_monotone(spark, sf_dir):
     for _, h, nq, rec in rows:
         assert 0 <= h <= nq * 10
         assert rec == round(h / (nq * 10), 6)
+
+
+def test_blocklist_filter_categories_and_gate(spark, tmp_path):
+    """Pin the blocklist gate on a constructed corpus: category hit
+    counts are per-occurrence (not per-doc), clean docs count toward
+    n_docs with zero hits, and only docs STRICTLY over the hit budget
+    are blocked."""
+    import pandas as pd
+    from sparkstreamingproject_spark.queries import REGISTRY
+    from sparkstreamingproject_spark.queries.llm9 import _BLOCK_MAX_HITS
+
+    spam = " ".join(["slow"] * (_BLOCK_MAX_HITS + 1))   # blocked
+    edge = " ".join(["join"] * _BLOCK_MAX_HITS)          # == budget: kept
+    docs = [
+        (0, "clean words only here", "sA"),
+        (1, "slow spark join day", "sA"),    # one hit per category
+        (2, spam, "sA"),
+        (3, edge, "sB"),
+    ]
+    pd.DataFrame(docs, columns=["doc_id", "text", "source"]).to_parquet(
+        str(tmp_path / "documents.parquet"))
+    got = {r["source"]: r for r in
+           REGISTRY["curation_blocklist_filter"]
+           .fn(spark, str(tmp_path)).collect()}
+    a, b = got["sA"], got["sB"]
+    assert (a.n_docs, a.n_blocked) == (3, 1)
+    assert a.hits_quality == 1 + (_BLOCK_MAX_HITS + 1)  # doc1 + doc2
+    assert a.hits_vendor == 1 and a.hits_sqlterm == 1
+    assert (b.n_docs, b.n_blocked) == (1, 0)            # == budget survives
+    assert b.hits_sqlterm == _BLOCK_MAX_HITS
+
+
+def test_caption_align_jaccard_pairs(spark, tmp_path):
+    """Pin the pair scoring: an identical media/caption pair scores
+    10000 bp (kept), a disjoint pair 0 bp (dropped), and the last doc
+    (no next-doc caption) forms no pair."""
+    import pandas as pd
+    from sparkstreamingproject_spark.queries import REGISTRY
+
+    docs = [
+        (0, "alpha beta gamma", "s0"),   # pair with 1: identical
+        (1, "alpha beta gamma", "s0"),   # pair with 2: disjoint
+        (2, "delta epsilon", "s0"),      # pair with 3: half overlap
+        (3, "delta zeta", "s0"),         # last: no caption
+    ]
+    pd.DataFrame(docs, columns=["doc_id", "text", "source"]).to_parquet(
+        str(tmp_path / "documents.parquet"))
+    got = REGISTRY["multimodal_caption_align_filter"] \
+        .fn(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.n_pairs == 3
+    # pair scores: 10000, 0, 1*10000//(2+2-1)=3333
+    assert r.sum_score_bp == 10000 + 0 + 3333
+    assert r.n_kept == 1                 # only the identical pair
+
+
+def test_shard_by_weight_bytes_serial_order(spark):
+    """The byte-weighted generalization must equal the serial
+    cumulative sum over (md5(id), id) order — same contract the token
+    path pins in test_classify."""
+    import hashlib
+
+    from sparkstreamingproject_spark.llm.curation import shard_by_weight
+
+    rows = [(i, 100 + (i * 37) % 211) for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, byte_len long")
+    budget = 1000
+    got = {r["doc_id"]: r for r in
+           shard_by_weight(df, "byte_len", budget).collect()}
+    serial = sorted((hashlib.md5(str(i).encode()).hexdigest(), i, w)
+                    for i, w in rows)
+    cum = 0
+    for _h, i, w in serial:
+        assert got[i]["byte_len"] == w
+        assert got[i]["shard"] == cum // budget, f"doc {i}"
+        cum += w
+    assert len(got) == 80

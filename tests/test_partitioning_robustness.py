@@ -44,6 +44,8 @@ _KEEPERS = [
     "sketch_bloom_fpr_sweep", "layout_zonemap_pruning",
     "dq_freshness_by_type", "events_salting_load_balance",
     "ts_pattern_similarity_search",
+    # wave-3 additions (certify in r08)
+    "events_attribution_time_decay", "ts_ohlc_bars", "ts_dtw_distance",
 ]
 
 _seen: set[str] = set()
