@@ -94,6 +94,59 @@ def events_attribution_time_decay(spark, sf_dir):
 
 # ------------------------------------------------------- OHLC bars
 
+def lineitem_ticks(spark, sf_dir):
+    """The lineitem tick stream shaped for bar aggregation: (brand,
+    bar, cents, qty, tick) with the unique total-order key ``tick`` =
+    (shipdate, orderkey, linenumber). Shared by the batch query and
+    the streaming bar-maintenance fold."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr("CAST(datediff(l_shipdate, DATE '1995-01-01') div 7 AS INT)")
+        .alias("bar"),
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+        F.expr("CAST(round(l_quantity) AS BIGINT)").alias("qty"),
+        F.struct(F.col("l_shipdate").alias("d"),
+                 F.col("l_orderkey").alias("ok"),
+                 F.col("l_linenumber").alias("ln")).alias("tick"))
+    brand = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("brand"))
+    return li.join(F.broadcast(brand), "l_partkey").drop("l_partkey")
+
+
+def tick_bars(ticks: "F.DataFrame"):
+    """Per-(brand, bar) MERGEABLE bar partials: open/close carry their
+    tie-break keys as ``min(struct(tick, cents))`` / ``max(...)`` —
+    associative, so partials from any split of the ticks (map-side
+    combine, micro-batches) merge to the same bar. The unique tick key
+    makes struct-min equivalent to ``min_by(cents, tick)``."""
+    return (ticks.groupBy("brand", "bar")
+            .agg(F.min(F.struct("tick", "cents")).alias("o"),
+                 F.max(F.struct("tick", "cents")).alias("c"),
+                 F.max("cents").alias("high_cents"),
+                 F.min("cents").alias("low_cents"),
+                 F.sum("qty").alias("volume"),
+                 F.count("*").cast("long").alias("n_ticks")))
+
+
+def merge_bars(bars: "F.DataFrame"):
+    """Fold a union of bar partials down to one row per (brand, bar) —
+    the same associative merges ``tick_bars`` uses."""
+    return (bars.groupBy("brand", "bar")
+            .agg(F.min("o").alias("o"), F.max("c").alias("c"),
+                 F.max("high_cents").alias("high_cents"),
+                 F.min("low_cents").alias("low_cents"),
+                 F.sum("volume").alias("volume"),
+                 F.sum("n_ticks").alias("n_ticks")))
+
+
+def finalize_bars(bars: "F.DataFrame"):
+    """Drop the tie-break keys: the user-facing OHLC schema."""
+    return bars.select("brand", "bar",
+                       F.col("o.cents").alias("open_cents"),
+                       F.col("c.cents").alias("close_cents"),
+                       "high_cents", "low_cents", "volume", "n_ticks")
+
+
 @register(
     "ts_ohlc_bars",
     oracle="""
@@ -134,30 +187,13 @@ def ts_ohlc_bars(spark, sf_dir):
     ships (ts_multi_grain_rollup's additive sibling cannot express
     first/last).
 
-    Scale shape: ONE hash aggregation on (brand, bar) with min_by /
-    max_by carrying (price, tick-key) pairs — map-side combinable, no
-    window over the fact table (the oracle states the same bars via
-    per-bar row_number, the readable but single-pass-unfriendly form).
-    The part join is dimension-side and broadcast-eligible."""
-    li = table(spark, sf_dir, "lineitem").select(
-        "l_partkey",
-        F.expr("CAST(datediff(l_shipdate, DATE '1995-01-01') div 7 AS INT)")
-        .alias("bar"),
-        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cents"),
-        F.expr("CAST(round(l_quantity) AS BIGINT)").alias("qty"),
-        F.struct(F.col("l_shipdate").alias("d"),
-                 F.col("l_orderkey").alias("ok"),
-                 F.col("l_linenumber").alias("ln")).alias("tick"))
-    brand = table(spark, sf_dir, "part").select(
-        F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("brand"))
-    return (li.join(F.broadcast(brand), "l_partkey")
-            .groupBy("brand", "bar")
-            .agg(F.expr("min_by(cents, tick)").alias("open_cents"),
-                 F.expr("max_by(cents, tick)").alias("close_cents"),
-                 F.max("cents").alias("high_cents"),
-                 F.min("cents").alias("low_cents"),
-                 F.sum("qty").alias("volume"),
-                 F.count("*").alias("n_ticks")))
+    Scale shape: ONE hash aggregation on (brand, bar) carrying
+    (tick-key, price) struct extrema — map-side combinable, no window
+    over the fact table (the oracle states the same bars via per-bar
+    row_number, the readable but single-pass-unfriendly form). The
+    part join is dimension-side and broadcast-eligible. The same
+    mergeable partials power ``streaming/ohlc_maintain.py``."""
+    return finalize_bars(tick_bars(lineitem_ticks(spark, sf_dir)))
 
 
 # ------------------------------------------- dynamic time warping

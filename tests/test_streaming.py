@@ -1318,3 +1318,54 @@ def test_compaction_preserves_ivf_postings_and_cell_layout(spark, tmp_path):
     pb = sorted(map(tuple, probe_postings(spark, qset, idx_b, k=5)
                     .select("query_id", "cand_id", "rank").collect()))
     assert pa == pb
+
+
+def test_ohlc_stream_equals_batch_bars(spark, tmp_path, sf_dir):
+    """The maintained OHLC bars ≡ the batch ts_ohlc_bars recompute over
+    the same ticks after three micro-batches — the min/max-by merge
+    with carried tie-break keys must reconstruct the true first/last
+    tick per bar even when a bar's ticks span micro-batches — and a
+    replayed batch id does not double-count volume."""
+    from sparkstreamingproject_spark.queries.analytics27 import (
+        lineitem_ticks,
+    )
+    from sparkstreamingproject_spark.queries import REGISTRY
+    from sparkstreamingproject_spark.sources.streams import file_stream
+    from sparkstreamingproject_spark.streaming.idempotent import (
+        idempotent_foreach_batch,
+    )
+    from sparkstreamingproject_spark.streaming.ohlc_maintain import (
+        merge_ohlc, ohlc_stream, read_bars,
+    )
+
+    ticks = lineitem_ticks(spark, sf_dir)
+    land = str(tmp_path / "land")
+    # 3 chunks split on the tick's orderkey — bars straddle chunks
+    ticks.repartition(3, "tick.ok").write.parquet(land)
+
+    table = str(tmp_path / "bars")
+    q = ohlc_stream(
+        file_stream(spark, land, ticks.schema, max_files_per_trigger=1),
+        table, str(tmp_path / "ck"))
+    q.awaitTermination(180)
+
+    def key(r):
+        return (r.brand, r.bar)
+
+    got = {key(r): (r.open_cents, r.close_cents, r.high_cents,
+                    r.low_cents, r.volume, r.n_ticks)
+           for r in read_bars(spark, table).collect()}
+    exp = {key(r): (r.open_cents, r.close_cents, r.high_cents,
+                    r.low_cents, r.volume, r.n_ticks)
+           for r in REGISTRY["ts_ohlc_bars"].fn(spark, sf_dir).collect()}
+    assert got == exp
+
+    # replayed batch id is a no-op (volume/n_ticks are additive)
+    fold = idempotent_foreach_batch(
+        lambda b, _id: merge_ohlc(b, table),
+        marker_dir=str(tmp_path / "ck2" / "_ohlc_markers"))
+    extra = ticks.limit(20)
+    fold(extra, 0)
+    snap = sorted(map(tuple, read_bars(spark, table).collect()))
+    fold(extra, 0)  # replay: skipped by the marker
+    assert sorted(map(tuple, read_bars(spark, table).collect())) == snap
