@@ -77,6 +77,8 @@ SIDECAR = [
     # first recorded round)
     "dedup_repeated_substring",
     "sim_ann_nprobe_recall_sweep",
+    # round-7 wave-4 addition: two-level residual-quantization ADC
+    "sim_ann_rq_adc",
 ]
 
 # sidecar comparison floor: first measurements (BENCH_r05, sf=0.1,

@@ -744,3 +744,130 @@ def ivfadc_search(queries: DataFrame, cents: DataFrame, cb: DataFrame,
             .select("q_id", F.col(id_col), "cell",
                     F.round(F.col("adc_int") / F.lit(1e12), 6)
                     .alias("adc_dist"), "rank"))
+
+
+# --------------------------------------------- residual quantization
+
+RQ_K1 = 16   # level-1 (coarse) centroids
+RQ_K2 = 16   # level-2 (residual) centroids
+
+
+def _int_vec(emb_col: str):
+    """Whole-vector integer quantization: BIGINT(round(x * 1e6)) per
+    element — the same exact-algebra discipline as pq_int_subvectors,
+    without the subspace split (RQ quantizes residuals of the FULL
+    vector, so both levels see all dimensions)."""
+    return F.transform(F.col(emb_col).cast("array<double>"),
+                       lambda x: F.round(x * 1e6).cast("long"))
+
+
+def rq_codebooks(df: DataFrame, id_col: str = "vec_id",
+                 emb_col: str = "embedding",
+                 k1: int = RQ_K1, k2: int = RQ_K2):
+    """Deterministic two-level residual-quantization codebooks (RVQ —
+    the additive-codebook family behind modern retrieval and neural
+    audio codecs): level 1 = the first ``k1`` vectors; level 2 = the
+    RESIDUALS of the next ``k2`` vectors after level-1 assignment (a
+    production build Lloyd-refines each level; layout and search are
+    identical), PLUS a reserved all-zero centroid at ``code2 = k2`` —
+    standard RVQ practice: "leave the residual uncorrected" is always
+    an available code, which guarantees the level-2 reconstruction
+    error never exceeds the level-1 error per vector (monotone
+    refinement). Both are tiny (k*d ints) and always broadcast.
+    Returns (cb1, cb2): (code1, cv1) / (code2, cv2)."""
+    v = df.select(F.col(id_col), _int_vec(emb_col).alias("v"))
+    cb1 = (v.filter(F.col(id_col) < k1)
+           .select(F.col(id_col).cast("int").alias("code1"),
+                   F.col("v").alias("cv1")))
+    train2 = (v.filter((F.col(id_col) >= k1) & (F.col(id_col) < k1 + k2))
+              .crossJoin(F.broadcast(cb1))
+              .withColumn("d1", _sq_l2_int(F.col("v"), F.col("cv1"))))
+    w = Window.partitionBy(id_col).orderBy("d1", "code1")
+    cb2 = (train2.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") == 1)
+           .select((F.col(id_col) - k1).cast("int").alias("code2"),
+                   F.zip_with("v", "cv1", lambda x, y: x - y)
+                   .alias("cv2")))
+    zero = (cb1.limit(1)
+            .select(F.lit(k2).cast("int").alias("code2"),
+                    F.transform("cv1", lambda x: F.lit(0).cast("long"))
+                    .alias("cv2")))
+    return cb1, cb2.unionByName(zero)
+
+
+def rq_encode(df: DataFrame, cb1: DataFrame, cb2: DataFrame,
+              id_col: str = "vec_id",
+              emb_col: str = "embedding") -> DataFrame:
+    """Encode each vector as (c1, c2): nearest level-1 centroid by
+    exact integer L2 (ties by code), then nearest level-2 centroid to
+    the residual. Both assignments are broadcast joins + per-id argmin
+    windows — one shuffle on the vector id per level, never
+    vector x vector. Output: (id, c1, d1_int, c2, recon_int) where
+    recon_int = ||v - cv1(c1) - cv2(c2)||^2, the two-level
+    reconstruction error (<= d1_int by construction)."""
+    v = df.select(F.col(id_col), _int_vec(emb_col).alias("v"))
+    s1 = (v.crossJoin(F.broadcast(cb1))
+          .withColumn("d1", _sq_l2_int(F.col("v"), F.col("cv1"))))
+    w1 = Window.partitionBy(id_col).orderBy("d1", "code1")
+    a1 = (s1.withColumn("rn", F.row_number().over(w1))
+          .filter(F.col("rn") == 1)
+          .select(id_col, F.col("code1").alias("c1"),
+                  F.col("d1").alias("d1_int"),
+                  F.zip_with("v", "cv1", lambda x, y: x - y).alias("r")))
+    s2 = (a1.crossJoin(F.broadcast(cb2))
+          .withColumn("d2", _sq_l2_int(F.col("r"), F.col("cv2"))))
+    w2 = Window.partitionBy(id_col).orderBy("d2", "code2")
+    return (s2.withColumn("rn", F.row_number().over(w2))
+            .filter(F.col("rn") == 1)
+            .select(id_col, "c1", "d1_int",
+                    F.col("code2").alias("c2"),
+                    F.col("d2").alias("recon_int")))
+
+
+def rq_adc_topk(codes: DataFrame, cb1: DataFrame, cb2: DataFrame,
+                queries: DataFrame, k: int = 5, id_col: str = "vec_id",
+                emb_col: str = "embedding") -> DataFrame:
+    """Two-level asymmetric-distance search over RQ codes via the
+    exact integer decomposition
+    ``||q - c1 - c2||^2 = L1[c1] + (||c2||^2 - 2 q.c2) + 2 c1.c2``:
+    two per-query LUTs (|q|*k1 and |q|*k2 rows) plus ONE
+    query-independent k1 x k2 cross table — all broadcast; scoring a
+    database vector is three lookups and an integer add, the raw
+    embeddings never enter the scan (the RQ analog of pq_adc_topk,
+    same 100 TB posture: compose with ivf_assign to score only probed
+    cells). Output: (q_id, id, rq_dist float = exact int / 1e12,
+    rank)."""
+    qv = queries.select(F.col(id_col).alias("q_id"),
+                        _int_vec(emb_col).alias("v"))
+    l1 = (qv.crossJoin(F.broadcast(cb1))
+          .select("q_id", F.col("code1").alias("c1"),
+                  _sq_l2_int(F.col("v"), F.col("cv1")).alias("t1")))
+    l2 = (qv.crossJoin(F.broadcast(cb2))
+          .select("q_id", F.col("code2").alias("c2"),
+                  F.aggregate(
+                      F.zip_with("v", "cv2",
+                                 lambda x, z: z * z - 2 * x * z),
+                      F.lit(0).cast("long"),
+                      lambda acc, t: acc + t).alias("t2")))
+    cross = (cb1.crossJoin(cb2)
+             .select(F.col("code1").alias("c1"),
+                     F.col("code2").alias("c2"),
+                     (2 * F.aggregate(
+                         F.zip_with("cv1", "cv2", lambda y, z: y * z),
+                         F.lit(0).cast("long"),
+                         lambda acc, t: acc + t)).alias("t12")))
+    tot = (codes.select(id_col, "c1", "c2")
+           .join(F.broadcast(cross), ["c1", "c2"])
+           .join(F.broadcast(l1), "c1")
+           .join(F.broadcast(l2), ["q_id", "c2"])
+           .filter(F.col("q_id") != F.col(id_col))
+           .select("q_id", id_col,
+                   (F.col("t1") + F.col("t2") + F.col("t12"))
+                   .alias("rq_int")))
+    w = Window.partitionBy("q_id").orderBy("rq_int", id_col)
+    return (tot.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", F.col(id_col),
+                    F.round(F.col("rq_int") / F.lit(1e12), 6)
+                    .alias("rq_dist"),
+                    "rank"))

@@ -668,3 +668,55 @@ def test_shard_by_weight_bytes_serial_order(spark):
         assert got[i]["shard"] == cum // budget, f"doc {i}"
         cum += w
     assert len(got) == 80
+
+
+def test_rq_refinement_and_adc_decomposition(spark, sf_dir):
+    """Two RQ invariants on real embeddings: (1) per-vector two-level
+    reconstruction error never exceeds the level-1 error — guaranteed
+    by the reserved all-zero centroid at code2 = k2 ("leave the
+    residual uncorrected" is always an available code), verified both
+    per-row and against a DIRECT Python recomputation from the
+    collected codebooks; (2) every ADC total equals
+    ||q - cv1(c1) - cv2(c2)||^2 recomputed in Python from the
+    collected codebooks — the three-LUT decomposition is exact."""
+    from sparkstreamingproject_spark.llm.similarity import (
+        rq_adc_topk, rq_codebooks, rq_encode,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    cb1, cb2 = rq_codebooks(emb)
+    codes = rq_encode(emb, cb1, cb2)
+
+    c1v = {r.code1: r.cv1 for r in cb1.collect()}
+    c2v = {r.code2: r.cv2 for r in cb2.collect()}
+    qint = {r.vec_id: [round(x * 1e6) for x in r.embedding]
+            for r in emb.select("vec_id", "embedding").collect()}
+
+    rows = codes.collect()
+    assert len(rows) == len(qint)
+    for r in rows:
+        v, y, z = qint[r.vec_id], c1v[r.c1], c2v[r.c2]
+        d1 = sum((a - b) ** 2 for a, b in zip(v, y))
+        d2 = sum((a - b - c) ** 2 for a, b, c in zip(v, y, z))
+        assert r.d1_int == d1
+        assert r.recon_int == d2
+        # monotone refinement: the zero code makes this unconditional
+        assert r.recon_int <= r.d1_int
+        # level-1 assignment is the argmin over cb1
+        assert d1 == min(sum((a - b) ** 2 for a, b in zip(v, yy))
+                         for yy in c1v.values())
+
+    # mean refinement: residual level must reduce total error
+    tot1 = sum(r.d1_int for r in rows)
+    tot2 = sum(r.recon_int for r in rows)
+    assert tot2 < tot1
+
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = rq_adc_topk(codes, cb1, cb2, queries, k=4).collect()
+    code_of = {r.vec_id: (r.c1, r.c2) for r in rows}
+    for r in got:
+        q = qint[r.q_id]
+        c1, c2 = code_of[r.vec_id]
+        y, z = c1v[c1], c2v[c2]
+        direct = sum((a - b - c) ** 2 for a, b, c in zip(q, y, z))
+        assert r.rq_dist == round(direct / 1e12, 6), (r.q_id, r.vec_id)

@@ -46,6 +46,10 @@ _KEEPERS = [
     "ts_pattern_similarity_search",
     # wave-3 additions (certify in r08)
     "events_attribution_time_decay", "ts_ohlc_bars", "ts_dtw_distance",
+    "curation_blocklist_filter", "multimodal_caption_align_filter",
+    "multimodal_shard_bytes_assign",
+    # wave-4 additions: residual quantization (certify in r08)
+    "embedding_rq_codebook", "sim_ann_rq_adc",
 ]
 
 _seen: set[str] = set()
