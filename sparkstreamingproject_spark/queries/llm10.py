@@ -1,9 +1,11 @@
-"""Round-7 continued unfreeze, wave 4: residual (two-level additive)
-quantization — the RVQ family behind modern retrieval indexes and
-neural audio codecs, completing the compressed-vector ANN lineup
-beside PQ (`llm5.py`) and IVFADC: level 2 quantizes the RESIDUAL of
-level 1 over the full vector, so error falls multiplicatively while
-codes stay two small ints per vector.
+"""Round-7 continued unfreeze, waves 4-5: residual (two-level
+additive) quantization — the RVQ family behind modern retrieval
+indexes and neural audio codecs, completing the compressed-vector ANN
+lineup beside PQ (`llm5.py`) and IVFADC: level 2 quantizes the
+RESIDUAL of level 1 over the full vector, so error falls
+multiplicatively while codes stay two small ints per vector — and the
+Matryoshka prefix-dimension recall sweep (truncated-dimension scan +
+full-dimension rerank, the other axis of vector compression).
 
 Float discipline: the PQ recipe verbatim — elements quantized once to
 BIGINT(round(x*1e6)); every distance, argmin, LUT entry, cross-term,
@@ -149,3 +151,153 @@ def sim_ann_rq_adc(spark, sf_dir):
     codes = rq_encode(emb, cb1, cb2)
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return rq_adc_topk(codes, cb1, cb2, queries, k=_TOPK)
+
+
+# ---------------------------------------- prefix-dimension retrieval
+
+_MP_K = 10          # recall@K
+_MP_MOD = 499       # fixed query subset: vec_id % 499 == 0
+_MP_DIMS = (8, 16, 32)   # prefix lengths swept (full vector = 64)
+_MP_SHORTLIST = 40  # rerank shortlist per query
+
+
+def _mp_arm_sql(d: int) -> str:
+    return f"""
+      CAST(list_sum(list_transform(range(1, {d + 1}),
+           i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))) AS BIGINT)
+        AS d{d}"""
+
+
+@register(
+    "sim_ann_dim_prefix_recall",
+    oracle=f"""
+    WITH b AS (SELECT vec_id,
+                      list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> CAST(round(x * 1000000)
+                                               AS BIGINT)) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS q_id, v FROM b
+          WHERE vec_id % {_MP_MOD} = 0),
+    nq AS (SELECT count(*) AS n_queries FROM q),
+    pairs AS (
+      SELECT q.q_id, c.vec_id AS cand_id,
+             CAST(list_sum(list_transform(range(1, 65),
+                  i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i])))
+                  AS BIGINT) AS dfull,
+             {", ".join(_mp_arm_sql(d) for d in _MP_DIMS)}
+      FROM q JOIN b c ON c.vec_id != q.q_id),
+    ranked AS (
+      SELECT q_id, cand_id, dfull,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY dfull, cand_id) AS r_full,
+             {", ".join(
+        f'''row_number() OVER (PARTITION BY q_id
+                                ORDER BY d{d}, cand_id) AS r{d}'''
+        for d in _MP_DIMS)}
+      FROM pairs),
+    rr AS (
+      SELECT q_id, cand_id, r_full,
+             {", ".join(f"r{d}" for d in _MP_DIMS)},
+             {", ".join(
+        f'''row_number() OVER (PARTITION BY q_id
+                ORDER BY CASE WHEN r{d} <= {_MP_SHORTLIST}
+                              THEN 0 ELSE 1 END,
+                         dfull, cand_id) AS rr{d}'''
+        for d in _MP_DIMS)}
+      FROM ranked),
+    agg AS (
+      SELECT
+        {", ".join(
+        f'''CAST(sum(CASE WHEN r_full <= {_MP_K} AND r{d} <= {_MP_K}
+                          THEN 1 ELSE 0 END) AS BIGINT) AS hd{d},
+            CAST(sum(CASE WHEN r_full <= {_MP_K} AND rr{d} <= {_MP_K}
+                          THEN 1 ELSE 0 END) AS BIGINT) AS hr{d}'''
+        for d in _MP_DIMS)}
+      FROM rr),
+    arms AS (
+      {" UNION ALL ".join(
+        f'''SELECT CAST({d} AS INT) AS prefix_dim,
+                   hd{d} AS hits_direct, hr{d} AS hits_rerank
+            FROM agg'''
+        for d in _MP_DIMS)})
+    SELECT prefix_dim, nq.n_queries, hits_direct,
+           round(hits_direct * 1.0 / (nq.n_queries * {_MP_K}), 6)
+             AS recall_direct,
+           hits_rerank,
+           round(hits_rerank * 1.0 / (nq.n_queries * {_MP_K}), 6)
+             AS recall_rerank
+    FROM arms CROSS JOIN nq
+    """,
+    tags=("llm", "similarity", "eval"),
+)
+def sim_ann_dim_prefix_recall(spark, sf_dir):
+    """Matryoshka-style prefix-dimension retrieval sweep: recall@10 vs
+    full-dimension exact ground truth when candidates are scored on
+    only the FIRST d' of 64 dims (d' in {8, 16, 32}), both directly
+    and with the production two-stage shape — prefix-dim shortlist of
+    40, then full-dim rerank of the shortlist. This is the tuning
+    curve for dimension-truncated indexes (MRL embeddings / scalar
+    columnar vector layouts): a d'=8 scan reads 8x fewer bytes, and
+    the sweep shows how much of that loss the rerank stage buys back.
+
+    One |q| x N pair relation carries ALL arm distances as separate
+    columns; every window partitions by q_id, so Catalyst plans ONE
+    shuffle and seven sorts over the same exchange — the arms never
+    rescan the corpus. Rerank ranking sorts shortlist membership
+    first, then full distance, so rr <= 10 implies shortlist
+    membership (40 >= 10) without a second pass. All distances exact
+    BIGINT (elements pre-quantized x1e6); the two recalls are terminal
+    rounded divisions."""
+    from pyspark.sql import Window
+
+    from ..llm.similarity import _int_vec, _sq_l2_int
+
+    emb = table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", _int_vec("embedding").alias("v"))
+    q = (v.filter(F.col("vec_id") % _MP_MOD == 0)
+         .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv")))
+    nq = q.agg(F.count("*").alias("n_queries"))
+
+    pairs = (v.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+             .select("q_id", F.col("vec_id").alias("cand_id"),
+                     _sq_l2_int(F.col("qv"), F.col("v")).alias("dfull"),
+                     *[_sq_l2_int(F.slice("qv", 1, d), F.slice("v", 1, d))
+                       .alias(f"d{d}") for d in _MP_DIMS]))
+
+    def wq(*cols):
+        return Window.partitionBy("q_id").orderBy(*cols)
+
+    ranked = pairs.select(
+        "q_id", "cand_id", "dfull",
+        F.row_number().over(wq("dfull", "cand_id")).alias("r_full"),
+        *[F.row_number().over(wq(f"d{d}", "cand_id")).alias(f"r{d}")
+          for d in _MP_DIMS])
+    rr = ranked.select(
+        "r_full", *[f"r{d}" for d in _MP_DIMS],
+        *[F.row_number().over(
+            wq(F.when(F.col(f"r{d}") <= _MP_SHORTLIST, 0).otherwise(1),
+               "dfull", "cand_id")).alias(f"rr{d}")
+          for d in _MP_DIMS])
+
+    gt = F.col("r_full") <= _MP_K
+    agg = rr.agg(*[a for d in _MP_DIMS for a in (
+        F.sum(F.when(gt & (F.col(f"r{d}") <= _MP_K), 1).otherwise(0))
+        .cast("long").alias(f"hd{d}"),
+        F.sum(F.when(gt & (F.col(f"rr{d}") <= _MP_K), 1).otherwise(0))
+        .cast("long").alias(f"hr{d}"))])
+
+    arms = None
+    for d in _MP_DIMS:
+        a = agg.select(F.lit(d).cast("int").alias("prefix_dim"),
+                       F.col(f"hd{d}").alias("hits_direct"),
+                       F.col(f"hr{d}").alias("hits_rerank"))
+        arms = a if arms is None else arms.unionByName(a)
+    return (arms.crossJoin(F.broadcast(nq))
+            .select("prefix_dim", "n_queries", "hits_direct",
+                    F.round(F.col("hits_direct")
+                            / (F.col("n_queries") * _MP_K), 6)
+                    .alias("recall_direct"),
+                    "hits_rerank",
+                    F.round(F.col("hits_rerank")
+                            / (F.col("n_queries") * _MP_K), 6)
+                    .alias("recall_rerank")))

@@ -161,3 +161,58 @@ def sketch_histogram_quantiles_by_type(spark, sf_dir):
         F.col("total").cast("long").alias("n_rows"),
         F.round((F.col("qbin") * HQ_WIDTH_CENTS + HQ_WIDTH_CENTS // 2)
                 / 100.0, 2).alias("est_value"))
+
+
+# ------------------------------------------------- per-group KMV
+
+_KB_K = 256
+
+
+@register(
+    "sketch_kmv_distinct_by_type",
+    oracle=f"""
+    WITH hv AS (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM events WHERE user_id IS NOT NULL),
+    bk AS (SELECT event_type, h,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY h) AS rn
+           FROM hv),
+    kk AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+                  max(h) AS hk
+           FROM bk WHERE rn <= {_KB_K} GROUP BY 1),
+    ex AS (SELECT event_type,
+                  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+           FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+    SELECT event_type, n_kept,
+           CASE WHEN n_kept < {_KB_K} THEN CAST(n_kept AS DOUBLE)
+                ELSE CAST(round(CAST({_KB_K - 1} AS DOUBLE)
+                                * {1 << 60} / hk, 2) AS DOUBLE)
+           END AS kmv_est,
+           n_exact
+    FROM kk JOIN ex USING (event_type)
+    """,
+    tags=("sketch", "agg", "streaming-twin"),
+)
+def sketch_kmv_distinct_by_type(spark, sf_dir):
+    """Per-event-type KMV bottom-k distinct-user sketch + estimate,
+    exact count as the audit column — the BATCH twin of the
+    streaming fold in `streaming/kmv_maintain.py` (identical md5
+    15-hex arithmetic, so maintained state equals this query's sketch
+    byte-for-byte; the stream-equals-batch test pins it). Below k
+    retained hashes the sketch is the distinct hash set and the
+    estimate is exact, so both estimator branches are exercised
+    across SFs. Per-group bottom-k is one hash shuffle on (type, h)
+    then a k-bounded window; state out is <= k longs per group."""
+    from ..streaming.kmv_maintain import (
+        estimate_distinct_by_type, type_user_hashes, _bottom_k)
+    ev = table(spark, sf_dir, "events")
+    sk = _bottom_k(type_user_hashes(ev), _KB_K)
+    ex = (ev.filter(F.col("user_id").isNotNull())
+          .groupBy("event_type")
+          .agg(F.countDistinct("user_id").alias("n_exact")))
+    return (estimate_distinct_by_type(sk, _KB_K)
+            .join(ex, "event_type")
+            .select("event_type", "n_kept", "kmv_est", "n_exact"))

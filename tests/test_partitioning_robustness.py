@@ -50,6 +50,10 @@ _KEEPERS = [
     "multimodal_shard_bytes_assign",
     # wave-4 additions: residual quantization (certify in r08)
     "embedding_rq_codebook", "sim_ann_rq_adc",
+    # wave-5 additions (certify in r08)
+    "sim_ann_dim_prefix_recall", "sketch_kmv_distinct_by_type",
+    # wave-6 additions (certify in r08)
+    "split_cluster_leakage_safe", "text_pmi_collocations",
 ]
 
 _seen: set[str] = set()

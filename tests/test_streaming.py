@@ -1369,3 +1369,63 @@ def test_ohlc_stream_equals_batch_bars(spark, tmp_path, sf_dir):
     snap = sorted(map(tuple, read_bars(spark, table).collect()))
     fold(extra, 0)  # replay: skipped by the marker
     assert sorted(map(tuple, read_bars(spark, table).collect())) == snap
+
+
+def test_kmv_bottomk_stream_equals_batch_and_replay_noop(
+        spark, tmp_path, sf_dir):
+    """Streaming KMV bottom-k maintenance (foreachBatch union +
+    truncate-to-k) must produce the exact hash set of a direct batch
+    sketch over all events, with files arriving as separate
+    micro-batches — union/min-k is a lattice merge, so arrival order
+    is irrelevant and replaying an already-folded batch is a no-op
+    (asserted by re-folding the whole input after the stream ends)."""
+    from pyspark.sql.window import Window as W
+
+    from sparkstreamingproject_spark.streaming.kmv_maintain import (
+        _bottom_k, estimate_distinct_by_type, maintain_kmv_stream,
+        merge_kmv_bottomk, type_user_hashes)
+
+    k = 16  # small k → the truncation path actually runs at sf0.001
+    events = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select("user_id", "event_type")
+    land = str(tmp_path / "events_land")
+    (events.withColumn("_b", F.ntile(3).over(
+        W.orderBy("user_id", "event_type")))
+     .repartition(3, "_b").drop("_b").write.parquet(land))
+
+    from sparkstreamingproject_spark.sources.streams import file_stream
+    stream = file_stream(spark, land, events.schema,
+                         max_files_per_trigger=1)
+    sk_dir = str(tmp_path / "kmv_sketch")
+    q = maintain_kmv_stream(stream, sk_dir, str(tmp_path / "ck_kmv"), k)
+    q.awaitTermination(180)
+
+    got = {(r.event_type, r.h)
+           for r in spark.read.parquet(sk_dir).collect()}
+    exp = {(r.event_type, r.h)
+           for r in _bottom_k(type_user_hashes(events), k).collect()}
+    assert got == exp and len(got) > 0
+
+    # replay the ENTIRE input as one more "batch": state must not move
+    merge_kmv_bottomk(events, sk_dir, k)
+    again = {(r.event_type, r.h)
+             for r in spark.read.parquet(sk_dir).collect()}
+    assert again == got
+
+    # estimator sanity: every type saturated its sketch (n_kept == k)
+    # and the estimate is within the ~1/sqrt(k) KMV error band
+    exact = {r.event_type: r.n for r in
+             events.filter(F.col("user_id").isNotNull())
+             .groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    est = {r.event_type: (r.n_kept, r.kmv_est) for r in
+           estimate_distinct_by_type(
+               spark.read.parquet(sk_dir), k).collect()}
+    assert set(est) == set(exact)
+    for t, n in exact.items():
+        n_kept, e = est[t]
+        if n >= k:
+            assert n_kept == k
+            assert abs(e - n) <= 0.75 * n, (t, e, n)
+        else:
+            assert (n_kept, e) == (n, float(n))
