@@ -567,8 +567,7 @@ _PS_QVAR = _PS_L * _PS_QQ - _PS_SQ * _PS_SQ
 def _ps_oracle() -> str:
     leads = ",\n             ".join(
         [f"v AS v0"] + [f"lead(v, {i}) OVER win AS v{i}"
-                        for i in range(1, _PS_L)]
-        + [f"lead(d, {_PS_L - 1}) OVER win AS dend"])
+                        for i in range(1, _PS_L)])
     sv = " + ".join(f"v{i}" for i in range(_PS_L))
     qv = " + ".join(f"v{i} * v{i}" for i in range(_PS_L))
     pv = " + ".join(f"v{i} * {q}" for i, q in enumerate(_PS_Q) if q)
@@ -582,17 +581,22 @@ def _ps_oracle() -> str:
       JOIN customer c ON o.o_custkey = c.c_custkey
       JOIN nation n ON c.c_nationkey = n.n_nationkey
       GROUP BY 1, 2),
+    span AS (SELECT min(d) AS d0, max(d) AS d1 FROM daily),
+    grid AS (SELECT n.n_name, unnest(range(d0, d1 + 1)) AS d
+             FROM (SELECT DISTINCT n_name FROM nation) n
+             CROSS JOIN span),
+    dense AS (SELECT g.n_name, g.d, coalesce(daily.v, 0) AS v
+              FROM grid g LEFT JOIN daily USING (n_name, d)),
     w AS (
       SELECT n_name, d AS start_day,
              {leads}
-      FROM daily
+      FROM dense
       WINDOW win AS (PARTITION BY n_name ORDER BY d)),
     g AS (
       SELECT n_name, start_day,
              ({sv}) AS sv, ({qv}) AS qv, ({pv}) AS pv
       FROM w
-      WHERE v{_PS_L - 1} IS NOT NULL
-        AND dend = start_day + {_PS_L - 1})
+      WHERE v{_PS_L - 1} IS NOT NULL)
     SELECT n_name, CAST(start_day AS BIGINT) AS start_day,
            round(({_PS_L}.0 * pv - {_PS_SQ}.0 * sv)
                  / (sqrt({_PS_L}.0 * qv - CAST(sv AS DOUBLE) * sv)
@@ -621,12 +625,18 @@ def ts_pattern_similarity_search(spark, sf_dir):
     spike". z-normalization is implicit in Pearson r, so level and
     scale differences between nations don't matter.
 
+    The series is DENSIFIED first — a day with no orders is v = 0,
+    not absent — by exploding the observed global day span per nation
+    and left-joining the counts (the grid is nations x days: calendar-
+    bounded and independent of order volume, so densification costs
+    the same at 100 TB as at sf0.001; sparse-series row-adjacency
+    would silently correlate non-contiguous weeks).
+
     Per window, r is assembled from exact integer sums (Σv, Σv², Σv·q;
     the template terms are constants), the `ts_cross_correlation`
     float discipline: sqrt/division as the only float ops, rounded to
     6dp BEFORE the rank with integer tiebreaks. Windows are lead()
-    chains PARTITIONED BY series — never global; the day-grain series
-    is thousands of rows per series at any corpus size, and flat
+    chains PARTITIONED BY series — never global, and flat
     windows (zero variance) are excluded exactly."""
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
@@ -637,13 +647,20 @@ def ts_pattern_similarity_search(spark, sf_dir):
                       F.datediff(F.to_date("o_orderdate"),
                                  F.lit("1992-01-01")).alias("d"))
              .agg(F.count("*").alias("v")))
+    span = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    grid = (n.select("n_name").distinct()
+            .crossJoin(F.broadcast(span))
+            .select("n_name",
+                    F.explode(F.sequence("d0", "d1")).alias("d")))
+    dense = (grid.join(daily, ["n_name", "d"], "left")
+             .select("n_name", "d",
+                     F.coalesce("v", F.lit(0)).alias("v")))
     win = Window.partitionBy("n_name").orderBy("d")
-    w = daily.select(
+    w = dense.select(
         "n_name", F.col("d").alias("start_day"),
         F.col("v").alias("v0"),
         *[F.lead("v", i).over(win).alias(f"v{i}")
-          for i in range(1, _PS_L)],
-        F.lead("d", _PS_L - 1).over(win).alias("dend"))
+          for i in range(1, _PS_L)])
     sv = sum((F.col(f"v{i}") for i in range(1, _PS_L)), F.col("v0"))
     qv = sum((F.col(f"v{i}") * F.col(f"v{i}")
               for i in range(1, _PS_L)),
@@ -653,8 +670,7 @@ def ts_pattern_similarity_search(spark, sf_dir):
     pv = pv_terms[0]
     for t in pv_terms[1:]:
         pv = pv + t
-    g = (w.filter(F.col(f"v{_PS_L - 1}").isNotNull()
-                  & (F.col("dend") == F.col("start_day") + (_PS_L - 1)))
+    g = (w.filter(F.col(f"v{_PS_L - 1}").isNotNull())
          .select("n_name", "start_day", sv.alias("sv"),
                  qv.alias("qv"), pv.alias("pv")))
     corr = F.round(
