@@ -54,6 +54,8 @@ _KEEPERS = [
     "sim_ann_dim_prefix_recall", "sketch_kmv_distinct_by_type",
     # wave-6 additions (certify in r08)
     "split_cluster_leakage_safe", "text_pmi_collocations",
+    # wave-7 additions (certify in r08)
+    "basket_association_rules",
 ]
 
 _seen: set[str] = set()

@@ -1429,3 +1429,48 @@ def test_kmv_bottomk_stream_equals_batch_and_replay_noop(
             assert abs(e - n) <= 0.75 * n, (t, e, n)
         else:
             assert (n_kept, e) == (n, float(n))
+
+
+def test_swap_in_crash_recovery_kmv(spark, tmp_path, monkeypatch):
+    """The KMV bottom-k fold must survive a crash between the two
+    swap renames: state recovered from the .old-* aside, the replayed
+    batch re-merges, and the final sketch equals the batch sketch —
+    same protocol as the HLL/SCD2 crash test, for the fifth fold."""
+    import os as _os
+
+    from sparkstreamingproject_spark.streaming import statestore
+    from sparkstreamingproject_spark.streaming.kmv_maintain import (
+        _bottom_k, merge_kmv_bottomk, type_user_hashes)
+
+    k = 8
+    sch = "user_id long, event_type string"
+    b1 = spark.createDataFrame(
+        [(i, "view") for i in range(30)], sch)
+    b2 = spark.createDataFrame(
+        [(i, "view") for i in range(20, 50)]
+        + [(i, "purchase") for i in range(10)], sch)
+    kmv = str(tmp_path / "kmv")
+    merge_kmv_bottomk(b1, kmv, k)
+
+    real = _os.rename
+    calls = {"n": 0}
+
+    def flaky(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("injected")
+        real(src, dst)
+
+    monkeypatch.setattr(statestore.os, "rename", flaky)
+    with pytest.raises(OSError, match="injected"):
+        merge_kmv_bottomk(b2, kmv, k)
+    monkeypatch.setattr(statestore.os, "rename", real)
+    assert not _os.path.isdir(kmv)  # mid-swap layout, not a live table
+
+    merge_kmv_bottomk(b2, kmv, k)  # replay
+    got = {(r.event_type, r.h)
+           for r in spark.read.parquet(kmv).collect()}
+    exp = {(r.event_type, r.h)
+           for r in _bottom_k(type_user_hashes(b1.unionByName(b2)),
+                              k).collect()}
+    assert got == exp
