@@ -317,3 +317,93 @@ def ts_dtw_distance(spark, sf_dir):
                     F.round(F.col("dtw_cents")
                             / (100.0 * (F.col("n") + F.col("m"))), 2)
                     .alias("dtw_per_step")))
+
+
+# ------------------------------------------------ CUSUM changepoint
+
+#: offline single-changepoint statistic: T_t = N*S_t - t*X (the
+#: integer-cleared form of S_t - t*mean), maximized over 1 <= t < N
+
+
+@register(
+    "events_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    seq AS (
+      SELECT event_type, day, x,
+             row_number() OVER w AS t,
+             CAST(sum(x) OVER w AS BIGINT) AS s,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+               AS n,
+             CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT)
+               AS tot
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS UNBOUNDED PRECEDING)),
+    stat AS (
+      SELECT event_type, day, t, s, n, tot,
+             abs(n * s - t * tot) AS abs_t
+      FROM seq WHERE t < n),
+    best AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY abs_t DESC, day) AS rk
+        FROM stat) WHERE rk = 1)
+    SELECT event_type, CAST(day AS BIGINT) AS cp_day,
+           CAST(t AS BIGINT) AS cp_t, CAST(abs_t AS BIGINT) AS abs_t,
+           CAST(s * 1000000 // t AS BIGINT) AS mean_before_e6,
+           CAST((tot - s) * 1000000 // (n - t) AS BIGINT)
+             AS mean_after_e6
+    FROM best
+    """,
+    tags=("timeseries", "stat"),
+)
+def events_cusum_changepoint(spark, sf_dir):
+    """Offline CUSUM changepoint detection per event-type daily-count
+    series (binary segmentation's first split): the classic statistic
+    max_t |S_t - t*mean| in its integer-cleared form
+    |N*S_t - t*X| (S_t = prefix sum, X = series total, N = days), so
+    the argmax — and the reported before/after level means (e6-scaled
+    truncating ratios) — are exact integers with deterministic
+    earliest-day tiebreak. No floats anywhere.
+
+    Scale shape: one day-grain pre-aggregate (map-side combinable),
+    then prefix sums windowed PER SERIES — the window partition is the
+    series key, never global, and the series length is calendar-
+    bounded regardless of event volume. At 1e9 daily counts N*S_t
+    stays under 2^63 for day counts x totals < 9e18; the e6 means are
+    the only scaled divisions."""
+    from pyspark.sql.window import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type",
+                        (F.unix_micros("ts") / 86_400_000_000)
+                        .cast("long").alias("day"))
+             .agg(F.count("*").alias("x")))
+    w = (W.partitionBy("event_type").orderBy("day")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    wp = W.partitionBy("event_type")
+    seq = daily.select(
+        "event_type", "day", "x",
+        F.row_number().over(W.partitionBy("event_type")
+                            .orderBy("day")).alias("t"),
+        F.sum("x").over(w).cast("long").alias("s"),
+        F.count("*").over(wp).cast("long").alias("n"),
+        F.sum("x").over(wp).cast("long").alias("tot"))
+    stat = (seq.filter(F.col("t") < F.col("n"))
+            .withColumn("abs_t", F.abs(F.col("n") * F.col("s")
+                                       - F.col("t") * F.col("tot"))))
+    rk = W.partitionBy("event_type").orderBy(F.desc("abs_t"), "day")
+    return (stat.withColumn("rk", F.row_number().over(rk))
+            .filter(F.col("rk") == 1)
+            .select("event_type", F.col("day").cast("long")
+                    .alias("cp_day"),
+                    F.col("t").cast("long").alias("cp_t"),
+                    F.col("abs_t").cast("long").alias("abs_t"),
+                    F.expr("CAST(s * 1000000 div t AS BIGINT)")
+                    .alias("mean_before_e6"),
+                    F.expr("CAST((tot - s) * 1000000 div (n - t)"
+                           " AS BIGINT)").alias("mean_after_e6")))

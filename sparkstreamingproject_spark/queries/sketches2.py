@@ -216,3 +216,93 @@ def sketch_kmv_distinct_by_type(spark, sf_dir):
     return (estimate_distinct_by_type(sk, _KB_K)
             .join(ex, "event_type")
             .select("event_type", "n_kept", "kmv_est", "n_exact"))
+
+
+# ------------------------------------------------ priority sampling
+
+_PRIO_K = 64
+
+
+@register(
+    "sample_priority_topk",
+    oracle=f"""
+    WITH w AS (
+      SELECT o_orderkey AS okey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS w,
+             CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                  1, 15)) AS BIGINT) + 1 AS u
+      FROM orders),
+    pr AS (SELECT okey, w,
+                  CAST(CAST(w AS HUGEINT) * {1 << 60} // u AS BIGINT)
+                    AS p,
+                  row_number() OVER (ORDER BY
+                    CAST(CAST(w AS HUGEINT) * {1 << 60} // u AS BIGINT)
+                      DESC, okey) AS rn
+           FROM w),
+    tau AS (SELECT p AS tau FROM pr WHERE rn = {_PRIO_K + 1}),
+    est AS (SELECT CAST(sum(greatest(w, tau)) AS BIGINT)
+              AS est_total_cents
+            FROM pr CROSS JOIN tau WHERE rn <= {_PRIO_K}),
+    ex AS (SELECT CAST(sum(w) AS BIGINT) AS exact_total_cents,
+                  CAST(count(*) AS BIGINT) AS n_rows
+           FROM w)
+    SELECT {_PRIO_K} AS k, n_rows, tau, est_total_cents,
+           exact_total_cents,
+           CAST(abs(est_total_cents - exact_total_cents)
+                * CAST(1000000 AS HUGEINT)
+                // exact_total_cents AS BIGINT) AS err_ppm
+    FROM est CROSS JOIN ex CROSS JOIN tau
+    """,
+    tags=("sample", "sketch"),
+)
+def sample_priority_topk(spark, sf_dir):
+    """Priority sampling (Duffield-Lund-Thorup): weight-aware
+    without-replacement sample of k orders with an UNBIASED total
+    estimator — priority p_i = w_i/u_i with u_i uniform in (0,1],
+    keep the top k, threshold tau = the (k+1)-th priority, and
+    estimate sum(w) by sum over the sample of max(w_i, tau). The
+    deterministic-u discipline of every sampling query here: u_i is
+    the md5 15-hex prefix of the key (+1 to dodge the zero divisor),
+    so membership is reproducible across engines, retries, and
+    appends. p and tau are exact truncating DECIMAL(38,0)/HUGEINT
+    ratios (w*2^60 passes int64); the audit columns carry the exact
+    total and the ppm error of the estimate.
+
+    Scale shape: top-(k+1) by priority is TakeOrdered (per-partition
+    heap + (k+1)-row driver merge, no global sort); the estimator is
+    one aggregate over k rows. This is the sampling primitive for
+    'estimate sum(spend) from a fixed-size sample with heavy items
+    always in' — the weighted complement of bottom-k KMV."""
+    from pyspark.sql.window import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    w = o.select(
+        F.col("o_orderkey").alias("okey"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("w"),
+        (F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")),
+                            1, 15), 16, 10).cast("long") + 1).alias("u"))
+    # top-(k+1) via sort-limit => TakeOrderedAndProject (per-partition
+    # heap + tiny driver merge); the rank window then runs on k+1 rows
+    topk1 = (w.withColumn(
+        "p", F.expr(f"CAST(CAST(w AS DECIMAL(38,0)) * {1 << 60}"
+                    " div u AS BIGINT)"))
+        .orderBy(F.desc("p"), "okey").limit(_PRIO_K + 1))
+    pr = topk1.withColumn("rn", F.row_number().over(
+        W.orderBy(F.desc("p"), "okey")))
+    tau = (pr.filter(F.col("rn") == _PRIO_K + 1)
+           .select(F.col("p").alias("tau")))
+    est = (pr.filter(F.col("rn") <= _PRIO_K)
+           .crossJoin(F.broadcast(tau))
+           .agg(F.sum(F.greatest("w", "tau")).cast("long")
+                .alias("est_total_cents")))
+    ex = w.agg(F.sum("w").cast("long").alias("exact_total_cents"),
+               F.count("*").alias("n_rows"))
+    return (est.crossJoin(F.broadcast(ex)).crossJoin(F.broadcast(tau))
+            .select(F.lit(_PRIO_K).cast("int").alias("k"),
+                    "n_rows", "tau", "est_total_cents",
+                    "exact_total_cents",
+                    F.expr("CAST(abs(est_total_cents -"
+                           " exact_total_cents)"
+                           " * CAST(1000000 AS DECIMAL(38,0))"
+                           " div exact_total_cents AS BIGINT)")
+                    .alias("err_ppm")))

@@ -56,6 +56,8 @@ _KEEPERS = [
     "split_cluster_leakage_safe", "text_pmi_collocations",
     # wave-7 additions (certify in r08)
     "basket_association_rules",
+    # wave-8 additions (certify in r08)
+    "sample_priority_topk", "events_cusum_changepoint",
 ]
 
 _seen: set[str] = set()
