@@ -58,6 +58,8 @@ _KEEPERS = [
     "basket_association_rules",
     # wave-8 additions (certify in r08)
     "sample_priority_topk", "events_cusum_changepoint",
+    # wave-9 additions (certify in r08)
+    "stat_theil_sen_slope",
 ]
 
 _seen: set[str] = set()
