@@ -63,3 +63,28 @@ def topk_by_score(df: DataFrame, partition_cols: list[str], score_col: str,
     w = Window.partitionBy(*partition_cols).orderBy(*order)
     return (df.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def kv_expire_sweep(df: DataFrame, key_cols: list[str], ts_col: str,
+                    ttl_seconds: int, now_df: DataFrame) -> DataFrame:
+    """G11 Redis EXPIRE/TTL semantics (``Jedis_Pool.java`` deployments
+    pair every SETEX with a TTL; the reference's dim cache relies on
+    it for eviction): the TTL applies to the KEY and every write
+    resets it, so liveness is decided by the LATEST write per key —
+    an expired key is gone even if older writes would still be in
+    range. ``now_df`` is a one-row frame with a ``now`` timestamp
+    column (pass the max event time for a deterministic sweep, or a
+    literal clock). Returns one row per key with its last-write time
+    and a ``live`` flag; filter on it for the live view, aggregate it
+    for an eviction report. The per-key argmax is a partial aggregate
+    (max over key groups, map-side combinable), never a sort; the
+    clock is a broadcast scalar."""
+    last = (df.groupBy(*key_cols)
+            .agg(F.max(F.col(ts_col)).alias("last_write")))
+    return (last.crossJoin(F.broadcast(now_df))
+            .withColumn(
+                "live",
+                F.unix_micros(F.col("last_write"))
+                + ttl_seconds * 1_000_000
+                > F.unix_micros(F.col("now")))
+            .drop("now"))

@@ -477,3 +477,58 @@ def json_parse_corrupt_routing(spark, sf_dir):
                  .alias("n_ok"),
                  F.sum(F.when(ok, F.col("p.k").cast("long")))
                  .alias("sum_k")))
+
+
+_TTL_DAYS = 10
+
+
+@register(
+    "kv_ttl_expiry_sweep",
+    oracle=f"""
+    WITH w AS (SELECT event_type, user_id, ts FROM events
+               WHERE user_id IS NOT NULL),
+    nowt AS (SELECT max(ts) AS now FROM w),
+    last AS (SELECT event_type, user_id, max(ts) AS last_write
+             FROM w GROUP BY 1, 2),
+    flagged AS (
+      SELECT event_type,
+             CASE WHEN epoch_us(last_write)
+                       + {_TTL_DAYS * 86400 * 1_000_000}
+                       > epoch_us(now)
+                  THEN 1 ELSE 0 END AS live
+      FROM last CROSS JOIN nowt)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(live) AS BIGINT) AS n_live,
+           CAST(count(*) - sum(live) AS BIGINT) AS n_expired,
+           CAST(sum(live) * 10000 // count(*) AS BIGINT) AS live_bp
+    FROM flagged GROUP BY 1
+    """,
+    tags=("kv", "reference"),
+)
+def kv_ttl_expiry_sweep(spark, sf_dir):
+    """G11 Redis EXPIRE/TTL eviction report
+    (operators/kv.py:kv_expire_sweep; the reference's Jedis cache
+    idiom `Jedis_Pool.java:62-98` paired with SETEX TTLs): each
+    (event_type, user_id) key's TTL is reset by every write, so
+    liveness is the LATEST write vs the sweep clock — an expired key
+    is gone even if older writes are recent enough. Clock = max event
+    time (deterministic sweep); TTL = {_TTL_DAYS} days against the
+    30-day fixture span, so both populations are non-empty at every
+    SF. Per-key argmax is a map-side-combinable aggregate; the clock
+    is a broadcast scalar; comparisons are unix-micros integers
+    (timezone-safe)."""
+    from ..operators.kv import kv_expire_sweep
+    ev = (table(spark, sf_dir, "events")
+          .filter(F.col("user_id").isNotNull())
+          .select("event_type", "user_id", "ts"))
+    now_df = ev.agg(F.max("ts").alias("now"))
+    swept = kv_expire_sweep(ev, ["event_type", "user_id"], "ts",
+                            _TTL_DAYS * 86400, now_df)
+    return (swept.groupBy("event_type")
+            .agg(F.count("*").alias("n_keys"),
+                 F.sum(F.col("live").cast("long")).alias("n_live"))
+            .select("event_type", "n_keys", "n_live",
+                    (F.col("n_keys") - F.col("n_live"))
+                    .alias("n_expired"),
+                    F.expr("CAST(n_live * 10000 div n_keys AS BIGINT)")
+                    .alias("live_bp")))

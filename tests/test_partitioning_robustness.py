@@ -60,6 +60,8 @@ _KEEPERS = [
     "sample_priority_topk", "events_cusum_changepoint",
     # wave-9 additions (certify in r08)
     "stat_theil_sen_slope",
+    # wave-10 additions (certify in r08)
+    "kv_ttl_expiry_sweep",
 ]
 
 _seen: set[str] = set()
