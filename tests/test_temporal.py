@@ -154,8 +154,11 @@ def test_interval_overlap_join_matches_bruteforce(spark):
 def test_pattern_similarity_search_spike_semantics(spark, tmp_path):
     """Pin the subsequence search on a constructed series: a planted
     one-day spike must rank first with the maximal correlation for the
-    spike template, a flat window is excluded (zero variance), and
-    windows spanning a gap in the series are rejected."""
+    spike template; flat windows (zero variance) are excluded. Under
+    the densified semantics a day with no orders is a ZERO count, so
+    a constant series only yields windows where it straddles its
+    activity boundary, and a gapped series is zero-filled rather than
+    rejected."""
     import pandas as pd
 
     from sparkstreamingproject_spark.queries import REGISTRY
@@ -173,8 +176,8 @@ def test_pattern_similarity_search_spike_semantics(spark, tmp_path):
     for d in range(21):
         for i in range(10):
             rows.append(("B", d, i))
-    # nation C: two disjoint runs of 5 days (gap) -> no complete
-    # contiguous 7-day window at all
+    # nation C: two disjoint runs of 5 days — the gap densifies to
+    # zero counts, so windows across it are scored, not rejected
     for d in list(range(5)) + list(range(50, 55)):
         for i in range(5 + (d % 3)):
             rows.append(("C", d, i))
@@ -201,13 +204,18 @@ def test_pattern_similarity_search_spike_semantics(spark, tmp_path):
     out = (REGISTRY["ts_pattern_similarity_search"]
            .fn(spark, str(tmp_path)).collect())
     assert out, "expected at least one scored window"
-    names = {r.n_name for r in out}
-    assert "B" not in names          # flat series has no variance
-    assert "C" not in names          # no contiguous 7-day window
     top = out[0]
     assert (top.n_name, top.start_day) == ("A", 7)
     # window [7..13] IS the template shape up to affine scale -> r = 1
     assert top.spike_corr == 1.0
+    # ...and it is the ONLY perfect match on this construction
+    assert sum(1 for r in out if r.spike_corr == 1.0) == 1
+    # B is constant while active: its only scoreable windows straddle
+    # the activity boundary (interior and all-zero tails are flat ->
+    # zero variance -> excluded exactly)
+    for r in out:
+        if r.n_name == "B":
+            assert 14 <= r.start_day <= 20, r
 
 
 def _pure_dtw(a, b):
