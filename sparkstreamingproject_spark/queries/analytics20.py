@@ -201,3 +201,136 @@ def sim_ann_multiprobe(spark, sf_dir):
             .filter(F.col("rank") <= 5)
             .select("query_id", "cand_id", "cosine",
                     F.col("rank").cast("long").alias("rank")))
+
+
+# ------------------------------------------------ Shapley attribution
+
+#: channel -> coalition bit (the 4 non-purchase event types)
+_SH_BITS = (("view", 1), ("click", 2), ("signup", 4), ("error", 8))
+#: |S|!(n-|S|-1)! for n=4 by |S| — Shapley weights x 4! = 24
+_SH_COEF = {0: 6, 1: 2, 2: 2, 3: 6}
+
+
+@register(
+    "events_attribution_shapley",
+    oracle=f"""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+                      event_type FROM events),
+    p AS (SELECT user_id, us AS pus, event_id AS pid FROM e
+          WHERE event_type = 'purchase'),
+    t AS (SELECT DISTINCT p.pid, e.event_type AS touch
+          FROM p JOIN e USING (user_id)
+          WHERE e.us < p.pus AND p.pus - e.us <= {7 * 86400 * 1_000_000}
+            AND e.event_type <> 'purchase'),
+    m AS (SELECT pid,
+                 CAST(sum(CASE touch {" ".join(
+                     f"WHEN '{c}' THEN {b}" for c, b in _SH_BITS)}
+                          END) AS INT) AS mask
+          FROM t GROUP BY 1),
+    allp AS (SELECT p.pid, coalesce(m.mask, 0) AS mask
+             FROM p LEFT JOIN m USING (pid)),
+    mc AS (SELECT mask, CAST(count(*) AS BIGINT) AS n
+           FROM allp GROUP BY 1),
+    coal AS (SELECT CAST(unnest(range(0, 16)) AS INT) AS smask),
+    v AS (SELECT smask,
+                 CAST(coalesce(sum(CASE WHEN (mc.mask & coal.smask)
+                                             = mc.mask
+                                        THEN mc.n END), 0) AS BIGINT)
+                   AS v
+          FROM coal LEFT JOIN mc ON (mc.mask & coal.smask) = mc.mask
+          GROUP BY smask),
+    ch AS (SELECT * FROM (VALUES {", ".join(
+        f"('{c}', {b})" for c, b in _SH_BITS)})
+           AS c(channel, bit)),
+    contrib AS (
+      SELECT ch.channel,
+             CAST(CASE bit_count(s.smask) {" ".join(
+                 f"WHEN {k} THEN {w}" for k, w in _SH_COEF.items())}
+                  END AS HUGEINT)
+               * (vi.v - s.v) * 1000000 AS num
+      FROM ch JOIN v s ON (s.smask & ch.bit) = 0
+              JOIN v vi ON vi.smask = (s.smask | ch.bit)),
+    tot AS (SELECT CAST(max(CASE WHEN smask = 15 THEN v END)
+                        AS BIGINT) AS v_all,
+                   CAST(max(CASE WHEN smask = 0 THEN v END)
+                        AS BIGINT) AS v_organic
+            FROM v)
+    SELECT channel, CAST(sum(num) // 24 AS BIGINT) AS shapley_ppm,
+           v_all AS n_purchases, v_organic AS n_organic
+    FROM contrib CROSS JOIN tot
+    GROUP BY channel, v_all, v_organic
+    """,
+    tags=("events", "attribution"),
+)
+def events_attribution_shapley(spark, sf_dir):
+    """Shapley-value attribution — the game-theoretic member closing
+    the attribution family (last-touch / linear / time-decay /
+    Markov-removal): each channel's credit is its average marginal
+    contribution across all coalition orderings, with
+    v(S) = purchases whose distinct 7-day touch set is a subset of S
+    (v(empty) = organic, so credits sum to attributed purchases
+    exactly). With 4 channels the game is 16 coalition values — the
+    per-purchase masks collapse to <= 16 (mask, count) rows, so the
+    combinatorial part NEVER touches the fact table: one interval
+    join builds distinct touch sets (bounded by per-user activity),
+    one aggregate builds masks, and the 16x16 subset-sum + 4x8
+    marginal table are broadcast-trivial at any scale.
+
+    Exact arithmetic: weights are |S|!(n-|S|-1)! integers (x24 = 4!),
+    contributions are ppm-scaled integer products accumulated in
+    DECIMAL(38,0)/HUGEINT (1e9 purchases x 6 x 1e6 passes int64),
+    one terminal truncating div 24 — engine-exact, no floats."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_id",
+        "event_type")
+    p = (e.filter(F.col("event_type") == "purchase")
+         .select("user_id", F.col("us").alias("pus"),
+                 F.col("event_id").alias("pid")))
+    t = (p.join(e, "user_id")
+         .filter((F.col("us") < F.col("pus"))
+                 & (F.col("pus") - F.col("us") <= _US_7D)
+                 & (F.col("event_type") != "purchase"))
+         .select("pid", F.col("event_type").alias("touch"))
+         .distinct())
+    bit = F.when(F.col("touch") == _SH_BITS[0][0], _SH_BITS[0][1])
+    for c, b in _SH_BITS[1:]:
+        bit = bit.when(F.col("touch") == c, b)
+    m = t.groupBy("pid").agg(F.sum(bit).cast("int").alias("mask"))
+    allp = (p.join(m, "pid", "left")
+            .select("pid", F.coalesce("mask", F.lit(0)).alias("mask")))
+    mc = allp.groupBy("mask").agg(F.count("*").alias("n"))
+    coal = spark.range(16).select(F.col("id").cast("int")
+                                  .alias("smask"))
+    v = (coal.join(F.broadcast(mc),
+                   mc.mask.bitwiseAND(F.col("smask")) == mc.mask,
+                   "left")
+         .groupBy("smask")
+         .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("long")
+              .alias("v")))
+    ch = spark.createDataFrame(list(_SH_BITS), "channel string, bit int")
+    coef = F.when(F.bit_count("smask") == 0, _SH_COEF[0])
+    for k, w in list(_SH_COEF.items())[1:]:
+        coef = coef.when(F.bit_count("smask") == k, w)
+    s = v.select(F.col("smask"), F.col("v").alias("v_s"))
+    vi = v.select(F.col("smask").alias("imask"),
+                  F.col("v").alias("v_si"))
+    contrib = (F.broadcast(ch).join(
+        F.broadcast(s), s.smask.bitwiseAND(F.col("bit")) == 0)
+        .join(F.broadcast(vi),
+              F.col("imask") == F.col("smask").bitwiseOR(F.col("bit")))
+        .select("channel",
+                (coef.cast("decimal(38,0)")
+                 * (F.col("v_si") - F.col("v_s")) * 1_000_000)
+                .alias("num")))
+    tot = (v.agg(F.max(F.when(F.col("smask") == 15, F.col("v")))
+                 .alias("v_all"),
+                 F.max(F.when(F.col("smask") == 0, F.col("v")))
+                 .alias("v_organic")))
+    return (contrib.groupBy("channel")
+            .agg(F.sum("num").alias("num"))
+            .crossJoin(F.broadcast(tot))
+            .select("channel",
+                    F.expr("CAST(num div 24 AS BIGINT)")
+                    .alias("shapley_ppm"),
+                    F.col("v_all").alias("n_purchases"),
+                    F.col("v_organic").alias("n_organic")))

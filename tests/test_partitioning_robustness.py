@@ -62,6 +62,8 @@ _KEEPERS = [
     "stat_theil_sen_slope",
     # wave-10 additions (certify in r08)
     "kv_ttl_expiry_sweep",
+    # wave-11 additions (certify in r08)
+    "events_attribution_shapley",
 ]
 
 _seen: set[str] = set()
