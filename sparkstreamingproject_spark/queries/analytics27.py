@@ -478,3 +478,69 @@ def stat_theil_sen_slope(spark, sf_dir):
             .select("event_type", F.col("n_pairs").cast("long")
                     .alias("n_pairs"),
                     F.col("slope_e6").alias("theil_sen_slope_e6")))
+
+
+# ------------------------------------------- forecast-baseline eval
+
+
+@register(
+    "ts_seasonal_naive_mase",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    lagged AS (
+      SELECT event_type, day, x,
+             lag(x, 1) OVER w AS x1,
+             lag(x, 7) OVER w AS x7
+      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+    err AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_scored,
+             CAST(sum(abs(x - x1)) AS BIGINT) AS sae_naive,
+             CAST(sum(abs(x - x7)) AS BIGINT) AS sae_snaive
+      FROM lagged WHERE x7 IS NOT NULL GROUP BY 1)
+    SELECT event_type, n_scored, sae_naive, sae_snaive,
+           CAST(sae_snaive * 1000000 // sae_naive AS BIGINT)
+             AS mase_e6
+    FROM err
+    """,
+    tags=("timeseries", "stat", "eval"),
+)
+def ts_seasonal_naive_mase(spark, sf_dir):
+    """Forecast-baseline evaluation per event-type daily series: MASE
+    of the weekly seasonal-naive forecast (x-hat_t = x_{t-7}) against
+    the naive in-sample scale (x-hat_t = x_{t-1}), both scored over
+    the same days (those with a t-7 history, so the two error sums
+    are comparable). mase_e6 < 1e6 means weekly seasonality carries
+    real signal — the go/no-go gate a forecasting pipeline runs
+    before fitting anything heavier. Absolute-error sums are exact
+    BIGINTs; the ratio is one e6-scaled truncating division.
+
+    Scale shape: day-grain pre-aggregate, two lag windows PER SERIES
+    (calendar-bounded), one per-series aggregate — no global stages
+    at any volume."""
+    from pyspark.sql.window import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type",
+                        (F.unix_micros("ts") / 86_400_000_000)
+                        .cast("long").alias("day"))
+             .agg(F.count("*").alias("x")))
+    w = W.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type", "x",
+        F.lag("x", 1).over(w).alias("x1"),
+        F.lag("x", 7).over(w).alias("x7"))
+    err = (lagged.filter(F.col("x7").isNotNull())
+           .groupBy("event_type")
+           .agg(F.count("*").alias("n_scored"),
+                F.sum(F.abs(F.col("x") - F.col("x1"))).cast("long")
+                .alias("sae_naive"),
+                F.sum(F.abs(F.col("x") - F.col("x7"))).cast("long")
+                .alias("sae_snaive")))
+    return err.select(
+        "event_type", "n_scored", "sae_naive", "sae_snaive",
+        F.expr("CAST(sae_snaive * 1000000 div sae_naive AS BIGINT)")
+        .alias("mase_e6"))

@@ -64,6 +64,8 @@ _KEEPERS = [
     "kv_ttl_expiry_sweep",
     # wave-11 additions (certify in r08)
     "events_attribution_shapley",
+    # wave-12 additions (certify in r08)
+    "ts_seasonal_naive_mase",
 ]
 
 _seen: set[str] = set()
