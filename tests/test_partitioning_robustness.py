@@ -66,6 +66,8 @@ _KEEPERS = [
     "events_attribution_shapley",
     # wave-12 additions (certify in r08)
     "ts_seasonal_naive_mase",
+    # wave-13 additions (certify in r08)
+    "graph_kcore_peeling",
 ]
 
 _seen: set[str] = set()
