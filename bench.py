@@ -79,6 +79,8 @@ SIDECAR = [
     "sim_ann_nprobe_recall_sweep",
     # round-7 wave-4 addition: two-level residual-quantization ADC
     "sim_ann_rq_adc",
+    # round-7 wave-13 addition: 6-round iterative graph peeling
+    "graph_kcore_peeling",
 ]
 
 # sidecar comparison floor: first measurements (BENCH_r05, sf=0.1,

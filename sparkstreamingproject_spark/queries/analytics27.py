@@ -544,3 +544,115 @@ def ts_seasonal_naive_mase(spark, sf_dir):
         "event_type", "n_scored", "sae_naive", "sae_snaive",
         F.expr("CAST(sae_snaive * 1000000 div sae_naive AS BIGINT)")
         .alias("mase_e6"))
+
+
+# --------------------------------------------- linear-interp resample
+
+
+@register(
+    "ts_resample_linear_interp",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    span AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM hourly),
+    grid AS (SELECT t.event_type, g.h AS hour
+             FROM (SELECT DISTINCT event_type FROM hourly) t
+             CROSS JOIN (SELECT unnest(range(h0, h1 + 1)) AS h
+                         FROM span) g),
+    j AS (SELECT g.event_type, g.hour, d.cents
+          FROM grid g LEFT JOIN hourly d USING (event_type, hour)),
+    fb AS (
+      SELECT event_type, hour, cents,
+             max(CASE WHEN cents IS NOT NULL THEN hour END)
+               OVER (PARTITION BY event_type ORDER BY hour
+                     ROWS UNBOUNDED PRECEDING) AS ph,
+             min(CASE WHEN cents IS NOT NULL THEN hour END)
+               OVER (PARTITION BY event_type ORDER BY hour
+                     ROWS BETWEEN CURRENT ROW
+                          AND UNBOUNDED FOLLOWING) AS nh
+      FROM j),
+    vals AS (
+      SELECT f.event_type, f.hour, f.cents, f.ph, f.nh,
+             pv.cents AS pc, nv.cents AS nc
+      FROM fb f
+      LEFT JOIN hourly pv ON pv.event_type = f.event_type
+                         AND pv.hour = f.ph
+      LEFT JOIN hourly nv ON nv.event_type = f.event_type
+                         AND nv.hour = f.nh)
+    SELECT event_type, CAST(hour AS BIGINT) AS hour,
+           CAST(CASE
+             WHEN cents IS NOT NULL THEN cents
+             WHEN ph IS NULL THEN nc
+             WHEN nh IS NULL THEN pc
+             ELSE pc + (nc - pc) * (hour - ph) // (nh - ph)
+           END AS BIGINT) AS cents_interp,
+           CAST(CASE WHEN cents IS NOT NULL THEN 0 ELSE 1 END AS INT)
+             AS interpolated
+    FROM vals
+    """,
+    tags=("timeseries",),
+)
+def ts_resample_linear_interp(spark, sf_dir):
+    """Gap-filling resample with LINEAR interpolation — the companion
+    of `ts_resample_ffill` (carry-forward) for quantities where a
+    straight line between surrounding observations is the honest fill
+    (sensor sums, balances). Each missing hour takes
+    pc + (nc-pc)*(hour-ph) div (nh-ph) between its previous/next
+    observed hours (exact truncating integer in cents — no float
+    slope); leading/trailing gaps degenerate to nearest-value fill.
+    The `interpolated` flag marks synthetic rows for downstream
+    weighting. HOUR grain, because the fixture's daily series are
+    gap-free at every SF — hourly series have real gaps at
+    sf0.001/sf0.01, so the interpolation branch is exercised where
+    the driver checks.
+
+    Scale shape: the prev/next observed-hour markers are two
+    frame-bounded windows PER SERIES (the ffill pattern run both
+    directions); value lookup is two hash joins back to the
+    hour-grain aggregate keyed by (series, hour). Grid size is
+    series x hours — calendar-bounded, volume-independent."""
+    from pyspark.sql.window import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    hourly = (ev.filter(F.col("value").isNotNull())
+              .groupBy("event_type",
+                       (F.unix_micros("ts") / 3_600_000_000)
+                       .cast("long").alias("hour"))
+              .agg(F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+                   .cast("long").alias("cents")))
+    span = hourly.agg(F.min("hour").alias("h0"),
+                      F.max("hour").alias("h1"))
+    grid = (hourly.select("event_type").distinct()
+            .crossJoin(F.broadcast(span))
+            .select("event_type",
+                    F.explode(F.sequence("h0", "h1")).alias("hour")))
+    j = grid.join(hourly, ["event_type", "hour"], "left")
+    wf = (W.partitionBy("event_type").orderBy("hour")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    wb = (W.partitionBy("event_type").orderBy("hour")
+          .rowsBetween(W.currentRow, W.unboundedFollowing))
+    fb = j.select(
+        "event_type", "hour", "cents",
+        F.max(F.when(F.col("cents").isNotNull(), F.col("hour")))
+        .over(wf).alias("ph"),
+        F.min(F.when(F.col("cents").isNotNull(), F.col("hour")))
+        .over(wb).alias("nh"))
+    pv = hourly.select("event_type", F.col("hour").alias("ph"),
+                       F.col("cents").alias("pc"))
+    nv = hourly.select("event_type", F.col("hour").alias("nh"),
+                       F.col("cents").alias("nc"))
+    vals = (fb.join(pv, ["event_type", "ph"], "left")
+            .join(nv, ["event_type", "nh"], "left"))
+    fill = (F.when(F.col("cents").isNotNull(), F.col("cents"))
+            .when(F.col("ph").isNull(), F.col("nc"))
+            .when(F.col("nh").isNull(), F.col("pc"))
+            .otherwise(F.expr(
+                "pc + (nc - pc) * (hour - ph) div (nh - ph)")))
+    return vals.select(
+        "event_type", F.col("hour").cast("long").alias("hour"),
+        fill.cast("long").alias("cents_interp"),
+        F.when(F.col("cents").isNotNull(), 0).otherwise(1)
+        .cast("int").alias("interpolated"))

@@ -68,6 +68,8 @@ _KEEPERS = [
     "ts_seasonal_naive_mase",
     # wave-13 additions (certify in r08)
     "graph_kcore_peeling",
+    # wave-14 additions (certify in r08)
+    "ts_resample_linear_interp",
 ]
 
 _seen: set[str] = set()
