@@ -70,6 +70,8 @@ _KEEPERS = [
     "graph_kcore_peeling",
     # wave-14 additions (certify in r08)
     "ts_resample_linear_interp",
+    # wave-15 additions (certify in r08)
+    "graph_degree_assortativity",
 ]
 
 _seen: set[str] = set()
