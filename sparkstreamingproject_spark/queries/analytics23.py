@@ -320,80 +320,3 @@ def graph_kcore_peeling(spark, sf_dir):
             .select(F.col("round").cast("int").alias("round"),
                     F.col("n_vertices").cast("long").alias("n_vertices"),
                     "n_removed", "k", "converged"))
-
-
-# ------------------------------------------- degree assortativity
-
-
-@register(
-    "graph_degree_assortativity",
-    oracle="""
-    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-          FROM li a JOIN li b
-            ON a.l_orderkey = b.l_orderkey
-           AND a.l_partkey < b.l_partkey),
-    dir AS MATERIALIZED (SELECT u AS a, v AS b FROM e
-                         UNION ALL SELECT v, u FROM e),
-    deg AS MATERIALIZED (SELECT a AS node, CAST(count(*) AS BIGINT)
-                           AS d FROM dir GROUP BY 1),
-    pairs AS (SELECT da.d AS x, db.d AS y
-              FROM dir JOIN deg da ON da.node = dir.a
-                       JOIN deg db ON db.node = dir.b),
-    s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
-                 CAST(sum(x) AS HUGEINT) AS sx,
-                 CAST(sum(x * x) AS HUGEINT) AS sxx,
-                 CAST(sum(x * y) AS HUGEINT) AS sxy
-          FROM pairs)
-    SELECT CAST(n // 2 AS BIGINT) AS n_edges,
-           CAST((n * sxy - sx * sx) * 1000000
-                // (n * sxx - sx * sx) AS BIGINT) AS assortativity_e6
-    FROM s
-    """,
-    tags=("graph", "stat"),
-)
-def graph_degree_assortativity(spark, sf_dir):
-    """Degree assortativity of the part co-occurrence graph — the
-    Newman coefficient: Pearson correlation of endpoint degrees over
-    all directed edge instances. Over the symmetrized edge list the
-    marginals coincide (Sx = Sy, Sxx = Syy), so the usual sqrt
-    denominator collapses to (n*Sxx - Sx^2) and the WHOLE statistic is
-    one exact integer ratio — no sqrt, no floats:
-    r_e6 = (n*Sxy - Sx^2)*1e6 div (n*Sxx - Sx^2). Accumulators in
-    DECIMAL(38,0)/HUGEINT because n*Sxx passes int64 already at sf0.1
-    (2e6 pairs x 8e12).
-
-    Scale shape: two hash joins of the directed edges against the
-    degree relation (vertex-keyed), one map-side-combinable moment
-    aggregate. Negative r = hubs attach to leaves (the expected
-    disassortative shape for co-purchase graphs)."""
-    li = (table(spark, sf_dir, "lineitem")
-          .select("l_orderkey", "l_partkey").distinct())
-    a, b = li.alias("a"), li.alias("b")
-    e = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-         .select(F.col("a.l_partkey").alias("u"),
-                 F.col("b.l_partkey").alias("v"))
-         .distinct())
-    dirn = (e.select(F.col("u").alias("na"), F.col("v").alias("nb"))
-            .unionAll(e.select(F.col("v").alias("na"),
-                               F.col("u").alias("nb"))))
-    deg = dirn.groupBy(F.col("na").alias("node")) \
-        .agg(F.count("*").alias("d"))
-    pairs = (dirn
-             .join(deg.select(F.col("node").alias("na"),
-                              F.col("d").alias("x")), "na")
-             .join(deg.select(F.col("node").alias("nb"),
-                              F.col("d").alias("y")), "nb"))
-    s = pairs.agg(
-        F.count("*").cast("decimal(38,0)").alias("n"),
-        F.sum("x").cast("decimal(38,0)").alias("sx"),
-        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)")
-        .alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)")
-        .alias("sxy"))
-    return s.select(
-        F.expr("CAST(n div 2 AS BIGINT)").alias("n_edges"),
-        F.expr("CAST((n * sxy - sx * sx) * 1000000"
-               " div (n * sxx - sx * sx) AS BIGINT)")
-        .alias("assortativity_e6"))

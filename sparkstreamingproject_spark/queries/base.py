@@ -32,6 +32,13 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 def register(name: str, oracle: str | None = None, tags: tuple = ()):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        # a name collision silently served a different implementation
+        # under an already-driver-certified name once (see COVERAGE.md
+        # wave-7/15 correction) — make it an import error forever
+        if name in REGISTRY:
+            raise ValueError(
+                f"duplicate query registration: {name!r} already "
+                f"registered by {REGISTRY[name].fn.__module__}")
         REGISTRY[name] = QuerySpec(name, fn, oracle, tags)
         return fn
     return deco

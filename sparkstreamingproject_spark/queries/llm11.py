@@ -219,96 +219,3 @@ def text_pmi_collocations(spark, sf_dir):
             .filter(F.col("rank") <= _PMI_TOPN)
             .select(F.col("rank").cast("int").alias("rank"),
                     "w1", "w2", "n_xy", "lift_e6"))
-
-
-# ---------------------------------------- basket association rules
-
-_AR_MIN_SUPPORT = 5
-_AR_TOPN = 20
-
-
-@register(
-    "basket_association_rules",
-    oracle=f"""
-    WITH baskets AS (
-      SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS item
-      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
-    n AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders
-          FROM baskets),
-    isup AS (SELECT item, CAST(count(*) AS BIGINT) AS n_i
-             FROM baskets GROUP BY 1),
-    prs AS (
-      SELECT a.item AS x, b.item AS y, CAST(count(*) AS BIGINT) AS n_xy
-      FROM baskets a JOIN baskets b
-        ON a.okey = b.okey AND a.item <> b.item
-      GROUP BY 1, 2 HAVING count(*) >= {_AR_MIN_SUPPORT}),
-    rules AS (
-      SELECT x AS antecedent, y AS consequent, n_xy,
-             CAST(CAST(n_xy AS HUGEINT) * 1000000 // ax.n_i
-                  AS BIGINT) AS confidence_e6,
-             CAST(CAST(n_xy AS HUGEINT) * n_orders * 1000000
-                  // (CAST(ax.n_i AS HUGEINT) * cy.n_i)
-                  AS BIGINT) AS lift_e6
-      FROM prs JOIN isup ax ON ax.item = prs.x
-               JOIN isup cy ON cy.item = prs.y
-               CROSS JOIN n)
-    SELECT CAST(rank AS INT) AS rank, antecedent, consequent, n_xy,
-           confidence_e6, lift_e6
-    FROM (SELECT *, row_number() OVER (
-            ORDER BY lift_e6 DESC, antecedent, consequent) AS rank
-          FROM rules)
-    WHERE rank <= {_AR_TOPN}
-    """,
-    tags=("relational", "agg", "llm"),
-)
-def basket_association_rules(spark, sf_dir):
-    """Market-basket association rules at brand grain — for each
-    directed brand pair X -> Y co-bought in >= {_AR_MIN_SUPPORT}
-    orders: support n_xy, confidence n_xy/n_x, and lift
-    n_xy*N/(n_x*n_y), top-{_AR_TOPN} by lift. The per-basket sibling
-    of `text_pmi_collocations` (corpus bigrams) and the rule-mining
-    classic (Apriori's output at pair length) — brand grain keeps the
-    item vocabulary dense and stable across SFs where raw part keys
-    go sparse.
-
-    Scale shape: baskets is one distinct-project of the lineitem-part
-    join; the pair count is a self-equi-join ON the basket key (pair
-    instances = sum of per-basket item-pairs, never item-vocabulary
-    squared), and the HAVING floor prunes before the support joins.
-    Confidence/lift are exact truncating DECIMAL(38,0)/HUGEINT ratios
-    (n_xy*N*1e6 passes int64 at warehouse row counts); ranking is
-    integer with lexical tiebreaks, so it hash-matches the oracle."""
-    li = table(spark, sf_dir, "lineitem")
-    pt = table(spark, sf_dir, "part")
-    baskets = (li.join(pt, li.l_partkey == pt.p_partkey)
-               .select(F.col("l_orderkey").alias("okey"),
-                       F.col("p_brand").alias("item"))
-               .distinct())
-    n = baskets.select(F.countDistinct("okey").alias("n_orders"))
-    isup = baskets.groupBy("item").agg(F.count("*").alias("n_i"))
-    b2 = baskets.select(F.col("okey"), F.col("item").alias("item_y"))
-    prs = (baskets.join(b2, "okey")
-           .filter(F.col("item") != F.col("item_y"))
-           .groupBy(F.col("item").alias("x"),
-                    F.col("item_y").alias("y"))
-           .agg(F.count("*").alias("n_xy"))
-           .filter(F.col("n_xy") >= _AR_MIN_SUPPORT))
-    rules = (prs.join(isup.select(F.col("item").alias("x"),
-                                  F.col("n_i").alias("n_x")), "x")
-             .join(isup.select(F.col("item").alias("y"),
-                               F.col("n_i").alias("n_y")), "y")
-             .crossJoin(F.broadcast(n))
-             .select(F.col("x").alias("antecedent"),
-                     F.col("y").alias("consequent"), "n_xy",
-                     F.expr("CAST(CAST(n_xy AS DECIMAL(38,0)) * 1000000"
-                            " div n_x AS BIGINT)")
-                     .alias("confidence_e6"),
-                     F.expr("CAST(CAST(n_xy AS DECIMAL(38,0)) * n_orders"
-                            " * 1000000 div (CAST(n_x AS DECIMAL(38,0))"
-                            " * n_y) AS BIGINT)").alias("lift_e6")))
-    w = Window.orderBy(F.desc("lift_e6"), "antecedent", "consequent")
-    return (rules.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= _AR_TOPN)
-            .select(F.col("rank").cast("int").alias("rank"),
-                    "antecedent", "consequent", "n_xy",
-                    "confidence_e6", "lift_e6"))

@@ -54,8 +54,6 @@ _KEEPERS = [
     "sim_ann_dim_prefix_recall", "sketch_kmv_distinct_by_type",
     # wave-6 additions (certify in r08)
     "split_cluster_leakage_safe", "text_pmi_collocations",
-    # wave-7 additions (certify in r08)
-    "basket_association_rules",
     # wave-8 additions (certify in r08)
     "sample_priority_topk", "events_cusum_changepoint",
     # wave-9 additions (certify in r08)
@@ -70,8 +68,6 @@ _KEEPERS = [
     "graph_kcore_peeling",
     # wave-14 additions (certify in r08)
     "ts_resample_linear_interp",
-    # wave-15 additions (certify in r08)
-    "graph_degree_assortativity",
 ]
 
 _seen: set[str] = set()
