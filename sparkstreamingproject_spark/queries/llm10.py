@@ -286,12 +286,15 @@ def sim_ann_dim_prefix_recall(spark, sf_dir):
         F.sum(F.when(gt & (F.col(f"rr{d}") <= _MP_K), 1).otherwise(0))
         .cast("long").alias(f"hr{d}"))])
 
-    arms = None
-    for d in _MP_DIMS:
-        a = agg.select(F.lit(d).cast("int").alias("prefix_dim"),
-                       F.col(f"hd{d}").alias("hits_direct"),
-                       F.col(f"hr{d}").alias("hits_rerank"))
-        arms = a if arms is None else arms.unionByName(a)
+    # explode ONE aggregate row into arm rows — a union of per-arm
+    # selects re-derives the whole pair relation per arm (three q_id
+    # exchanges instead of one; pinned by test_plans)
+    arms = (agg.select(F.explode(F.array(*[
+        F.struct(F.lit(d).cast("int").alias("prefix_dim"),
+                 F.col(f"hd{d}").alias("hits_direct"),
+                 F.col(f"hr{d}").alias("hits_rerank"))
+        for d in _MP_DIMS])).alias("a"))
+        .select("a.*"))
     return (arms.crossJoin(F.broadcast(nq))
             .select("prefix_dim", "n_queries", "hits_direct",
                     F.round(F.col("hits_direct")

@@ -171,3 +171,49 @@ def test_round4_query_plan_shapes(spark, sf_dir):
     cls = executed("embedding_centroid_classify")
     assert "IdentityBroadcastMode" in cls, cls       # broadcast side...
     assert "CartesianProduct" not in cls, cls        # ...never shuffled
+
+
+def test_round7_wave_query_plan_shapes(spark, sf_dir):
+    """Pin the plan shapes this round's docstrings promise: priority
+    sampling is heap-based TakeOrdered (never a global sort over the
+    weights), the prefix-dimension sweep plans ONE q_id exchange for
+    all seven rank windows, and the k-core survivor joins obey the
+    shuffle-hash hint (no broadcast of a vertex-cardinality list, no
+    sort-merge)."""
+    import re
+
+    def executed(name):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    pr = executed("sample_priority_topk")
+    assert "TakeOrderedAndProject" in pr, pr
+    # the only Sorts allowed are inside the k+1-row window, which sits
+    # above TakeOrdered — no Exchange rangepartitioning (global sort)
+    assert "rangepartitioning" not in pr, pr
+
+    mp = executed("sim_ann_dim_prefix_recall")
+    assert len(re.findall(
+        r"Exchange hashpartitioning\(q_id", mp)) == 1, mp
+
+    # the k-core rounds are materialized eagerly (localCheckpoint per
+    # round), so the returned plan no longer contains them — pin the
+    # join strategy on a directly-constructed round instead: survivor
+    # lists are vertex-cardinality, so the hint must yield a shuffled
+    # hash join, never a broadcast and never sort-merge
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_orderkey", "l_partkey").distinct())
+    e = (li.alias("a").join(
+        li.alias("b"),
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .select(F.col("a.l_partkey").alias("na"),
+                F.col("b.l_partkey").alias("nb")))
+    s = e.select(F.col("na").alias("node")).distinct()
+    rnd = (e.join(s.withColumnRenamed("node", "na")
+                  .hint("shuffle_hash"), "na")
+           .join(s.withColumnRenamed("node", "nb")
+                 .hint("shuffle_hash"), "nb"))
+    kc = rnd._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in kc, kc
+    assert "SortMergeJoin" not in kc, kc
