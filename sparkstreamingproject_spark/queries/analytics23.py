@@ -243,7 +243,11 @@ def _kcore_oracle() -> str:
 )
 def graph_kcore_peeling(spark, sf_dir):
     """k-core extraction on the part co-occurrence graph by
-    simultaneous-removal peeling — drop every vertex whose degree
+    simultaneous-removal peeling — the round-LEDGER/convergence view
+    of the k-core family (`graph_kcore_peel` is the node-membership
+    view: fixed k=2, 3 rounds, surviving nodes with in-core degrees)
+    —
+    drop every vertex whose degree
     within the surviving set is below k (k = 3/4 of the truncated
     mean degree + 1, computed from the graph so the threshold bites
     at every SF: the core survives at sf0.001 while larger SFs are

@@ -363,7 +363,10 @@ def ts_dtw_distance(spark, sf_dir):
 )
 def events_cusum_changepoint(spark, sf_dir):
     """Offline CUSUM changepoint detection per event-type daily-count
-    series (binary segmentation's first split): the classic statistic
+    series (binary segmentation's first split; the offline argmax
+    member of the change-detection family beside the one-sided
+    sequential `ts_cusum_nation_drift` and the rank-based
+    `ts_changepoint_pettitt`): the classic statistic
     max_t |S_t - t*mean| in its integer-cleared form
     |N*S_t - t*X| (S_t = prefix sum, X = series total, N = days), so
     the argmax — and the reported before/after level means (e6-scaled
@@ -409,77 +412,6 @@ def events_cusum_changepoint(spark, sf_dir):
                            " AS BIGINT)").alias("mean_after_e6")))
 
 
-# ------------------------------------------------ Theil-Sen slope
-
-
-@register(
-    "stat_theil_sen_slope",
-    oracle="""
-    WITH daily AS (
-      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
-             CAST(count(*) AS BIGINT) AS x
-      FROM events GROUP BY 1, 2),
-    slopes AS (
-      SELECT a.event_type,
-             CAST((b.x - a.x) * 1000000 // (b.day - a.day) AS BIGINT)
-               AS slope_e6
-      FROM daily a JOIN daily b
-        ON a.event_type = b.event_type AND b.day > a.day),
-    ranked AS (
-      SELECT event_type, slope_e6,
-             row_number() OVER (PARTITION BY event_type
-                                ORDER BY slope_e6, 1) AS rn,
-             count(*) OVER (PARTITION BY event_type) AS n_pairs
-      FROM slopes)
-    SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
-           slope_e6 AS theil_sen_slope_e6
-    FROM ranked WHERE rn = (n_pairs + 1) // 2
-    """,
-    tags=("timeseries", "stat"),
-)
-def stat_theil_sen_slope(spark, sf_dir):
-    """Theil-Sen robust trend per event-type daily-count series: the
-    (lower) MEDIAN of all pairwise slopes (x_j-x_i)/(day_j-day_i) —
-    the breakdown-point-29% complement of the OLS `stat_linear_trend`
-    (one outlier day cannot move it). Each slope is an e6-scaled
-    truncating integer ratio, so the median (selected by rank over
-    the scaled values, deterministic lower-median) is engine-exact —
-    no float ordering anywhere.
-
-    Scale shape: the pair join is PER SERIES on the series key, and
-    the series is day-grain — pairs per series are calendar-bounded
-    (N(N-1)/2 for N days, independent of event volume), so the
-    quadratic term never grows with data size; the median is one
-    per-series rank window."""
-    from pyspark.sql.window import Window as W
-
-    ev = table(spark, sf_dir, "events")
-    daily = (ev.groupBy("event_type",
-                        (F.unix_micros("ts") / 86_400_000_000)
-                        .cast("long").alias("day"))
-             .agg(F.count("*").alias("x")))
-    a = daily.select("event_type", F.col("day").alias("da"),
-                     F.col("x").alias("xa"))
-    b = daily.select("event_type", F.col("day").alias("db"),
-                     F.col("x").alias("xb"))
-    slopes = (a.join(b, "event_type")
-              .filter(F.col("db") > F.col("da"))
-              .select("event_type",
-                      F.expr("CAST((xb - xa) * 1000000 div (db - da)"
-                             " AS BIGINT)").alias("slope_e6")))
-    wr = W.partitionBy("event_type").orderBy("slope_e6")
-    wp = W.partitionBy("event_type")
-    ranked = slopes.select(
-        "event_type", "slope_e6",
-        F.row_number().over(wr).alias("rn"),
-        F.count("*").over(wp).alias("n_pairs"))
-    return (ranked.filter(F.col("rn")
-                          == F.expr("(n_pairs + 1) div 2"))
-            .select("event_type", F.col("n_pairs").cast("long")
-                    .alias("n_pairs"),
-                    F.col("slope_e6").alias("theil_sen_slope_e6")))
-
-
 # ------------------------------------------- forecast-baseline eval
 
 
@@ -509,7 +441,9 @@ def stat_theil_sen_slope(spark, sf_dir):
     tags=("timeseries", "stat", "eval"),
 )
 def ts_seasonal_naive_mase(spark, sf_dir):
-    """Forecast-baseline evaluation per event-type daily series: MASE
+    """Forecast-baseline evaluation per event-type daily series (the
+    MASE companion of `ts_seasonal_naive_backtest`, which scores the
+    same forecast by MAE/WAPE without the naive-scale ratio): MASE
     of the weekly seasonal-naive forecast (x-hat_t = x_{t-7}) against
     the naive in-sample scale (x-hat_t = x_{t-1}), both scored over
     the same days (those with a t-7 history, so the two error sums

@@ -231,7 +231,10 @@ def _mp_arm_sql(d: int) -> str:
     tags=("llm", "similarity", "eval"),
 )
 def sim_ann_dim_prefix_recall(spark, sf_dir):
-    """Matryoshka-style prefix-dimension retrieval sweep: recall@10 vs
+    """Matryoshka-style prefix-dimension retrieval sweep (the
+    multi-arm + two-stage generalization of the single-arm
+    `sim_matryoshka_eval`, which measures one 16-dim prefix with no
+    rerank): recall@10 vs
     full-dimension exact ground truth when candidates are scored on
     only the FIRST d' of 64 dims (d' in {8, 16, 32}), both directly
     and with the production two-stage shape — prefix-dim shortlist of

@@ -56,8 +56,6 @@ _KEEPERS = [
     "split_cluster_leakage_safe", "text_pmi_collocations",
     # wave-8 additions (certify in r08)
     "sample_priority_topk", "events_cusum_changepoint",
-    # wave-9 additions (certify in r08)
-    "stat_theil_sen_slope",
     # wave-10 additions (certify in r08)
     "kv_ttl_expiry_sweep",
     # wave-11 additions (certify in r08)
