@@ -219,3 +219,82 @@ def text_pmi_collocations(spark, sf_dir):
             .filter(F.col("rank") <= _PMI_TOPN)
             .select(F.col("rank").cast("int").alias("rank"),
                     "w1", "w2", "n_xy", "lift_e6"))
+
+
+# ------------------------------------------- survivorship merge
+
+
+@register(
+    "er_survivorship_golden_record",
+    oracle=f"""
+    WITH RECURSIVE {MINHASH_CTE},
+    bands AS (
+{_BAND_SELECTS}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+                               AND a.doc_id < b.doc_id),
+    e AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+    walk(u, label) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM e)
+      UNION
+      SELECT e.v, walk.label FROM walk JOIN e ON e.u = walk.u),
+    comp AS (SELECT u AS doc_id, min(label) AS component
+             FROM walk GROUP BY u),
+    members AS (
+      SELECT c.component, d.doc_id, d.lang, d.source, d.n_chars
+      FROM comp c JOIN documents d USING (doc_id)),
+    votes AS (
+      SELECT component, lang, count(*) AS n,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY count(*) DESC, lang) AS rk
+      FROM members GROUP BY component, lang)
+    SELECT m.component,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(m.doc_id) AS BIGINT) AS canonical_id,
+           max(v.lang) AS golden_lang,
+           CAST(max(m.n_chars) AS BIGINT) AS golden_text_chars,
+           CAST(count(DISTINCT m.source) AS BIGINT) AS n_sources
+    FROM members m JOIN votes v ON v.component = m.component
+                               AND v.rk = 1
+    GROUP BY m.component
+    """,
+    tags=("llm", "dedup"),
+)
+def er_survivorship_golden_record(spark, sf_dir):
+    """Entity-resolution FIELD-level survivorship — the MDM merge
+    step after clustering, distinct from the row-level
+    `dedup_cluster_keep_best` (which keeps ONE member): each golden
+    field comes from its own rule across ALL cluster members —
+    canonical id = min doc_id (stable key), lang = majority vote with
+    lexical tiebreak, text length = longest member, plus the
+    provenance counters (members, distinct sources) an MDM audit
+    needs. Only multi-doc clusters (CC over LSH candidate pairs)
+    appear; singletons have nothing to merge.
+
+    Scale shape: reuses the banded-LSH + label-propagation machinery;
+    the merge itself is one aggregate over the (tiny) clustered-docs
+    relation plus a per-cluster vote window. All rules are exact
+    (counts, min/max, lexical ties) — no scoring floats."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.lsh_candidate_pairs(docs)
+    cc = D.connected_components(pairs)
+    members = (cc.select(F.col("u").alias("doc_id"),
+                         F.col("label").alias("component"))
+               .join(docs.select("doc_id", "lang", "source",
+                                 "n_chars"), "doc_id"))
+    votes = (members.groupBy("component", "lang")
+             .agg(F.count("*").alias("n")))
+    wv = Window.partitionBy("component").orderBy(F.desc("n"), "lang")
+    top_lang = (votes.withColumn("rk", F.row_number().over(wv))
+                .filter(F.col("rk") == 1)
+                .select("component", F.col("lang").alias("golden_lang")))
+    return (members.groupBy("component")
+            .agg(F.count("*").alias("n_members"),
+                 F.min("doc_id").alias("canonical_id"),
+                 F.max("n_chars").alias("golden_text_chars"),
+                 F.countDistinct("source").alias("n_sources"))
+            .join(top_lang, "component")
+            .select("component", "n_members", "canonical_id",
+                    "golden_lang", "golden_text_chars", "n_sources"))

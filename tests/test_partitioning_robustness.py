@@ -66,6 +66,8 @@ _KEEPERS = [
     "graph_kcore_peeling",
     # wave-14 additions (certify in r08)
     "ts_resample_linear_interp",
+    # wave-16 additions (certify in r08)
+    "er_survivorship_golden_record",
 ]
 
 _seen: set[str] = set()
