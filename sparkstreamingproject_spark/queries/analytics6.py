@@ -164,12 +164,17 @@ def graph_common_neighbors(spark, sf_dir):
     link-prediction feature (pairs with many shared partners but no
     edge are the 'missing link' candidates an analyst inspects).
 
-    Plan: symmetrize the oriented edge list, self-join on the shared
-    neighbor (wedge enumeration — cost Σ deg(w)², the same bound as
-    triangle counting), count wedges per pair, and left-join the edge
-    list to flag existing edges. Top-50 by TakeOrderedAndProject with
-    full tiebreak (common DESC, u, v) — deterministic, never a global
-    sort. All integers."""
+    Plan: the adaptive `operators/graph.py:common_neighbor_counts`
+    kernel — packed-bitmap AND+popcount when the graph is small/dense
+    (this one is 91% complete at sf0.1: the naive wedge self-join
+    this query originally used enumerated Σ deg(w)² ≈ 8e8 wedge rows
+    there and OOMed the 1-times-retry local executor; found by the
+    first whole-registry sf0.1 parity run), wedge self-join in the
+    large/sparse regime where bitmaps don't pay. Then left-join the
+    edge list to flag existing edges. Top-50 by
+    TakeOrderedAndProject with full tiebreak (common DESC, u, v) —
+    deterministic, never a global sort. All integers."""
+    from ..operators.graph import common_neighbor_counts
     li = (table(spark, sf_dir, "lineitem")
           .select("l_orderkey", "l_suppkey").distinct())
     a, b = li.alias("a"), li.alias("b")
@@ -178,12 +183,7 @@ def graph_common_neighbors(spark, sf_dir):
          .select(F.col("a.l_suppkey").alias("u"),
                  F.col("b.l_suppkey").alias("v"))
          .distinct())
-    adj = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    a1, a2 = adj.alias("a1"), adj.alias("a2")
-    cn = (a1.join(a2, (F.col("a1.v") == F.col("a2.v"))
-                  & (F.col("a1.u") < F.col("a2.u")))
-          .groupBy(F.col("a1.u").alias("u"), F.col("a2.u").alias("v"))
-          .agg(F.count("*").alias("common")))
+    cn = common_neighbor_counts(e)
     flag = (cn.join(e.withColumn("is_edge", F.lit(1)), ["u", "v"], "left")
             .select("u", "v", "common",
                     F.coalesce("is_edge", F.lit(0)).alias("is_edge")))
