@@ -221,23 +221,30 @@ def q9_product_profit(spark, sf_dir):
       FROM lineitem GROUP BY l_partkey)
     SELECT l_partkey AS partkey, CAST(round(v, 2) AS DOUBLE) AS value
     FROM val
-    WHERE v > (SELECT sum(v) * CAST(0.0005 AS DECIMAL(6,4)) FROM val)
+    WHERE CAST(v AS DECIMAL(38,2)) * 2
+          * (SELECT count(*) FROM val)
+          > (SELECT CAST(sum(v) AS DECIMAL(38,2)) * 3 FROM val)
     """,
     tags=("agg", "tpch", "subquery"),
 )
 def q11_important_stock_value(spark, sf_dir):
     """Q11 shape: per-part traded value HAVING > fraction of the global
-    total — a scalar-subquery threshold. Exact decimal sums on both
-    sides of the comparison, so the cut is deterministic. The per-part
-    agg is one shuffle; the global total is a second agg over its
+    total — a scalar-subquery threshold. TPC-H scales the fraction by
+    1/SF; a fixed fraction silently returns 0 rows once part count
+    outgrows it (found by the whole-registry sf0.1 non-empty gate), so
+    the cut is SCALE-FREE: value > 1.5x the average per-part share,
+    written cross-multiplied (v*2*n > 3*total) so the comparison is
+    exact DECIMAL(38,2) with no division at all. The per-part agg is
+    one shuffle; the (total, n) scalar is a second agg over its
     (small) output, broadcast back as a cross join of one row."""
     li = table(spark, sf_dir, "lineitem")
     vol = _dec("l_extendedprice") * (1 - _dec("l_discount", "4,2"))
     val = li.groupBy("l_partkey").agg(F.sum(vol).alias("v"))
-    tot = val.agg((F.sum("v") * F.lit(0.0005).cast("decimal(6,4)"))
-                  .alias("cut"))
+    tot = val.agg(F.sum("v").cast("decimal(38,2)").alias("s"),
+                  F.count("*").alias("n"))
     return (val.join(F.broadcast(tot))
-            .filter(F.col("v") > F.col("cut"))
+            .filter(F.col("v").cast("decimal(38,2)") * 2 * F.col("n")
+                    > F.col("s") * 3)
             .select(F.col("l_partkey").alias("partkey"),
                     F.round("v", 2).cast("double").alias("value")))
 
