@@ -97,6 +97,17 @@ SIDECAR_R05 = {
     "graph_jaccard_link_prediction": 4.620,
 }
 
+# floors for the round-7 sidecar additions: quietest recorded r07
+# measurements (COVERAGE.md r07 final verification pass; sf=0.1,
+# local[32]) — pinned per VERDICT r07 §next 3 so every sidecar entry
+# carries a ratio from its first quiet round onward.
+SIDECAR_R07 = {
+    "dedup_repeated_substring": 2.65,
+    "sim_ann_nprobe_recall_sweep": 3.18,
+    "sim_ann_rq_adc": 1.83,
+    "graph_kcore_peeling": 9.28,
+}
+
 def main() -> None:
     spark = get_spark("sparkstreamingproject-bench")
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
@@ -134,6 +145,9 @@ def main() -> None:
         "sidecar_vs_r05": {
             n: round(t / SIDECAR_R05[n], 2)
             for n, t in sidecar.items() if n in SIDECAR_R05},
+        "sidecar_vs_r07": {
+            n: round(t / SIDECAR_R07[n], 2)
+            for n, t in sidecar.items() if n in SIDECAR_R07},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()

@@ -203,8 +203,64 @@ _ROUND7_WINDOW = [
 ]
 
 
+# --- round-8 window ---------------------------------------------------------
+# CORRECTNESS_r07 came back 50/50 green, closing the ledger for every
+# query registered through round 6. This window (VERDICT r07 §next 1):
+#  - 0-30: the 31 round-7 additions, none of which has a driver row yet
+#    (registry order) — after this round the ledger closes again with
+#    every registered query driver-checked;
+#  - 31: embedding_pca_project — rewritten this round from the rows-only
+#    eigh entry to a fully oracle-backed power-iteration projection
+#    (VERDICT r07 §next 2); its first driver row clears the last
+#    never-green ledger entry;
+#  - 32-49: re-checks by edit recency: queries whose Spark kernels were
+#    edited in round 7 (graph_common_neighbors adaptive-bitmap OOM fix
+#    79679a3, graph_degree_assortativity rewrite 84f96b6,
+#    stat_theil_sen_trend af0f5fe, ts_seasonal_naive_backtest 913ab12,
+#    ts_sliding_window, basket_association_rules 658fb13), then family
+#    siblings of round-7 kernels (k-core peel/label-prop/clustering/
+#    HITS next to graph_kcore_peeling; rank-stat siblings of the
+#    overflow audit; CUSUM + KMV siblings of the new fold queries;
+#    simhash next to dedup_repeated_substring; IVF/PQ next to RVQ;
+#    token-budget shard next to byte-budget shards).
+# Pre-flight: parity at sf0.001/0.01/0.1 under TZ=America/New_York +
+# hostile partitioning (tests/test_partitioning_robustness.py).
+_ROUND8_WINDOW = [
+    # 0-30: round-7 additions, never driver-checked (registry order)
+    "kv_ttl_expiry_sweep", "events_attribution_shapley",
+    "graph_kcore_peeling", "stream_session_late_closed",
+    "stream_join_click_purchase_window", "sketch_histogram_quantiles",
+    "sketch_histogram_quantiles_by_type", "sketch_kmv_distinct_by_type",
+    "sample_priority_topk", "dedup_repeated_substring",
+    "sim_ann_nprobe_recall_sweep", "sketch_bloom_fpr_sweep",
+    "layout_zonemap_pruning", "dq_freshness_by_type",
+    "events_salting_load_balance", "ts_pattern_similarity_search",
+    "events_attribution_time_decay", "ts_ohlc_bars",
+    "ts_dtw_distance", "events_cusum_changepoint",
+    "ts_seasonal_naive_mase", "ts_resample_linear_interp",
+    "curation_blocklist_filter", "multimodal_caption_align_filter",
+    "multimodal_shard_bytes_assign", "embedding_rq_codebook",
+    "sim_ann_rq_adc", "sim_ann_dim_prefix_recall",
+    "split_cluster_leakage_safe", "text_pmi_collocations",
+    "er_survivorship_golden_record",
+    # 31: the rewritten projection — first oracle-backed driver row
+    "embedding_pca_project",
+    # 32-37: round-7-edited kernels
+    "graph_common_neighbors", "graph_degree_assortativity",
+    "stat_theil_sen_trend", "ts_seasonal_naive_backtest",
+    "ts_sliding_window", "basket_association_rules",
+    # 38-49: family siblings of round-7 work
+    "graph_kcore_peel", "graph_label_propagation",
+    "graph_clustering_coefficient", "graph_hits_hubs_authorities",
+    "stat_wilcoxon_signed_rank", "stat_kendall_tau",
+    "ts_cusum_nation_drift", "sketch_kmv_jaccard",
+    "dedup_simhash_hamming", "sim_ann_ivfadc",
+    "sim_ann_pq_adc", "shard_token_budget_assign",
+]
+
+
 def _reorder() -> None:
-    window = _ROUND7_WINDOW
+    window = _ROUND8_WINDOW
     missing = [n for n in window if n not in REGISTRY]
     assert not missing, f"window names not registered: {missing}"
     assert len(set(window)) == len(window), "duplicate window entries"

@@ -761,24 +761,12 @@ def embedding_covariance(spark, sf_dir):
     return covariance_matrix(table(spark, sf_dir, "embeddings"))
 
 
-@register(
-    "embedding_pca_project",
-    # no SQL oracle: eigendecomposition isn't ANSI-SQL-expressible;
-    # verified by tests/test_llm.py::test_pca_project_matches_numpy
-    # (parity vs numpy PCA + eigenvalue-variance identity), and the
-    # covariance input it consumes is the driver-checked
-    # embedding_covariance query.
-    tags=("llm", "embedding"),
-)
-def embedding_pca_project(spark, sf_dir):
-    """Top-2 PCA projection of the corpus embeddings (llm/features.py:
-    pca_project): one-pass partial-Gram covariance, driver-side eigh on
-    the d x d collect (dimension-cardinality, corpus-size independent),
-    sign-canonicalized components shipped back as a broadcast literal —
-    the dimensionality-reduction step before clustering/visualization
-    in an embedding pipeline."""
-    from ..llm.features import pca_project
-    return pca_project(table(spark, sf_dir, "embeddings"), k=2)
+# NOTE: `embedding_pca_project` is registered in llm5.py as a fully
+# oracle-backed projection onto the power-iteration top eigenvector
+# (VERDICT r07 §next 2 — it replaced the rows-only eigh-based entry
+# that lived here). The eigh-based top-k path (llm/features.py:
+# pca_project) remains a library capability, hash-certified through
+# `pca_variance_invariants` below plus the numpy-parity pytest.
 
 
 @register(

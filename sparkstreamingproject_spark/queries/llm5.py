@@ -360,9 +360,9 @@ def _eigvec_oracle() -> str:
           tags=("llm", "embedding", "iterative"))
 def embedding_top_eigvec_power(spark, sf_dir):
     """Top eigenvector of the embedding covariance by power iteration
-    — the oracle-expressible core of PCA (`embedding_pca_project` is
-    the rows-only full projection; this query hash-verifies the
-    dominant direction itself). The covariance comes from the exact
+    — the oracle-expressible core of PCA (`embedding_pca_project`
+    below projects the whole corpus onto this direction; this query
+    hash-verifies the dominant direction itself). The covariance comes from the exact
     integer Gram algebra (the r03 fix), quantized once to a BIGINT
     matrix; each iteration is C·v as exact integer sums over the
     d²-row relation, re-quantized to integer ppm by max-|component|
@@ -392,3 +392,95 @@ def embedding_top_eigvec_power(spark, sf_dir):
                                   / F.col("mx")).cast("long").alias("p")))
     return v.select(F.col("i").alias("dim"),
                     F.col("p").alias("eigvec_ppm"))
+
+
+# --------------------------------------- PCA projection (oracle-backed)
+
+def _pca_project_oracle() -> str:
+    """Extends the power-iteration chain with sign canonicalization and
+    the corpus projection: every quantized embedding row (the GRAM_CTE
+    `u` relation — vec_id, dim, BIGINT q) dotted with the canonicalized
+    eigenvector, as exact integer sums."""
+    chain = _eigvec_oracle()
+    # strip the final SELECT; keep the WITH ... v{n} chain
+    head = chain[:chain.rindex("SELECT")].rstrip().rstrip(",")
+    return f"""{head},
+    sgn AS (SELECT CASE WHEN p < 0 THEN -1 ELSE 1 END AS s
+            FROM v{_PI_ITERS} WHERE p <> 0 ORDER BY i LIMIT 1),
+    vc AS (SELECT v.i AS i, v.p * sgn.s AS p FROM v{_PI_ITERS} v, sgn)
+    SELECT u.vec_id,
+           CAST(sum(CAST(u.q AS DECIMAL(38,0))
+                    * CAST(vc.p AS DECIMAL(38,0))) AS BIGINT) AS pc1_q,
+           round(CAST(CAST(sum(CAST(u.q AS DECIMAL(38,0))
+                               * CAST(vc.p AS DECIMAL(38,0)))
+                           AS BIGINT) AS DOUBLE) / 1e12, 6) + 0.0 AS pc1
+    FROM u JOIN vc ON vc.i = u.i
+    GROUP BY u.vec_id
+    """
+
+
+@register("embedding_pca_project", oracle=_pca_project_oracle(),
+          tags=("llm", "embedding", "iterative"))
+def embedding_pca_project(spark, sf_dir):
+    """Corpus-wide PCA projection onto the dominant principal
+    component (llm/features.py semantics; VERDICT r07 §next 2 — this
+    replaces the eigh-based rows-only registry entry with a fully
+    hash-verifiable variant). The direction is the exact-integer
+    power-iteration eigenvector (same algebra as
+    `embedding_top_eigvec_power`), sign-canonicalized so the lowest
+    nonzero dimension is positive — making the output independent of
+    the start-vector convention, the same determinism discipline the
+    eigh path applies driver-side. Each embedding is quantized ONCE to
+    BIGINT (round(v*1e6), the covariance_matrix discipline) and dotted
+    with the ppm eigenvector as an exact integer sum, so the score is
+    bit-reproducible under any partitioning; the single float divide +
+    round happens last on identical inputs (`+ 0.0` canonicalizes IEEE
+    signed zero, the r04 fix).
+
+    Scale: the d-row eigenvector is a broadcast join; the projection
+    is one corpus scan with a map-side-combinable groupBy on vec_id
+    (one row per dim per vector after the explode — at 100 TB, swap
+    the explode for the mapInPandas BLAS kernel in features.pca_project
+    with this eigenvector as W; both are certified to the same
+    algebra). The eigh-based top-k projection remains available as
+    llm/features.py:pca_project, certified via pca_variance_invariants
+    and the numpy-parity pytest."""
+    from ..llm.features import covariance_matrix
+    emb = table(spark, sf_dir, "embeddings")
+    cov = covariance_matrix(emb)
+    cmat = cov.select("i", "j", F.round(F.col("cov") * 1e6)
+                      .cast("long").alias("cq")).localCheckpoint()
+    dims = cmat.select("i").distinct()
+    v = dims.select("i", F.lit(1_000_000).cast("long").alias("p"))
+    for _ in range(_PI_ITERS):
+        raw = (cmat.join(v.select(F.col("i").alias("j"),
+                                  F.col("p").alias("vp")), "j")
+               .groupBy("i")
+               .agg(F.sum(F.col("cq") * F.col("vp")).cast("long")
+                    .alias("raw")))
+        mx = raw.agg(F.max(F.abs("raw")).alias("mx"))
+        v = (raw.crossJoin(F.broadcast(mx))
+             .select("i", F.round(F.col("raw").cast("double") * 1e6
+                                  / F.col("mx")).cast("long").alias("p")))
+    sgn = (v.filter(F.col("p") != 0).orderBy("i").limit(1)
+           .select(F.when(F.col("p") < 0, F.lit(-1)).otherwise(F.lit(1))
+                   .cast("long").alias("s")))
+    vc = (v.crossJoin(F.broadcast(sgn))
+          .select("i", (F.col("p") * F.col("s")).alias("p")))
+    # quantize embeddings exactly as covariance_matrix does, explode to
+    # (vec_id, dim, q), and dot with the broadcast eigenvector
+    q = (emb.select(
+            "vec_id",
+            F.posexplode(F.expr(
+                "transform(embedding, v -> "
+                "CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT))"
+            )).alias("i", "q")))
+    pq = (q.join(F.broadcast(vc), "i")
+          .groupBy("vec_id")
+          .agg(F.sum(F.col("q").cast("decimal(38,0)")
+                     * F.col("p").cast("decimal(38,0)"))
+               .cast("long").alias("pc1_q")))
+    return pq.select(
+        "vec_id", "pc1_q",
+        (F.round(F.col("pc1_q").cast("double") / F.lit(1e12), 6)
+         + F.lit(0.0)).alias("pc1"))

@@ -68,7 +68,30 @@ def _maybe_read(spark, path: str, schema: str, exclude_batch=None):
     return df
 
 
+def _check_layout(path: str, batch_id) -> None:
+    """Refuse to mix flat-append and ingest_batch= partition layouts on
+    one root (ADVICE r07): the mix passes silently at write time and
+    fails later at read time as a Spark partition-discovery error —
+    surface it loudly at the write that would create it."""
+    if not os.path.isdir(path):
+        return
+    has_parts = any(e.startswith("ingest_batch=")
+                    for e in os.listdir(path))
+    has_flat = any(e.endswith(".parquet") for e in os.listdir(path))
+    if batch_id is None and has_parts:
+        raise ValueError(
+            f"{path} holds ingest_batch= partitions; appending "
+            "unpartitioned files to it would corrupt partition "
+            "discovery — pass the batch_id.")
+    if batch_id is not None and has_flat:
+        raise ValueError(
+            f"{path} holds flat appended files; writing an "
+            "ingest_batch= partition into it would corrupt partition "
+            "discovery — use a fresh root for batch-id mode.")
+
+
 def _write(df: DataFrame, path: str, batch_id) -> None:
+    _check_layout(path, batch_id)
     if batch_id is None:
         df.write.mode("append").parquet(path)
     else:

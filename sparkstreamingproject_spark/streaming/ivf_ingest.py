@@ -71,6 +71,22 @@ def ingest_embeddings_batch(batch: DataFrame, index_dir: str,
     cents = spark.read.parquet(f"{index_dir}/centroids")
     assigned = assign_to_centroids(batch, cents, id_col, emb_col)
     root = f"{index_dir}/postings"
+    # refuse to mix the flat cell=-partitioned append layout with the
+    # ingest_batch=/cell= batch layout on one root (ADVICE r07): the
+    # mix only fails later, at read time, as a partition-discovery
+    # error — fail loudly at the write that would create it.
+    if os.path.isdir(root):
+        top = os.listdir(root)
+        if batch_id is None and any(e.startswith("ingest_batch=")
+                                    for e in top):
+            raise ValueError(
+                f"{root} holds ingest_batch= partitions; append mode "
+                "would corrupt partition discovery — pass the batch_id.")
+        if batch_id is not None and any(e.startswith("cell=")
+                                        for e in top):
+            raise ValueError(
+                f"{root} holds flat cell= partitions; batch-id mode "
+                "would corrupt partition discovery — use a fresh root.")
     if batch_id is None:
         assigned.write.partitionBy("cell").mode("append").parquet(root)
     else:

@@ -36,6 +36,11 @@ class ProgressRecorder(StreamingQueryListener):
     def __init__(self, max_batches: int = 1000,
                  jsonl_path: str | None = None):
         self._rows: deque = deque(maxlen=max_batches)
+        # rows captured but not yet written to the JSONL file; the
+        # callback only appends here (ADVICE r07: file I/O on the
+        # event-bus thread stalls the shared listener bus for every
+        # query) — the read side (rows()/flush()) does the writing
+        self._pending: list[dict] = []
         self._lock = threading.Lock()
         self._jsonl_path = jsonl_path
 
@@ -60,10 +65,8 @@ class ProgressRecorder(StreamingQueryListener):
         }
         with self._lock:
             self._rows.append(row)
-        if self._jsonl_path:
-            # single line, appended atomically enough for a post-mortem
-            with open(self._jsonl_path, "a") as f:
-                f.write(json.dumps(row) + "\n")
+            if self._jsonl_path:
+                self._pending.append(row)
 
     def onQueryIdle(self, event) -> None:  # noqa: N802
         pass
@@ -72,7 +75,22 @@ class ProgressRecorder(StreamingQueryListener):
         pass
 
     # -- read side ----------------------------------------------------
+    def flush(self) -> int:
+        """Write buffered rows to the JSONL file (caller's thread, not
+        the event bus). Returns the number of lines written. ``rows()``
+        calls this, so any read of the history persists it too."""
+        if not self._jsonl_path:
+            return 0
+        with self._lock:
+            pending, self._pending = self._pending, []
+        if pending:
+            with open(self._jsonl_path, "a") as f:
+                for row in pending:
+                    f.write(json.dumps(row) + "\n")
+        return len(pending)
+
     def rows(self) -> list[dict]:
+        self.flush()
         with self._lock:
             return list(self._rows)
 

@@ -73,8 +73,16 @@ def _recover(table_dir: str) -> None:
 
 def table_exists(table_dir: str) -> bool:
     _recover(table_dir)
-    return os.path.isdir(table_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(table_dir))
+    if not os.path.isdir(table_dir):
+        return False
+    # recurse: a table swapped in with partition_by keeps its .parquet
+    # files under partition subdirectories, not the top level (ADVICE
+    # r07 — a flat listdir would read a partitioned state table as
+    # nonexistent and silently reset state)
+    for _root, _dirs, files in os.walk(table_dir):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
 
 
 def swap_in(merged: DataFrame, table_dir: str,

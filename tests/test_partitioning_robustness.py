@@ -94,6 +94,7 @@ def _exact_rows(df) -> list[str]:
     return sorted("|".join(repr(v) for v in row) for row in df.collect())
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name", WINDOW)
 def test_window_query_partition_order_deterministic(spark, sf_dir, name):
     spec = REGISTRY[name]
@@ -129,6 +130,7 @@ _FLOAT_SENSITIVE = [
 ]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name", _FLOAT_SENSITIVE)
 def test_float_sensitive_query_parity_at_sf01(spark, name):
     from .oracle_harness import compare

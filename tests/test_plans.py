@@ -217,3 +217,66 @@ def test_round7_wave_query_plan_shapes(spark, sf_dir):
     kc = rnd._jdf.queryExecution().executedPlan().toString()
     assert "ShuffledHashJoin" in kc, kc
     assert "SortMergeJoin" not in kc, kc
+
+
+def test_round8_heavy_kernel_plan_shapes(spark, sf_dir):
+    """VERDICT r07 §next 4 — pin the round-7 heavy kernels' promised
+    plan shapes on EXECUTED (AQE-finalized) plans, so a future AQE
+    re-plan can't silently break them:
+
+    - k-core survivor joins: the shuffle-hash hints must survive AQE —
+      the finalized plan keeps ShuffledHashJoin and never broadcasts a
+      vertex-cardinality survivor list (the sf0.1 OOM of 79679a3);
+    - OHLC bars: ONE fact-side exchange, with min/max/sum partials
+      below it (map-side combine — the property ohlc_maintain.py's
+      mergeable fold relies on);
+    - RVQ ADC scoring: no Python anywhere in the executed plan, and
+      the scoring stages stay in whole-stage codegen."""
+    import re
+
+    def final_plan(df):
+        # collect() executes THIS DataFrame's queryExecution (count()
+        # would plan a different query and leave this one unfinalized);
+        # keep only the "== Final Plan ==" section — the string also
+        # embeds the initial plan, which would double every count
+        df.collect()
+        p = df._jdf.queryExecution().executedPlan().toString()
+        return p.split("== Initial Plan ==")[0]
+
+    # k-core round under AQE: same construction as the peeling rounds
+    # (queries/analytics23.py), executed so AQE has had every chance
+    # to re-plan the hinted joins
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_orderkey", "l_partkey").distinct())
+    e = (li.alias("a").join(
+        li.alias("b"),
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .select(F.col("a.l_partkey").alias("na"),
+                F.col("b.l_partkey").alias("nb")))
+    s = e.select(F.col("na").alias("node")).distinct()
+    rnd = (e.join(s.withColumnRenamed("node", "na")
+                  .hint("shuffle_hash"), "na")
+           .join(s.withColumnRenamed("node", "nb")
+                 .hint("shuffle_hash"), "nb"))
+    kc = final_plan(rnd)
+    assert "isFinalPlan=true" in kc, kc
+    assert "SortMergeJoin" not in kc, kc
+    # both survivor joins (keyed on na/nb — vertex-cardinality lists)
+    # must stay shuffled-hash; the edge-construction self-join may
+    # broadcast (it is dim-sized at test SF), so only the survivor
+    # keys are pinned
+    assert len(re.findall(r"ShuffledHashJoin \[n[ab]#", kc)) == 2, kc
+    assert not re.search(r"BroadcastHashJoin \[n[ab]#", kc), kc
+
+    ohlc = final_plan(REGISTRY["ts_ohlc_bars"].fn(spark, sf_dir))
+    assert len(re.findall(r"Exchange hashpartitioning", ohlc)) == 1, ohlc
+    for fn_name in ("partial_min", "partial_max", "partial_sum"):
+        assert fn_name in ohlc, (fn_name, ohlc)
+
+    rq = final_plan(REGISTRY["sim_ann_rq_adc"].fn(spark, sf_dir))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF",
+                   "CartesianProduct"):
+        assert marker not in rq, (marker, rq)
+    # codegen'd stages appear as "*(n) Op" in the finalized plan
+    assert re.search(r"\*\(\d+\)", rq), rq
