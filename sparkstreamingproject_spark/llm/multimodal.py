@@ -2,12 +2,13 @@
 columns with typed metadata.
 
 The Spark-side mechanics are real and tested — schema, partitioning,
-Arrow batch shape, UDF signatures. The actual media decode is STUBBED
+Arrow batch shape, UDF signatures. The default decode is a STUB
 (no image/audio libraries in this container): ``decode_stub_features``
 produces a deterministic fake feature vector derived from the bytes, so
 the pipeline shape (binary → mapInPandas → feature column) is
-exercised end-to-end. Swapping in a real decoder is a one-function
-change.
+exercised end-to-end. Where pillow/soundfile exist, exporting
+``SPARK_GRAFT_REAL_DECODE=1`` routes the SAME pipeline through
+``decode_real`` (lazy imports; per-media-type dispatch).
 
 Design for 100 TB of media:
 - media bytes travel in their own column; metadata queries never touch
@@ -68,20 +69,90 @@ def decode_stub_features(batch: pd.DataFrame) -> pd.DataFrame:
     })
 
 
-def extract_features(media: DataFrame) -> DataFrame:
-    """binary → feature vectors via Arrow-batched mapInPandas."""
+#: env flag that routes ``extract_features`` through ``decode_real``
+#: (pillow/soundfile) instead of the stub. Off by default — the
+#: container ships no codecs; where the libraries exist, set
+#: SPARK_GRAFT_REAL_DECODE=1 and the same pipeline decodes real media.
+REAL_DECODE_ENV = "SPARK_GRAFT_REAL_DECODE"
+
+
+def extract_features(media: DataFrame,
+                     decoder=None) -> DataFrame:
+    """binary → feature vectors via Arrow-batched mapInPandas.
+
+    ``decoder`` defaults to the stub; exporting
+    ``SPARK_GRAFT_REAL_DECODE=1`` (read at plan-build time, on the
+    driver) selects ``decode_real`` — same signature, same Arrow batch
+    shape, so the flag changes ONLY the per-batch kernel."""
+    import os
+    if decoder is None:
+        decoder = (decode_real if os.environ.get(REAL_DECODE_ENV) == "1"
+                   else decode_stub_features)
+    cols = ["doc_id", "payload"] + (
+        ["media_type"] if "media_type" in media.columns else [])
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            yield decode_stub_features(batch)
+            yield decoder(batch)
 
-    return media.select("doc_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+    return media.select(*cols).mapInPandas(run, FEATURE_SCHEMA)
 
 
-def decode_real(batch: pd.DataFrame) -> pd.DataFrame:  # pragma: no cover
-    """Placeholder for the real decoder."""
-    raise NotImplementedError(
-        "media decode requires image/audio libraries not present in this "
-        "container; use decode_stub_features for pipeline testing")
+def _image_features(data: bytes) -> list[float]:
+    """FEATURE_DIM grayscale band means of the decoded image, in
+    [0, 1] — the smallest real feature a codec can produce, and easy
+    to recompute independently in a test."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(data)).convert("L")
+    px = np.asarray(img, dtype=np.float64)
+    bands = np.array_split(px, FEATURE_DIM, axis=0)
+    return [float(b.mean() / 255.0) if b.size else 0.0 for b in bands]
+
+
+def _audio_features(data: bytes) -> list[float]:
+    """FEATURE_DIM per-band RMS of the decoded waveform."""
+    import io
+
+    import numpy as np
+    import soundfile as sf
+
+    wav, _sr = sf.read(io.BytesIO(data), dtype="float64", always_2d=True)
+    mono = wav.mean(axis=1)
+    bands = np.array_split(mono, FEATURE_DIM)
+    return [float(np.sqrt((b * b).mean())) if b.size else 0.0
+            for b in bands]
+
+
+def decode_real(batch: pd.DataFrame) -> pd.DataFrame:
+    """Real decoder behind ``REAL_DECODE_ENV`` (VERDICT r07 §next 7):
+    pillow for ``image/*`` payloads, soundfile for ``audio/*`` —
+    imported lazily so the module (and the default stub path) works in
+    codec-less containers. Unknown media types fall back to the stub
+    features, keeping mixed-modality batches total. Identical batch
+    contract to ``decode_stub_features``: in (doc_id, payload[,
+    media_type]), out FEATURE_SCHEMA."""
+    mts = (batch["media_type"] if "media_type" in batch.columns
+           else pd.Series(["application/octet-stream"] * len(batch)))
+    feats, lens = [], []
+    for payload, mt in zip(batch["payload"], mts):
+        b = bytes(payload) if payload is not None else b""
+        lens.append(len(b))
+        mt = mt or ""
+        if mt.startswith("image/"):
+            feats.append(_image_features(b))
+        elif mt.startswith("audio/"):
+            feats.append(_audio_features(b))
+        else:
+            feats.append(_stub_feature_bytes(b))
+    return pd.DataFrame({
+        "doc_id": batch["doc_id"],
+        "byte_len": pd.Series(lens, dtype="int64"),
+        "feature": feats,
+    })
 
 
 FRAME_BYTES = 40   # stand-in frame size (bytes per "frame" of payload)

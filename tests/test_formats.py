@@ -86,3 +86,41 @@ def test_ignore_corrupt_files_salvages_good_data(spark, tmp_path, sf_dir):
         spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
     with _pytest.raises(Exception):
         spark.read.parquet(d).count()
+
+
+def test_jdbc_roundtrip_with_range_partitioned_read(spark):
+    """VERDICT r07 §next 8 — the JDBC builders, executed for real
+    against the Derby engine Spark bundles (in-memory DB, same JVM):
+    jdbc_write batch-inserts a relation, partitioned_jdbc_read brings
+    it back split into numPartitions range-predicated queries, and the
+    physical plan carries the partition count. No external DB needed;
+    the URL contract is identical for MySQL/Postgres in deployment."""
+    from sparkstreamingproject_spark.sources.jdbc import (
+        jdbc_write, partitioned_jdbc_read)
+
+    url = "jdbc:derby:memory:graftdb;create=true"
+    props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+    src = spark.range(0, 1000).select(
+        F.col("id").cast("long").alias("k"),
+        (F.col("id") % 7).cast("long").alias("v"))
+    jdbc_write(src, url, "kv_tbl", mode="overwrite",
+               batch_size=100, properties=props)
+
+    got = partitioned_jdbc_read(
+        spark, url, "kv_tbl", partition_column="k",
+        lower=0, upper=1000, num_partitions=4, properties=props)
+    # the read is genuinely split: one range-predicated query per task
+    assert got.rdd.getNumPartitions() == 4
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "numPartitions=4" in plan, plan
+    # every row survives the round trip, no dupes across the ranges
+    assert got.count() == 1000
+    assert got.select(F.count_distinct("k")).collect()[0][0] == 1000
+    assert (got.agg(F.sum("v")).collect()[0][0]
+            == src.agg(F.sum("v")).collect()[0][0])
+    # bounds looser than the data only skew partition sizes, never
+    # drop rows (the builder's documented contract)
+    wide = partitioned_jdbc_read(
+        spark, url, "kv_tbl", partition_column="k",
+        lower=-5000, upper=9000, num_partitions=3, properties=props)
+    assert wide.count() == 1000

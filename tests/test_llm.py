@@ -3,6 +3,7 @@ force, MinHash-vs-Jaccard consistency, multimodal plumbing."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from sparkstreamingproject_spark.llm.dedup import (
@@ -720,3 +721,50 @@ def test_rq_refinement_and_adc_decomposition(spark, sf_dir):
         y, z = c1v[c1], c2v[c2]
         direct = sum((a - b - c) ** 2 for a, b, c in zip(q, y, z))
         assert r.rq_dist == round(direct / 1e12, 6), (r.q_id, r.vec_id)
+
+
+def test_real_decoder_roundtrips_an_image(spark, monkeypatch):
+    """VERDICT r07 §next 7: the feature-flagged real decoder. Skips
+    cleanly where pillow is absent (this container); where it exists,
+    a synthetic PNG round-trips through the SAME extract_features
+    pipeline (env-flag routed) and the band means match an independent
+    numpy recompute."""
+    import io
+
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import numpy as np
+
+    from sparkstreamingproject_spark.llm.multimodal import (
+        FEATURE_DIM, REAL_DECODE_ENV, extract_features)
+
+    # 8x8 grayscale gradient PNG, one distinct mean per band row-group
+    px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    buf = io.BytesIO()
+    PIL_Image.fromarray(px, mode="L").save(buf, format="PNG")
+    png = buf.getvalue()
+
+    media = spark.createDataFrame(
+        [(1, bytearray(png), "image/png")],
+        "doc_id long, payload binary, media_type string")
+    monkeypatch.setenv(REAL_DECODE_ENV, "1")
+    row = extract_features(media).collect()[0]
+    assert row.byte_len == len(png)
+    bands = np.array_split(px.astype(np.float64), FEATURE_DIM, axis=0)
+    exp = [b.mean() / 255.0 for b in bands]
+    assert row.feature == pytest.approx(exp, abs=1e-6)
+
+
+def test_real_decoder_flag_off_keeps_stub_path(spark, monkeypatch):
+    """With the flag unset, extract_features must produce the stub
+    features even for an image-typed payload — no accidental codec
+    dependency in the default path."""
+    from sparkstreamingproject_spark.llm.multimodal import (
+        REAL_DECODE_ENV, attach_payload, extract_features)
+
+    monkeypatch.delenv(REAL_DECODE_ENV, raising=False)
+    docs = spark.createDataFrame([(1, "hello media")],
+                                 "doc_id long, text string")
+    media = attach_payload(docs).withColumn(
+        "media_type", F.lit("image/png"))
+    rows = extract_features(media).collect()
+    assert len(rows) == 1 and len(rows[0].feature) > 0
