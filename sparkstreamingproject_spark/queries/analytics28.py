@@ -1,0 +1,333 @@
+"""Round-8 additions, wave 1: referential-integrity audit (the DQ
+check every warehouse load runs before trusting a star schema) and
+temperature-scaled source mixing (the data-mixing step of an LLM
+training pipeline — upweight rare domains, downweight dominant ones).
+
+Float discipline: the integrity report is pure exact integers; the
+mixture weights quantize sqrt(n) to integer ppm ONCE, sum exactly, and
+the shares/expected counts are single terminal float ops on identical
+integer inputs in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .base import register, table
+
+
+# ------------------------------------------- referential-orphan audit
+
+# (child table, child key, parent table, parent key, rule label)
+_FK_RULES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey",
+     "l_orderkey->orders"),
+    ("lineitem", "l_partkey", "part", "p_partkey", "l_partkey->part"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey",
+     "l_suppkey->supplier"),
+    ("orders", "o_custkey", "customer", "c_custkey",
+     "o_custkey->customer"),
+    ("events", "user_id", "customer", "c_custkey", "user_id->customer"),
+]
+# coverage rules: parents with no children (childless, not orphaned)
+_COVERAGE_RULES = [
+    ("customer", "c_custkey", "orders", "o_custkey", "no_orders"),
+    ("part", "p_partkey", "lineitem", "l_partkey", "never_ordered"),
+]
+
+
+def _fk_oracle() -> str:
+    parts = []
+    for child, ck, parent, pk, rule in _FK_RULES:
+        parts.append(f"""
+    SELECT '{child}' AS relation, '{rule}' AS rule,
+           (SELECT count(*) FROM {child}) AS n_rows,
+           count(*) AS n_violations,
+           count(DISTINCT c.{ck}) AS n_bad_keys
+    FROM {child} c
+    WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                      WHERE p.{pk} = c.{ck})""")
+    for parent, pk, child, ck, rule in _COVERAGE_RULES:
+        parts.append(f"""
+    SELECT '{parent}' AS relation, '{rule}' AS rule,
+           (SELECT count(*) FROM {parent}) AS n_rows,
+           count(*) AS n_violations,
+           count(DISTINCT p.{pk}) AS n_bad_keys
+    FROM {parent} p
+    WHERE NOT EXISTS (SELECT 1 FROM {child} c
+                      WHERE c.{ck} = p.{pk})""")
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "dq_referential_orphans",
+    oracle=_fk_oracle(),
+    tags=("dq", "join"),
+)
+def dq_referential_orphans(spark, sf_dir):
+    """Referential-integrity audit of the star schema: for every FK
+    edge, the child rows whose parent key does not exist (orphans),
+    and for the two coverage rules, the parents with no children
+    (inactive customers, never-ordered parts). One report row per
+    rule: (relation, rule, n_rows, n_violations, n_bad_keys) — all
+    exact integers.
+
+    Scale shape: each rule is ONE left-anti join on its key — the
+    join strategy is Catalyst's choice (broadcast for dim-sized
+    parents, shuffle for fact-fact edges like lineitem->orders at
+    100 TB), followed by a count/count-distinct aggregate whose
+    partials are map-side combinable. The per-rule total is a
+    1-row aggregate crossJoined (broadcast nested loop over one row)
+    onto the violation counts; the seven report rows union at the
+    end. No collect, no driver loop over data — the audit reads each
+    fact table once per rule; on a lakehouse the five FK rules would
+    share one lineitem scan via a multi-way rollup, kept separate
+    here for rule-level clarity."""
+    def rule_row(child_df, ck, parent_df, pk, relation, rule):
+        k = child_df.select(F.col(ck).alias("k"))
+        pkeys = parent_df.select(F.col(pk).alias("k")).distinct()
+        orph = k.join(pkeys, "k", "left_anti")
+        return (k.agg(F.count("*").alias("n_rows"))
+                .crossJoin(orph.agg(
+                    F.count("*").alias("n_violations"),
+                    F.count_distinct("k").alias("n_bad_keys")))
+                .select(F.lit(relation).alias("relation"),
+                        F.lit(rule).alias("rule"),
+                        "n_rows", "n_violations", "n_bad_keys"))
+
+    dfs = {}
+
+    def t(name):
+        if name not in dfs:
+            dfs[name] = table(spark, sf_dir, name)
+        return dfs[name]
+
+    rows = [rule_row(t(c), ck, t(p), pk, c, rule)
+            for c, ck, p, pk, rule in _FK_RULES]
+    rows += [rule_row(t(p), pk, t(c), ck, p, rule)
+             for p, pk, c, ck, rule in _COVERAGE_RULES]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+# ------------------------------------------- temperature source mixing
+
+_MIX_SAMPLE = 10_000
+
+
+@register(
+    "curation_mix_temperature",
+    oracle=f"""
+    WITH s AS (SELECT source, count(*) AS n_docs FROM documents
+               GROUP BY source),
+    tot AS (SELECT sum(n_docs) AS n, sum(wq) AS wsum
+            FROM (SELECT n_docs,
+                         CAST(round(sqrt(CAST(n_docs AS DOUBLE)) * 1000000)
+                              AS BIGINT) AS wq FROM s)),
+    w AS (SELECT source, n_docs,
+                 CAST(round(sqrt(CAST(n_docs AS DOUBLE)) * 1000000)
+                      AS BIGINT) AS wq FROM s)
+    SELECT w.source, w.n_docs,
+           round(CAST(w.n_docs AS DOUBLE) / tot.n, 6) AS raw_share,
+           round(CAST(w.wq AS DOUBLE) / tot.wsum, 6) AS temp_share,
+           CAST(round({_MIX_SAMPLE} * CAST(w.wq AS DOUBLE) / tot.wsum)
+                AS BIGINT) AS expected_{_MIX_SAMPLE // 1000}k
+    FROM w, tot
+    """,
+    tags=("llm", "curation"),
+)
+def curation_mix_temperature(spark, sf_dir):
+    """Temperature-scaled domain mixture (the data-mixing knob of LLM
+    pretraining — T5/GLaM-style alpha-weighted sampling): with
+    alpha = 0.5, a source's sampling weight is proportional to
+    sqrt(n_docs), flattening the natural distribution so dominant
+    domains shrink and rare domains grow. Emits per source the raw
+    share, the temperature share, and the expected document count in
+    a 10k-doc sample.
+
+    Determinism: sqrt runs on an exact integer count (IEEE-identical
+    in both engines) and is quantized to integer ppm ONCE; the weight
+    sum is exact integer addition (order-free under any partitioning);
+    the shares are single terminal float divides on identical integer
+    inputs. Scale: one groupBy(source) with map-side combine; the
+    totals are a broadcast 1-row crossJoin — corpus-size work is one
+    scan, mixture math is source-cardinality."""
+    s = (table(spark, sf_dir, "documents")
+         .groupBy("source").agg(F.count("*").alias("n_docs"))
+         .withColumn("wq", F.round(F.sqrt(F.col("n_docs")
+                                          .cast("double")) * 1e6)
+                     .cast("long")))
+    tot = s.agg(F.sum("n_docs").alias("n"), F.sum("wq").alias("wsum"))
+    return (s.crossJoin(F.broadcast(tot))
+            .select("source", "n_docs",
+                    F.round(F.col("n_docs").cast("double") / F.col("n"),
+                            6).alias("raw_share"),
+                    F.round(F.col("wq").cast("double") / F.col("wsum"),
+                            6).alias("temp_share"),
+                    F.round(F.lit(_MIX_SAMPLE) * F.col("wq")
+                            .cast("double") / F.col("wsum"))
+                    .cast("long")
+                    .alias(f"expected_{_MIX_SAMPLE // 1000}k")))
+
+
+# ------------------------------------------- rescaled-range (Hurst)
+
+_HURST_NS = (8, 16, 32)
+
+
+def _hurst_oracle() -> str:
+    xs = [float(__import__("math").log(n)) for n in _HURST_NS]
+    xbar = sum(xs) / 3.0
+    sxx = sum((x - xbar) ** 2 for x in xs)
+    rs_cols = ", ".join(
+        f"max(CASE WHEN n = {n} THEN avg_q END) AS rsq{n}"
+        for n in _HURST_NS)
+    y = {n: f"ln(CAST(rsq{n} AS DOUBLE) / 1000000.0)" for n in _HURST_NS}
+    ybar = "(" + " + ".join(y.values()) + ") / 3.0"
+    sxy = " + ".join(f"({x!r} - {xbar!r}) * ({y[n]} - ({ybar}))"
+                     for x, n in zip(xs, _HURST_NS))
+    per_n = " UNION ALL ".join(f"""
+      SELECT o_orderpriority AS priority, {n} AS n, rn, x
+      FROM series""" for n in _HURST_NS)
+    return f"""
+    WITH daily AS MATERIALIZED (
+      SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS x
+      FROM orders GROUP BY 1, 2),
+    series AS MATERIALIZED (
+      SELECT o_orderpriority, x,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY d) AS rn
+      FROM daily),
+    spread AS ({per_n}),
+    chunked AS (
+      SELECT priority, n, (rn - 1) // n AS chunk, rn, x,
+             count(*) OVER (PARTITION BY priority, n,
+                            (rn - 1) // n) AS csize
+      FROM spread),
+    full_chunks AS (SELECT * FROM chunked WHERE csize = n),
+    stats AS (
+      SELECT priority, n, chunk,
+             sum(x) OVER w_all AS s,
+             x
+             , rn
+      FROM full_chunks
+      WINDOW w_all AS (PARTITION BY priority, n, chunk)),
+    devs AS (
+      SELECT priority, n, chunk, rn, n * x - s AS e
+      FROM stats),
+    cums AS (
+      SELECT priority, n, chunk, e,
+             sum(e) OVER (PARTITION BY priority, n, chunk
+                          ORDER BY rn
+                          ROWS UNBOUNDED PRECEDING) AS c
+      FROM devs),
+    per_chunk AS (
+      SELECT priority, n, chunk,
+             max(c) - min(c) AS r_scaled,
+             sum(e * e) AS ss
+      FROM cums GROUP BY 1, 2, 3),
+    rsq AS (
+      SELECT priority, n,
+             CAST(round(r_scaled * sqrt(CAST(n AS DOUBLE) / ss)
+                        * 1000000) AS BIGINT) AS q
+      FROM per_chunk WHERE ss > 0),
+    avg_rs AS (
+      SELECT priority, n,
+             CAST(round(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT)
+               AS avg_q
+      FROM rsq GROUP BY 1, 2),
+    piv AS (
+      SELECT priority, {rs_cols} FROM avg_rs GROUP BY priority)
+    SELECT priority,
+           round(CAST(rsq8 AS DOUBLE) / 1000000.0, 6) AS rs8,
+           round(CAST(rsq16 AS DOUBLE) / 1000000.0, 6) AS rs16,
+           round(CAST(rsq32 AS DOUBLE) / 1000000.0, 6) AS rs32,
+           round(({sxy}) / {sxx!r}, 6) AS hurst
+    FROM piv
+    """
+
+
+@register(
+    "ts_hurst_rs",
+    oracle=_hurst_oracle(),
+    tags=("timeseries", "stats"),
+)
+def ts_hurst_rs(spark, sf_dir):
+    """Hurst exponent by rescaled-range (R/S) analysis of the daily
+    order-count series per order priority — the classic
+    long-range-dependence estimator (H>0.5 persistent, <0.5
+    mean-reverting): at window sizes {8,16,32} split the series into
+    full chunks, per chunk take R = range of cumulative deviations and
+    S = population std, average R/S per size, and fit H as the
+    log-log OLS slope over the three sizes.
+
+    Exactness discipline: per-chunk deviations are scaled by n
+    (n*x - sum → exact integers), so R and the squared-deviation sum
+    SS are exact; R/S = R_scaled*sqrt(n/SS) is one float op on exact
+    ints, quantized to integer ppm per chunk, and the per-size mean is
+    an exact integer sum divided once — the same recipe as the KS/MWU
+    family. The slope is a closed form over three identical doubles
+    with constant x-values baked in at build time.
+
+    Scale: dailies are a map-side-combinable groupBy; chunking/cumsums
+    are ONE window partitioning (priority, n, chunk) over the
+    date-indexed series — series-cardinality, not fact-cardinality; at
+    100 TB the fact scan reduces to dailies first and everything after
+    is tiny."""
+    import math
+
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    daily = (o.groupBy(F.col("o_orderpriority").alias("priority"),
+                       F.col("o_orderdate").cast("date").alias("d"))
+             .agg(F.count("*").cast("long").alias("x")))
+    series = daily.select(
+        "priority", "x",
+        F.row_number().over(
+            Window.partitionBy("priority").orderBy("d")).alias("rn"))
+    spread = None
+    for n in _HURST_NS:
+        part = series.select("priority", F.lit(n).alias("n"), "rn", "x")
+        spread = part if spread is None else spread.unionByName(part)
+    chunked = spread.withColumn(
+        "chunk", ((F.col("rn") - 1) / F.col("n")).cast("long"))
+    wc = Window.partitionBy("priority", "n", "chunk")
+    full = (chunked.withColumn("csize", F.count("*").over(wc))
+            .filter(F.col("csize") == F.col("n")))
+    devs = full.withColumn("e", F.col("n") * F.col("x")
+                           - F.sum("x").over(wc))
+    cums = devs.withColumn(
+        "c", F.sum("e").over(wc.orderBy("rn")
+                             .rowsBetween(Window.unboundedPreceding, 0)))
+    per_chunk = (cums.groupBy("priority", "n", "chunk")
+                 .agg((F.max("c") - F.min("c")).alias("r_scaled"),
+                      F.sum(F.col("e") * F.col("e")).alias("ss"))
+                 .filter(F.col("ss") > 0))
+    rsq = per_chunk.select(
+        "priority", "n",
+        F.round(F.col("r_scaled")
+                * F.sqrt(F.col("n").cast("double") / F.col("ss"))
+                * 1e6).cast("long").alias("q"))
+    avg_rs = (rsq.groupBy("priority", "n")
+              .agg(F.round(F.sum("q").cast("double") / F.count("*"))
+                   .cast("long").alias("avg_q")))
+    piv = (avg_rs.groupBy("priority")
+           .agg(*[F.max(F.when(F.col("n") == n, F.col("avg_q")))
+                  .alias(f"rsq{n}") for n in _HURST_NS]))
+    xs = [math.log(n) for n in _HURST_NS]
+    xbar = sum(xs) / 3.0
+    sxx = sum((x - xbar) ** 2 for x in xs)
+    ys = {n: F.log(F.col(f"rsq{n}").cast("double") / F.lit(1e6))
+          for n in _HURST_NS}
+    ybar = sum(ys.values()) / F.lit(3.0)
+    sxy = sum((F.lit(x - xbar)) * (ys[n] - ybar)
+              for x, n in zip(xs, _HURST_NS))
+    return piv.select(
+        "priority",
+        *[F.round(F.col(f"rsq{n}").cast("double") / F.lit(1e6), 6)
+          .alias(f"rs{n}") for n in _HURST_NS],
+        F.round(sxy / F.lit(sxx), 6).alias("hurst"))

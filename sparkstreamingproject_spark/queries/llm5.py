@@ -484,3 +484,172 @@ def embedding_pca_project(spark, sf_dir):
         "vec_id", "pc1_q",
         (F.round(F.col("pc1_q").cast("double") / F.lit(1e12), 6)
          + F.lit(0.0)).alias("pc1"))
+
+
+# ---------------------------------- top-2 PCA projection via deflation
+
+def _pca2_oracle() -> str:
+    """PC1 chain (shared with `_eigvec_oracle` / `_pca_project_oracle`)
+    + 3 deflated power iterations for PC2: each iteration multiplies by
+    C, subtracts the exact-integer projection onto the canonicalized
+    PC1 (Gram–Schmidt, re-applied every iteration so PC1 leakage from
+    the re-quantization cannot compound), and re-quantizes to integer
+    ppm. Dot products run in 128-bit (HUGEINT / DECIMAL(38,0)) — the
+    u·v product peaks ~4e21, past int64."""
+    chain = _eigvec_oracle()
+    head = chain[:chain.rindex("SELECT")].rstrip().rstrip(",")
+    # DuckDB inlines single-reference CTEs; in this chain cmat/vc/u are
+    # referenced many times, which without materialization re-expands
+    # the whole Gram pipeline per reference (dozens of parquet scans —
+    # "too many open files" at sf0.01). Purely physical hint; the
+    # relational semantics and every value are unchanged.
+    for cte in ("x AS (", "u AS (", "cmat AS ("):
+        head = head.replace(cte, cte.replace("AS (", "AS MATERIALIZED ("))
+    n = _PI_ITERS
+    parts = [f"""{head},
+    sgn AS (SELECT CASE WHEN p < 0 THEN -1 ELSE 1 END AS s
+            FROM v{n} WHERE p <> 0 ORDER BY i LIMIT 1),
+    vc AS MATERIALIZED (
+        SELECT v.i AS i, v.p * sgn.s AS p FROM v{n} v, sgn),
+    dvv AS (SELECT sum(CAST(p AS HUGEINT) * CAST(p AS HUGEINT)) AS x
+            FROM vc),
+    w0 AS (SELECT i, CAST(1000000 AS BIGINT) AS p FROM dims)"""]
+    for t in range(1, n + 1):
+        parts.append(f""",
+    u{t} AS MATERIALIZED (
+        SELECT c.i, CAST(sum(c.cq * w.p) AS BIGINT) AS u
+        FROM cmat c JOIN w{t - 1} w ON w.i = c.j GROUP BY c.i),
+    d{t} AS (SELECT sum(CAST(u.u AS HUGEINT) * CAST(vc.p AS HUGEINT))
+                    AS duv
+             FROM u{t} u JOIN vc ON vc.i = u.i),
+    o{t} AS MATERIALIZED (
+        SELECT u.i,
+               u.u - CAST(round(CAST(d.duv AS DOUBLE)
+                                / CAST(dvv.x AS DOUBLE)
+                                * vc.p) AS BIGINT) AS w
+        FROM u{t} u JOIN vc ON vc.i = u.i, d{t} d, dvv),
+    w{t} AS MATERIALIZED (
+        SELECT i, CAST(round(CAST(w AS DOUBLE) * 1000000
+                             / (SELECT max(abs(w)) FROM o{t}))
+                       AS BIGINT) AS p
+        FROM o{t})""")
+    parts.append(f""",
+    wsgn AS (SELECT CASE WHEN p < 0 THEN -1 ELSE 1 END AS s
+             FROM w{n} WHERE p <> 0 ORDER BY i LIMIT 1),
+    wc AS (SELECT w.i AS i, w.p * wsgn.s AS p FROM w{n} w, wsgn),
+    p1 AS (SELECT u.vec_id,
+                  CAST(sum(CAST(u.q AS DECIMAL(38,0))
+                           * CAST(vc.p AS DECIMAL(38,0))) AS BIGINT)
+                    AS pc1_q
+           FROM u JOIN vc ON vc.i = u.i GROUP BY u.vec_id),
+    p2 AS (SELECT u.vec_id,
+                  CAST(sum(CAST(u.q AS DECIMAL(38,0))
+                           * CAST(wc.p AS DECIMAL(38,0))) AS BIGINT)
+                    AS pc2_q
+           FROM u JOIN wc ON wc.i = u.i GROUP BY u.vec_id)
+    SELECT p1.vec_id, p1.pc1_q, p2.pc2_q,
+           round(CAST(p1.pc1_q AS DOUBLE) / 1e12, 6) + 0.0 AS pc1,
+           round(CAST(p2.pc2_q AS DOUBLE) / 1e12, 6) + 0.0 AS pc2
+    FROM p1 JOIN p2 ON p2.vec_id = p1.vec_id""")
+    return "".join(parts)
+
+
+def _canonicalize_sign(v):
+    """Flip so the lowest nonzero dimension is positive (both engines
+    order by dim index — start-vector-convention independence)."""
+    sgn = (v.filter(F.col("p") != 0).orderBy("i").limit(1)
+           .select(F.when(F.col("p") < 0, F.lit(-1)).otherwise(F.lit(1))
+                   .cast("long").alias("s")))
+    return (v.crossJoin(F.broadcast(sgn))
+            .select("i", (F.col("p") * F.col("s")).alias("p")))
+
+
+@register("embedding_pca_top2_project", oracle=_pca2_oracle(),
+          tags=("llm", "embedding", "iterative"))
+def embedding_pca_top2_project(spark, sf_dir):
+    """Top-2 PCA projection, fully oracle-backed: PC1 by exact-integer
+    power iteration (the `embedding_top_eigvec_power` kernel), PC2 by
+    DEFLATED power iteration — every iteration multiplies by C then
+    subtracts the exact-integer Gram–Schmidt projection onto the
+    canonicalized PC1 before re-quantizing, so the iterate can never
+    re-converge to the dominant direction. This completes the eigh
+    surface (llm/features.py:pca_project, certified by
+    pca_variance_invariants) with a projection whose every value
+    hash-matches a SQL oracle: dot products run in 128-bit exact
+    integers (u·v peaks ~4e21), the single float divide per
+    orthogonalization happens on identical integer inputs, and both
+    components are sign-canonicalized.
+
+    Scale: C is d²-row (corpus-independent after ONE scan); all six
+    iterations are dimension-cardinality joins; the final projection
+    is one corpus scan dotted against two broadcast d-row vectors with
+    a map-side-combinable groupBy(vec_id)."""
+    from ..llm.features import covariance_matrix
+    emb = table(spark, sf_dir, "embeddings")
+    cov = covariance_matrix(emb)
+    cmat = cov.select("i", "j", F.round(F.col("cov") * 1e6)
+                      .cast("long").alias("cq")).localCheckpoint()
+    dims = cmat.select("i").distinct()
+
+    def times_c(vec):
+        # one exact C·vec product over the d²-row relation
+        return (cmat.join(vec.select(F.col("i").alias("j"),
+                                     F.col("p").alias("vp")), "j")
+                .groupBy("i")
+                .agg(F.sum(F.col("cq") * F.col("vp")).cast("long")
+                     .alias("raw")))
+
+    def rescale(raw, col="raw"):
+        mx = raw.agg(F.max(F.abs(col)).alias("mx"))
+        return (raw.crossJoin(F.broadcast(mx))
+                .select("i", F.round(F.col(col).cast("double") * 1e6
+                                     / F.col("mx")).cast("long")
+                        .alias("p")))
+
+    v = dims.select("i", F.lit(1_000_000).cast("long").alias("p"))
+    for _ in range(_PI_ITERS):
+        v = rescale(times_c(v))
+    vc = _canonicalize_sign(v).localCheckpoint()
+    dvv = vc.agg(F.sum(F.col("p").cast("decimal(38,0)")
+                       * F.col("p").cast("decimal(38,0)")).alias("x"))
+
+    w = dims.select("i", F.lit(1_000_000).cast("long").alias("p"))
+    for _ in range(_PI_ITERS):
+        u = times_c(w).withColumnRenamed("raw", "u")
+        duv = (u.join(vc, "i")
+               .agg(F.sum(F.col("u").cast("decimal(38,0)")
+                          * F.col("p").cast("decimal(38,0)"))
+                    .alias("duv")))
+        o = (u.join(vc, "i")
+             .crossJoin(F.broadcast(duv))
+             .crossJoin(F.broadcast(dvv))
+             .select("i", (F.col("u")
+                           - F.round(F.col("duv").cast("double")
+                                     / F.col("x").cast("double")
+                                     * F.col("p")).cast("long"))
+                     .alias("w")))
+        w = rescale(o, "w")
+    wc = _canonicalize_sign(w)
+
+    q = (emb.select(
+            "vec_id",
+            F.posexplode(F.expr(
+                "transform(embedding, v -> "
+                "CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT))"
+            )).alias("i", "q"))).localCheckpoint()
+
+    def project(vec, out):
+        return (q.join(F.broadcast(vec), "i")
+                .groupBy("vec_id")
+                .agg(F.sum(F.col("q").cast("decimal(38,0)")
+                           * F.col("p").cast("decimal(38,0)"))
+                     .cast("long").alias(out)))
+
+    p1 = project(vc, "pc1_q")
+    p2 = project(wc, "pc2_q")
+    return (p1.join(p2, "vec_id")
+            .select("vec_id", "pc1_q", "pc2_q",
+                    (F.round(F.col("pc1_q").cast("double") / F.lit(1e12),
+                             6) + F.lit(0.0)).alias("pc1"),
+                    (F.round(F.col("pc2_q").cast("double") / F.lit(1e12),
+                             6) + F.lit(0.0)).alias("pc2")))

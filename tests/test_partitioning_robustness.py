@@ -68,6 +68,9 @@ _KEEPERS = [
     "ts_resample_linear_interp",
     # wave-16 additions (certify in r08)
     "er_survivorship_golden_record",
+    # round-8 additions (certify in r09)
+    "dq_referential_orphans", "curation_mix_temperature",
+    "er_blocking_quality", "embedding_pca_top2_project", "ts_hurst_rs",
 ]
 
 _seen: set[str] = set()
