@@ -331,3 +331,41 @@ def ts_hurst_rs(spark, sf_dir):
         *[F.round(F.col(f"rsq{n}").cast("double") / F.lit(1e6), 6)
           .alias(f"rs{n}") for n in _HURST_NS],
         F.round(sxy / F.lit(sxx), 6).alias("hurst"))
+
+
+# --------------------------------------- fixed-size uniform sample
+
+_BK_K = 200
+
+
+@register(
+    "sample_bottomk_uniform",
+    oracle=f"""
+    SELECT doc_id, source, n_chars, h
+    FROM (SELECT doc_id, source, n_chars,
+                 md5(CAST(doc_id AS VARCHAR)) AS h
+          FROM documents)
+    ORDER BY h, doc_id LIMIT {_BK_K}
+    """,
+    tags=("sample",),
+)
+def sample_bottomk_uniform(spark, sf_dir):
+    """Fixed-SIZE uniform sample by bottom-k hash: keep the k=200 rows
+    with the smallest md5(doc_id) — the mergeable, reproducible
+    eval-set/holdout primitive. Unlike rate-based hash splits
+    (``split_stratified_hash``: fixed FRACTION, size drifts with the
+    corpus) or priority sampling (``sample_priority_topk``: weighted),
+    bottom-k yields an exactly-k uniform sample whose union rule is
+    trivial — bottom-k of a union is the bottom-k of the merged
+    bottom-ks, so shards/micro-batches maintain it independently
+    (identical algebra to the KMV sketch, reused for ROWS, not
+    distinct counts).
+
+    Scale: TakeOrdered heap per partition + k-row merge on the driver
+    — no global sort, no shuffle of the corpus (the same plan shape
+    `tests/test_plans.py::test_topn_uses_heap_not_global_sort` pins
+    for top-n)."""
+    d = table(spark, sf_dir, "documents")
+    return (d.select("doc_id", "source", "n_chars",
+                     F.md5(F.col("doc_id").cast("string")).alias("h"))
+            .orderBy("h", "doc_id").limit(_BK_K))

@@ -101,3 +101,279 @@ def er_blocking_quality(spark, sf_dir):
         total.alias("n_total_pairs"),
         F.round(F.lit(1.0) - F.col("n_candidates") / total, 6)
         .alias("reduction_ratio"))
+
+
+# ------------------------------------------------ LSH-bounded kNN graph
+
+_KNN_K = 3
+
+
+def _knn_oracle() -> str:
+    from ..llm import similarity as S
+    selects = []
+    for t in range(S.LSH_TABLES):
+        planes = S.hyperplanes(S.LSH_TABLE_PLANES, seed=S.LSH_SEED + t)
+        bits = " || ".join(
+            "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+            f"{p!r}::DOUBLE[]) >= 0 THEN '1' ELSE '0' END)"
+            for p in planes)
+        selects.append(
+            f"SELECT vec_id, {t} AS tbl, {bits} AS bucket FROM embeddings")
+    union = "\n      UNION ALL\n".join(selects)
+    return f"""
+    WITH b AS ({union}),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM b x JOIN b y
+        ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+    sym AS (SELECT id_a AS src, id_b AS dst FROM cand
+            UNION ALL SELECT id_b, id_a FROM cand),
+    pts AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    el AS MATERIALIZED (
+      SELECT vec_id, CAST(i AS INT) AS pos,
+             CAST(round(v[i] * 1000000) AS BIGINT) AS x
+      FROM pts, unnest(range(1, len(v) + 1)) AS g(i)),
+    d2 AS (
+      SELECT s.src, s.dst, sum((a.x - e2.x) * (a.x - e2.x)) AS d2
+      FROM sym s
+      JOIN el a ON a.vec_id = s.src
+      JOIN el e2 ON e2.vec_id = s.dst AND e2.pos = a.pos
+      GROUP BY 1, 2)
+    SELECT src, dst, round(CAST(d2 AS DOUBLE) / 1e12, 6) AS dist_sq,
+           CAST(rank AS INT) AS rank
+    FROM (SELECT src, dst, d2,
+                 row_number() OVER (PARTITION BY src
+                                    ORDER BY d2, dst) AS rank
+          FROM d2)
+    WHERE rank <= {_KNN_K}
+    """
+
+
+@register("embedding_knn_graph", oracle=_knn_oracle(),
+          tags=("llm", "similarity", "graph"))
+def embedding_knn_graph(spark, sf_dir):
+    """Approximate kNN GRAPH construction — the primitive under
+    dedup clustering, diversity sampling, and graph-based ANN
+    (HNSW/NN-descent seeds): every vector's top-3 neighbors, with
+    candidates bounded by OR-amplified multi-table hyperplane LSH
+    (never all-pairs) and ranked by EXACT integer squared L2 over the
+    once-quantized elements, ties broken by neighbor id.
+
+    Scale shape: candidates come from per-bucket posting lists (3
+    tables × 2^10 buckets — the recall/bucket-size knob documented in
+    llm/similarity.py:lsh_multi_table_pairs); the exact rerank touches
+    candidate pairs × d rows through two keyed joins; the final top-k
+    is a per-src window over candidate-bounded rows. A node whose
+    buckets are all singletons simply emits no edges — at corpus scale
+    that is the signal to add tables, not to widen to brute force."""
+    from ..llm.similarity import lsh_multi_table_pairs
+    emb = table(spark, sf_dir, "embeddings")
+    from pyspark.sql import Window
+    cand = lsh_multi_table_pairs(emb)
+    sym = (cand.select(F.col("id_a").alias("src"),
+                       F.col("id_b").alias("dst"))
+           .unionByName(cand.select(F.col("id_b").alias("src"),
+                                    F.col("id_a").alias("dst"))))
+    el = emb.select(
+        "vec_id",
+        F.posexplode(F.expr(
+            "transform(embedding, v -> "
+            "CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT))"
+        )).alias("pos", "x"))
+    d2 = (sym
+          .join(el.select(F.col("vec_id").alias("src"), "pos",
+                          F.col("x").alias("xa")), "src")
+          .join(el.select(F.col("vec_id").alias("dst"),
+                          F.col("pos").alias("pos"),
+                          F.col("x").alias("xb")), ["dst", "pos"])
+          .groupBy("src", "dst")
+          .agg(F.sum((F.col("xa") - F.col("xb"))
+                     * (F.col("xa") - F.col("xb"))).alias("d2")))
+    w = Window.partitionBy("src").orderBy("d2", "dst")
+    return (d2.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= _KNN_K)
+            .select("src", "dst",
+                    F.round(F.col("d2").cast("double") / F.lit(1e12), 6)
+                    .alias("dist_sq"),
+                    F.col("rank").cast("int").alias("rank")))
+
+
+# ------------------------------------------------ Heaps' law growth
+
+_HEAPS_FRACS = (8, 4, 2, 1)  # checkpoints at N/8, N/4, N/2, N
+
+
+@register(
+    "text_heaps_law",
+    oracle="""
+    WITH d AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS ws,
+             row_number() OVER (ORDER BY doc_id) AS rnk
+      FROM documents),
+    n AS (SELECT count(*) AS nd FROM d),
+    cps AS (SELECT DISTINCT CAST(ceil(nd / f) AS BIGINT) AS cp
+            FROM n, (VALUES (8.0), (4.0), (2.0), (1.0)) AS t(f)),
+    tok AS (SELECT rnk, CAST(len(ws) AS BIGINT) AS n_tok FROM d),
+    first_seen AS (
+      SELECT w, min(rnk) AS fr
+      FROM (SELECT rnk, unnest(ws) AS w FROM d) GROUP BY w),
+    per_cp AS (
+      SELECT cp,
+             (SELECT CAST(sum(n_tok) AS BIGINT) FROM tok
+              WHERE rnk <= cp) AS n_tokens,
+             (SELECT count(*) FROM first_seen WHERE fr <= cp) AS n_vocab
+      FROM cps),
+    fit AS (
+      SELECT count(*) AS m,
+             sum(ln(CAST(n_tokens AS DOUBLE))) AS sx,
+             sum(ln(CAST(n_vocab AS DOUBLE))) AS sy,
+             sum(ln(CAST(n_tokens AS DOUBLE))
+                 * ln(CAST(n_vocab AS DOUBLE))) AS sxy,
+             sum(ln(CAST(n_tokens AS DOUBLE))
+                 * ln(CAST(n_tokens AS DOUBLE))) AS sxx
+      FROM per_cp)
+    SELECT p.cp AS checkpoint_docs, p.n_tokens, p.n_vocab,
+           round((f.m * f.sxy - f.sx * f.sy)
+                 / (f.m * f.sxx - f.sx * f.sx), 6) + 0.0 AS heaps_beta
+    FROM per_cp p, fit f
+    """,
+    tags=("llm", "text", "stats"),
+)
+def text_heaps_law(spark, sf_dir):
+    """Vocabulary-growth (Heaps'-law) profile of the corpus: distinct
+    vocabulary vs cumulative tokens at doc-order checkpoints N/8, N/4,
+    N/2, N, plus the fitted Heaps exponent beta (V = K·T^beta, the
+    log-log OLS slope over the checkpoints — ~0.4-0.6 for natural
+    text; materially lower signals duplication, higher signals noise/
+    IDs). The curve is THE quick corpus-health read before tokenizer
+    and dedup decisions.
+
+    Exactness: the growth curve needs each word's FIRST occurrence,
+    not a cumulative distinct per prefix — first_seen = min(doc rank)
+    per word turns an O(N·V) running-distinct into one explode +
+    groupBy; vocab(cp) is then a count over first_seen ≤ cp. Tokens
+    and vocab are exact integers; the slope is a closed form over four
+    identical doubles. Scale: one corpus explode with map-side
+    combine; checkpoints are a 4-row broadcast."""
+    from pyspark.sql import Window
+    d = (table(spark, sf_dir, "documents")
+         .select("doc_id", F.split("text", " ").alias("ws"))
+         .withColumn("rnk", F.row_number().over(
+             Window.orderBy("doc_id"))))
+    nd = d.agg(F.count("*").alias("nd"))
+    cps = None
+    for f in _HEAPS_FRACS:
+        c = nd.select(F.ceil(F.col("nd") / F.lit(float(f)))
+                      .cast("long").alias("cp"))
+        cps = c if cps is None else cps.unionByName(c)
+    cps = cps.distinct()
+    tok = d.select("rnk", F.size("ws").cast("long").alias("n_tok"))
+    first_seen = (d.select("rnk", F.explode("ws").alias("w"))
+                  .groupBy("w").agg(F.min("rnk").alias("fr")))
+    per_cp = (cps.join(tok, tok.rnk <= cps.cp)
+              .groupBy("cp").agg(F.sum("n_tok").alias("n_tokens"))
+              .join(cps.join(first_seen, first_seen.fr <= cps.cp)
+                    .groupBy("cp").agg(F.count("*").alias("n_vocab")),
+                    "cp"))
+    lx = F.log(F.col("n_tokens").cast("double"))
+    ly = F.log(F.col("n_vocab").cast("double"))
+    fit = per_cp.agg(
+        F.count("*").alias("m"), F.sum(lx).alias("sx"),
+        F.sum(ly).alias("sy"), F.sum(lx * ly).alias("sxy"),
+        F.sum(lx * lx).alias("sxx"))
+    # + 0.0 canonicalizes IEEE -0.0 (a saturated-vocab corpus fits a
+    # flat line; DuckDB's native round keeps the sign of -0.0 — the
+    # r04 signed-zero class)
+    beta = F.round((F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                   / (F.col("m") * F.col("sxx")
+                      - F.col("sx") * F.col("sx")), 6) + F.lit(0.0)
+    return (per_cp.crossJoin(F.broadcast(fit))
+            .select(F.col("cp").alias("checkpoint_docs"),
+                    "n_tokens", "n_vocab", beta.alias("heaps_beta")))
+
+
+# ------------------------------------------------ VAD-style segments
+
+_VAD_MEAN_CODE = 96  # mean char code >= this => "voiced" window
+
+
+@register(
+    "multimodal_vad_segments",
+    oracle=f"""
+    WITH media AS (
+      SELECT doc_id, text, CAST(length(text) AS BIGINT) AS byte_len
+      FROM documents),
+    win AS (
+      SELECT doc_id, text, byte_len,
+             CAST(unnest(range(0, CAST(ceil(byte_len / 16.0) AS BIGINT)))
+                  AS BIGINT) AS window_idx
+      FROM media WHERE byte_len > 0),
+    ext AS (
+      SELECT doc_id, window_idx,
+             window_idx * 16 AS s,
+             least(window_idx * 16 + 40, byte_len) AS e, text
+      FROM win),
+    energy AS (
+      SELECT doc_id, window_idx, s, e,
+             CAST(list_sum(list_transform(range(CAST(s + 1 AS BIGINT),
+                                                CAST(e + 1 AS BIGINT)),
+                           i -> ascii(substr(text, CAST(i AS INT), 1))))
+                  AS BIGINT) AS en
+      FROM ext),
+    active AS (
+      SELECT doc_id, window_idx, s, e,
+             window_idx - row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY window_idx) AS grp
+      FROM energy
+      WHERE en >= {_VAD_MEAN_CODE} * (e - s)),
+    seg AS (
+      SELECT doc_id, min(s) AS seg_start, max(e) AS seg_end,
+             count(*) AS n_windows
+      FROM active GROUP BY doc_id, grp)
+    SELECT doc_id, seg_start, seg_end, n_windows FROM seg
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_vad_segments(spark, sf_dir):
+    """Voice-activity-detection plumbing over the multimodal window
+    plan: overlapping windows (40-unit span, 16-unit hop — the
+    ``audio_window_plan`` schedule) are scored by REAL content energy
+    (sum of character codes over the window extent — the text corpus
+    stands in for PCM; a mean code >= 96 means letter-dense, the
+    speech of this stand-in), then adjacent active windows merge into
+    segments by the gaps-and-islands idiom — exactly how VAD output
+    becomes clip boundaries for a speech-training shard.
+
+    Exactness: energies and thresholds are exact integer sums and
+    products; segment bounds are min/max of exact offsets. Scale: the
+    window plan is metadata arithmetic (map-only explode); the energy
+    join touches each document's chars once (Σ byte_len rows); the
+    merge is one window partitioning per doc. With a real codec the
+    energy column would come from the Arrow-batched decode kernel
+    (``decode_real``) — every operator downstream of the energy column
+    is unchanged."""
+    from ..llm.multimodal import audio_window_plan
+    from pyspark.sql import Window
+    docs = table(spark, sf_dir, "documents")
+    media = docs.select("doc_id",
+                        F.length("text").cast("long").alias("byte_len"))
+    win = audio_window_plan(media)  # doc_id, window_idx, byte_start/end
+    ext = (win.join(docs.select("doc_id", "text"), "doc_id")
+           .select("doc_id", "window_idx",
+                   F.col("byte_start").alias("s"),
+                   F.col("byte_end").alias("e"), "text"))
+    en = ext.withColumn(
+        "en", F.expr("aggregate(transform(sequence(s + 1, e), "
+                     "i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) "
+                     "AS BIGINT)), 0L, (a, x) -> a + x)"))
+    active = (en.filter(F.col("en")
+                        >= F.lit(_VAD_MEAN_CODE) * (F.col("e") - F.col("s")))
+              .withColumn("grp", F.col("window_idx") - F.row_number()
+                          .over(Window.partitionBy("doc_id")
+                                .orderBy("window_idx"))))
+    return (active.groupBy("doc_id", "grp")
+            .agg(F.min("s").alias("seg_start"),
+                 F.max("e").alias("seg_end"),
+                 F.count("*").alias("n_windows"))
+            .select("doc_id", "seg_start", "seg_end", "n_windows"))

@@ -71,6 +71,8 @@ _KEEPERS = [
     # round-8 additions (certify in r09)
     "dq_referential_orphans", "curation_mix_temperature",
     "er_blocking_quality", "embedding_pca_top2_project", "ts_hurst_rs",
+    "embedding_knn_graph", "text_heaps_law", "multimodal_vad_segments",
+    "sample_bottomk_uniform",
 ]
 
 _seen: set[str] = set()
