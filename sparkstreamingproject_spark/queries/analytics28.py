@@ -369,3 +369,117 @@ def sample_bottomk_uniform(spark, sf_dir):
     return (d.select("doc_id", "source", "n_chars",
                      F.md5(F.col("doc_id").cast("string")).alias("h"))
             .orderBy("h", "doc_id").limit(_BK_K))
+
+
+# --------------------------------------- personalized PageRank (PPR)
+
+_PPR_ROUNDS = 4
+_PPR_SEEDS = 3
+_PPR_SEED_Q = 1_000_000 // _PPR_SEEDS  # ppm mass per seed
+
+
+def _ppr_oracle() -> str:
+    parts = [f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    adj AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    deg AS MATERIALIZED (SELECT u, count(*) AS d FROM adj GROUP BY u),
+    nodes AS MATERIALIZED (SELECT DISTINCT u FROM adj),
+    seeds AS MATERIALIZED (SELECT u FROM nodes ORDER BY u LIMIT {_PPR_SEEDS}),
+    r0 AS (SELECT n.u,
+                  CAST(CASE WHEN s.u IS NOT NULL
+                            THEN {_PPR_SEED_Q} ELSE 0 END AS BIGINT) AS q
+           FROM nodes n LEFT JOIN seeds s ON s.u = n.u)"""]
+    for t in range(1, _PPR_ROUNDS + 1):
+        parts.append(f""",
+    c{t} AS (
+      SELECT a.v AS i, CAST(sum(r.q // d.d) AS BIGINT) AS m
+      FROM adj a JOIN r{t - 1} r ON r.u = a.u
+      JOIN deg d ON d.u = a.u
+      GROUP BY a.v),
+    r{t} AS MATERIALIZED (
+      SELECT n.u,
+             CAST((85 * coalesce(c.m, 0)
+                   + 15 * (CASE WHEN s.u IS NOT NULL
+                                THEN {_PPR_SEED_Q} ELSE 0 END)) // 100
+                  AS BIGINT) AS q
+      FROM nodes n LEFT JOIN c{t} c ON c.i = n.u
+      LEFT JOIN seeds s ON s.u = n.u)""")
+    parts.append(f"""
+    SELECT u AS part, q AS rank_ppm,
+           CAST(u IN (SELECT u FROM seeds) AS BOOLEAN) AS is_seed
+    FROM r{_PPR_ROUNDS} WHERE q > 0
+    ORDER BY q DESC, u LIMIT 20""")
+    return "".join(parts)
+
+
+@register(
+    "graph_ppr_seeded",
+    oracle=_ppr_oracle(),
+    tags=("graph", "iterative"),
+)
+def graph_ppr_seeded(spark, sf_dir):
+    """Personalized PageRank from a 3-node seed set on the part
+    co-purchase graph (the LPA edge relation: parts co-listed in >= 2
+    orders) — the LOCAL graph-ranking primitive behind similar-items
+    and related-entity retrieval, vs the registry's GLOBAL
+    `graph_pagerank_transitions` (uniform teleport on the tiny
+    event-type graph). Four damped rounds, teleport mass returned to
+    the seeds only; top-20 by final rank.
+
+    Exactness — integer-only iteration: ranks are ppm BIGINTs; each
+    node's per-edge share is the FLOOR division q div deg (exact,
+    order-free to sum under any partitioning — no per-edge float whose
+    summation order could flip a rounding); the damping mix
+    (85*contrib + 15*seed) div 100 is again integer floor. Mass decays
+    slightly by flooring, which is fine for ranking and keeps every
+    round bit-identical across engines.
+
+    Scale: per round ONE keyed join of the edge relation to the rank
+    vector + one aggregate by destination — the generic billion-edge
+    PR shape; ranks/degrees are node-cardinality; rounds are lineage-
+    cut with localCheckpoint."""
+    li = (table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    e = (li.alias("a").join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+         .groupBy(F.col("a.l_partkey").alias("u"),
+                  F.col("b.l_partkey").alias("v"))
+         .agg(F.count("*").alias("w")).filter(F.col("w") >= 2)
+         .select("u", "v"))
+    adj = (e.unionByName(e.select(F.col("v").alias("u"),
+                                  F.col("u").alias("v")))
+           .localCheckpoint())
+    deg = adj.groupBy("u").agg(F.count("*").alias("d"))
+    nodes = adj.select("u").distinct()
+    seeds = nodes.orderBy("u").limit(_PPR_SEEDS)
+    seed_flag = nodes.join(
+        seeds.withColumnRenamed("u", "su"),
+        F.col("u") == F.col("su"), "left").select(
+        "u", F.col("su").isNotNull().alias("is_seed"))
+    r = seed_flag.select(
+        "u", F.when(F.col("is_seed"), F.lit(_PPR_SEED_Q)).otherwise(0)
+        .cast("long").alias("q"))
+    for _ in range(_PPR_ROUNDS):
+        c = (adj.join(r, "u").join(deg, "u")
+             .select(F.col("v").alias("i"),
+                     F.expr("q div d").alias("share"))
+             .groupBy("i").agg(F.sum("share").cast("long").alias("m")))
+        r = (seed_flag.join(c, F.col("u") == F.col("i"), "left")
+             .select("u",
+                     F.expr(f"CAST((85 * coalesce(m, 0) + 15 * "
+                            f"(CASE WHEN is_seed THEN {_PPR_SEED_Q} "
+                            f"ELSE 0 END)) div 100 AS BIGINT)")
+                     .alias("q"))
+             .localCheckpoint())
+    return (r.join(seed_flag, "u")
+            .filter(F.col("q") > 0)
+            .select(F.col("u").alias("part"),
+                    F.col("q").alias("rank_ppm"), "is_seed")
+            .orderBy(F.desc("rank_ppm"), "part").limit(20))

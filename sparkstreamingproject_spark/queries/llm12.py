@@ -377,3 +377,69 @@ def multimodal_vad_segments(spark, sf_dir):
                  F.max("e").alias("seg_end"),
                  F.count("*").alias("n_windows"))
             .select("doc_id", "seg_start", "seg_end", "n_windows"))
+
+
+# ------------------------------------------------ phrase proximity
+
+_PROX_SLOP = 3
+
+
+@register(
+    "text_phrase_proximity",
+    oracle=f"""
+    WITH d AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    pos AS MATERIALIZED (
+      SELECT doc_id, ws[i] AS w, CAST(i AS BIGINT) AS i
+      FROM d, unnest(range(1, len(ws) + 1)) AS g(i)),
+    freq AS (SELECT w, count(*) AS c FROM pos GROUP BY w),
+    t1 AS (SELECT w AS w1 FROM freq ORDER BY c DESC, w LIMIT 1),
+    t2 AS (SELECT w AS w2 FROM (SELECT w, c FROM freq
+                                ORDER BY c DESC, w LIMIT 2)
+           ORDER BY c, w DESC LIMIT 1),
+    p1 AS (SELECT doc_id, i FROM pos, t1 WHERE w = w1),
+    p2 AS (SELECT doc_id, i FROM pos, t2 WHERE w = w2)
+    SELECT p1.doc_id, t1.w1, t2.w2,
+           min(abs(p1.i - p2.i)) AS min_dist,
+           count(*) AS n_pairs
+    FROM p1 JOIN p2 ON p2.doc_id = p1.doc_id, t1, t2
+    WHERE abs(p1.i - p2.i) <= {_PROX_SLOP}
+    GROUP BY 1, 2, 3
+    """,
+    tags=("llm", "text", "search"),
+)
+def text_phrase_proximity(spark, sf_dir):
+    """Proximity (match_phrase-with-slop) search — the Elasticsearch
+    surface the reference depends on (pom.xml: elasticsearch deps)
+    beyond the registry's BM25 relevance: documents where the corpus's
+    two most frequent words co-occur within slop={_PROX_SLOP}
+    positions, with the minimum distance and the count of qualifying
+    position pairs. Positional postings are what phrase queries read;
+    this is the join they run.
+
+    Scale shape: ONE corpus explode builds the positional posting list
+    (doc_id, word, position) — the same relation an inverted index
+    stores partitioned by word; the query terms' postings are then two
+    keyed selections joined per doc (postings-sized, not corpus-sized
+    work). Term selection (top-2 by frequency) is a heap TakeOrdered,
+    broadcast into the posting filter. All integers exact."""
+    docs = table(spark, sf_dir, "documents")
+    pos = (docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("i0", "w"))
+        .select("doc_id", "w", (F.col("i0") + 1).cast("long").alias("i")))
+    freq = pos.groupBy("w").agg(F.count("*").alias("c"))
+    top2 = freq.orderBy(F.desc("c"), "w").limit(2)
+    t1 = top2.orderBy(F.desc("c"), "w").limit(1).select(
+        F.col("w").alias("w1"))
+    t2 = (top2.orderBy("c", F.desc("w")).limit(1)
+          .select(F.col("w").alias("w2")))
+    p1 = (pos.crossJoin(F.broadcast(t1)).filter(F.col("w") == F.col("w1"))
+          .select("doc_id", F.col("i").alias("i1"), "w1"))
+    p2 = (pos.crossJoin(F.broadcast(t2)).filter(F.col("w") == F.col("w2"))
+          .select("doc_id", F.col("i").alias("i2"), "w2"))
+    return (p1.join(p2, "doc_id")
+            .filter(F.abs(F.col("i1") - F.col("i2")) <= _PROX_SLOP)
+            .groupBy("doc_id", "w1", "w2")
+            .agg(F.min(F.abs(F.col("i1") - F.col("i2"))).alias("min_dist"),
+                 F.count("*").alias("n_pairs")))

@@ -72,7 +72,7 @@ _KEEPERS = [
     "dq_referential_orphans", "curation_mix_temperature",
     "er_blocking_quality", "embedding_pca_top2_project", "ts_hurst_rs",
     "embedding_knn_graph", "text_heaps_law", "multimodal_vad_segments",
-    "sample_bottomk_uniform",
+    "sample_bottomk_uniform", "graph_ppr_seeded", "text_phrase_proximity",
 ]
 
 _seen: set[str] = set()
