@@ -483,3 +483,223 @@ def graph_ppr_seeded(spark, sf_dir):
             .select(F.col("u").alias("part"),
                     F.col("q").alias("rank_ppm"), "is_seed")
             .orderBy(F.desc("rank_ppm"), "part").limit(20))
+
+
+# --------------------------------------- MATCH_RECOGNIZE-style V shape
+
+
+@register(
+    "ts_match_recognize_vshape",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2),
+    ctx AS (
+      SELECT priority, d, cents,
+             lag(cents, 2) OVER w AS m2, lag(cents, 1) OVER w AS m1,
+             lead(cents, 1) OVER w AS p1, lead(cents, 2) OVER w AS p2
+      FROM daily
+      WINDOW w AS (PARTITION BY priority ORDER BY d)),
+    v AS (
+      SELECT priority, d FROM ctx
+      WHERE m2 > m1 AND m1 > cents AND cents < p1 AND p1 < p2)
+    SELECT priority,
+           CAST(count(*) AS BIGINT) AS n_vshapes,
+           min(d) AS first_trough
+    FROM v GROUP BY priority
+    """,
+    tags=("timeseries", "pattern"),
+)
+def ts_match_recognize_vshape(spark, sf_dir):
+    """Sequential pattern matching (the MATCH_RECOGNIZE surface of
+    Flink/Oracle/Trino, which Spark SQL lacks) expressed with window
+    functions: find strict V-shapes — two days of strictly falling
+    daily revenue followed by two strictly rising — per order
+    priority; emit the occurrence count and the first trough date.
+    The pattern DFA (DOWN{2} TROUGH UP{2}) compiles to lag/lead
+    context columns + one predicate, the general recipe for
+    fixed-length MATCH_RECOGNIZE patterns on a distributed engine.
+
+    Exactness: revenue in integer cents (map-side-combinable daily
+    rollup); comparisons are exact. Scale: the windows run over the
+    day-grain aggregate (series-cardinality), never over raw orders —
+    one shuffle to the daily rollup, one partition-local window."""
+    from pyspark.sql import Window
+    daily = (table(spark, sf_dir, "orders")
+             .groupBy(F.col("o_orderpriority").alias("priority"),
+                      F.col("o_orderdate").cast("date").alias("d"))
+             .agg(F.sum(F.round(F.col("o_totalprice") * 100)
+                        .cast("long")).cast("long").alias("cents")))
+    w = Window.partitionBy("priority").orderBy("d")
+    ctx = daily.select(
+        "priority", "d", "cents",
+        F.lag("cents", 2).over(w).alias("m2"),
+        F.lag("cents", 1).over(w).alias("m1"),
+        F.lead("cents", 1).over(w).alias("p1"),
+        F.lead("cents", 2).over(w).alias("p2"))
+    v = ctx.filter((F.col("m2") > F.col("m1"))
+                   & (F.col("m1") > F.col("cents"))
+                   & (F.col("cents") < F.col("p1"))
+                   & (F.col("p1") < F.col("p2")))
+    return (v.groupBy("priority")
+            .agg(F.count("*").cast("long").alias("n_vshapes"),
+                 F.min("d").alias("first_trough")))
+
+
+# --------------------------------------- logistic regression (Newton)
+
+_LOGIT_ROUNDS = 3
+
+# the 3x3 symmetric Newton solve, shared verbatim by both engines:
+# cofactors/determinant/updates are ONE double expression tree over the
+# exact integer sums (identical text => identical IEEE results)
+_COF = {
+    "a00": "(h11 * h22 - h12 * h12)",
+    "a01": "(h02 * h12 - h01 * h22)",
+    "a02": "(h01 * h12 - h02 * h11)",
+    "a11": "(h00 * h22 - h02 * h02)",
+    "a12": "(h02 * h01 - h00 * h12)",
+    "a22": "(h00 * h11 - h01 * h01)",
+}
+_DET = ("(h00 * (h11 * h22 - h12 * h12) "
+        "- h01 * (h01 * h22 - h12 * h02) "
+        "+ h02 * (h01 * h12 - h11 * h02))")
+_STEP = {
+    0: f"(({_COF['a00']} * g0 + {_COF['a01']} * g1 + {_COF['a02']} * g2)"
+       f" / {_DET})",
+    1: f"(({_COF['a01']} * g0 + {_COF['a11']} * g1 + {_COF['a12']} * g2)"
+       f" / {_DET})",
+    2: f"(({_COF['a02']} * g0 + {_COF['a12']} * g1 + {_COF['a22']} * g2)"
+       f" / {_DET})",
+}
+
+
+def _logit_oracle() -> str:
+    parts = ["""
+    WITH pts AS MATERIALIZED (
+      SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+             CAST(round(l_quantity) AS BIGINT) AS x1,
+             CAST(round(l_discount * 100) AS BIGINT) AS x2
+      FROM lineitem),
+    th0 AS (SELECT CAST(0 AS BIGINT) AS t0, CAST(0 AS BIGINT) AS t1,
+                   CAST(0 AS BIGINT) AS t2)"""]
+    for t in range(1, _LOGIT_ROUNDS + 1):
+        parts.append(f""",
+    p{t} AS (
+      SELECT y, x1, x2,
+             CAST(round(1000000.0 / (1.0 + exp(
+               -(th.t0 + th.t1 * x1 + th.t2 * x2) / 1000000.0)))
+               AS BIGINT) AS p
+      FROM pts, th{t - 1} th),
+    s{t} AS (
+      SELECT
+        CAST(sum(CAST(y * 1000000 - p AS DECIMAL(38,0))) AS DOUBLE) AS g0,
+        CAST(sum(CAST(y * 1000000 - p AS DECIMAL(38,0)) * x1) AS DOUBLE) AS g1,
+        CAST(sum(CAST(y * 1000000 - p AS DECIMAL(38,0)) * x2) AS DOUBLE) AS g2,
+        CAST(sum(CAST(p * (1000000 - p) AS DECIMAL(38,0))) AS DOUBLE) AS h00,
+        CAST(sum(CAST(p * (1000000 - p) AS DECIMAL(38,0)) * x1) AS DOUBLE) AS h01,
+        CAST(sum(CAST(p * (1000000 - p) AS DECIMAL(38,0)) * x2) AS DOUBLE) AS h02,
+        CAST(sum(CAST(p * (1000000 - p) AS DECIMAL(38,0)) * x1 * x1) AS DOUBLE) AS h11,
+        CAST(sum(CAST(p * (1000000 - p) AS DECIMAL(38,0)) * x1 * x2) AS DOUBLE) AS h12,
+        CAST(sum(CAST(p * (1000000 - p) AS DECIMAL(38,0)) * x2 * x2) AS DOUBLE) AS h22
+      FROM p{t}),
+    th{t} AS (
+      SELECT CAST(th.t0 + round(1e12 * {_STEP[0]}) AS BIGINT) AS t0,
+             CAST(th.t1 + round(1e12 * {_STEP[1]}) AS BIGINT) AS t1,
+             CAST(th.t2 + round(1e12 * {_STEP[2]}) AS BIGINT) AS t2
+      FROM th{t - 1} th, s{t})""")
+    n = _LOGIT_ROUNDS
+    parts.append(f""",
+    fit AS (
+      SELECT y, CAST(round(1000000.0 / (1.0 + exp(
+               -(th.t0 + th.t1 * x1 + th.t2 * x2) / 1000000.0)))
+               AS BIGINT) AS p
+      FROM pts, th{n} th)
+    SELECT th.t0 AS theta0_ppm, th.t1 AS theta1_ppm, th.t2 AS theta2_ppm,
+           (SELECT count(*) FROM pts) AS n_rows,
+           (SELECT count(*) FROM fit
+            WHERE (p >= 500000) = (y = 1)) AS n_correct
+    FROM th{n} th""")
+    return "".join(parts)
+
+
+@register(
+    "stat_logistic_newton",
+    oracle=_logit_oracle(),
+    tags=("stats", "iterative", "ml"),
+)
+def stat_logistic_newton(spark, sf_dir):
+    """Logistic regression by Newton-Raphson (IRLS), hash-verified
+    across engines — return-flag probability from quantity and
+    discount over lineitem. The iterative-ML counterpart of
+    `stat_ols_two_features` (closed-form) and the power-iteration
+    family (linear algebra): three Newton rounds, each one corpus
+    aggregate.
+
+    Determinism recipe: per-row probabilities are quantized to ppm
+    BIGINTs (the ONLY libm call, exp, runs on identical ppm-exact
+    logits in both engines); gradient and Hessian entries are then
+    EXACT DECIMAL(38,0) integer sums (w = p(1e6-p) peaks ~2.5e15 per
+    row — past int64 at corpus row counts), so the accumulations are
+    partition-order-free; the 3x3 Newton solve (adjugate / det) is one
+    double expression tree shared verbatim with the oracle, applied
+    once per round to identical integer inputs; the step re-quantizes
+    theta to ppm. Final row: theta (ppm), row count, and exact
+    training accuracy at the 0.5 threshold.
+
+    Scale: each round is ONE map-side-combinable aggregate over the
+    fact table (9 sums) + a broadcast 1-row theta join — no per-row
+    state, no driver math beyond the 1-row solve; rounds are
+    lineage-cut."""
+    li = table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+        F.round("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("x2"))
+    theta = spark.createDataFrame([(0, 0, 0)],
+                                  "t0 long, t1 long, t2 long")
+
+    def probs(th):
+        z = (F.col("t0") + F.col("t1") * F.col("x1")
+             + F.col("t2") * F.col("x2")).cast("double") / F.lit(1e6)
+        return (pts.crossJoin(F.broadcast(th))
+                .withColumn("p", F.round(F.lit(1e6)
+                                         / (F.lit(1.0) + F.exp(-z)))
+                            .cast("long")))
+
+    dec = "decimal(38,0)"
+    for _ in range(_LOGIT_ROUNDS):
+        p = probs(theta)
+        r = (F.col("y") * 1000000 - F.col("p")).cast(dec)
+        w = (F.col("p") * (1000000 - F.col("p"))).cast(dec)
+        s = p.agg(
+            F.sum(r).cast("double").alias("g0"),
+            F.sum(r * F.col("x1")).cast("double").alias("g1"),
+            F.sum(r * F.col("x2")).cast("double").alias("g2"),
+            F.sum(w).cast("double").alias("h00"),
+            F.sum(w * F.col("x1")).cast("double").alias("h01"),
+            F.sum(w * F.col("x2")).cast("double").alias("h02"),
+            F.sum(w * F.col("x1") * F.col("x1")).cast("double")
+            .alias("h11"),
+            F.sum(w * F.col("x1") * F.col("x2")).cast("double")
+            .alias("h12"),
+            F.sum(w * F.col("x2") * F.col("x2")).cast("double")
+            .alias("h22"))
+        theta = (theta.crossJoin(F.broadcast(s))
+                 .select(*[
+                     F.expr(f"CAST(t{k} + round(1e12 * {_STEP[k]}) "
+                            f"AS BIGINT)").alias(f"t{k}")
+                     for k in range(3)])
+                 .localCheckpoint())
+    fit = probs(theta)
+    acc = fit.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when((F.col("p") >= 500000) == (F.col("y") == 1), 1)
+              .otherwise(0)).cast("long").alias("n_correct"))
+    return (theta.crossJoin(F.broadcast(acc))
+            .select(F.col("t0").alias("theta0_ppm"),
+                    F.col("t1").alias("theta1_ppm"),
+                    F.col("t2").alias("theta2_ppm"),
+                    "n_rows", "n_correct"))

@@ -443,3 +443,72 @@ def text_phrase_proximity(spark, sf_dir):
             .groupBy("doc_id", "w1", "w2")
             .agg(F.min(F.abs(F.col("i1") - F.col("i2"))).alias("min_dist"),
                  F.count("*").alias("n_pairs")))
+
+
+# ------------------------------------------------ code-vs-prose score
+
+
+@register(
+    "text_code_prose_score",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(length(text)
+                  - length(regexp_replace(text, '[0-9]', '', 'g'))
+                  AS BIGINT) AS n_digits,
+             CAST(length(text)
+                  - length(regexp_replace(text,
+                           '[{};()\\[\\]=<>|&_]', '', 'g'))
+                  AS BIGINT) AS n_symbols,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents)
+    SELECT doc_id, n_chars, n_digits, n_symbols,
+           round(n_digits * 1.0 / n_chars, 6) AS digit_ratio,
+           round(n_symbols * 1.0 / n_chars, 6) AS symbol_ratio,
+           round((n_chars - n_tokens + 1) * 1.0 / n_tokens, 6)
+             AS avg_token_len,
+           CASE WHEN n_symbols * 20 >= n_chars THEN 'code'
+                WHEN n_digits * 5 >= n_chars THEN 'data'
+                ELSE 'prose' END AS content_class
+    FROM f
+    """,
+    tags=("llm", "text", "curation"),
+)
+def text_code_prose_score(spark, sf_dir):
+    """Code/data/prose classification by character-class density — the
+    curation gate that routes code into code-training shards and drops
+    log/ID spam from prose corpora (a standard pretraining mixture
+    step next to `text_quality_score`'s lexical gates): per document,
+    digit and code-symbol densities, average token length, and a
+    threshold class (symbols >= 5% → code, digits >= 20% → data, else
+    prose). Thresholds are INTEGER cross-multiplications (n*20 >=
+    n_chars), so classification is exact; ratios are terminal rounds.
+
+    Scale: pure per-row character counting via regexp_replace length
+    deltas — map-only, whole-stage codegen, no explode, no shuffle;
+    the cheapest possible corpus pass."""
+    d = table(spark, sf_dir, "documents")
+    n_chars = F.length("text").cast("long")
+    n_digits = (F.length("text")
+                - F.length(F.regexp_replace("text", "[0-9]", ""))
+                ).cast("long")
+    n_symbols = (F.length("text")
+                 - F.length(F.regexp_replace(
+                     "text", r"[{};()\[\]=<>|&_]", ""))).cast("long")
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    f = d.select("doc_id", n_chars.alias("n_chars"),
+                 n_digits.alias("n_digits"),
+                 n_symbols.alias("n_symbols"),
+                 n_tokens.alias("n_tokens"))
+    return f.select(
+        "doc_id", "n_chars", "n_digits", "n_symbols",
+        F.round(F.col("n_digits") / F.col("n_chars"), 6)
+        .alias("digit_ratio"),
+        F.round(F.col("n_symbols") / F.col("n_chars"), 6)
+        .alias("symbol_ratio"),
+        F.round((F.col("n_chars") - F.col("n_tokens") + 1)
+                / F.col("n_tokens"), 6).alias("avg_token_len"),
+        F.when(F.col("n_symbols") * 20 >= F.col("n_chars"), "code")
+        .when(F.col("n_digits") * 5 >= F.col("n_chars"), "data")
+        .otherwise("prose").alias("content_class"))

@@ -73,6 +73,8 @@ _KEEPERS = [
     "er_blocking_quality", "embedding_pca_top2_project", "ts_hurst_rs",
     "embedding_knn_graph", "text_heaps_law", "multimodal_vad_segments",
     "sample_bottomk_uniform", "graph_ppr_seeded", "text_phrase_proximity",
+    "ts_match_recognize_vshape", "text_code_prose_score",
+    "stat_logistic_newton",
 ]
 
 _seen: set[str] = set()
