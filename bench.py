@@ -81,6 +81,11 @@ SIDECAR = [
     "sim_ann_rq_adc",
     # round-7 wave-13 addition: 6-round iterative graph peeling
     "graph_kcore_peeling",
+    # round-8 heavy additions (no floor yet — ratios start at their
+    # first quiet recorded round, r08)
+    "embedding_pca_top2_project",
+    "embedding_knn_graph",
+    "graph_ppr_seeded",
 ]
 
 # sidecar comparison floor: first measurements (BENCH_r05, sf=0.1,

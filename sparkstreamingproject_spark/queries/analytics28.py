@@ -703,3 +703,73 @@ def stat_logistic_newton(spark, sf_dir):
                     F.col("t1").alias("theta1_ppm"),
                     F.col("t2").alias("theta2_ppm"),
                     "n_rows", "n_correct"))
+
+
+# --------------------------------------- top conversion paths
+
+
+@register(
+    "events_top_conversion_paths",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+      FROM events),
+    fp AS (
+      SELECT user_id, us AS pus, event_id AS pid FROM (
+        SELECT user_id, us, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY us, event_id) AS rn
+        FROM e WHERE event_type = 'purchase') WHERE rn = 1),
+    pre AS (
+      SELECT e.user_id, e.event_type, e.us, e.event_id
+      FROM e JOIN fp ON fp.user_id = e.user_id
+      WHERE e.us < fp.pus
+         OR (e.us = fp.pus AND e.event_id <= fp.pid)),
+    paths AS (
+      SELECT user_id,
+             string_agg(event_type, '->' ORDER BY us, event_id) AS path
+      FROM pre GROUP BY user_id)
+    SELECT path, CAST(count(*) AS BIGINT) AS n_users
+    FROM paths GROUP BY path
+    ORDER BY n_users DESC, path LIMIT 10
+    """,
+    tags=("events", "funnel"),
+)
+def events_top_conversion_paths(spark, sf_dir):
+    """Top-10 full conversion paths: each purchasing user's exact
+    event-type sequence from first activity through their FIRST
+    purchase, counted across users — the product-analytics view
+    (`what journeys convert?`) that complements the registry's
+    aggregate funnels (`window_funnel_levels`) and Markov attribution
+    (which see transitions, not whole journeys). The first purchase is
+    the lexicographic minimum of (event time, event_id) — a unique
+    composite, so the truncation point is total-order deterministic
+    (compared column-wise; a packed us*1e10+id BIGINT would overflow
+    int64 on epoch-microsecond timestamps).
+
+    Scale: one groupBy(user) with an in-group sort of that user's
+    events (bounded by per-user activity, not corpus size) building
+    the path string; path counting is a map-side-combinable groupBy.
+    Paths are high-cardinality — the top-10 is a heap TakeOrdered,
+    never a global sort."""
+    ev = table(spark, sf_dir, "events")
+    e = ev.select("user_id", "event_id", "event_type",
+                  F.unix_micros("ts").alias("us"))
+    fp = (e.filter(F.col("event_type") == "purchase")
+          .groupBy("user_id")
+          .agg(F.min(F.struct("us", "event_id")).alias("p"))
+          .select("user_id", F.col("p.us").alias("pus"),
+                  F.col("p.event_id").alias("pid")))
+    pre = (e.join(fp, "user_id")
+           .filter((F.col("us") < F.col("pus"))
+                   | ((F.col("us") == F.col("pus"))
+                      & (F.col("event_id") <= F.col("pid")))))
+    paths = (pre.groupBy("user_id")
+             .agg(F.concat_ws(
+                 "->",
+                 F.expr("transform(array_sort(collect_list("
+                        "struct(us, event_id, event_type))), "
+                        "x -> x.event_type)")).alias("path")))
+    return (paths.groupBy("path")
+            .agg(F.count("*").cast("long").alias("n_users"))
+            .orderBy(F.desc("n_users"), "path").limit(10))

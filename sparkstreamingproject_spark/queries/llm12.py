@@ -512,3 +512,197 @@ def text_code_prose_score(spark, sf_dir):
         F.when(F.col("n_symbols") * 20 >= F.col("n_chars"), "code")
         .when(F.col("n_digits") * 5 >= F.col("n_chars"), "data")
         .otherwise("prose").alias("content_class"))
+
+
+# ------------------------------------------------ hybrid RRF fusion
+
+_RRF_K = 60
+_RRF_TOP = 20
+_RRF_OUT = 10
+_RRF_QDOC = 0
+
+
+@register(
+    "sim_hybrid_rrf_fusion",
+    oracle=f"""
+    WITH pts AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    el AS MATERIALIZED (
+      SELECT vec_id, CAST(i AS INT) AS pos,
+             CAST(round(v[i] * 1000000) AS BIGINT) AS x
+      FROM pts, unnest(range(1, len(v) + 1)) AS g(i)),
+    qv AS (SELECT pos, x FROM el WHERE vec_id = {_RRF_QDOC}),
+    sem AS (
+      SELECT e.vec_id AS doc_id, sum((e.x - q.x) * (e.x - q.x)) AS d2
+      FROM el e JOIN qv q ON q.pos = e.pos
+      WHERE e.vec_id <> {_RRF_QDOC}
+      GROUP BY 1),
+    sem_rank AS (
+      SELECT doc_id, rank FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY d2, doc_id) AS rank
+        FROM sem) WHERE rank <= {_RRF_TOP}),
+    words AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS MATERIALIZED (
+      SELECT DISTINCT doc_id,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+      FROM words, unnest(range(1, greatest(len(ws) - 1, 1))) AS g(i)),
+    qs AS (SELECT shingle FROM sh WHERE doc_id = {_RRF_QDOC}),
+    lex AS (
+      SELECT s.doc_id, count(*) AS overlap
+      FROM sh s JOIN qs ON qs.shingle = s.shingle
+      WHERE s.doc_id <> {_RRF_QDOC}
+      GROUP BY 1),
+    lex_rank AS (
+      SELECT doc_id, rank FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY overlap DESC, doc_id)
+               AS rank FROM lex) WHERE rank <= {_RRF_TOP})
+    SELECT doc_id, sem_rank, lex_rank, rrf FROM (
+      SELECT coalesce(s.doc_id, l.doc_id) AS doc_id,
+             s.rank AS sem_rank, l.rank AS lex_rank,
+             round(coalesce(1.0 / ({_RRF_K} + s.rank), 0.0)
+                   + coalesce(1.0 / ({_RRF_K} + l.rank), 0.0), 6) AS rrf,
+             row_number() OVER (
+               ORDER BY coalesce(1.0 / ({_RRF_K} + s.rank), 0.0)
+                        + coalesce(1.0 / ({_RRF_K} + l.rank), 0.0) DESC,
+                        coalesce(s.doc_id, l.doc_id)) AS rn
+      FROM sem_rank s FULL OUTER JOIN lex_rank l ON l.doc_id = s.doc_id)
+    WHERE rn <= {_RRF_OUT}
+    """,
+    tags=("llm", "similarity", "search"),
+)
+def sim_hybrid_rrf_fusion(spark, sf_dir):
+    """Hybrid retrieval with reciprocal-rank fusion — the pattern
+    modern search stacks run (lexical + vector, fused by RRF, k=60):
+    for query document 0, a SEMANTIC ranking (exact integer L2 over
+    the quantized embeddings — the brute-force baseline; IVF/LSH drop
+    in unchanged) and a LEXICAL ranking (3-shingle overlap with the
+    query doc) each produce a top-20; fusion scores
+    1/(60+rank_sem) + 1/(60+rank_lex) and keeps the top-10. Documents
+    found by only one modality still fuse (outer join, missing term
+    contributes 0) — the property that makes RRF robust to modality
+    gaps.
+
+    Exactness: both ranks come from exact-integer orderings with id
+    tie-breaks; the fused score is a fixed two-term rational on small
+    integers — identical in both engines. Scale: each modality is a
+    keyed candidate ranking (embeddings: one pass vs the broadcast
+    query vector; lexical: postings join on the query doc's
+    shingles); fusion joins two 20-row relations."""
+    from pyspark.sql import Window
+    emb = table(spark, sf_dir, "embeddings")
+    docs = table(spark, sf_dir, "documents")
+    el = emb.select(
+        "vec_id",
+        F.posexplode(F.expr(
+            "transform(embedding, v -> "
+            "CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT))"
+        )).alias("pos", "x"))
+    qv = (el.filter(F.col("vec_id") == _RRF_QDOC)
+          .select("pos", F.col("x").alias("qx")))
+    sem = (el.filter(F.col("vec_id") != _RRF_QDOC)
+           .join(F.broadcast(qv), "pos")
+           .groupBy(F.col("vec_id").alias("doc_id"))
+           .agg(F.sum((F.col("x") - F.col("qx"))
+                      * (F.col("x") - F.col("qx"))).alias("d2")))
+    sem_rank = (sem.withColumn(
+        "sem_rank", F.row_number().over(Window.orderBy("d2", "doc_id")))
+        .filter(F.col("sem_rank") <= _RRF_TOP)
+        .select("doc_id", "sem_rank"))
+    from ..llm.dedup import word_shingles
+    sh = word_shingles(docs, distinct=True)
+    qs = (sh.filter(F.col("doc_id") == _RRF_QDOC)
+          .select("shingle"))
+    lex = (sh.filter(F.col("doc_id") != _RRF_QDOC)
+           .join(F.broadcast(qs), "shingle")
+           .groupBy("doc_id").agg(F.count("*").alias("overlap")))
+    lex_rank = (lex.withColumn(
+        "lex_rank", F.row_number().over(
+            Window.orderBy(F.desc("overlap"), "doc_id")))
+        .filter(F.col("lex_rank") <= _RRF_TOP)
+        .select("doc_id", "lex_rank"))
+    fused = (sem_rank.join(lex_rank, "doc_id", "full_outer")
+             .withColumn("score",
+                         F.coalesce(F.lit(1.0)
+                                    / (_RRF_K + F.col("sem_rank")),
+                                    F.lit(0.0))
+                         + F.coalesce(F.lit(1.0)
+                                      / (_RRF_K + F.col("lex_rank")),
+                                      F.lit(0.0))))
+    w = Window.orderBy(F.desc("score"), "doc_id")
+    return (fused.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _RRF_OUT)
+            .select("doc_id", "sem_rank", "lex_rank",
+                    F.round("score", 6).alias("rrf")))
+
+
+# ------------------------------------------------ Kneser-Ney bigram LM
+
+_KN_D_NUM = 3  # discount d = 3/4, kept rational for exact algebra
+_KN_D_DEN = 4
+_KN_TOP = 20
+
+
+@register(
+    "text_kneser_ney_bigram",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    big AS MATERIALIZED (
+      SELECT t[i] AS w1, t[i+1] AS w2
+      FROM toks, unnest(range(1, len(t))) AS g(i)),
+    bc AS MATERIALIZED (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+      FROM big GROUP BY 1, 2),
+    uc AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+                  CAST(count(*) AS BIGINT) AS fanout
+           FROM bc GROUP BY 1),
+    cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_left
+             FROM bc GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_bigram_types FROM bc)
+    SELECT w1, w2, c2,
+           round((CAST(greatest(4 * c2 - 3, 0) AS DOUBLE)
+                  / (4 * uc.c1))
+                 + (3.0 * uc.fanout / (4 * uc.c1))
+                   * (CAST(cont.n_left AS DOUBLE) / tot.n_bigram_types),
+                 6) AS p_kn
+    FROM bc JOIN uc USING (w1) JOIN cont USING (w2), tot
+    ORDER BY c2 DESC, w1, w2 LIMIT {_KN_TOP}
+    """,
+    tags=("llm", "text"),
+)
+def text_kneser_ney_bigram(spark, sf_dir):
+    """Kneser-Ney smoothed bigram probabilities — the LM smoothing
+    KenLM-style quality filters actually use, beside the registry's
+    add-one `text_bigram_lm_score`: absolute discount d=3/4 on the
+    bigram count, with the stolen mass re-distributed by CONTINUATION
+    probability (how many distinct left-contexts a word follows — the
+    insight that makes KN the strongest n-gram smoother). Top-20
+    bigrams by raw count with their P_KN.
+
+    Exactness: d=3/4 stays RATIONAL — max(4*c2-3, 0)/(4*c1) keeps the
+    discounted term an exact-integer ratio; continuation and fanout
+    counts are exact; the final expression is one shared float tree.
+    Scale: two map-side-combinable aggregates over the bigram explode
+    (the same relation the add-one LM builds) + two small dimension
+    joins."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.split("text", " ").alias("t"))
+    big = (toks.select(F.explode(F.expr(
+        "transform(slice(t, 1, greatest(size(t) - 1, 0)), "
+        "(w, i) -> struct(w AS w1, element_at(t, i + 2) AS w2))"
+    )).alias("bg")).select("bg.w1", "bg.w2"))
+    bc = big.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c2"))
+    uc = bc.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"),
+                              F.count("*").cast("long").alias("fanout"))
+    cont = bc.groupBy("w2").agg(F.count("*").cast("long").alias("n_left"))
+    tot = bc.agg(F.count("*").cast("long").alias("n_bigram_types"))
+    p_kn = F.round(
+        (F.greatest(4 * F.col("c2") - 3, F.lit(0)).cast("double")
+         / (4 * F.col("c1")))
+        + (F.lit(3.0) * F.col("fanout") / (4 * F.col("c1")))
+        * (F.col("n_left").cast("double") / F.col("n_bigram_types")), 6)
+    return (bc.join(uc, "w1").join(cont, "w2")
+            .crossJoin(F.broadcast(tot))
+            .select("w1", "w2", "c2", p_kn.alias("p_kn"))
+            .orderBy(F.desc("c2"), "w1", "w2").limit(_KN_TOP))

@@ -74,7 +74,8 @@ _KEEPERS = [
     "embedding_knn_graph", "text_heaps_law", "multimodal_vad_segments",
     "sample_bottomk_uniform", "graph_ppr_seeded", "text_phrase_proximity",
     "ts_match_recognize_vshape", "text_code_prose_score",
-    "stat_logistic_newton",
+    "stat_logistic_newton", "sim_hybrid_rrf_fusion",
+    "text_kneser_ney_bigram", "events_top_conversion_paths",
 ]
 
 _seen: set[str] = set()
