@@ -773,3 +773,85 @@ def events_top_conversion_paths(spark, sf_dir):
     return (paths.groupBy("path")
             .agg(F.count("*").cast("long").alias("n_users"))
             .orderBy(F.desc("n_users"), "path").limit(10))
+
+
+# --------------------------------------- primary-key uniqueness audit
+
+# (table, key expression) — composite keys are struct-compared
+_PK_RULES = [
+    ("region", "r_regionkey"),
+    ("nation", "n_nationkey"),
+    ("customer", "c_custkey"),
+    ("supplier", "s_suppkey"),
+    ("part", "p_partkey"),
+    ("orders", "o_orderkey"),
+    ("events", "event_id"),
+]
+
+
+def _pk_oracle() -> str:
+    parts = []
+    for t, k in _PK_RULES:
+        parts.append(f"""
+    SELECT '{t}' AS relation, '{k}' AS pk,
+           (SELECT count(*) FROM {t}) AS n_rows,
+           count(*) AS n_keys,
+           CAST(coalesce(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_dup_keys,
+           CAST(coalesce(max(c), 0) AS BIGINT) AS max_multiplicity
+    FROM (SELECT {k}, count(*) AS c FROM {t} GROUP BY {k})""")
+    parts.append("""
+    SELECT 'lineitem' AS relation, 'l_orderkey,l_linenumber' AS pk,
+           (SELECT count(*) FROM lineitem) AS n_rows,
+           count(*) AS n_keys,
+           CAST(coalesce(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_dup_keys,
+           CAST(coalesce(max(c), 0) AS BIGINT) AS max_multiplicity
+    FROM (SELECT l_orderkey, l_linenumber, count(*) AS c
+          FROM lineitem GROUP BY 1, 2)""")
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "dq_duplicate_key_report",
+    oracle=_pk_oracle(),
+    tags=("dq",),
+)
+def dq_duplicate_key_report(spark, sf_dir):
+    """Primary-key uniqueness audit across every table — the second
+    half of the load-time contract next to `dq_referential_orphans`
+    (FKs point somewhere; PKs are unique): per declared key, total
+    rows, distinct keys, duplicated keys, and the worst multiplicity.
+    Composite keys (lineitem) group on the full tuple. All exact
+    integers.
+
+    Scale: each rule is one map-side-combinable groupBy on the key
+    followed by a 3-value aggregate over key-cardinality rows; the
+    per-table total crossJoins as a broadcast 1-row relation. At
+    100 TB this is the cheapest possible shape for the check — the
+    same shuffle a downstream join on that key would pay anyway."""
+    def rule(df, key_cols, relation, label):
+        per_key = (df.groupBy(*key_cols)
+                   .agg(F.count("*").alias("c")))
+        return (df.agg(F.count("*").alias("n_rows"))
+                .crossJoin(per_key.agg(
+                    F.count("*").alias("n_keys"),
+                    F.coalesce(F.sum(F.when(F.col("c") > 1, 1)
+                                     .otherwise(0)), F.lit(0))
+                    .cast("long").alias("n_dup_keys"),
+                    F.coalesce(F.max("c"), F.lit(0)).cast("long")
+                    .alias("max_multiplicity")))
+                .select(F.lit(relation).alias("relation"),
+                        F.lit(label).alias("pk"),
+                        "n_rows", "n_keys", "n_dup_keys",
+                        "max_multiplicity"))
+
+    rows = [rule(table(spark, sf_dir, t), [k], t, k)
+            for t, k in _PK_RULES]
+    rows.append(rule(table(spark, sf_dir, "lineitem"),
+                     ["l_orderkey", "l_linenumber"],
+                     "lineitem", "l_orderkey,l_linenumber"))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

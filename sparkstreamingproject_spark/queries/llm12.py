@@ -706,3 +706,122 @@ def text_kneser_ney_bigram(spark, sf_dir):
             .crossJoin(F.broadcast(tot))
             .select("w1", "w2", "c2", p_kn.alias("p_kn"))
             .orderBy(F.desc("c2"), "w1", "w2").limit(_KN_TOP))
+
+
+# ------------------------------------------------ perceptual aHash dedup
+
+_AH_CELLS = 32          # 32-bit average hash (8x4 grid)
+_AH_HAM = 4             # near-dup if hamming <= 4
+# pigeonhole bands for hamming<=4 candidates: 5 bands of <=7 bits —
+# any pair within hamming 4 agrees exactly on >= 1 band
+_AH_BANDS = [(0, 7), (7, 7), (14, 7), (21, 6), (27, 5)]
+
+
+def _ahash_oracle() -> str:
+    band_selects = " UNION ALL ".join(
+        f"""SELECT doc_id, {bi} AS band,
+                   (ahash >> {off}) & {(1 << width) - 1} AS key
+            FROM ah"""
+        for bi, (off, width) in enumerate(_AH_BANDS))
+    return f"""
+    WITH d AS MATERIALIZED (
+      SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+      FROM documents WHERE length(text) >= {_AH_CELLS}),
+    g AS (SELECT doc_id, n, CAST(n // {_AH_CELLS} AS BIGINT) AS cw,
+                 text FROM d),
+    ch AS (
+      SELECT doc_id, cw,
+             CAST((i - 1) // cw AS BIGINT) AS cell,
+             ascii(substr(text, CAST(i AS INT), 1)) AS code
+      FROM g, unnest(range(1, CAST({_AH_CELLS} * cw + 1 AS BIGINT)))
+           AS t(i)),
+    cells AS (
+      SELECT doc_id, cell, CAST(sum(code) AS BIGINT) AS s
+      FROM ch GROUP BY 1, 2),
+    tot AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS t
+            FROM cells GROUP BY 1),
+    ah AS MATERIALIZED (
+      SELECT c.doc_id,
+             CAST(sum(CASE WHEN {_AH_CELLS} * c.s > tot.t
+                           THEN 1::BIGINT << CAST(c.cell AS INT)
+                           ELSE 0 END) AS BIGINT) AS ahash
+      FROM cells c JOIN tot ON tot.doc_id = c.doc_id
+      GROUP BY c.doc_id),
+    bands AS ({band_selects}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+    SELECT c.id_a, c.id_b,
+           CAST(bit_count(xor(x.ahash, y.ahash)) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN ah x ON x.doc_id = c.id_a
+    JOIN ah y ON y.doc_id = c.id_b
+    WHERE bit_count(xor(x.ahash, y.ahash)) <= {_AH_HAM}
+    """
+
+
+@register("multimodal_ahash_dedup", oracle=_ahash_oracle(),
+          tags=("llm", "multimodal", "dedup"))
+def multimodal_ahash_dedup(spark, sf_dir):
+    """Perceptual average-hash (aHash) near-duplicate detection — the
+    imagededup-style visual dedup, run on the text-as-raster stand-in
+    (char codes over a {_AH_CELLS}-cell grid; a real image pipeline
+    feeds pixel blocks from the Arrow decode kernel into the SAME
+    hash/band/join chain): each cell's bit is `cell mean > global
+    mean` as an exact integer cross-multiplication, pairs within
+    hamming <= 4 are found by PIGEONHOLE BANDING (5 bands of <= 7
+    bits — a pair within hamming 4 must agree exactly on at least one
+    band), then verified by bit_count(xor).
+
+    Scale: hashing is one bounded explode (32·cell-width chars per
+    doc) + two map-side-combinable aggregates; candidates come from
+    per-band posting lists — never an all-pairs hash comparison;
+    verification is a 2-column join on the candidate set. The same
+    banding discipline as MinHash-LSH, applied to a Hamming metric."""
+    from pyspark.sql import functions as F2
+    d = (table(spark, sf_dir, "documents")
+         .filter(F.length("text") >= _AH_CELLS)
+         .select("doc_id", "text",
+                 (F.length("text").cast("long") / _AH_CELLS)
+                 .cast("long").alias("cw")))
+    ch = d.select(
+        "doc_id", "cw",
+        F.posexplode(F.expr(
+            f"transform(sequence(1, {_AH_CELLS} * cw), "
+            "i -> ascii(substr(text, CAST(i AS INT), 1)))"
+        )).alias("i0", "code")).select(
+        "doc_id",
+        (F.col("i0") / F.col("cw")).cast("long").alias("cell"),
+        "code")
+    cells = (ch.groupBy("doc_id", "cell")
+             .agg(F.sum("code").cast("long").alias("s")))
+    tot = cells.groupBy("doc_id").agg(F.sum("s").cast("long").alias("t"))
+    ah = (cells.join(tot, "doc_id")
+          .groupBy("doc_id")
+          .agg(F.sum(F.when(_AH_CELLS * F.col("s") > F.col("t"),
+                            F.expr("shiftleft(CAST(1 AS BIGINT), "
+                                   "CAST(cell AS INT))"))
+                     .otherwise(0)).cast("long").alias("ahash"))
+          .localCheckpoint())
+    bands = None
+    for bi, (off, width) in enumerate(_AH_BANDS):
+        b = ah.select("doc_id", F.lit(bi).alias("band"),
+                      (F.shiftright(F.col("ahash"), off)
+                       .bitwiseAND((1 << width) - 1)).alias("key"))
+        bands = b if bands is None else bands.unionByName(b)
+    cand = (bands.alias("a").join(
+        bands.alias("b"),
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b")).distinct())
+    ham = F2.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (cand
+            .join(ah.select(F.col("doc_id").alias("id_a"),
+                            F.col("ahash").alias("ha")), "id_a")
+            .join(ah.select(F.col("doc_id").alias("id_b"),
+                            F.col("ahash").alias("hb")), "id_b")
+            .filter(ham <= _AH_HAM)
+            .select("id_a", "id_b", ham.cast("long").alias("hamming")))

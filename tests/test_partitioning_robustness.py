@@ -76,6 +76,7 @@ _KEEPERS = [
     "ts_match_recognize_vshape", "text_code_prose_score",
     "stat_logistic_newton", "sim_hybrid_rrf_fusion",
     "text_kneser_ney_bigram", "events_top_conversion_paths",
+    "dq_duplicate_key_report", "multimodal_ahash_dedup",
 ]
 
 _seen: set[str] = set()

@@ -1627,3 +1627,130 @@ def test_swap_in_crash_recovery_sessionize(spark, tmp_path, monkeypatch):
     s1 = session_summary(spark.read.parquet(table)).filter(
         F.col("user_id") == 1).collect()[0]
     assert (s1.n_sessions, s1.n_events) == (2, 4)
+
+
+def test_trending_fold_matches_decay_formula(spark, tmp_path):
+    """The decayed fold's state after batches B1..Bn must be exactly
+    sum_i counts(B_i) >> (n-i), keys at zero dropped — the invariant
+    that makes the 'trending' summary bounded and deterministic."""
+    from sparkstreamingproject_spark.streaming.trending_maintain import (
+        merge_trending, read_trending_topk)
+
+    sch = "event_type string"
+    batches = [
+        [("a",)] * 8 + [("b",)] * 2,
+        [("a",)] * 1 + [("c",)] * 4,
+        [("b",)] * 5,
+    ]
+    table = str(tmp_path / "trend")
+    for rows in batches:
+        merge_trending(spark.createDataFrame(rows, sch), table)
+
+    got = {r.k: r.w for r in spark.read.parquet(table).collect()}
+    # replay the formula in python: state = state//2 + counts
+    exp: dict = {}
+    for rows in batches:
+        exp = {k: v // 2 for k, v in exp.items()}
+        for (k,) in rows:
+            exp[k] = exp.get(k, 0) + 1
+        exp = {k: v for k, v in exp.items() if v > 0}
+    assert got == exp
+    # a=8 halves twice -> 2 (+1 from batch2 halved once -> ... ) checked
+    # via formula; top-1 by decayed weight is the batch-3 burst 'b'
+    top = read_trending_topk(spark, table, k=1).collect()[0]
+    assert top.k == "b"
+
+
+def test_trending_fold_decays_stale_keys_out(spark, tmp_path):
+    """A key untouched for enough batches decays to zero and leaves
+    the state entirely — the bounded-state property."""
+    from sparkstreamingproject_spark.streaming.trending_maintain import (
+        merge_trending)
+
+    sch = "event_type string"
+    table = str(tmp_path / "trend_decay")
+    merge_trending(spark.createDataFrame([("old",)] * 3, sch), table)
+    for _ in range(3):  # 3 >> 1 -> 1 -> 0: gone after three halvings
+        merge_trending(spark.createDataFrame([("new",)], sch), table)
+    keys = {r.k for r in spark.read.parquet(table).collect()}
+    assert keys == {"new"}
+
+
+def test_swap_in_crash_recovery_trending(spark, tmp_path, monkeypatch):
+    """The decayed fold survives a crash between the two swap renames:
+    state recovered from the .old-* aside, the replayed batch re-folds
+    exactly once (same protocol as the other six maintained folds)."""
+    import os as _os
+
+    from sparkstreamingproject_spark.streaming import statestore
+    from sparkstreamingproject_spark.streaming.trending_maintain import (
+        merge_trending)
+
+    sch = "event_type string"
+    b1 = [("a",)] * 6 + [("b",)] * 2
+    b2 = [("a",)] * 2 + [("c",)] * 3
+    table = str(tmp_path / "trend_crash")
+    control = str(tmp_path / "trend_ctrl")
+    merge_trending(spark.createDataFrame(b1, sch), table)
+    merge_trending(spark.createDataFrame(b1, sch), control)
+    merge_trending(spark.createDataFrame(b2, sch), control)
+
+    real = _os.rename
+    calls = {"n": 0}
+
+    def flaky(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("injected")
+        real(src, dst)
+
+    monkeypatch.setattr(statestore.os, "rename", flaky)
+    with pytest.raises(OSError, match="injected"):
+        merge_trending(spark.createDataFrame(b2, sch), table)
+    monkeypatch.setattr(statestore.os, "rename", real)
+    assert not _os.path.isdir(table)
+
+    merge_trending(spark.createDataFrame(b2, sch), table)  # replay
+    got = {r.k: r.w for r in spark.read.parquet(table).collect()}
+    exp = {r.k: r.w for r in spark.read.parquet(control).collect()}
+    assert got == exp
+
+
+def test_trending_stream_equals_batched_folds(spark, tmp_path):
+    """Feeding the same rows through the availableNow stream (per-file
+    micro-batches) produces the same decayed state as direct fold
+    calls in file order."""
+    import os
+    import time
+
+    from sparkstreamingproject_spark.sources.streams import file_stream
+    from sparkstreamingproject_spark.streaming.trending_maintain import (
+        merge_trending, trending_stream)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    chunks = [[("a",)] * 4 + [("b",)] * 1, [("b",)] * 3, [("a",)] * 2]
+    for i, rows in enumerate(chunks):
+        before = set(os.listdir(src))
+        (spark.createDataFrame(rows, "event_type string")
+         .coalesce(1).write.mode("append").parquet(src))
+        for f in set(os.listdir(src)) - before:
+            if f.endswith(".parquet"):
+                os.utime(os.path.join(src, f),
+                         (1_700_000_000 + i, 1_700_000_000 + i))
+
+    table = str(tmp_path / "trend_stream")
+    q = trending_stream(
+        file_stream(spark, src, spark.read.parquet(src).schema,
+                    max_files_per_trigger=1),
+        table, str(tmp_path / "ck_trend"))
+    q.awaitTermination(120)
+    time.sleep(0.5)
+
+    control = str(tmp_path / "trend_stream_ctrl")
+    for rows in chunks:
+        merge_trending(spark.createDataFrame(rows, "event_type string"),
+                       control)
+    got = {r.k: r.w for r in spark.read.parquet(table).collect()}
+    exp = {r.k: r.w for r in spark.read.parquet(control).collect()}
+    assert got == exp
