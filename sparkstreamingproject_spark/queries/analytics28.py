@@ -855,3 +855,248 @@ def dq_duplicate_key_report(spark, sf_dir):
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+# --------------------------------------- t-closeness (privacy triad)
+
+_TC_BUCKETS = 5  # ordered acctbal quintile buckets (sensitive attr)
+
+
+@register(
+    "privacy_t_closeness",
+    oracle=f"""
+    WITH c AS MATERIALIZED (
+      SELECT n.n_name AS nation, cu.c_mktsegment AS segment,
+             cu.c_acctbal AS bal, cu.c_custkey AS ck
+      FROM customer cu JOIN nation n ON n.n_nationkey = cu.c_nationkey),
+    binned AS MATERIALIZED (
+      SELECT nation, segment,
+             CAST(least((rk * {_TC_BUCKETS}) // cnt,
+                        {_TC_BUCKETS - 1}) AS BIGINT) AS b
+      FROM (SELECT nation, segment,
+                   row_number() OVER (ORDER BY bal, ck) - 1 AS rk,
+                   count(*) OVER () AS cnt
+            FROM c)),
+    cls AS (SELECT nation, segment, b, count(*) AS n
+            FROM binned GROUP BY 1, 2, 3),
+    cls_tot AS (SELECT nation, segment, CAST(sum(n) AS BIGINT) AS ct
+                FROM cls GROUP BY 1, 2),
+    gdist AS (SELECT b, CAST(count(*) AS BIGINT) AS gn FROM binned
+              GROUP BY b),
+    gtot AS (SELECT CAST(count(*) AS BIGINT) AS gt FROM binned),
+    grid AS (
+      SELECT t.nation, t.segment, g.b, t.ct, g.gn, gt.gt,
+             coalesce(c2.n, 0) AS n
+      FROM cls_tot t CROSS JOIN gdist g CROSS JOIN gtot gt
+      LEFT JOIN cls c2 ON c2.nation = t.nation
+                      AND c2.segment = t.segment AND c2.b = g.b),
+    cums AS (
+      SELECT nation, segment, b, ct, gt,
+             sum(n) OVER w AS cn, sum(gn) OVER w AS cg
+      FROM grid
+      WINDOW w AS (PARTITION BY nation, segment ORDER BY b
+                   ROWS UNBOUNDED PRECEDING)),
+    emd AS (
+      SELECT nation, segment, max(ct) AS class_size,
+             round(sum(abs(CAST(cn AS DOUBLE) / ct
+                           - CAST(cg AS DOUBLE) / gt))
+                   / ({_TC_BUCKETS} - 1), 6) AS t_emd
+      FROM cums WHERE b < {_TC_BUCKETS - 1} + 1
+      GROUP BY 1, 2)
+    SELECT nation, segment, CAST(class_size AS BIGINT) AS class_size,
+           t_emd
+    FROM emd
+    """,
+    tags=("privacy",),
+)
+def privacy_t_closeness(spark, sf_dir):
+    """t-closeness audit — the third leg of the privacy triad beside
+    `privacy_k_anonymity` and `privacy_l_diversity`: for each
+    quasi-identifier class (nation × market segment), the Earth
+    Mover's Distance between the class's distribution of the ORDERED
+    sensitive attribute (account-balance quintile) and the global
+    distribution — for ordered buckets EMD is the mean absolute
+    cumulative-share gap. Classes with large t leak the sensitive
+    attribute even when k-anonymous and l-diverse.
+
+    Exactness: quintile bucketing is INTEGER floor division
+    (rk*5 div cnt — a CAST(double AS BIGINT) would round-to-nearest in
+    DuckDB but truncate in Spark); the rank runs over the UNIQUE
+    (balance, custkey) order, so
+    tied balances at a quintile boundary bucket identically in both
+    engines — a value-keyed join-back would fan boundary ties into two
+    buckets); all counts
+    exact; the cumulative shares are single divides of exact ints
+    inside one shared expression, rounded at 6dp. Scale: one rank pass
+    over the sensitive column (at 100 TB: replace with fixed value
+    breakpoints or the registry's histogram sketch), then
+    class-cardinality aggregates on a quasi-identifier grid built by
+    two broadcast-sized cross joins."""
+    from pyspark.sql import Window
+    cu = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    c = (cu.join(F.broadcast(n),
+                 cu.c_nationkey == n.n_nationkey)
+         .select(F.col("n_name").alias("nation"),
+                 F.col("c_mktsegment").alias("segment"),
+                 F.col("c_acctbal").alias("bal"),
+                 F.col("c_custkey").alias("ck")))
+    w_rank = Window.orderBy("bal", "ck")
+    binned = (c.withColumn("rk", F.row_number().over(w_rank) - 1)
+              .withColumn("cnt", F.count("*").over(Window.partitionBy()))
+              .select("nation", "segment",
+                      F.least(F.expr(f"(rk * {_TC_BUCKETS}) div cnt"),
+                              F.lit(_TC_BUCKETS - 1).cast("long"))
+                      .cast("long").alias("b")))
+    cls = (binned.groupBy("nation", "segment", "b")
+           .agg(F.count("*").alias("n")))
+    cls_tot = (cls.groupBy("nation", "segment")
+               .agg(F.sum("n").cast("long").alias("ct")))
+    glob = binned.groupBy("b").agg(F.count("*").cast("long").alias("gn"))
+    gtot = binned.agg(F.count("*").cast("long").alias("gt"))
+    grid = (cls_tot.crossJoin(F.broadcast(glob))
+            .crossJoin(F.broadcast(gtot))
+            .join(cls, ["nation", "segment", "b"], "left")
+            .withColumn("n", F.coalesce(F.col("n"), F.lit(0))))
+    wc = (Window.partitionBy("nation", "segment").orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    cums = grid.select(
+        "nation", "segment", "b", "ct", "gt",
+        F.sum("n").over(wc).alias("cn"),
+        F.sum("gn").over(wc).alias("cg"))
+    return (cums.groupBy("nation", "segment")
+            .agg(F.max("ct").cast("long").alias("class_size"),
+                 F.round(F.sum(F.abs(F.col("cn").cast("double")
+                                     / F.col("ct")
+                                     - F.col("cg").cast("double")
+                                     / F.col("gt")))
+                         / F.lit(_TC_BUCKETS - 1), 6).alias("t_emd")))
+
+
+# --------------------------------------- DAU/WAU stickiness
+
+
+@register(
+    "events_dau_wau_stickiness",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS wk,
+             user_id
+      FROM events),
+    dau AS (SELECT wk, d, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+            FROM e GROUP BY 1, 2),
+    wau AS (SELECT wk, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+            FROM e GROUP BY 1),
+    wk_dau AS (SELECT wk, CAST(sum(dau) AS BIGINT) AS dau_sum,
+                      CAST(count(*) AS BIGINT) AS n_days
+               FROM dau GROUP BY wk)
+    SELECT w.wk AS week_start, d.dau_sum, d.n_days, w.wau,
+           round(CAST(d.dau_sum AS DOUBLE) / d.n_days / w.wau, 6)
+             AS stickiness
+    FROM wau w JOIN wk_dau d ON d.wk = w.wk
+    """,
+    tags=("events", "engagement"),
+)
+def events_dau_wau_stickiness(spark, sf_dir):
+    """DAU/WAU stickiness per ISO week — the engagement ratio product
+    teams track (mean daily actives over weekly actives; 1/7 means
+    every user shows up once, 1.0 means everyone is daily): exact
+    distinct counts per day and per week, mean DAU as an exact
+    integer sum over the days present, one terminal divide.
+
+    Scale: two distinct-count aggregates keyed by (week[, day]) —
+    both map-side partial with Spark's distinct-aggregate expansion;
+    at 100 TB the same report swaps exact distincts for the
+    registry's HLL sketches (`sketch_hll_distinct` family) with the
+    ratio algebra unchanged. The week join is week-cardinality."""
+    e = (table(spark, sf_dir, "events")
+         .select(F.col("ts").cast("date").alias("d"), "user_id")
+         .withColumn("wk", F.date_trunc("week", F.col("d"))
+                     .cast("date")))
+    dau = (e.groupBy("wk", "d")
+           .agg(F.count_distinct("user_id").cast("long").alias("dau")))
+    wau = (e.groupBy("wk")
+           .agg(F.count_distinct("user_id").cast("long").alias("wau")))
+    wk_dau = (dau.groupBy("wk")
+              .agg(F.sum("dau").cast("long").alias("dau_sum"),
+                   F.count("*").cast("long").alias("n_days")))
+    return (wau.join(wk_dau, "wk")
+            .select(F.col("wk").alias("week_start"), "dau_sum",
+                    "n_days", "wau",
+                    F.round(F.col("dau_sum").cast("double")
+                            / F.col("n_days") / F.col("wau"), 6)
+                    .alias("stickiness")))
+
+
+# --------------------------------------- SAX symbolization
+
+_SAX_DAYS = 32
+_SAX_SEGS = 8
+_SAX_ALPH = 3  # symbols a/b/c by global terciles
+
+
+@register(
+    "ts_sax_symbolize",
+    oracle=f"""
+    WITH daily AS (
+      SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2),
+    first_days AS (
+      SELECT priority, cents,
+             row_number() OVER (PARTITION BY priority ORDER BY d) - 1
+               AS rn
+      FROM daily
+      QUALIFY rn < {_SAX_DAYS}),
+    paa AS (
+      SELECT priority, rn // {_SAX_DAYS // _SAX_SEGS} AS seg,
+             CAST(sum(cents) AS BIGINT) AS s
+      FROM first_days GROUP BY 1, 2),
+    sym AS (
+      SELECT priority, seg,
+             ntile({_SAX_ALPH}) OVER (ORDER BY s, priority, seg) AS t
+      FROM paa)
+    SELECT priority,
+           string_agg(chr(CAST(96 + t AS INT)), '' ORDER BY seg) AS sax_word
+    FROM sym GROUP BY priority
+    """,
+    tags=("timeseries", "pattern"),
+)
+def ts_sax_symbolize(spark, sf_dir):
+    """SAX symbolization (Lin/Keogh) of the first {_SAX_DAYS} days of
+    daily revenue per priority: PAA-compress into {_SAX_SEGS} segments
+    (exact integer cent sums over 4-day windows) and map each segment
+    to an {_SAX_ALPH}-letter alphabet by GLOBAL rank terciles (ntile
+    over the unique (sum, priority, seg) order — the rank-based
+    breakpoint variant; classic SAX z-normalizes first, which would
+    put a float sqrt inside the discretization). The 8-char word per
+    priority is the index key motif search / anomaly lookup engines
+    store instead of raw series.
+
+    Exactness: PAA sums exact integers; ntile over a total order is
+    deterministic in both engines (first n%k buckets take the extra
+    row — the SQL-standard split); the word is an ordered string_agg.
+    Scale: day-grain rollup then segment-cardinality everything."""
+    from pyspark.sql import Window
+    daily = (table(spark, sf_dir, "orders")
+             .groupBy(F.col("o_orderpriority").alias("priority"),
+                      F.col("o_orderdate").cast("date").alias("d"))
+             .agg(F.sum(F.round(F.col("o_totalprice") * 100)
+                        .cast("long")).cast("long").alias("cents")))
+    w = Window.partitionBy("priority").orderBy("d")
+    first_days = (daily.withColumn("rn", F.row_number().over(w) - 1)
+                  .filter(F.col("rn") < _SAX_DAYS))
+    paa = (first_days
+           .groupBy("priority",
+                    F.expr(f"rn div {_SAX_DAYS // _SAX_SEGS}")
+                    .alias("seg"))
+           .agg(F.sum("cents").cast("long").alias("s")))
+    sym = paa.withColumn(
+        "t", F.ntile(_SAX_ALPH).over(Window.orderBy("s", "priority",
+                                                    "seg")))
+    return (sym.groupBy("priority")
+            .agg(F.concat_ws("", F.expr(
+                "transform(array_sort(collect_list(struct(seg, t))), "
+                "x -> chr(96 + x.t))")).alias("sax_word")))

@@ -77,6 +77,8 @@ _KEEPERS = [
     "stat_logistic_newton", "sim_hybrid_rrf_fusion",
     "text_kneser_ney_bigram", "events_top_conversion_paths",
     "dq_duplicate_key_report", "multimodal_ahash_dedup",
+    "privacy_t_closeness", "events_dau_wau_stickiness",
+    "ts_sax_symbolize",
 ]
 
 _seen: set[str] = set()
