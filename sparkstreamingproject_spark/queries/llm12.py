@@ -825,3 +825,214 @@ def multimodal_ahash_dedup(spark, sf_dir):
                             F.col("ahash").alias("hb")), "id_b")
             .filter(ham <= _AH_HAM)
             .select("id_a", "id_b", ham.cast("long").alias("hamming")))
+
+
+# --------------------------------------- Mahalanobis outliers (diag)
+
+_MAH_TOP = 20
+
+
+@register(
+    "embedding_outlier_mahalanobis_diag",
+    oracle=f"""
+    WITH pts AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    el AS MATERIALIZED (
+      SELECT vec_id, CAST(i AS INT) AS pos,
+             CAST(round(v[i] * 1000000) AS BIGINT) AS q
+      FROM pts, unnest(range(1, len(v) + 1)) AS g(i)),
+    m AS MATERIALIZED (
+      SELECT pos, CAST(sum(CAST(q AS DECIMAL(38,0))) AS DECIMAL(38,0))
+               AS s,
+             CAST(sum(CAST(q AS DECIMAL(38,0)) * q) AS DECIMAL(38,0))
+               AS ss,
+             CAST(count(*) AS BIGINT) AS n
+      FROM el GROUP BY pos),
+    score AS (
+      SELECT e.vec_id,
+             sum(
+               (e.q - CAST(m.s AS DOUBLE) / m.n)
+               * (e.q - CAST(m.s AS DOUBLE) / m.n)
+               / ((CAST(m.ss AS DOUBLE)
+                   - CAST(m.s AS DOUBLE) * CAST(m.s AS DOUBLE) / m.n)
+                  / (m.n - 1))) AS d2
+      FROM el e JOIN m ON m.pos = e.pos
+      GROUP BY e.vec_id)
+    SELECT vec_id, round(d2, 4) AS mahalanobis_sq, rank
+    FROM (SELECT vec_id, d2,
+                 CAST(row_number() OVER (ORDER BY round(d2, 4) DESC,
+                                         vec_id) AS INT) AS rank
+          FROM score)
+    WHERE rank <= {_MAH_TOP}
+    """,
+    tags=("llm", "embedding", "dq"),
+)
+def embedding_outlier_mahalanobis_diag(spark, sf_dir):
+    """Embedding outlier detection by diagonal Mahalanobis distance —
+    the corpus-QA filter that flags corrupt / out-of-distribution
+    vectors before they poison a training mix: per-dimension means and
+    sample variances from EXACT integer partials (the quantize-once
+    Gram discipline: q, Σq, Σq² as DECIMAL(38,0) — order-free), then
+    each vector's variance-normalized squared distance summed over
+    dimensions. Top-20 by score. The full-covariance form composes
+    `embedding_covariance` with a solve; the diagonal form is the
+    standard first-pass screen and needs no matrix inverse.
+
+    Determinism: the per-dimension float expression runs on identical
+    exact integers in both engines; per-vector d2 is a sum of exactly
+    d=64 doubles computed in the SAME grouping (one group per vector —
+    partition-order independent because addition order within a
+    64-element group is engine-defined... so the SCORE is rounded to
+    4dp before ranking, placing the tie-break three orders of
+    magnitude above any association drift, the
+    `pandas_grouped_zscore` recipe). Scale: one stats pass (dimension-
+    cardinality output) + one scoring pass with the 64-row stats
+    broadcast."""
+    emb = table(spark, sf_dir, "embeddings")
+    el = emb.select(
+        "vec_id",
+        F.posexplode(F.expr(
+            "transform(embedding, v -> "
+            "CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT))"
+        )).alias("pos", "q"))
+    dec = "decimal(38,0)"
+    m = (el.groupBy("pos")
+         .agg(F.sum(F.col("q").cast(dec)).cast(dec).alias("s"),
+              F.sum(F.col("q").cast(dec) * F.col("q")).cast(dec)
+              .alias("ss"),
+              F.count("*").cast("long").alias("n")))
+    mu = F.col("s").cast("double") / F.col("n")
+    var = ((F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double")
+            / F.col("n")) / (F.col("n") - 1))
+    score = (el.join(F.broadcast(m), "pos")
+             .groupBy("vec_id")
+             .agg(F.sum((F.col("q") - mu) * (F.col("q") - mu) / var)
+                  .alias("d2")))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.round(F.col("d2"), 4).desc(), "vec_id")
+    return (score.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= _MAH_TOP)
+            .select("vec_id", F.round("d2", 4).alias("mahalanobis_sq"),
+                    "rank"))
+
+
+# --------------------------------------- MMR diverse selection
+
+_MMR_QDOC = 0
+_MMR_CANDS = 12
+_MMR_K = 4
+
+
+def _mmr_oracle() -> str:
+    steps = []
+    sel_union = "SELECT vec_id, 1 AS step FROM s1"
+    for t in range(2, _MMR_K + 1):
+        steps.append(f""",
+    sel{t - 1} AS ({sel_union}),
+    s{t} AS (
+      SELECT c.vec_id, c.d2q FROM cand c
+      JOIN pairs p ON p.a = c.vec_id
+      JOIN sel{t - 1} s ON s.vec_id = p.b
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{t - 1})
+      GROUP BY c.vec_id, c.d2q
+      ORDER BY min(p.d2) - c.d2q DESC, c.vec_id LIMIT 1)""")
+        sel_union += f" UNION ALL SELECT vec_id, {t} FROM s{t}"
+    return f"""
+    WITH pts AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    el AS MATERIALIZED (
+      SELECT vec_id, CAST(i AS INT) AS pos,
+             CAST(round(v[i] * 1000000) AS BIGINT) AS x
+      FROM pts, unnest(range(1, len(v) + 1)) AS g(i)),
+    qv AS (SELECT pos, x FROM el WHERE vec_id = {_MMR_QDOC}),
+    d2q_all AS (
+      SELECT e.vec_id, sum((e.x - q.x) * (e.x - q.x)) AS d2q
+      FROM el e JOIN qv q ON q.pos = e.pos
+      WHERE e.vec_id <> {_MMR_QDOC} GROUP BY 1),
+    cand AS MATERIALIZED (
+      SELECT vec_id, CAST(d2q AS BIGINT) AS d2q FROM d2q_all
+      ORDER BY d2q, vec_id LIMIT {_MMR_CANDS}),
+    pairs AS MATERIALIZED (
+      SELECT a.vec_id AS a, b.vec_id AS b,
+             CAST(sum((ea.x - eb.x) * (ea.x - eb.x)) AS BIGINT) AS d2
+      FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+      JOIN el ea ON ea.vec_id = a.vec_id
+      JOIN el eb ON eb.vec_id = b.vec_id AND eb.pos = ea.pos
+      GROUP BY 1, 2),
+    s1 AS (SELECT vec_id, d2q FROM cand ORDER BY d2q, vec_id LIMIT 1)
+    {"".join(steps)},
+    sel AS ({sel_union})
+    SELECT s.step, s.vec_id,
+           round(CAST(c.d2q AS DOUBLE) / 1e12, 6) AS dist_to_query
+    FROM sel s JOIN cand c ON c.vec_id = s.vec_id
+    """
+
+
+@register("curation_mmr_diverse_select", oracle=_mmr_oracle(),
+          tags=("llm", "curation", "similarity"))
+def curation_mmr_diverse_select(spark, sf_dir):
+    """Maximal-marginal-relevance diversity selection — the greedy
+    pick that balances 'close to the query' against 'far from what's
+    already selected' (Carbonell-Goldstein MMR with lambda=1/2, the
+    dedup-aware sampler of retrieval-augmented and few-shot example
+    pipelines): from the top-12 relevance candidates, pick 4 — first
+    the nearest, then repeatedly argmax(min distance to selected -
+    distance to query), ties to the smaller id. All distances are
+    exact integer squared L2 over the once-quantized elements, so the
+    greedy trajectory is bit-deterministic.
+
+    Scale: relevance top-k bounds the candidate set (one pass vs the
+    broadcast query vector — or any ANN index in the registry); the
+    pairwise matrix and every greedy step then run on candidate-
+    cardinality relations (12 rows). The sequential dependency is
+    inherent to MMR — each round is a tiny argmax, pipelined on
+    driver-side loop structure but never driver-side DATA."""
+    from pyspark.sql import Window
+    emb = table(spark, sf_dir, "embeddings")
+    el = emb.select(
+        "vec_id",
+        F.posexplode(F.expr(
+            "transform(embedding, v -> "
+            "CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT))"
+        )).alias("pos", "x"))
+    qv = (el.filter(F.col("vec_id") == _MMR_QDOC)
+          .select("pos", F.col("x").alias("qx")))
+    d2q = (el.filter(F.col("vec_id") != _MMR_QDOC)
+           .join(F.broadcast(qv), "pos")
+           .groupBy("vec_id")
+           .agg(F.sum((F.col("x") - F.col("qx"))
+                      * (F.col("x") - F.col("qx"))).cast("long")
+                .alias("d2q")))
+    cand = (d2q.orderBy("d2q", "vec_id").limit(_MMR_CANDS)
+            .localCheckpoint())
+    cel = el.join(cand.select("vec_id"), "vec_id", "left_semi")
+    pairs = (cel.alias("a").join(
+        cel.alias("b"),
+        (F.col("a.pos") == F.col("b.pos"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")))
+        .groupBy(F.col("a.vec_id").alias("a"),
+                 F.col("b.vec_id").alias("b"))
+        .agg(F.sum((F.col("a.x") - F.col("b.x"))
+                   * (F.col("a.x") - F.col("b.x"))).cast("long")
+             .alias("d2")).localCheckpoint())
+    sel = (cand.orderBy("d2q", "vec_id").limit(1)
+           .select("vec_id", F.lit(1).alias("step")))
+    for t in range(2, _MMR_K + 1):
+        remaining = cand.join(sel.select("vec_id"), "vec_id",
+                              "left_anti")
+        scored = (remaining
+                  .join(pairs, remaining.vec_id == pairs.a)
+                  .join(sel.select(F.col("vec_id").alias("b")), "b",
+                        "left_semi")
+                  .groupBy(remaining.vec_id, "d2q")
+                  .agg(F.min("d2").alias("min_sel")))
+        pick = (scored
+                .orderBy((F.col("min_sel") - F.col("d2q")).desc(),
+                         "vec_id").limit(1)
+                .select("vec_id", F.lit(t).alias("step")))
+        sel = sel.unionByName(pick).localCheckpoint()
+    return (sel.join(cand, "vec_id")
+            .select("step", "vec_id",
+                    F.round(F.col("d2q").cast("double") / F.lit(1e12), 6)
+                    .alias("dist_to_query")))

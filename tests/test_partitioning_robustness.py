@@ -78,7 +78,8 @@ _KEEPERS = [
     "text_kneser_ney_bigram", "events_top_conversion_paths",
     "dq_duplicate_key_report", "multimodal_ahash_dedup",
     "privacy_t_closeness", "events_dau_wau_stickiness",
-    "ts_sax_symbolize",
+    "ts_sax_symbolize", "embedding_outlier_mahalanobis_diag",
+    "curation_mmr_diverse_select",
 ]
 
 _seen: set[str] = set()
