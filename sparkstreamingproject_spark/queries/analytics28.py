@@ -1100,3 +1100,95 @@ def ts_sax_symbolize(spark, sf_dir):
             .agg(F.concat_ws("", F.expr(
                 "transform(array_sort(collect_list(struct(seg, t))), "
                 "x -> chr(96 + x.t))")).alias("sax_word")))
+
+
+# --------------------------------------- Redis SCAN MATCH + INCRBY
+
+_SCAN_PAGE = 25
+
+
+@register(
+    "kv_scan_match_cursor",
+    oracle=f"""
+    WITH m AS (
+      SELECT c_name AS key, c_custkey, c_acctbal
+      FROM customer WHERE c_name LIKE '%42%'),
+    pg AS (
+      SELECT key, c_custkey, c_acctbal,
+             row_number() OVER (ORDER BY key) - 1 AS rn
+      FROM m)
+    SELECT CAST(rn // {_SCAN_PAGE} AS BIGINT) AS cursor_page, key,
+           c_custkey, c_acctbal
+    FROM pg WHERE rn < 2 * {_SCAN_PAGE}
+    """,
+    tags=("kv",),
+)
+def kv_scan_match_cursor(spark, sf_dir):
+    """Redis SCAN-with-MATCH semantics (the one Jedis surface the G
+    family didn't cover: ``Jedis_Pool.java`` exposes the pool; SCAN
+    iterates keyspace pages matching a glob): keys matching the glob
+    `*42*` over the customer keyspace, returned as deterministic
+    cursor pages of {_SCAN_PAGE} (first two pages). Redis cursors are
+    unordered server-state; the engine form is the ordered-key
+    row-number page — same contract (stable resumable iteration, no
+    key skipped or repeated), strictly stronger ordering.
+
+    Scale: the glob compiles to a LIKE predicate (pushed to the scan
+    as a filter); pagination is a window over the MATCHED set only.
+    For key-sorted/bucketed layouts the page is a range scan — no
+    window at all."""
+    from pyspark.sql import Window
+    c = table(spark, sf_dir, "customer")
+    m = (c.filter(F.col("c_name").like("%42%"))
+         .select(F.col("c_name").alias("key"), "c_custkey", "c_acctbal"))
+    pg = m.withColumn("rn", F.row_number().over(Window.orderBy("key")) - 1)
+    return (pg.filter(F.col("rn") < 2 * _SCAN_PAGE)
+            .select(F.expr(f"CAST(rn div {_SCAN_PAGE} AS BIGINT)")
+                    .alias("cursor_page"),
+                    "key", "c_custkey", "c_acctbal"))
+
+
+@register(
+    "kv_incrby_counter_fold",
+    oracle="""
+    WITH ops AS (
+      SELECT user_id,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT)
+                  WHEN event_type = 'refund'
+                  THEN -CAST(round(value * 100) AS BIGINT)
+                  ELSE 1 END AS delta
+      FROM events),
+    c AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_ops,
+             CAST(sum(delta) AS BIGINT) AS counter
+      FROM ops GROUP BY user_id)
+    SELECT user_id, n_ops, counter
+    FROM c ORDER BY counter DESC, user_id LIMIT 25
+    """,
+    tags=("kv", "events"),
+)
+def kv_incrby_counter_fold(spark, sf_dir):
+    """Redis INCR/INCRBY/DECRBY counter semantics as a fold over the
+    event log (the reference's DwsTrafficApp keeps exactly such
+    per-key counters in Redis): +value-cents per purchase,
+    -value-cents per refund, +1 (INCR) for every other op; the
+    counter's final value is the exact integer sum of deltas — the
+    commutative property that makes Redis counters replayable from a
+    log. Top-25 counters with op counts.
+
+    Scale: one map-side-combinable groupBy(user) over the log; the
+    top-25 is heap TakeOrdered. The streaming form is the additive
+    rollup fold (`streaming/rollup_maintain.py`) keyed by user —
+    identical merge algebra."""
+    ev = table(spark, sf_dir, "events")
+    delta = (F.when(F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("long"))
+             .when(F.col("event_type") == "refund",
+                   -F.round(F.col("value") * 100).cast("long"))
+             .otherwise(F.lit(1).cast("long")))
+    c = (ev.select("user_id", delta.alias("delta"))
+         .groupBy("user_id")
+         .agg(F.count("*").cast("long").alias("n_ops"),
+              F.sum("delta").cast("long").alias("counter")))
+    return c.orderBy(F.desc("counter"), "user_id").limit(25)

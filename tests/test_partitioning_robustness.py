@@ -79,7 +79,8 @@ _KEEPERS = [
     "dq_duplicate_key_report", "multimodal_ahash_dedup",
     "privacy_t_closeness", "events_dau_wau_stickiness",
     "ts_sax_symbolize", "embedding_outlier_mahalanobis_diag",
-    "curation_mmr_diverse_select",
+    "curation_mmr_diverse_select", "kv_scan_match_cursor",
+    "kv_incrby_counter_fold",
 ]
 
 _seen: set[str] = set()
