@@ -280,3 +280,27 @@ def test_round8_heavy_kernel_plan_shapes(spark, sf_dir):
         assert marker not in rq, (marker, rq)
     # codegen'd stages appear as "*(n) Op" in the finalized plan
     assert re.search(r"\*\(\d+\)", rq), rq
+
+
+def test_round8_wave_query_plan_shapes(spark, sf_dir):
+    """Pin the plan shapes the round-8 wave docstrings promise:
+    the bottom-k sample is a TakeOrdered heap (no global sort), the
+    SCAN-MATCH glob reaches the parquet scan as a pushed contains
+    filter, the DQ orphan audit broadcasts its dim-sized parents, and
+    the aHash band join is a hash join (never cartesian)."""
+    import re
+
+    bk = explain_str(REGISTRY["sample_bottomk_uniform"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in bk, bk
+    assert "Exchange rangepartitioning" not in bk, bk
+
+    sm = REGISTRY["kv_scan_match_cursor"].fn(spark, sf_dir)
+    assert "StringContains" in pushed_filters(sm), pushed_filters(sm)
+
+    dq = explain_str(REGISTRY["dq_referential_orphans"].fn(spark, sf_dir))
+    assert dq.count("BroadcastHashJoin") >= 3, dq  # dim-sized parents
+
+    ah = explain_str(REGISTRY["multimodal_ahash_dedup"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in ah, ah
+    assert re.search(r"(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin)",
+                     ah), ah
