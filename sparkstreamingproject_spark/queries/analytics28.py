@@ -1192,3 +1192,94 @@ def kv_incrby_counter_fold(spark, sf_dir):
          .agg(F.count("*").cast("long").alias("n_ops"),
               F.sum("delta").cast("long").alias("counter")))
     return c.orderBy(F.desc("counter"), "user_id").limit(25)
+
+
+# --------------------------------------- regexp function surface
+
+
+@register(
+    "regexp_functions_surface",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]+)ing\b', 1) AS first_ing_stem,
+           CAST(length(regexp_replace(text, '[aeiou]', '', 'g'))
+                AS BIGINT) AS consonant_len,
+           CAST(len(regexp_extract_all(text, '\b[a-z]{7,}\b'))
+                AS BIGINT) AS n_long_words,
+           regexp_matches(text, 'data|model') AS mentions_topic
+    FROM documents
+    """,
+    tags=("functions", "text"),
+)
+def regexp_functions_surface(spark, sf_dir):
+    """The regexp column-function surface (H-family sibling of
+    `scalar_functions` / `date_functions` / `map_functions_surface`):
+    group extraction (first '-ing' stem), global replacement length
+    (consonant count), match enumeration (count of 7+-letter words),
+    and boolean match — the four regexp shapes ETL actually uses,
+    verified to agree across engines' regex dialects on word-boundary
+    and class syntax.
+
+    Scale: all four are per-row JVM expressions inside whole-stage
+    codegen — map-only, no shuffle; regex compiles once per task."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"([a-z]+)ing\b", 1)
+        .alias("first_ing_stem"),
+        F.length(F.regexp_replace("text", "[aeiou]", ""))
+        .cast("long").alias("consonant_len"),
+        F.size(F.expr(r"regexp_extract_all(text, '\\b[a-z]{7,}\\b', 0)"))
+        .cast("long").alias("n_long_words"),
+        F.col("text").rlike("data|model").alias("mentions_topic"))
+
+
+# --------------------------------------- deterministic per-group mode
+
+
+@register(
+    "agg_mode_deterministic",
+    oracle="""
+    WITH c AS (
+      SELECT n.n_name AS nation, o.o_orderpriority AS priority,
+             count(*) AS cnt
+      FROM orders o
+      JOIN customer cu ON cu.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = cu.c_nationkey
+      GROUP BY 1, 2)
+    SELECT nation, priority AS modal_priority, CAST(cnt AS BIGINT)
+             AS n_orders
+    FROM (SELECT nation, priority, cnt,
+                 row_number() OVER (PARTITION BY nation
+                                    ORDER BY cnt DESC, priority) AS rn
+          FROM c)
+    WHERE rn = 1
+    """,
+    tags=("agg",),
+)
+def agg_mode_deterministic(spark, sf_dir):
+    """Per-group modal value with a DETERMINISTIC tie-break — the
+    portable form of SQL `mode()` (both engines ship one, but neither
+    defines which of several equally-frequent values wins; at 100 TB a
+    nondeterministic mode flips between runs and breaks downstream
+    diffs): most frequent order priority per nation, ties to the
+    lexicographically smallest priority.
+
+    Scale: one count aggregate on (group, value) — map-side
+    combinable, cardinality bounded by the value domain per group —
+    then a per-group rank over value-cardinality rows. Never a
+    collect_list of raw rows."""
+    from pyspark.sql import Window
+    o = table(spark, sf_dir, "orders")
+    cu = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    c = (o.join(cu, o.o_custkey == cu.c_custkey)
+         .join(F.broadcast(n), cu.c_nationkey == n.n_nationkey)
+         .groupBy(F.col("n_name").alias("nation"),
+                  F.col("o_orderpriority").alias("priority"))
+         .agg(F.count("*").alias("cnt")))
+    w = Window.partitionBy("nation").orderBy(F.desc("cnt"), "priority")
+    return (c.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("nation", F.col("priority").alias("modal_priority"),
+                    F.col("cnt").cast("long").alias("n_orders")))

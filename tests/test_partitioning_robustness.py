@@ -80,7 +80,8 @@ _KEEPERS = [
     "privacy_t_closeness", "events_dau_wau_stickiness",
     "ts_sax_symbolize", "embedding_outlier_mahalanobis_diag",
     "curation_mmr_diverse_select", "kv_scan_match_cursor",
-    "kv_incrby_counter_fold",
+    "kv_incrby_counter_fold", "regexp_functions_surface",
+    "agg_mode_deterministic",
 ]
 
 _seen: set[str] = set()
