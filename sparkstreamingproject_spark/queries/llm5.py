@@ -606,9 +606,14 @@ def embedding_pca_top2_project(spark, sf_dir):
                                      / F.col("mx")).cast("long")
                         .alias("p")))
 
+    # localCheckpoint per round: each iteration's rescale embeds a
+    # broadcast max-aggregate, and every broadcast re-executes its
+    # whole upstream subtree — an un-cut 3-round chain re-runs the
+    # earlier rounds once per broadcast (measured 25.6 s → 9.9 s for
+    # the full query at sf0.1)
     v = dims.select("i", F.lit(1_000_000).cast("long").alias("p"))
     for _ in range(_PI_ITERS):
-        v = rescale(times_c(v))
+        v = rescale(times_c(v)).localCheckpoint()
     vc = _canonicalize_sign(v).localCheckpoint()
     dvv = vc.agg(F.sum(F.col("p").cast("decimal(38,0)")
                        * F.col("p").cast("decimal(38,0)")).alias("x"))
@@ -628,7 +633,7 @@ def embedding_pca_top2_project(spark, sf_dir):
                                      / F.col("x").cast("double")
                                      * F.col("p")).cast("long"))
                      .alias("w")))
-        w = rescale(o, "w")
+        w = rescale(o, "w").localCheckpoint()
     wc = _canonicalize_sign(w)
 
     q = (emb.select(
