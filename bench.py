@@ -81,8 +81,7 @@ SIDECAR = [
     "sim_ann_rq_adc",
     # round-7 wave-13 addition: 6-round iterative graph peeling
     "graph_kcore_peeling",
-    # round-8 heavy additions (no floor yet — ratios start at their
-    # first quiet recorded round, r08)
+    # round-8 heavy additions (floors: SIDECAR_R08)
     "embedding_pca_top2_project",
     "embedding_knn_graph",
     "graph_ppr_seeded",
@@ -111,6 +110,15 @@ SIDECAR_R07 = {
     "sim_ann_nprobe_recall_sweep": 3.18,
     "sim_ann_rq_adc": 1.83,
     "graph_kcore_peeling": 9.28,
+}
+
+# floors for the round-8 sidecar additions: quietest r08 measurements
+# (COVERAGE.md round-8 bench notes; sf=0.1, local[32], cold JVM for
+# pca_top2 since the bench runs each query once).
+SIDECAR_R08 = {
+    "embedding_pca_top2_project": 13.2,
+    "embedding_knn_graph": 3.9,
+    "graph_ppr_seeded": 7.5,
 }
 
 def main() -> None:
@@ -153,6 +161,9 @@ def main() -> None:
         "sidecar_vs_r07": {
             n: round(t / SIDECAR_R07[n], 2)
             for n, t in sidecar.items() if n in SIDECAR_R07},
+        "sidecar_vs_r08": {
+            n: round(t / SIDECAR_R08[n], 2)
+            for n, t in sidecar.items() if n in SIDECAR_R08},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()
