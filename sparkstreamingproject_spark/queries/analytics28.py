@@ -1283,3 +1283,131 @@ def agg_mode_deterministic(spark, sf_dir):
             .filter(F.col("rn") == 1)
             .select("nation", F.col("priority").alias("modal_priority"),
                     F.col("cnt").cast("long").alias("n_orders")))
+
+
+# --------------------------------------- Wilson lower-bound ranking
+
+_WILSON_Z2 = "3.8415"  # z^2 for 95% (1.96^2), shared literal
+
+
+@register(
+    "stat_wilson_lower_bound",
+    oracle=f"""
+    WITH s AS (
+      SELECT l_suppkey,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS k
+      FROM lineitem GROUP BY l_suppkey),
+    w AS (
+      SELECT l_suppkey, n, k,
+             round((CAST(k AS DOUBLE) / n + {_WILSON_Z2} / (2 * n)
+                    - sqrt({_WILSON_Z2}) * sqrt(
+                        (CAST(k AS DOUBLE) / n)
+                        * (1.0 - CAST(k AS DOUBLE) / n) / n
+                        + {_WILSON_Z2} / (4.0 * n * n)))
+                   / (1.0 + {_WILSON_Z2} / n), 6) AS wilson_lb
+      FROM s WHERE n >= 20)
+    SELECT l_suppkey, n, k, wilson_lb
+    FROM w ORDER BY wilson_lb DESC, l_suppkey LIMIT 20
+    """,
+    tags=("stats", "ranking"),
+)
+def stat_wilson_lower_bound(spark, sf_dir):
+    """Wilson-score lower confidence bound ranking — the
+    sort-by-rating op that fixes naive proportion ranking (a 2/2
+    supplier must NOT outrank a 95/100 one): per supplier, the 95%
+    lower bound of the return-rate proportion, shipment floor n>=20,
+    top-20 by bound. The formula every comment-ranking and
+    seller-score system ships.
+
+    Determinism: n and k are exact integers; the bound is ONE float
+    expression tree shared verbatim with the oracle (z^2 baked as the
+    same literal), rounded at 6dp before the ordering so the rank is
+    tie-broken on integers. Scale: one map-side-combinable
+    groupBy(supplier) then a heap top-20."""
+    li = table(spark, sf_dir, "lineitem")
+    s = (li.groupBy("l_suppkey")
+         .agg(F.count("*").cast("long").alias("n"),
+              F.sum(F.when(F.col("l_returnflag") == "R", 1)
+                    .otherwise(0)).cast("long").alias("k"))
+         .filter(F.col("n") >= 20))
+    z2 = float(_WILSON_Z2)
+    p = F.col("k").cast("double") / F.col("n")
+    lb = F.round(
+        (p + F.lit(z2) / (2 * F.col("n"))
+         - F.sqrt(F.lit(z2)) * F.sqrt(
+             p * (F.lit(1.0) - p) / F.col("n")
+             + F.lit(z2) / (4.0 * F.col("n") * F.col("n"))))
+        / (F.lit(1.0) + F.lit(z2) / F.col("n")), 6)
+    return (s.select("l_suppkey", "n", "k", lb.alias("wilson_lb"))
+            .orderBy(F.desc("wilson_lb"), "l_suppkey").limit(20))
+
+
+# --------------------------------------- Gini concentration
+
+
+@register(
+    "stat_gini_revenue_concentration",
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey),
+    r AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, o_custkey) AS i,
+             count(*) OVER () AS n
+      FROM c),
+    g AS (
+      SELECT max(n) AS n,
+             CAST(sum(CAST(i AS DECIMAL(38,0)) * cents)
+                  AS DECIMAL(38,0)) AS iws,
+             CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0))
+               AS s
+      FROM r)
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(s AS BIGINT) AS total_cents,
+           round(2.0 * CAST(iws AS DOUBLE)
+                 / (n * CAST(s AS DOUBLE))
+                 - (n + 1.0) / n, 6) AS gini
+    FROM g
+    """,
+    tags=("stats",),
+)
+def stat_gini_revenue_concentration(spark, sf_dir):
+    """Gini coefficient of customer revenue — the classic inequality/
+    concentration measure beside the registry's HHI
+    (`supplier_part_hhi`) and ABC (`part_abc_classification`) views:
+    G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n over customers sorted ascending by
+    spend. A training-data analogue reads source concentration the
+    same way.
+
+    Exactness: spend is integer cents; the rank runs over the unique
+    (cents, custkey) order; Σ(i·x) and Σx accumulate as DECIMAL(38,0)
+    (i·x peaks ~1e5·1e9 = 1e14 per row — safe, but the SUM crosses
+    int64 at fact scale); the single float expression is shared
+    verbatim. Scale: one groupBy(customer), one rank over
+    customer-cardinality rows, one 3-value aggregate."""
+    from pyspark.sql import Window
+    o = table(spark, sf_dir, "orders")
+    c = (o.groupBy("o_custkey")
+         .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+              .cast("long").alias("cents")))
+    r = (c.withColumn("i", F.row_number().over(
+            Window.orderBy("cents", "o_custkey")))
+         .withColumn("n", F.count("*").over(Window.partitionBy())))
+    dec = "decimal(38,0)"
+    g = r.agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("i").cast(dec) * F.col("cents")).cast(dec)
+        .alias("iws"),
+        F.sum(F.col("cents").cast(dec)).cast(dec).alias("s"))
+    return g.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("s").cast("long").alias("total_cents"),
+        F.round(F.lit(2.0) * F.col("iws").cast("double")
+                / (F.col("n") * F.col("s").cast("double"))
+                - (F.col("n") + F.lit(1.0)) / F.col("n"), 6)
+        .alias("gini"))

@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import json
 
 from pyspark.sql import functions as F
@@ -13,6 +15,7 @@ from sparkstreamingproject_spark.operators.routing import TOPIC_PAGE, TOPIC_STAR
 from .fixtures import cdc_df, log_envelope_df
 
 
+@pytest.mark.slow
 def test_ods_base_log_app(spark, tmp_path):
     src = str(tmp_path / "landing")
     log_envelope_df(spark, n=150).coalesce(1).write.parquet(src)
@@ -32,6 +35,7 @@ def test_ods_base_log_app(spark, tmp_path):
                           & F.col("start").isNotNull()).count())
 
 
+@pytest.mark.slow
 def test_ods_base_db_app(spark, tmp_path):
     src = str(tmp_path / "cdc")
     cdc_df(spark, n=80).coalesce(1).write.parquet(src)

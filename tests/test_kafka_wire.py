@@ -71,6 +71,7 @@ def _await_rows(spark, path, want, timeout_s=120):
     raise AssertionError(f"timed out waiting for {want} rows, saw {last}")
 
 
+@pytest.mark.slow
 def test_chunked_source_yields_many_microbatches_and_resumes(spark, tmp_path):
     """A1/A2 offset semantics on a running trigger: the backlog drains
     in rows_per_batch chunks (one latestOffset() step per micro-batch),
@@ -107,6 +108,7 @@ def test_chunked_source_yields_many_microbatches_and_resumes(spark, tmp_path):
     assert final.select("event_id").distinct().count() == 300
 
 
+@pytest.mark.slow
 def test_wire_value_roundtrip_through_split_topology(spark, tmp_path):
     """The full Kafka record path minus the socket: rows serialize to a
     JSON ``value`` string (what the broker would carry), the consumer
@@ -164,6 +166,7 @@ def test_wire_value_roundtrip_through_split_topology(spark, tmp_path):
         assert want > 0, f"generator produced no {topic} records"
 
 
+@pytest.mark.slow
 def test_cdc_wire_roundtrip_dynamic_topic_routing(spark, tmp_path):
     """E2/E3 over the wire shape: CDC rows serialize to Maxwell-style
     JSON values, the router parses and fans facts out by the dynamic

@@ -7,6 +7,8 @@ must broadcast, hot paths must stay in whole-stage codegen.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from sparkstreamingproject_spark.plans.inspect import (
@@ -98,8 +100,11 @@ def test_zorder_key_stays_in_codegen(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
+@pytest.mark.slow
 def test_no_plan_antipatterns_across_registry(spark, sf_dir):
-    """Whole-registry sweep: no row-at-a-time Python UDFs and no
+    """Whole-registry sweep (round-close gate — it plans every
+    registered query, so it grows with the registry): no
+    row-at-a-time Python UDFs and no
     cartesian products in ANY registered query's executed plan.
     (BroadcastNestedLoopJoin is allowed — it is Spark's plan for the
     1-row scalar-subquery broadcast idiom, O(N) work.)"""

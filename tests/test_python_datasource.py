@@ -5,6 +5,8 @@ row-position offsets, and checkpoint resume without duplicates."""
 
 from __future__ import annotations
 
+import pytest
+
 from sparkstreamingproject_spark.sources.python_datasource import register
 
 
@@ -27,6 +29,7 @@ def test_batch_partitioned_deterministic(spark):
     assert df.exceptAll(other_seed).count() > 0
 
 
+@pytest.mark.slow
 def test_stream_drains_and_resumes_from_checkpoint(spark, tmp_path):
     """availableNow drains the finite 'topic'; a restart with a larger
     maxRows resumes from the checkpointed offset — no reprocessing, no
@@ -53,6 +56,7 @@ def test_stream_drains_and_resumes_from_checkpoint(spark, tmp_path):
     assert both.select("event_id").distinct().count() == 300
 
 
+@pytest.mark.slow
 def test_stream_rows_match_batch_rows(spark, tmp_path):
     """The stream serves byte-identical rows to the batch reader —
     one generator, two access paths (the batch-first verification

@@ -27,6 +27,7 @@ def _clicks_views(spark):
     return mk(views), mk(clicks)
 
 
+@pytest.mark.slow
 def test_stream_stream_join_matches_batch(spark, tmp_path):
     views, clicks = _clicks_views(spark)
     vsrc, csrc = str(tmp_path / "v"), str(tmp_path / "c")
@@ -58,6 +59,7 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     assert got > 0
 
 
+@pytest.mark.slow
 def test_stream_stream_left_join_emits_nulls_after_watermark(spark, tmp_path):
     """LEFT OUTER stream-stream join: matched pairs emit normally;
     unmatched left rows emit with a NULL right side only once the
@@ -104,6 +106,7 @@ def test_stream_stream_left_join_emits_nulls_after_watermark(spark, tmp_path):
     assert got == [(0, 100), (1, 101), (2, None), (3, None), (4, None)]
 
 
+@pytest.mark.slow
 def test_stream_static_enrich(spark, tmp_path, sf_dir):
     views, _ = _clicks_views(spark)
     src = str(tmp_path / "v2")

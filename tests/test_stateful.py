@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from sparkstreamingproject_spark.sources.streams import file_stream
@@ -19,6 +21,7 @@ def _events_df(spark, n=120):
                 "user_id", "event_type", "value"))
 
 
+@pytest.mark.slow
 def test_stateful_user_profile(spark, tmp_path):
     """applyInPandasWithState: final state per key equals the batch
     aggregate over the same data."""
@@ -55,6 +58,7 @@ def test_stateful_user_profile(spark, tmp_path):
     assert final.count() == 7
 
 
+@pytest.mark.slow
 def test_funnel_stream_matches_batch(spark, tmp_path):
     """Custom stateful funnel (applyInPandasWithState, EventTimeTimeout)
     equals the batch two-aggregate funnel on the same data — including
@@ -103,6 +107,7 @@ def test_funnel_stream_matches_batch(spark, tmp_path):
     assert got == expected
 
 
+@pytest.mark.slow
 def test_stream_dedup_matches_batch_distinct(spark, tmp_path):
     src = str(tmp_path / "land2")
     df = _events_df(spark)
@@ -121,6 +126,7 @@ def test_stream_dedup_matches_batch_distinct(spark, tmp_path):
     assert got.select("user_id", "event_type").distinct().count() == expected
 
 
+@pytest.mark.slow
 def test_session_counts_stream(spark, tmp_path):
     """Session windows over a stream: total events across emitted
     sessions equals input (gap chosen so all sessions close)."""
@@ -146,6 +152,7 @@ def test_session_counts_stream(spark, tmp_path):
     assert got.count() >= 1
 
 
+@pytest.mark.slow
 def test_window_funnel_stream_matches_batch_query(spark, tmp_path, sf_dir):
     """The streaming CEP windowFunnel equals the driver-checked batch
     query window_funnel_levels on the REAL events table, processed

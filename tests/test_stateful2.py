@@ -18,6 +18,7 @@ from sparkstreamingproject_spark.streaming.stateful2 import (
 )
 
 
+@pytest.mark.slow
 def test_running_spend_stream_matches_batch(spark, tmp_path):
     src = str(tmp_path / "tws_land")
     rows = [(i, i % 7, float(i)) for i in range(200)]

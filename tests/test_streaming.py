@@ -11,6 +11,12 @@ from __future__ import annotations
 import json
 
 import pytest
+
+# E2E tests that SPIN a real Structured Streaming query (engine start/
+# stop + availableNow drain, ~20-60 s each) are marked slow: the fold
+# ALGEBRA (merge semantics, crash recovery, idempotence) stays in the
+# inner loop; stream wiring re-verifies at round close with the full
+# suite.
 from pyspark.sql import functions as F
 
 from sparkstreamingproject_spark.operators.flatten import (
@@ -38,6 +44,7 @@ def land_logs(spark, tmp_path):
     return src
 
 
+@pytest.mark.slow
 def test_split_5way_stream_matches_batch(spark, tmp_path, land_logs):
     out = str(tmp_path / "out")
     ck = str(tmp_path / "ck")
@@ -58,6 +65,7 @@ def test_split_5way_stream_matches_batch(spark, tmp_path, land_logs):
         assert got == n, f"{topic}: stream={got} batch={n}"
 
 
+@pytest.mark.slow
 def test_split_stream_resume_is_incremental(spark, tmp_path, land_logs):
     """F1/F2: the checkpoint resumes where the last run committed —
     re-running over the same landing zone adds nothing; new files add
@@ -82,6 +90,7 @@ def test_split_stream_resume_is_incremental(spark, tmp_path, land_logs):
     assert n3 == n1 + added
 
 
+@pytest.mark.slow
 def test_tagged_split_writer_partitions(spark, tmp_path, land_logs):
     """Strategy 2 emits one row per (record, matching topic): err
     exclusively to ERROR; page+start records to BOTH topics
@@ -134,6 +143,7 @@ def test_err_records_only_in_error_output(spark):
         assert not (mids & err_mids), f"err mids leaked into {topic}"
 
 
+@pytest.mark.slow
 def test_cdc_router_facts_and_dims(spark, tmp_path):
     src = str(tmp_path / "cdc_land")
     cdc_df(spark, n=100).coalesce(1).write.parquet(src)
@@ -180,6 +190,7 @@ def test_dim_upsert_lww_across_batches(spark, tmp_path):
     assert got == {"1": ("alice2", 200), "2": ("bob", 100), "3": ("carol", 150)}
 
 
+@pytest.mark.slow
 def test_windowed_stream_matches_batch(spark, tmp_path):
     """Tumbling window over a file stream == batch groupBy on the same
     data (the §5.1 batch-first verification contract)."""
@@ -239,6 +250,7 @@ def test_idempotent_foreach_batch_skips_replay(spark, tmp_path):
     assert spark.read.parquet(out).count() == 200
 
 
+@pytest.mark.slow
 def test_dedup_ingest_stream_invariants(spark, tmp_path):
     """Streaming corpus ingest with cross-batch dedup
     (streaming/dedup_ingest.py): after two micro-batches, the corpus
@@ -289,6 +301,7 @@ def test_dedup_ingest_stream_invariants(spark, tmp_path):
     assert spark.read.parquet(corpus).count() == n1
 
 
+@pytest.mark.slow
 def test_dedup_within_watermark_stream_matches_batch(spark, tmp_path):
     """Watermark-bounded streaming dedup (dropDuplicatesWithinWatermark)
     == batch dropDuplicates on the key, when all duplicate pairs arrive
@@ -369,6 +382,7 @@ def test_scd2_upsert_matches_batch_with_late_data(spark, tmp_path):
     assert u1[0][2] == u1[1][1] and u1[1][2] == u1[2][1]
 
 
+@pytest.mark.slow
 def test_scd2_stream_wrapper_drains_landing(spark, tmp_path):
     """foreachBatch wrapper: two landing files drained through one
     checkpoint leave the same history as the batch rebuild."""
@@ -394,6 +408,7 @@ def test_scd2_stream_wrapper_drains_landing(spark, tmp_path):
         == sorted(map(tuple, want.collect()))
 
 
+@pytest.mark.slow
 def test_anomaly_stream_matches_batch(spark, tmp_path):
     """Streaming daily z-score anomalies == the batch composition
     (daily counts → broadcast baseline join → flag) on the same data;
@@ -445,6 +460,7 @@ def test_anomaly_stream_matches_batch(spark, tmp_path):
     assert len(got) >= len(want) - 4
 
 
+@pytest.mark.slow
 def test_rollup_maintenance_stream_equals_batch(spark, tmp_path, sf_dir):
     """Streaming incremental rollup (foreachBatch additive MERGE) must
     equal the direct batch rollup over all data, with each file
@@ -481,6 +497,7 @@ def test_rollup_maintenance_stream_equals_batch(spark, tmp_path, sf_dir):
     assert got == exp
 
 
+@pytest.mark.slow
 def test_hll_rollup_stream_equals_batch(spark, tmp_path, sf_dir):
     """Streaming HLL register maintenance (foreachBatch MAX-merge)
     must produce byte-identical registers — and therefore identical
@@ -523,6 +540,7 @@ def test_hll_rollup_stream_equals_batch(spark, tmp_path, sf_dir):
         assert abs(est[day] - n) <= max(0.2 * n, 3), (day, est[day], n)
 
 
+@pytest.mark.slow
 def test_dedup_ingest_stream_index_equals_batch_over_three_batches(
         spark, tmp_path):
     """VERDICT r05 §next 7: the streaming band-key index maintenance
@@ -888,6 +906,7 @@ def test_session_gap_boundary_matches_oracle_semantics(spark):
     assert [r[0] for r in duck] == got
 
 
+@pytest.mark.slow
 def test_histogram_rollup_stream_equals_batch(spark, tmp_path, sf_dir):
     """The maintained histogram sketch ≡ batch recompute over the same
     events (bin counts are additive), and a replayed batch id does not
@@ -924,6 +943,7 @@ def test_histogram_rollup_stream_equals_batch(spark, tmp_path, sf_dir):
             for r in spark.read.parquet(table).collect()} == snap
 
 
+@pytest.mark.slow
 def test_ivf_ingest_stream_postings_equal_batch_assign(spark, tmp_path,
                                                        sf_dir):
     """Streaming IVF index maintenance ≡ batch ivf_assign against the
@@ -989,6 +1009,7 @@ def test_ivf_ingest_stream_postings_equal_batch_assign(spark, tmp_path,
     assert got_p == exp_p
 
 
+@pytest.mark.slow
 def test_sessionize_stream_equals_batch(spark, tmp_path, sf_dir):
     """Incremental sessionization (foreachBatch session-merge fold)
     must equal the events_gap_sessionize batch query over all events,
@@ -1124,6 +1145,7 @@ def test_sessionize_fold_empty_batch_is_noop(spark, tmp_path):
     assert got == {1: (2, 2, 1)}
 
 
+@pytest.mark.slow
 def test_progress_recorder_captures_batches(spark, tmp_path):
     """StreamingQueryListener observability: the recorder must see
     every micro-batch with its input-row count, the health report must
@@ -1320,6 +1342,7 @@ def test_compaction_preserves_ivf_postings_and_cell_layout(spark, tmp_path):
     assert pa == pb
 
 
+@pytest.mark.slow
 def test_ohlc_stream_equals_batch_bars(spark, tmp_path, sf_dir):
     """The maintained OHLC bars ≡ the batch ts_ohlc_bars recompute over
     the same ticks after three micro-batches — the min/max-by merge
@@ -1371,6 +1394,7 @@ def test_ohlc_stream_equals_batch_bars(spark, tmp_path, sf_dir):
     assert sorted(map(tuple, read_bars(spark, table).collect())) == snap
 
 
+@pytest.mark.slow
 def test_kmv_bottomk_stream_equals_batch_and_replay_noop(
         spark, tmp_path, sf_dir):
     """Streaming KMV bottom-k maintenance (foreachBatch union +
@@ -1716,6 +1740,7 @@ def test_swap_in_crash_recovery_trending(spark, tmp_path, monkeypatch):
     assert got == exp
 
 
+@pytest.mark.slow
 def test_trending_stream_equals_batched_folds(spark, tmp_path):
     """Feeding the same rows through the availableNow stream (per-file
     micro-batches) produces the same decayed state as direct fold
