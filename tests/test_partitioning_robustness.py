@@ -81,7 +81,8 @@ _KEEPERS = [
     "ts_sax_symbolize", "embedding_outlier_mahalanobis_diag",
     "curation_mmr_diverse_select", "kv_scan_match_cursor",
     "kv_incrby_counter_fold", "regexp_functions_surface",
-    "agg_mode_deterministic",
+    "agg_mode_deterministic", "stat_wilson_lower_bound",
+    "stat_gini_revenue_concentration",
 ]
 
 _seen: set[str] = set()
