@@ -1065,10 +1065,10 @@ _SAX_ALPH = 3  # symbols a/b/c by global terciles
     tags=("timeseries", "pattern"),
 )
 def ts_sax_symbolize(spark, sf_dir):
-    """SAX symbolization (Lin/Keogh) of the first {_SAX_DAYS} days of
-    daily revenue per priority: PAA-compress into {_SAX_SEGS} segments
+    """SAX symbolization (Lin/Keogh) of the first 32 days of
+    daily revenue per priority: PAA-compress into 8 segments
     (exact integer cent sums over 4-day windows) and map each segment
-    to an {_SAX_ALPH}-letter alphabet by GLOBAL rank terciles (ntile
+    to a 3-letter alphabet by GLOBAL rank terciles (ntile
     over the unique (sum, priority, seg) order — the rank-based
     breakpoint variant; classic SAX z-normalizes first, which would
     put a float sqrt inside the discretization). The 8-char word per
@@ -1128,7 +1128,7 @@ def kv_scan_match_cursor(spark, sf_dir):
     family didn't cover: ``Jedis_Pool.java`` exposes the pool; SCAN
     iterates keyspace pages matching a glob): keys matching the glob
     `*42*` over the customer keyspace, returned as deterministic
-    cursor pages of {_SCAN_PAGE} (first two pages). Redis cursors are
+    cursor pages of 25 (first two pages). Redis cursors are
     unordered server-state; the engine form is the ordered-key
     row-number page — same contract (stable resumable iteration, no
     key skipped or repeated), strictly stronger ordering.

@@ -412,7 +412,7 @@ def text_phrase_proximity(spark, sf_dir):
     """Proximity (match_phrase-with-slop) search — the Elasticsearch
     surface the reference depends on (pom.xml: elasticsearch deps)
     beyond the registry's BM25 relevance: documents where the corpus's
-    two most frequent words co-occur within slop={_PROX_SLOP}
+    two most frequent words co-occur within 3
     positions, with the minimum distance and the count of qualifying
     position pairs. Positional postings are what phrase queries read;
     this is the join they run.
