@@ -1411,3 +1411,116 @@ def stat_gini_revenue_concentration(spark, sf_dir):
                 / (F.col("n") * F.col("s").cast("double"))
                 - (F.col("n") + F.lit(1.0)) / F.col("n"), 6)
         .alias("gini"))
+
+
+# --------------------------------------- PACF (Durbin-Levinson)
+
+# acf_k as ONE shared exact-to-float expression (the certified
+# ts_autocorrelation_lags algebra, 6dp-rounded before the recursion so
+# both engines recurse on identical doubles)
+def _acf_expr_sql(k: int) -> str:
+    return (f"round(CAST(CAST(n AS DECIMAL(38,0)) * n * p{k}"
+            f" - CAST(n AS DECIMAL(38,0)) * s * (a{k} + b{k})"
+            f" + CAST(n - {k} AS DECIMAL(38,0)) * s * s AS DOUBLE)"
+            f" / CAST(CAST(n AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(38,0))"
+            f" * q - CAST(s AS DECIMAL(38,0)) * s) AS DOUBLE), 6)")
+
+
+def _pacf_oracle() -> str:
+    leads = ",\n             ".join(
+        f"lead(x, {k}) OVER (ORDER BY d) AS x{k}" for k in (1, 2, 3))
+    aggs = ",\n             ".join(
+        f"CAST(sum(CAST(x AS DECIMAL(38,0)) * x{k}) AS DECIMAL(38,0))"
+        f" AS p{k},\n             "
+        f"CAST(sum(CASE WHEN x{k} IS NOT NULL THEN x ELSE 0 END)"
+        f" AS BIGINT) AS a{k},\n             "
+        f"CAST(sum(x{k}) AS BIGINT) AS b{k}"
+        for k in (1, 2, 3))
+    return f"""
+    WITH daily AS (
+      SELECT o_orderdate AS d, CAST(count(*) AS BIGINT) AS x
+      FROM orders GROUP BY 1),
+    l AS (SELECT x, {leads} FROM daily),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s,
+             CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0))
+               AS q,
+             {aggs}
+      FROM l),
+    acf AS (
+      SELECT {_acf_expr_sql(1)} AS r1, {_acf_expr_sql(2)} AS r2,
+             {_acf_expr_sql(3)} AS r3
+      FROM g),
+    dl AS (
+      SELECT r1, r2, r3,
+             r1 AS f11,
+             (r2 - r1 * r1) / (1.0 - r1 * r1) AS f22
+      FROM acf),
+    dl2 AS (
+      SELECT r1, r2, r3, f11, f22,
+             f11 - f22 * f11 AS f21
+      FROM dl)
+    SELECT round(f11, 6) AS pacf1,
+           round(f22, 6) AS pacf2,
+           round((r3 - f21 * r2 - f22 * r1)
+                 / (1.0 - f21 * r1 - f22 * r2), 6) AS pacf3
+    FROM dl2
+    """
+
+
+@register(
+    "ts_pacf_durbin",
+    oracle=_pacf_oracle(),
+    tags=("timeseries", "stat"),
+)
+def ts_pacf_durbin(spark, sf_dir):
+    """Partial autocorrelation of the daily order-count series at lags
+    1-3 by the Durbin-Levinson recursion — the other half of the
+    Box-Jenkins diagnostic pair (`ts_autocorrelation_lags` is the
+    ACF): ACF tails off / PACF cuts at p identifies an AR(p) series.
+
+    Exactness: the three ACF inputs come from the CERTIFIED exact
+    DECIMAL(38,0) algebra of the ACF query and are rounded to 6dp
+    BEFORE the recursion, so both engines recurse on identical
+    doubles; the recursion itself is one shared expression tree
+    (phi11 = r1; phi22 = (r2-r1^2)/(1-r1^2); phi21 = phi11(1-phi22);
+    phi33 = (r3 - phi21 r2 - phi22 r1)/(1 - phi21 r1 - phi22 r2)).
+    Scale: identical to the ACF — lead() windows over the day-grain
+    aggregate, one 3-lag moment pass; the recursion is scalar."""
+    from pyspark.sql import Window
+    daily = (table(spark, sf_dir, "orders")
+             .groupBy(F.col("o_orderdate").alias("d"))
+             .agg(F.count("*").cast("long").alias("x")))
+    w = Window.orderBy("d")
+    l = daily.select(
+        "x", *[F.lead("x", k).over(w).alias(f"x{k}") for k in (1, 2, 3)])
+    dec = "decimal(38,0)"
+    aggs = [F.count("*").cast("long").alias("n"),
+            F.sum("x").cast("long").alias("s"),
+            F.sum(F.col("x").cast(dec) * F.col("x")).cast(dec).alias("q")]
+    for k in (1, 2, 3):
+        aggs += [
+            F.sum(F.col("x").cast(dec) * F.col(f"x{k}")).cast(dec)
+            .alias(f"p{k}"),
+            F.sum(F.when(F.col(f"x{k}").isNotNull(), F.col("x"))
+                  .otherwise(0)).cast("long").alias(f"a{k}"),
+            F.sum(f"x{k}").cast("long").alias(f"b{k}")]
+    g = l.agg(*aggs)
+    g.createOrReplaceTempView("pacf_g")
+    return spark.sql(f"""
+    WITH acf AS (
+      SELECT {_acf_expr_sql(1)} AS r1, {_acf_expr_sql(2)} AS r2,
+             {_acf_expr_sql(3)} AS r3
+      FROM pacf_g),
+    dl AS (
+      SELECT r1, r2, r3, r1 AS f11,
+             (r2 - r1 * r1) / (1.0 - r1 * r1) AS f22
+      FROM acf),
+    dl2 AS (SELECT r1, r2, r3, f11, f22, f11 - f22 * f11 AS f21 FROM dl)
+    SELECT round(f11, 6) AS pacf1,
+           round(f22, 6) AS pacf2,
+           round((r3 - f21 * r2 - f22 * r1)
+                 / (1.0 - f21 * r1 - f22 * r2), 6) AS pacf3
+    FROM dl2
+    """)

@@ -82,7 +82,7 @@ _KEEPERS = [
     "curation_mmr_diverse_select", "kv_scan_match_cursor",
     "kv_incrby_counter_fold", "regexp_functions_surface",
     "agg_mode_deterministic", "stat_wilson_lower_bound",
-    "stat_gini_revenue_concentration",
+    "stat_gini_revenue_concentration", "ts_pacf_durbin",
 ]
 
 _seen: set[str] = set()
