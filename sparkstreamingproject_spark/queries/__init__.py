@@ -261,8 +261,53 @@ _ROUND8_WINDOW = [
 ]
 
 
+# --- round-9 window ---------------------------------------------------------
+# CORRECTNESS_r08 came back 50/50 green. This window (VERDICT r08 §next 1)
+# closes the ledger at 371/371 driver-certified:
+#  - 0-30: the 31 round-8 additions, none of which has a driver row yet
+#    (registry order: computed as registered minus union of
+#    CORRECTNESS_r01-r08 keys) — includes the wave-1..13 analytics/LLM
+#    entries plus the KV/regexp/agg tails;
+#  - 31-33: this round's kernel edits (delta-peeled k-core, the
+#    cosine-kernel guard profile, the pca-projection sibling of the
+#    r08 localCheckpoint fix) — edit-recency re-checks;
+#  - 34-49: bench headliners and heaviest kernels re-certified on
+#    current code (same set as the r07 positions 33-49 rationale).
+# Pre-flight: parity at sf0.001/0.01/0.1 under TZ=America/New_York +
+# hostile partitioning (tests/test_partitioning_robustness.py).
+_ROUND9_WINDOW = [
+    # 0-30: round-8 additions, never driver-checked (registry order)
+    "embedding_pca_top2_project", "dq_referential_orphans",
+    "curation_mix_temperature", "ts_hurst_rs",
+    "sample_bottomk_uniform", "graph_ppr_seeded",
+    "ts_match_recognize_vshape", "stat_logistic_newton",
+    "events_top_conversion_paths", "dq_duplicate_key_report",
+    "privacy_t_closeness", "events_dau_wau_stickiness",
+    "ts_sax_symbolize", "kv_scan_match_cursor",
+    "kv_incrby_counter_fold", "regexp_functions_surface",
+    "agg_mode_deterministic", "stat_wilson_lower_bound",
+    "stat_gini_revenue_concentration", "ts_pacf_durbin",
+    "er_blocking_quality", "embedding_knn_graph",
+    "text_heaps_law", "multimodal_vad_segments",
+    "text_phrase_proximity", "text_code_prose_score",
+    "sim_hybrid_rrf_fusion", "text_kneser_ney_bigram",
+    "multimodal_ahash_dedup", "embedding_outlier_mahalanobis_diag",
+    "curation_mmr_diverse_select",
+    # 31-33: round-9 kernel edits (edit recency)
+    "graph_kcore_peeling", "dedup_embedding_cosine",
+    "embedding_pca_project",
+    # 34-49: bench headliners / heaviest kernels on current code
+    "split_5way_log", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "bloom_semi_join_prune", "q21_sole_returner", "sketch_hll_distinct",
+    "text_tfidf_top_terms", "text_search_bm25", "asof_join_latest_order",
+    "range_join_event_pairs", "agg_pricing_summary", "q9_product_profit",
+    "graph_triangle_count", "recursive_trade_reach",
+    "sim_topk_int8_rerank", "pandas_grouped_zscore",
+]
+
+
 def _reorder() -> None:
-    window = _ROUND8_WINDOW
+    window = _ROUND9_WINDOW
     missing = [n for n in window if n not in REGISTRY]
     assert not missing, f"window names not registered: {missing}"
     assert len(set(window)) == len(window), "duplicate window entries"

@@ -980,8 +980,10 @@ def privacy_t_closeness(spark, sf_dir):
     "events_dau_wau_stickiness",
     oracle="""
     WITH e AS (
-      SELECT CAST(ts AS DATE) AS d,
-             CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS wk,
+      SELECT DATE '1970-01-01'
+               + CAST(epoch_us(ts) // 86400000000 AS INT) AS d,
+             CAST(date_trunc('week', DATE '1970-01-01'
+               + CAST(epoch_us(ts) // 86400000000 AS INT)) AS DATE) AS wk,
              user_id
       FROM events),
     dau AS (SELECT wk, d, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
@@ -1009,9 +1011,20 @@ def events_dau_wau_stickiness(spark, sf_dir):
     both map-side partial with Spark's distinct-aggregate expansion;
     at 100 TB the same report swaps exact distincts for the
     registry's HLL sketches (`sketch_hll_distinct` family) with the
-    ratio algebra unchanged. The week join is week-cardinality."""
+    ratio algebra unchanged. The week join is week-cardinality.
+
+    Timezone discipline: the day is the UTC epoch day
+    (``unix_micros div 86400e6``), NOT ``ts.cast("date")`` — Spark's
+    timestamp→date cast goes through the session timezone, which
+    shifts events near midnight on a non-UTC machine while DuckDB
+    reads the stored naive value as UTC (caught at sf0.01 under
+    TZ=America/New_York, round 9)."""
     e = (table(spark, sf_dir, "events")
-         .select(F.col("ts").cast("date").alias("d"), "user_id")
+         .select(F.date_add(
+                     F.lit("1970-01-01").cast("date"),
+                     (F.unix_micros("ts") / 86_400_000_000)
+                     .cast("int")).alias("d"),
+                 "user_id")
          .withColumn("wk", F.date_trunc("week", F.col("d"))
                      .cast("date")))
     dau = (e.groupBy("wk", "d")
@@ -1507,20 +1520,18 @@ def ts_pacf_durbin(spark, sf_dir):
                   .otherwise(0)).cast("long").alias(f"a{k}"),
             F.sum(f"x{k}").cast("long").alias(f"b{k}")]
     g = l.agg(*aggs)
-    g.createOrReplaceTempView("pacf_g")
-    return spark.sql(f"""
-    WITH acf AS (
-      SELECT {_acf_expr_sql(1)} AS r1, {_acf_expr_sql(2)} AS r2,
-             {_acf_expr_sql(3)} AS r3
-      FROM pacf_g),
-    dl AS (
-      SELECT r1, r2, r3, r1 AS f11,
-             (r2 - r1 * r1) / (1.0 - r1 * r1) AS f22
-      FROM acf),
-    dl2 AS (SELECT r1, r2, r3, f11, f22, f11 - f22 * f11 AS f21 FROM dl)
-    SELECT round(f11, 6) AS pacf1,
-           round(f22, 6) AS pacf2,
-           round((r3 - f21 * r2 - f22 * r1)
-                 / (1.0 - f21 * r1 - f22 * r2), 6) AS pacf3
-    FROM dl2
-    """)
+    # Chained selectExpr (no named temp view — session-global names
+    # clobber under concurrent harnesses, ADVICE r08); each stage is
+    # one CTE of the oracle.
+    acf = g.selectExpr(f"{_acf_expr_sql(1)} AS r1",
+                       f"{_acf_expr_sql(2)} AS r2",
+                       f"{_acf_expr_sql(3)} AS r3")
+    dl = acf.selectExpr("r1", "r2", "r3", "r1 AS f11",
+                        "(r2 - r1 * r1) / (1.0 - r1 * r1) AS f22")
+    dl2 = dl.selectExpr("r1", "r2", "r3", "f11", "f22",
+                        "f11 - f22 * f11 AS f21")
+    return dl2.selectExpr(
+        "round(f11, 6) AS pacf1",
+        "round(f22, 6) AS pacf2",
+        "round((r3 - f21 * r2 - f22 * r1)"
+        " / (1.0 - f21 * r1 - f22 * r2), 6) AS pacf3")

@@ -39,8 +39,14 @@ class ProgressRecorder(StreamingQueryListener):
         # rows captured but not yet written to the JSONL file; the
         # callback only appends here (ADVICE r07: file I/O on the
         # event-bus thread stalls the shared listener bus for every
-        # query) — the read side (rows()/flush()) does the writing
-        self._pending: list[dict] = []
+        # query) — the read side (rows()/flush()) does the writing.
+        # Bounded to the same max_batches as _rows (ADVICE r08: a
+        # long-running query with no reader must not grow without
+        # bound); overflow drops the OLDEST pending row and is counted
+        # in dropped_pending so the post-mortem knows the JSONL has a
+        # gap.
+        self._pending: deque = deque(maxlen=max_batches)
+        self.dropped_pending: int = 0
         self._lock = threading.Lock()
         self._jsonl_path = jsonl_path
 
@@ -66,13 +72,19 @@ class ProgressRecorder(StreamingQueryListener):
         with self._lock:
             self._rows.append(row)
             if self._jsonl_path:
+                if len(self._pending) == self._pending.maxlen:
+                    self.dropped_pending += 1
                 self._pending.append(row)
 
     def onQueryIdle(self, event) -> None:  # noqa: N802
         pass
 
     def onQueryTerminated(self, event) -> None:  # noqa: N802
-        pass
+        # Terminal event, off the per-batch hot path: persist whatever
+        # is buffered so a crash/stop still leaves the post-mortem
+        # JSONL populated even if no reader ever called rows()
+        # (ADVICE r08).
+        self.flush()
 
     # -- read side ----------------------------------------------------
     def flush(self) -> int:
@@ -82,7 +94,8 @@ class ProgressRecorder(StreamingQueryListener):
         if not self._jsonl_path:
             return 0
         with self._lock:
-            pending, self._pending = self._pending, []
+            pending = list(self._pending)
+            self._pending.clear()
         if pending:
             with open(self._jsonl_path, "a") as f:
                 for row in pending:
