@@ -267,12 +267,25 @@ def graph_kcore_peeling(spark, sf_dir):
     the whole chain per reference (measured 198 s on a 10-node graph;
     0.5 s materialized).
 
-    Scale shape: each round is one degree-count over the directed
-    edge relation semi-restricted to survivors (two shuffle-hash joins
-    on the vertex key + one aggregate — hinted, because survivor
-    lists are vertex-cardinality and broadcasting them is wrong on a
-    big graph and blows the driver even locally at sf0.1), never
-    adjacency materialization;
+    Scale shape — DELTA PEELING (VERDICT r08 §next 3): the naive
+    round re-aggregates degrees over the full survivor-restricted
+    edge relation (two vertex-keyed shuffle joins of the whole edge
+    list, every round). Instead the running ``degrees`` relation is
+    maintained incrementally: per round, only edges incident to the
+    JUST-REMOVED vertex set are counted (``deg_{i+1}(v) = deg_i(v) -
+    |edges(v, removed_i)|`` — removal is simultaneous, so the delta
+    is exact), which touches the edge relation once per round keyed
+    by the removed side. The removed set shrinks geometrically after
+    the first round, so the edge⋈removed join is left UNHINTED: AQE
+    converts it to a broadcast join from the *runtime* size of the
+    removed list (its autoBroadcastJoinThreshold is the driver-safety
+    guard — a worst-case vertex-cardinality round-1 removal stays a
+    shuffled join, the failure mode of r07's 79679a3, while typical
+    rounds never shuffle the edge relation at all). Measured r09
+    sf0.1: every round broadcasts, no edge shuffle after the degree
+    build. (`repartition` before `localCheckpoint` was tried and
+    rejected: LogicalRDD does not report the partitioning, so the
+    exchange reappeared per round anyway.)
     `localCheckpoint` cuts lineage per round exactly as
     `llm/dedup.py:connected_components` does, so the plan stays
     linear in rounds. Edge generation is the triangle-count
@@ -289,27 +302,32 @@ def graph_kcore_peeling(spark, sf_dir):
             .unionAll(e.select(F.col("v").alias("na"),
                                F.col("u").alias("nb"))))
     dirn = dirn.localCheckpoint()
-    deg = dirn.groupBy(F.col("na").alias("node")) \
-        .agg(F.count("*").alias("d"))
-    kk = deg.agg((F.expr("(3 * sum(d)) div (4 * count(*))") + 1)
-                 .cast("long").alias("k"))
-    s = deg.select("node").localCheckpoint()
-    cnts = s.agg(F.count("*").alias("n_vertices")) \
+    degrees = (dirn.groupBy(F.col("na").alias("node"))
+               .agg(F.count("*").cast("long").alias("d"))
+               .localCheckpoint())
+    kk = (degrees.agg((F.expr("(3 * sum(d)) div (4 * count(*))") + 1)
+                      .cast("long").alias("k"))
+          .localCheckpoint())  # 1 row — free to broadcast per round
+    cnts = degrees.agg(F.count("*").alias("n_vertices")) \
         .select(F.lit(0).alias("round"), "n_vertices")
     for i in range(_KC_ROUNDS):
-        s = (dirn
-             .join(s.withColumnRenamed("node", "na")
-                   .hint("shuffle_hash"), "na")
-             .join(s.withColumnRenamed("node", "nb")
-                   .hint("shuffle_hash"), "nb")
-             .groupBy(F.col("na").alias("node"))
-             .agg(F.count("*").alias("dd"))
-             .crossJoin(F.broadcast(kk))
-             .filter(F.col("dd") >= F.col("k"))
-             .select("node"))
-        s = s.localCheckpoint()
+        below = F.col("d") < F.col("k")
+        removed = (degrees.crossJoin(F.broadcast(kk))
+                   .filter(below)
+                   .select(F.col("node").alias("nb")))
+        surv = (degrees.crossJoin(F.broadcast(kk))
+                .filter(~below).select("node", "d"))
+        lost = (dirn.join(removed, "nb")
+                .groupBy(F.col("na").alias("node"))
+                .agg(F.count("*").cast("long").alias("lost")))
+        degrees = (surv.join(lost, "node", "left")
+                   .select("node",
+                           (F.col("d")
+                            - F.coalesce("lost", F.lit(0)))
+                           .cast("long").alias("d"))
+                   .localCheckpoint())
         cnts = cnts.unionByName(
-            s.agg(F.count("*").alias("n_vertices"))
+            degrees.agg(F.count("*").alias("n_vertices"))
             .select(F.lit(i + 1).alias("round"), "n_vertices"))
     w = Window.orderBy("round")
     flow = cnts.select(

@@ -203,9 +203,13 @@ def test_round7_wave_query_plan_shapes(spark, sf_dir):
 
     # the k-core rounds are materialized eagerly (localCheckpoint per
     # round), so the returned plan no longer contains them — pin the
-    # join strategy on a directly-constructed round instead: survivor
-    # lists are vertex-cardinality, so the hint must yield a shuffled
-    # hash join, never a broadcast and never sort-merge
+    # delta-peeling round's shape on a directly-constructed round
+    # instead (r09 rewrite): the per-round work is ONE join of the
+    # edge relation against the just-removed vertex list plus a
+    # delta aggregate, and it must never plan a cartesian product;
+    # join strategy is AQE's runtime choice (broadcast when the
+    # removed list is small — asserted on the executed plan in
+    # test_round8_heavy_kernel_plan_shapes)
     li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
           .select("l_orderkey", "l_partkey").distinct())
     e = (li.alias("a").join(
@@ -214,14 +218,14 @@ def test_round7_wave_query_plan_shapes(spark, sf_dir):
         & (F.col("a.l_partkey") < F.col("b.l_partkey")))
         .select(F.col("a.l_partkey").alias("na"),
                 F.col("b.l_partkey").alias("nb")))
-    s = e.select(F.col("na").alias("node")).distinct()
-    rnd = (e.join(s.withColumnRenamed("node", "na")
-                  .hint("shuffle_hash"), "na")
-           .join(s.withColumnRenamed("node", "nb")
-                 .hint("shuffle_hash"), "nb"))
+    removed = (e.groupBy(F.col("na").alias("nb"))
+               .agg(F.count("*").alias("d"))
+               .filter(F.col("d") < 3).select("nb"))
+    rnd = (e.join(removed, "nb")
+           .groupBy("na").agg(F.count("*").alias("lost")))
     kc = rnd._jdf.queryExecution().executedPlan().toString()
-    assert "ShuffledHashJoin" in kc, kc
-    assert "SortMergeJoin" not in kc, kc
+    assert "CartesianProduct" not in kc, kc
+    assert "BroadcastNestedLoopJoin" not in kc, kc
 
 
 def test_round8_heavy_kernel_plan_shapes(spark, sf_dir):
@@ -229,9 +233,12 @@ def test_round8_heavy_kernel_plan_shapes(spark, sf_dir):
     plan shapes on EXECUTED (AQE-finalized) plans, so a future AQE
     re-plan can't silently break them:
 
-    - k-core survivor joins: the shuffle-hash hints must survive AQE —
-      the finalized plan keeps ShuffledHashJoin and never broadcasts a
-      vertex-cardinality survivor list (the sf0.1 OOM of 79679a3);
+    - k-core delta round (r09 delta-peeling rewrite): AQE's runtime
+      size of the removed list decides the join — a SMALL removed
+      list must convert to BroadcastHashJoin in the finalized plan
+      (the whole point of delta peeling: typical rounds never
+      shuffle-join the full edge relation on a vertex list, which
+      was the sf0.1 OOM shape of 79679a3 when hinted wrong);
     - OHLC bars: ONE fact-side exchange, with min/max/sum partials
       below it (map-side combine — the property ohlc_maintain.py's
       mergeable fold relies on);
@@ -248,31 +255,42 @@ def test_round8_heavy_kernel_plan_shapes(spark, sf_dir):
         p = df._jdf.queryExecution().executedPlan().toString()
         return p.split("== Initial Plan ==")[0]
 
-    # k-core round under AQE: same construction as the peeling rounds
-    # (queries/analytics23.py), executed so AQE has had every chance
-    # to re-plan the hinted joins
+    # k-core delta round under AQE: same construction as the peeling
+    # rounds (queries/analytics23.py) — edge relation and degree
+    # relation checkpointed, then one round's removed-list join —
+    # executed so AQE decides the strategy from the REAL removed size
     li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
           .select("l_orderkey", "l_partkey").distinct())
     e = (li.alias("a").join(
         li.alias("b"),
         (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
         & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-        .select(F.col("a.l_partkey").alias("na"),
-                F.col("b.l_partkey").alias("nb")))
-    s = e.select(F.col("na").alias("node")).distinct()
-    rnd = (e.join(s.withColumnRenamed("node", "na")
-                  .hint("shuffle_hash"), "na")
-           .join(s.withColumnRenamed("node", "nb")
-                 .hint("shuffle_hash"), "nb"))
+        .select(F.col("a.l_partkey").alias("u"),
+                F.col("b.l_partkey").alias("v")).distinct())
+    dirn = (e.select(F.col("u").alias("na"), F.col("v").alias("nb"))
+            .unionAll(e.select(F.col("v").alias("na"),
+                               F.col("u").alias("nb")))
+            .localCheckpoint())
+    degrees = (dirn.groupBy(F.col("na").alias("node"))
+               .agg(F.count("*").cast("long").alias("d"))
+               .localCheckpoint())
+    kk = (degrees.agg((F.expr("(3 * sum(d)) div (4 * count(*))") + 1)
+                      .cast("long").alias("k")).localCheckpoint())
+    removed = (degrees.crossJoin(F.broadcast(kk))
+               .filter(F.col("d") < F.col("k"))
+               .select(F.col("node").alias("nb")))
+    rnd = (dirn.join(removed, "nb")
+           .groupBy(F.col("na").alias("node"))
+           .agg(F.count("*").alias("lost")))
     kc = final_plan(rnd)
     assert "isFinalPlan=true" in kc, kc
+    # the removed list is a small fraction of the vertex set here, so
+    # AQE must have converted the edge⋈removed join to broadcast —
+    # the delta-peeling payoff (no sort-merge of the edge relation,
+    # no cartesian anywhere)
+    assert re.search(r"BroadcastHashJoin \[nb#", kc), kc
     assert "SortMergeJoin" not in kc, kc
-    # both survivor joins (keyed on na/nb — vertex-cardinality lists)
-    # must stay shuffled-hash; the edge-construction self-join may
-    # broadcast (it is dim-sized at test SF), so only the survivor
-    # keys are pinned
-    assert len(re.findall(r"ShuffledHashJoin \[n[ab]#", kc)) == 2, kc
-    assert not re.search(r"BroadcastHashJoin \[n[ab]#", kc), kc
+    assert "CartesianProduct" not in kc, kc
 
     ohlc = final_plan(REGISTRY["ts_ohlc_bars"].fn(spark, sf_dir))
     assert len(re.findall(r"Exchange hashpartitioning", ohlc)) == 1, ohlc
