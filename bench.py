@@ -149,6 +149,10 @@ def main() -> None:
         sidecar[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(times.values()), 3)
+    # kernel-decision record for the embedding near-dup size guard
+    # (VERDICT r08 §next 4/8): which kernel ran and the bytes the
+    # guard saw — drift diagnosis without rerunning anything.
+    from sparkstreamingproject_spark.llm import similarity as _sim
     print(json.dumps({
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -164,6 +168,7 @@ def main() -> None:
         "sidecar_vs_r08": {
             n: round(t / SIDECAR_R08[n], 2)
             for n, t in sidecar.items() if n in SIDECAR_R08},
+        "cosine_kernel": dict(_sim.last_kernel_decision),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()
