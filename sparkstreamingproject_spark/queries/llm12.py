@@ -108,7 +108,10 @@ def er_blocking_quality(spark, sf_dir):
 _KNN_K = 3
 
 
-def _knn_oracle() -> str:
+def _knn_base_ctes() -> str:
+    """Shared WITH-clauses: LSH candidates → exact-integer d2 → ranked
+    seed kNN edges (CTE ``knn``). Used by both the seed-graph oracle
+    and the NN-descent-round oracle so the two stay term-identical."""
     from ..llm import similarity as S
     selects = []
     for t in range(S.LSH_TABLES):
@@ -139,13 +142,45 @@ def _knn_oracle() -> str:
       FROM sym s
       JOIN el a ON a.vec_id = s.src
       JOIN el e2 ON e2.vec_id = s.dst AND e2.pos = a.pos
+      GROUP BY 1, 2),
+    knn AS MATERIALIZED (
+      SELECT src, dst, d2, rank
+      FROM (SELECT src, dst, d2,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY d2, dst) AS rank
+            FROM d2)
+      WHERE rank <= {_KNN_K})"""
+
+
+def _knn_oracle() -> str:
+    return f"""{_knn_base_ctes()}
+    SELECT src, dst, round(CAST(d2 AS DOUBLE) / 1e12, 6) AS dist_sq,
+           CAST(rank AS INT) AS rank
+    FROM knn
+    """
+
+
+def _knn_descent_oracle() -> str:
+    return f"""{_knn_base_ctes()},
+    gsym AS (SELECT src AS a, dst AS b FROM knn
+             UNION SELECT dst, src FROM knn),
+    cand2 AS (
+      SELECT p.a AS src, q.b AS dst
+      FROM gsym p JOIN gsym q ON p.b = q.a AND p.a <> q.b
+      UNION
+      SELECT a, b FROM gsym),
+    d2b AS (
+      SELECT c.src, c.dst, sum((a.x - e2.x) * (a.x - e2.x)) AS d2
+      FROM cand2 c
+      JOIN el a ON a.vec_id = c.src
+      JOIN el e2 ON e2.vec_id = c.dst AND e2.pos = a.pos
       GROUP BY 1, 2)
     SELECT src, dst, round(CAST(d2 AS DOUBLE) / 1e12, 6) AS dist_sq,
            CAST(rank AS INT) AS rank
     FROM (SELECT src, dst, d2,
                  row_number() OVER (PARTITION BY src
                                     ORDER BY d2, dst) AS rank
-          FROM d2)
+          FROM d2b)
     WHERE rank <= {_KNN_K}
     """
 
@@ -167,36 +202,102 @@ def embedding_knn_graph(spark, sf_dir):
     is a per-src window over candidate-bounded rows. A node whose
     buckets are all singletons simply emits no edges — at corpus scale
     that is the signal to add tables, not to widen to brute force."""
-    from ..llm.similarity import lsh_multi_table_pairs
     emb = table(spark, sf_dir, "embeddings")
-    from pyspark.sql import Window
-    cand = lsh_multi_table_pairs(emb)
-    sym = (cand.select(F.col("id_a").alias("src"),
-                       F.col("id_b").alias("dst"))
-           .unionByName(cand.select(F.col("id_b").alias("src"),
-                                    F.col("id_a").alias("dst"))))
-    el = emb.select(
+    return _format_knn(_knn_seed_edges(emb))
+
+
+def _quantized_elements(emb):
+    """(vec_id, pos, x): embeddings exploded to once-quantized integer
+    elements — the exact-rerank relation both kNN queries join on."""
+    return emb.select(
         "vec_id",
         F.posexplode(F.expr(
             "transform(embedding, v -> "
             "CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT))"
         )).alias("pos", "x"))
-    d2 = (sym
-          .join(el.select(F.col("vec_id").alias("src"), "pos",
-                          F.col("x").alias("xa")), "src")
-          .join(el.select(F.col("vec_id").alias("dst"),
-                          F.col("pos").alias("pos"),
-                          F.col("x").alias("xb")), ["dst", "pos"])
-          .groupBy("src", "dst")
-          .agg(F.sum((F.col("xa") - F.col("xb"))
-                     * (F.col("xa") - F.col("xb"))).alias("d2")))
+
+
+def _exact_d2(pairs, el):
+    """Exact integer squared L2 for each (src, dst) pair via two keyed
+    joins against the element relation — cost |pairs|·d, never N²."""
+    return (pairs
+            .join(el.select(F.col("vec_id").alias("src"), "pos",
+                            F.col("x").alias("xa")), "src")
+            .join(el.select(F.col("vec_id").alias("dst"),
+                            F.col("pos").alias("pos"),
+                            F.col("x").alias("xb")), ["dst", "pos"])
+            .groupBy("src", "dst")
+            .agg(F.sum((F.col("xa") - F.col("xb"))
+                       * (F.col("xa") - F.col("xb"))).alias("d2")))
+
+
+def _topk_per_src(d2, k=_KNN_K):
+    from pyspark.sql import Window
     w = Window.partitionBy("src").orderBy("d2", "dst")
     return (d2.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= _KNN_K)
-            .select("src", "dst",
-                    F.round(F.col("d2").cast("double") / F.lit(1e12), 6)
-                    .alias("dist_sq"),
-                    F.col("rank").cast("int").alias("rank")))
+            .filter(F.col("rank") <= k))
+
+
+def _knn_seed_edges(emb):
+    """Ranked seed kNN edges (src, dst, d2, rank≤k) from OR-amplified
+    LSH candidates + exact integer rerank."""
+    from ..llm.similarity import lsh_multi_table_pairs
+    cand = lsh_multi_table_pairs(emb)
+    sym = (cand.select(F.col("id_a").alias("src"),
+                       F.col("id_b").alias("dst"))
+           .unionByName(cand.select(F.col("id_b").alias("src"),
+                                    F.col("id_a").alias("dst"))))
+    return _topk_per_src(_exact_d2(sym, _quantized_elements(emb)))
+
+
+def _format_knn(ranked):
+    return ranked.select(
+        "src", "dst",
+        F.round(F.col("d2").cast("double") / F.lit(1e12), 6)
+        .alias("dist_sq"),
+        F.col("rank").cast("int").alias("rank"))
+
+
+@register("embedding_knn_descent_round", oracle=_knn_descent_oracle(),
+          tags=("llm", "similarity", "graph"))
+def embedding_knn_descent_round(spark, sf_dir):
+    """ONE NN-descent refinement round over the LSH-seeded kNN graph
+    (VERDICT r08 §next 5) — the standard recall lift (Dong et al.,
+    WWW'11) that turns a seeded graph into a usable ANN index: a
+    vector's true neighbors are usually neighbors of its current
+    neighbors, so each round re-ranks every vertex against its
+    2-hop candidates. Candidates = symmetrized seed edges ∪
+    neighbor-of-neighbor pairs; all candidates are re-scored by the
+    SAME exact integer squared-L2 and the top-3 kept (ties by id) —
+    so a round can only improve recall (the seed edges stay in the
+    candidate set; see test_knn_descent_improves_recall).
+
+    Scale shape: the seed graph has ≤ k·N edges, so the symmetrized
+    relation is ≤ 2kN and the 2-hop self-join emits ≤ (2k)²·N
+    directed candidates — linear in N with a k² constant, never N²;
+    the re-score touches candidates×d through the same two keyed
+    joins as the seed pass, and the final top-k is a per-src window
+    over a k²-bounded group. Each extra descent round is the same
+    bounded shape (converged graphs stop producing new candidates)."""
+    emb = table(spark, sf_dir, "embeddings")
+    seed = _knn_seed_edges(emb).select("src", "dst")
+    # localCheckpoint: the seed edges feed BOTH sides of the 2-hop
+    # self-join and the candidate union — cut the LSH+rerank lineage
+    # so it computes once, exactly like the iterative graph kernels
+    seed = seed.localCheckpoint()
+    gsym = (seed.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+            .unionByName(seed.select(F.col("dst").alias("a"),
+                                     F.col("src").alias("b")))
+            .distinct())
+    non = (gsym.alias("p")
+           .join(gsym.alias("q"), F.col("p.b") == F.col("q.a"))
+           .filter(F.col("p.a") != F.col("q.b"))
+           .select(F.col("p.a").alias("src"), F.col("q.b").alias("dst")))
+    cand2 = (non.unionByName(gsym.select(F.col("a").alias("src"),
+                                         F.col("b").alias("dst")))
+             .distinct())
+    d2 = _exact_d2(cand2, _quantized_elements(emb))
+    return _format_knn(_topk_per_src(d2))
 
 
 # ------------------------------------------------ Heaps' law growth

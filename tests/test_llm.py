@@ -768,3 +768,40 @@ def test_real_decoder_flag_off_keeps_stub_path(spark, monkeypatch):
         "media_type", F.lit("image/png"))
     rows = extract_features(media).collect()
     assert len(rows) == 1 and len(rows[0].feature) > 0
+
+
+def test_knn_descent_improves_recall(spark, sf_dir):
+    """One NN-descent round must not lose recall vs the LSH-seeded kNN
+    graph, measured against exact brute-force top-k ground truth
+    (the seed edges stay in the candidate set, so per-vertex results
+    can only get closer to the true neighbors), and should strictly
+    add at least one true neighbor somewhere on this data."""
+    import numpy as np
+
+    from sparkstreamingproject_spark.queries.llm12 import (
+        _KNN_K, embedding_knn_descent_round, embedding_knn_graph,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    ids = np.array([r["vec_id"] for r in emb], dtype=np.int64)
+    mat = np.array([[float(v) for v in r["embedding"]] for r in emb])
+    q = np.round(mat * 1_000_000.0)  # the queries' quantization
+    d2 = ((q[:, None, :] - q[None, :, :]) ** 2).sum(axis=2)
+    np.fill_diagonal(d2, np.inf)
+    truth = {}
+    for i, vid in enumerate(ids):
+        # ties broken by neighbor id, like the queries
+        order = np.lexsort((ids, d2[i]))
+        truth[int(vid)] = {int(ids[j]) for j in order[:_KNN_K]}
+
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(int(r["src"]), set()).add(int(r["dst"]))
+        hits = sum(len(got.get(v, set()) & t) for v, t in truth.items())
+        return hits / (len(truth) * _KNN_K)
+
+    r_seed = recall(embedding_knn_graph(spark, sf_dir))
+    r_desc = recall(embedding_knn_descent_round(spark, sf_dir))
+    assert r_desc >= r_seed, (r_seed, r_desc)
+    assert r_desc > r_seed, (r_seed, r_desc)  # strict lift on testdata
