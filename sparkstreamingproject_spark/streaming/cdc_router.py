@@ -50,13 +50,29 @@ def fact_topic_payload(batch: DataFrame, fact_tables: list[str]) -> DataFrame:
 
 def route_cdc_batch(batch: DataFrame, batch_id: int, out_dir: str,
                     config_path: str) -> None:
+    """One micro-batch of the router — effectively-once by
+    construction under Structured Streaming's at-least-once replay:
+
+    - facts land under a DETERMINISTIC per-batch directory
+      (``facts/batch_id=N``) with overwrite semantics, so a replayed
+      batch rewrites its own directory instead of appending a second
+      copy (the plain ``append`` this replaced double-wrote on
+      replay — the honest gap documented in ``idempotent.py``);
+    - dims go through the LWW ``upsert_dim_parquet`` (crash-safe
+      swap_in rename protocol; re-upserting the same batch is a
+      no-op by the max-version merge).
+
+    Readers see ``batch_id`` as a partition column of ``facts/`` —
+    discovery-friendly, and the per-batch directories double as the
+    commit units a compactor can fold.
+    """
     fact_tables, dim_tables = load_routing_config(config_path)  # F3: per batch
     batch.persist()
     try:
         if fact_tables:
             fact = fact_topic_payload(batch, fact_tables)
-            (fact.write.mode("append").partitionBy("topic")
-             .parquet(f"{out_dir}/facts"))
+            (fact.write.mode("overwrite").partitionBy("topic")
+             .parquet(f"{out_dir}/facts/batch_id={batch_id}"))
         if dim_tables:
             dims = dim_rows(batch, dim_tables)
             for t in dim_tables:
@@ -69,9 +85,16 @@ def route_cdc_batch(batch: DataFrame, batch_id: int, out_dir: str,
 
 def route_cdc_stream(cdc_stream: DataFrame, out_dir: str, checkpoint: str,
                      config_path: str, trigger_seconds: int | None = 5):
+    from .idempotent import idempotent_foreach_batch
     from .split import _trigger
     os.makedirs(out_dir, exist_ok=True)
+    # marker skip on fully-committed batch ids (cheap replay), on top
+    # of the per-batch overwrite + LWW upsert that make a PARTIAL
+    # replay safe — together: effectively-once across both sinks
+    fold = idempotent_foreach_batch(
+        lambda b, i: route_cdc_batch(b, i, out_dir, config_path),
+        marker_dir=os.path.join(checkpoint, "markers"))
     writer = (cdc_stream.writeStream
-              .foreachBatch(lambda b, i: route_cdc_batch(b, i, out_dir, config_path))
+              .foreachBatch(fold)
               .option("checkpointLocation", checkpoint))
     return _trigger(writer, trigger_seconds).start()

@@ -1779,3 +1779,88 @@ def test_trending_stream_equals_batched_folds(spark, tmp_path):
     got = {r.k: r.w for r in spark.read.parquet(table).collect()}
     exp = {r.k: r.w for r in spark.read.parquet(control).collect()}
     assert got == exp
+
+
+@pytest.mark.slow
+def test_cdc_end_to_end_effectively_once(spark, tmp_path, monkeypatch):
+    """VERDICT r08 §next 6 — the full CDC app path (apps/ods_base_db →
+    route_cdc_stream → idempotent markers) under an injected MID-BATCH
+    crash + engine replay: facts are already on disk and the first dim
+    table already upserted when the second dim upsert dies, the query
+    fails, and the restarted query replays the same micro-batch.
+    Effectively-once must hold across BOTH sinks: fact rows exactly
+    once (per-batch overwrite absorbs the partial attempt), dim state
+    last-write-wins with one row per key (LWW re-upsert is a no-op),
+    and a third run from the drained checkpoint changes nothing."""
+    from sparkstreamingproject_spark.apps.ods_base_db import (
+        build_parser, run,
+    )
+    from sparkstreamingproject_spark.streaming import cdc_router
+
+    src = str(tmp_path / "cdc_land")
+    cdc_df(spark, n=120).coalesce(1).write.parquet(src)
+    cfg = tmp_path / "routing.json"
+    cfg.write_text(json.dumps(
+        {"fact_tables": ["order_info", "order_detail"],
+         "dim_tables": ["user_info", "base_province"]}))
+    out = str(tmp_path / "routed")
+    ck = str(tmp_path / "ck_e2e")
+    args = build_parser().parse_args(
+        ["--source", src, "--out", out, "--checkpoint", ck,
+         "--routing-config", str(cfg), "--once"])
+
+    real_upsert = cdc_router.upsert_dim_parquet
+    calls = {"n": 0}
+
+    def flaky(one, table_dir, key_cols, version_col):
+        calls["n"] += 1
+        if calls["n"] == 2:  # facts + first dim table already written
+            raise RuntimeError("injected mid-batch crash")
+        return real_upsert(one, table_dir, key_cols=key_cols,
+                           version_col=version_col)
+
+    monkeypatch.setattr(cdc_router, "upsert_dim_parquet", flaky)
+    q = run(args, spark=spark)
+    with pytest.raises(Exception, match="injected mid-batch crash"):
+        q.awaitTermination(120)
+    assert calls["n"] == 2  # the crash really was mid-batch
+
+    # recover: restore the real upsert, restart from the checkpoint —
+    # the engine replays the failed batch (its offsets never committed)
+    monkeypatch.setattr(cdc_router, "upsert_dim_parquet", real_upsert)
+    run(args, spark=spark).awaitTermination(120)
+
+    batch = spark.read.parquet(src)
+    kept = batch.filter(
+        F.col("type").isin("insert", "update", "bootstrap-insert"))
+
+    # fact path: exactly-once — counts match the batch computation
+    # per topic, no replay double-write
+    facts = spark.read.parquet(f"{out}/facts")
+    exp = (kept.filter(F.col("table").isin("order_info", "order_detail"))
+           .groupBy(F.concat(F.upper("table"), F.lit("_"),
+                             F.when(F.col("type") == "update", "U")
+                             .otherwise("I")).alias("topic"))
+           .count())
+    got = facts.groupBy("topic").count()
+    assert {(r["topic"], r["count"]) for r in got.collect()} == \
+        {(r["topic"], r["count"]) for r in exp.collect()}
+
+    # dim path: one row per key, LWW ts, across BOTH dim tables —
+    # including the one whose first-attempt upsert already committed
+    for t in ("user_info", "base_province"):
+        dim = spark.read.parquet(f"{out}/dim/{t}")
+        assert dim.groupBy("id").count() \
+            .filter(F.col("count") > 1).count() == 0
+        src_latest = (kept.filter(F.col("table") == t)
+                      .groupBy(F.col("data")["id"].alias("id"))
+                      .agg(F.max("ts").alias("max_ts")))
+        assert dim.join(src_latest, "id") \
+            .filter(F.col("ts") != F.col("max_ts")).count() == 0
+
+    # third run from the drained checkpoint: nothing changes
+    fact_rows = facts.count()
+    dim_rows_n = spark.read.parquet(f"{out}/dim/user_info").count()
+    run(args, spark=spark).awaitTermination(120)
+    assert spark.read.parquet(f"{out}/facts").count() == fact_rows
+    assert spark.read.parquet(f"{out}/dim/user_info").count() == dim_rows_n
