@@ -85,6 +85,8 @@ SIDECAR = [
     "embedding_pca_top2_project",
     "embedding_knn_graph",
     "graph_ppr_seeded",
+    # round-9 heavy addition (floor: SIDECAR_R09)
+    "embedding_knn_descent_round",
 ]
 
 # sidecar comparison floor: first measurements (BENCH_r05, sf=0.1,
@@ -119,6 +121,14 @@ SIDECAR_R08 = {
     "embedding_pca_top2_project": 5.0,
     "embedding_knn_graph": 3.7,
     "graph_ppr_seeded": 6.2,
+}
+
+# floor for the round-9 sidecar addition: quietest r09 in-bench
+# measurement (sf=0.1, local[32]); the r08 floors above were
+# re-checked quiet in r09 (5.10 / 3.99 / 6.88 — all within noise of
+# their pins, so left unchanged).
+SIDECAR_R09 = {
+    "embedding_knn_descent_round": 5.0,
 }
 
 def main() -> None:
@@ -168,6 +178,9 @@ def main() -> None:
         "sidecar_vs_r08": {
             n: round(t / SIDECAR_R08[n], 2)
             for n, t in sidecar.items() if n in SIDECAR_R08},
+        "sidecar_vs_r09": {
+            n: round(t / SIDECAR_R09[n], 2)
+            for n, t in sidecar.items() if n in SIDECAR_R09},
         "cosine_kernel": dict(_sim.last_kernel_decision),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))

@@ -83,6 +83,8 @@ _KEEPERS = [
     "kv_incrby_counter_fold", "regexp_functions_surface",
     "agg_mode_deterministic", "stat_wilson_lower_bound",
     "stat_gini_revenue_concentration", "ts_pacf_durbin",
+    # round-9 additions (certify in r10)
+    "embedding_knn_descent_round",
 ]
 
 _seen: set[str] = set()
