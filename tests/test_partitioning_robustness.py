@@ -85,6 +85,8 @@ _KEEPERS = [
     "stat_gini_revenue_concentration", "ts_pacf_durbin",
     # round-9 additions (certify in r10)
     "embedding_knn_descent_round",
+    "ts_yule_walker_ar2", "graph_katz_centrality",
+    "stat_hodges_lehmann_shift",
 ]
 
 _seen: set[str] = set()
