@@ -60,6 +60,7 @@ from . import llm11  # noqa: E402,F401
 from . import analytics28  # noqa: E402,F401
 from . import llm12  # noqa: E402,F401
 from . import analytics29  # noqa: E402,F401
+from . import llm13  # noqa: E402,F401
 
 # --- driver-window ordering --------------------------------------------------
 # The verify driver checks the FIRST 50 registry entries per round

@@ -1,0 +1,263 @@
+"""Round-9 LLM wave: content-defined chunking dedup and a DCT
+perceptual hash — two more storage/visual dedup primitives of the
+training-data pipeline family.
+
+Both follow the registry's exactness discipline: md5 is the shared
+hash primitive, all accumulations are integers, the only floats are
+terminal ratios rounded once.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .base import register, table
+
+# ------------------------------------------------ content-defined chunking
+
+_CDC_K = 8       # rolling-window width (chars)
+_CDC_HEX = "0"   # cut when md5(window) starts with this → P(cut)=1/16
+
+
+def _cdc_oracle() -> str:
+    return f"""
+    WITH d AS MATERIALIZED (
+      SELECT doc_id, source, text, CAST(length(text) AS BIGINT) AS n
+      FROM documents),
+    cuts AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS c
+      FROM d, unnest(range({_CDC_K}, n + 1)) AS t(i)
+      WHERE n >= {_CDC_K}
+        AND substr(md5(substr(text, CAST(i - {_CDC_K} + 1 AS INT),
+                              {_CDC_K})), 1, 1) = '{_CDC_HEX}'
+      UNION
+      SELECT doc_id, n FROM d WHERE n > 0),
+    spans AS (
+      SELECT doc_id,
+             coalesce(lag(c) OVER (PARTITION BY doc_id ORDER BY c), 0)
+               + 1 AS s,
+             c AS e
+      FROM cuts),
+    chunks AS (
+      SELECT sp.doc_id, d.source,
+             md5(substr(d.text, CAST(sp.s AS INT),
+                        CAST(sp.e - sp.s + 1 AS INT))) AS h,
+             sp.e - sp.s + 1 AS blen
+      FROM spans sp JOIN d ON d.doc_id = sp.doc_id),
+    uniq AS (
+      SELECT source, h, max(blen) AS blen
+      FROM chunks GROUP BY 1, 2)
+    SELECT c.source,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(max(u.n_distinct) AS BIGINT) AS n_distinct_chunks,
+           CAST(sum(c.blen) AS BIGINT) AS total_bytes,
+           CAST(max(u.unique_bytes) AS BIGINT) AS unique_bytes,
+           round(1.0 - max(u.unique_bytes) * 1.0 / sum(c.blen), 6)
+             AS dedup_ratio
+    FROM chunks c
+    JOIN (SELECT source, CAST(count(*) AS BIGINT) AS n_distinct,
+                 CAST(sum(blen) AS BIGINT) AS unique_bytes
+          FROM uniq GROUP BY source) u ON u.source = c.source
+    GROUP BY c.source
+    """
+
+
+@register(
+    "dedup_cdc_chunking",
+    oracle=_cdc_oracle(),
+    tags=("llm", "dedup"),
+)
+def dedup_cdc_chunking(spark, sf_dir):
+    """Content-defined chunking dedup report per source — the
+    storage-side dedup primitive (LBFS/FastCDC family): cut points
+    are where the rolling {_CDC_K}-gram's md5 lands in 1/16 of hash
+    space, so chunk boundaries survive insertions/deletions (a fixed
+    -width chunker would shift every boundary after an edit); then
+    chunk-level dedup ratio = bytes saved by storing each distinct
+    chunk once. The basic form — no min/max chunk clamp — so both
+    engines share one boundary predicate.
+
+    Scale shape: boundary detection is a map-only explode of ~n
+    positions per doc (the shingle volume the Jaccard family already
+    pays) with no shuffle until the per-(source, chunk-hash)
+    aggregate; chunk text never moves — only (hash, length) pairs
+    shuffle. At 100 TB the chunk index is the dedup store; this
+    report is its admission audit."""
+    d = (table(spark, sf_dir, "documents")
+         .select("doc_id", "source", "text",
+                 F.length("text").cast("long").alias("n")))
+    cuts_hash = (d.filter(F.col("n") >= _CDC_K)
+                 .select("doc_id", F.explode(F.expr(
+                     f"filter(sequence(CAST({_CDC_K} AS BIGINT), n), "
+                     f"c -> substr(md5(substr(text, "
+                     f"CAST(c - {_CDC_K} + 1 AS INT), {_CDC_K})), 1, 1)"
+                     f" = '{_CDC_HEX}')")).alias("c")))
+    cuts = (cuts_hash
+            .unionByName(d.filter(F.col("n") > 0)
+                         .select("doc_id", F.col("n").alias("c")))
+            .distinct())
+    w = Window.partitionBy("doc_id").orderBy("c")
+    spans = cuts.select(
+        "doc_id",
+        (F.coalesce(F.lag("c").over(w), F.lit(0)) + 1).alias("s"),
+        F.col("c").alias("e"))
+    chunks = (spans.join(d.select("doc_id", "source", "text"), "doc_id")
+              .select("doc_id", "source",
+                      F.md5(F.expr(
+                          "substr(text, CAST(s AS INT), "
+                          "CAST(e - s + 1 AS INT))")).alias("h"),
+                      (F.col("e") - F.col("s") + 1).alias("blen")))
+    uniq = (chunks.groupBy("source", "h")
+            .agg(F.max("blen").alias("blen")))
+    u = (uniq.groupBy("source")
+         .agg(F.count("*").cast("long").alias("n_distinct"),
+              F.sum("blen").cast("long").alias("unique_bytes")))
+    return (chunks.join(u, "source")
+            .groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_chunks"),
+                 F.max("n_distinct").cast("long")
+                 .alias("n_distinct_chunks"),
+                 F.sum("blen").cast("long").alias("total_bytes"),
+                 F.max("unique_bytes").cast("long").alias("unique_bytes"),
+                 F.round(F.lit(1.0) - F.max("unique_bytes")
+                         / F.sum("blen").cast("double"), 6)
+                 .alias("dedup_ratio")))
+
+
+# ------------------------------------------------ pHash (DCT) fingerprint
+
+_PH_GRID = 8          # 8x8 raster
+_PH_LOW = 4           # keep the low-frequency 4x4 block
+_PH_SCALE = 10_000    # DCT basis quantization: round(cos * 1e4)
+
+
+def _dct_coeffs() -> list[tuple[int, int, int]]:
+    """Integer-quantized DCT-II basis rows for u in 0..3, i in 0..7:
+    C[u][i] = round(cos(pi*(2i+1)*u/16) * 1e4). Quantized ONCE here so
+    Spark and the oracle share identical integer constants — the
+    float cosine never crosses an engine boundary."""
+    out = []
+    for u in range(_PH_LOW):
+        for i in range(_PH_GRID):
+            c = round(math.cos(math.pi * (2 * i + 1) * u
+                               / (2 * _PH_GRID)) * _PH_SCALE)
+            out.append((u, i, c))
+    return out
+
+
+def _phash_oracle() -> str:
+    coeff_rows = ", ".join(f"({u}, {i}, {c})" for u, i, c in _dct_coeffs())
+    return f"""
+    WITH d AS MATERIALIZED (
+      SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+      FROM documents WHERE length(text) >= {_PH_GRID * _PH_GRID}),
+    g AS (SELECT doc_id, text,
+                 CAST(n // {_PH_GRID * _PH_GRID} AS BIGINT) AS cw
+          FROM d),
+    px AS (
+      SELECT doc_id,
+             CAST((i - 1) // cw AS BIGINT) AS cell,
+             ascii(substr(text, CAST(i AS INT), 1)) AS code
+      FROM g, unnest(range(1,
+           CAST({_PH_GRID * _PH_GRID} * cw + 1 AS BIGINT))) AS t(i)),
+    cells AS MATERIALIZED (
+      SELECT doc_id, CAST(cell // {_PH_GRID} AS BIGINT) AS gi,
+             CAST(cell % {_PH_GRID} AS BIGINT) AS gj,
+             CAST(sum(code) AS BIGINT) AS p
+      FROM px GROUP BY 1, 2, 3),
+    cmat AS (SELECT * FROM (VALUES {coeff_rows}) AS t(u, i, c)),
+    dct AS MATERIALIZED (
+      SELECT cells.doc_id, cu.u, cv.u AS v,
+             CAST(sum(CAST(cu.c AS DECIMAL(38,0)) * cv.c * cells.p)
+                  AS DECIMAL(38,0)) AS f
+      FROM cells
+      JOIN cmat cu ON cu.i = cells.gi
+      JOIN cmat cv ON cv.i = cells.gj
+      GROUP BY 1, 2, 3),
+    ac AS (SELECT doc_id, u, v, {_PH_LOW} * u + v AS idx, f
+           FROM dct WHERE NOT (u = 0 AND v = 0)),
+    med AS (
+      SELECT doc_id, f AS m
+      FROM (SELECT doc_id, f,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY f, idx) AS rn
+            FROM ac)
+      WHERE rn = {(_PH_LOW * _PH_LOW - 1 + 1) // 2})
+    SELECT ac.doc_id,
+           CAST(sum(CASE WHEN ac.f > med.m
+                         THEN 1::BIGINT << CAST(ac.idx AS INT)
+                         ELSE 0 END) AS BIGINT) AS phash
+    FROM ac JOIN med ON med.doc_id = ac.doc_id
+    GROUP BY ac.doc_id
+    """
+
+
+@register("multimodal_phash_dct", oracle=_phash_oracle(),
+          tags=("llm", "multimodal", "dedup"))
+def multimodal_phash_dct(spark, sf_dir):
+    """Perceptual DCT hash (pHash) over the text-as-raster stand-in —
+    the robust sibling of `multimodal_ahash_dedup`'s average hash
+    (aHash flips bits under brightness shifts; pHash compares
+    LOW-FREQUENCY structure): raster to an {_PH_GRID}x{_PH_GRID}
+    integer grid, 2D DCT-II, keep the low {_PH_LOW}x{_PH_LOW} block,
+    bit = coefficient > median of the 15 AC coefficients. A real
+    image pipeline feeds pixel blocks from the Arrow decode kernel
+    into the SAME grid→DCT→median→bits chain.
+
+    Exactness: the DCT basis is quantized to integers ONCE in Python
+    (shared constants in both engines), so every coefficient is an
+    exact DECIMAL(38,0) integer sum; the median is an exact order
+    statistic (15 values, rn=8, (f, idx) tiebreak); bits compare
+    integers. No float exists anywhere.
+
+    Scale shape: one bounded explode (64·cell-width chars per doc),
+    one grid aggregate, then a 64-row-per-doc join against the
+    32-row broadcast basis — map-side work ending in one per-doc
+    aggregate; the hash is then LSH-bandable exactly like aHash."""
+    npix = _PH_GRID * _PH_GRID
+    d = (table(spark, sf_dir, "documents")
+         .filter(F.length("text") >= npix)
+         .select("doc_id", "text",
+                 (F.length("text").cast("long") / npix)
+                 .cast("long").alias("cw")))
+    px = d.select(
+        "doc_id", "cw",
+        F.posexplode(F.expr(
+            f"transform(sequence(1, {npix} * cw), "
+            "i -> ascii(substr(text, CAST(i AS INT), 1)))"
+        )).alias("i0", "code")).select(
+        "doc_id",
+        (F.col("i0") / F.col("cw")).cast("long").alias("cell"),
+        "code")
+    cells = (px.groupBy("doc_id",
+                        (F.col("cell") / _PH_GRID).cast("long").alias("gi"),
+                        (F.col("cell") % _PH_GRID).alias("gj"))
+             .agg(F.sum("code").cast("long").alias("p")))
+    cmat = spark.createDataFrame(_dct_coeffs(), "u int, i int, c long")
+    dec = "decimal(38,0)"
+    dct = (cells
+           .join(F.broadcast(cmat.select(F.col("u").alias("u"),
+                                         F.col("i").alias("gi"),
+                                         F.col("c").alias("cu"))), "gi")
+           .join(F.broadcast(cmat.select(F.col("u").alias("v"),
+                                         F.col("i").alias("gj"),
+                                         F.col("c").alias("cv"))), "gj")
+           .groupBy("doc_id", "u", "v")
+           .agg(F.sum(F.col("cu").cast(dec) * F.col("cv") * F.col("p"))
+                .cast(dec).alias("f")))
+    ac = (dct.filter(~((F.col("u") == 0) & (F.col("v") == 0)))
+          .select("doc_id", (_PH_LOW * F.col("u") + F.col("v"))
+                  .alias("idx"), "f"))
+    wmed = Window.partitionBy("doc_id").orderBy("f", "idx")
+    med = (ac.withColumn("rn", F.row_number().over(wmed))
+           .filter(F.col("rn") == (_PH_LOW * _PH_LOW) // 2)
+           .select("doc_id", F.col("f").alias("m")))
+    return (ac.join(med, "doc_id")
+            .groupBy("doc_id")
+            .agg(F.sum(F.when(F.col("f") > F.col("m"),
+                              F.expr("shiftleft(CAST(1 AS BIGINT), "
+                                     "CAST(idx AS INT))"))
+                       .otherwise(0)).cast("long").alias("phash")))

@@ -87,6 +87,7 @@ _KEEPERS = [
     "embedding_knn_descent_round",
     "ts_yule_walker_ar2", "graph_katz_centrality",
     "stat_hodges_lehmann_shift",
+    "dedup_cdc_chunking", "multimodal_phash_dct",
 ]
 
 _seen: set[str] = set()
