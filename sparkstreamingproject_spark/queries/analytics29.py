@@ -301,3 +301,215 @@ def stat_hodges_lehmann_shift(spark, sf_dir):
             .agg(F.max("n").cast("long").alias("n_pairs"),
                  F.round(F.avg(F.col("diff").cast("double")) / 100.0, 4)
                  .alias("hl_shift")))
+
+
+# ------------------------------------------------ Croston intermittent
+
+_CR_MOD = 199     # deterministic sparse-part selection
+_CR_WIN = 32      # SES window: last 32 demand events (2^31 scale fits)
+
+
+@register(
+    "ts_croston_intermittent",
+    oracle=f"""
+    WITH d AS (
+      SELECT l_partkey AS pk,
+             datediff('day', DATE '1992-01-01',
+                      CAST(l_shipdate AS DATE)) AS day,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS x
+      FROM lineitem WHERE l_partkey % {_CR_MOD} = 0
+      GROUP BY 1, 2),
+    lastw AS (
+      SELECT pk, day, x,
+             row_number() OVER (PARTITION BY pk ORDER BY day DESC) AS rd,
+             count(*) OVER (PARTITION BY pk) AS n_events
+      FROM d),
+    w AS (
+      SELECT pk, day, x, n_events,
+             row_number() OVER (PARTITION BY pk ORDER BY day) AS t,
+             count(*) OVER (PARTITION BY pk) AS m,
+             day - lag(day) OVER (PARTITION BY pk ORDER BY day) AS gap
+      FROM lastw WHERE rd <= {_CR_WIN}),
+    agg AS (
+      SELECT pk, max(n_events) AS n_events, max(m) AS m,
+             CAST(sum(x * (CASE WHEN t = 1 THEN 1::BIGINT
+                           ELSE 1::BIGINT << CAST(t - 2 AS INT) END))
+                  AS BIGINT) AS z,
+             CAST(sum(CASE WHEN t >= 2 THEN gap *
+                       (CASE WHEN t = 2 THEN 1::BIGINT
+                        ELSE 1::BIGINT << CAST(t - 3 AS INT) END)
+                       ELSE 0 END) AS BIGINT) AS p
+      FROM w GROUP BY pk HAVING max(m) >= 2 AND
+             CAST(sum(CASE WHEN t >= 2 THEN gap ELSE 0 END) AS BIGINT) > 0)
+    SELECT pk AS partkey, CAST(n_events AS BIGINT) AS n_events,
+           CAST(m AS BIGINT) AS m_used,
+           round(z / (2.0 ^ CAST(m - 1 AS INT)), 6) AS z_hat,
+           round(p / (2.0 ^ CAST(m - 2 AS INT)), 6) AS p_hat,
+           round(z / (2.0 * p), 6) AS croston_forecast
+    FROM agg
+    """,
+    tags=("timeseries", "forecast"),
+)
+def ts_croston_intermittent(spark, sf_dir):
+    """Croston's method for intermittent demand on sparse parts
+    (every {_CR_MOD}th part key): separate exponential smoothing of
+    the nonzero demand SIZES and the inter-demand INTERVALS, forecast
+    = z-hat / p-hat — the standard spare-parts forecaster where
+    ordinary SES just decays to zero between demands
+    (`ts_holt_linear_forecast` is the dense-series sibling).
+
+    EXACT SES: with alpha = 1/2 over the last {_CR_WIN} demand
+    events, the smoothed value is z-hat = Z / 2^(m-1) where
+    Z = x_1 + Σ_(t≥2) x_t·2^(t-2) is a pure BIGINT dot product with
+    power-of-two weights — and dividing by 2^k only changes the
+    float exponent, so z-hat is EXACT in both engines; same for the
+    interval series (m-1 gaps, scale 2^(m-2)). The forecast ratio
+    collapses to Z/(2·P) — one float divide. The {_CR_WIN}-event
+    truncation is the documented state bound (weights below 2^-31
+    are beneath 6dp anyway).
+
+    Scale shape: demand series collapse to (part, day) grain first;
+    the SES is one windowed pass per key — at 100 TB this is the
+    per-SKU forecast job, key-partitioned, no cross-key traffic."""
+    d = (table(spark, sf_dir, "lineitem")
+         .filter(F.col("l_partkey") % _CR_MOD == 0)
+         .groupBy(F.col("l_partkey").alias("pk"),
+                  F.datediff(F.col("l_shipdate").cast("date"),
+                             F.lit("1992-01-01")).alias("day"))
+         .agg(F.sum(F.expr("CAST(round(l_quantity) AS BIGINT)"))
+              .cast("long").alias("x")))
+    wd = Window.partitionBy("pk").orderBy(F.col("day").desc())
+    wk = Window.partitionBy("pk")
+    lastw = d.select(
+        "pk", "day", "x",
+        F.row_number().over(wd).alias("rd"),
+        F.count("*").over(wk).alias("n_events"))
+    wa = Window.partitionBy("pk").orderBy("day")
+    w = (lastw.filter(F.col("rd") <= _CR_WIN)
+         .select("pk", "day", "x", "n_events",
+                 F.row_number().over(wa).alias("t"),
+                 F.count("*").over(wk).alias("m"),
+                 (F.col("day") - F.lag("day").over(wa)).alias("gap")))
+    zterm = F.col("x") * F.when(
+        F.col("t") == 1, F.lit(1).cast("long")).otherwise(
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(t - 2 AS INT))"))
+    pterm = F.when(F.col("t") >= 2, F.col("gap") * F.when(
+        F.col("t") == 2, F.lit(1).cast("long")).otherwise(
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(t - 3 AS INT))"))) \
+        .otherwise(0)
+    agg = (w.groupBy("pk")
+           .agg(F.max("n_events").alias("n_events"),
+                F.max("m").alias("m"),
+                F.sum(zterm).cast("long").alias("z"),
+                F.sum(pterm).cast("long").alias("p"),
+                F.sum(F.when(F.col("t") >= 2, F.col("gap"))
+                      .otherwise(0)).cast("long").alias("gap_sum"))
+           .filter((F.col("m") >= 2) & (F.col("gap_sum") > 0)))
+    return agg.select(
+        F.col("pk").alias("partkey"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("m").cast("long").alias("m_used"),
+        F.round(F.col("z") / F.pow(F.lit(2.0), F.col("m") - 1), 6)
+        .alias("z_hat"),
+        F.round(F.col("p") / F.pow(F.lit(2.0), F.col("m") - 2), 6)
+        .alias("p_hat"),
+        F.round(F.col("z") / (2.0 * F.col("p")), 6)
+        .alias("croston_forecast"))
+
+
+# ------------------------------------------------ Mood's median test
+
+_MOOD_PRIS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+              "5-LOW"]
+
+
+def _mood_oracle() -> str:
+    grp = " ".join(
+        f"WHEN o_orderpriority = '{p}' THEN {i + 1}"
+        for i, p in enumerate(_MOOD_PRIS))
+    cells = ",\n             ".join(
+        f"CAST(sum(CASE WHEN grp = {i + 1} AND 2 * cents > med2 "
+        f"THEN 1 ELSE 0 END) AS BIGINT) AS a{i + 1},\n             "
+        f"CAST(sum(CASE WHEN grp = {i + 1} THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS n{i + 1}"
+        for i in range(5))
+    d_terms = " + ".join(
+        f"CAST(CAST(nn AS DECIMAL(38,0)) * a{i + 1}"
+        f" - CAST(n{i + 1} AS DECIMAL(38,0)) * aa AS DOUBLE)"
+        f" * CAST(CAST(nn AS DECIMAL(38,0)) * a{i + 1}"
+        f" - CAST(n{i + 1} AS DECIMAL(38,0)) * aa AS DOUBLE)"
+        f" / n{i + 1}" for i in range(5))
+    return f"""
+    WITH p AS (
+      SELECT CASE {grp} END AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    md AS (SELECT CAST(quantile_cont(cents, 0.5) * 2 AS BIGINT) AS med2
+           FROM p),
+    c AS (
+      SELECT {cells}
+      FROM p CROSS JOIN md),
+    t AS (
+      SELECT *, a1 + a2 + a3 + a4 + a5 AS aa,
+             n1 + n2 + n3 + n4 + n5 AS nn
+      FROM c)
+    SELECT CAST(aa AS BIGINT) AS n_above, CAST(nn AS BIGINT) AS n_total,
+           round(({d_terms})
+                 / (CAST(aa AS DOUBLE) * (nn - aa)), 4) AS chi2
+    FROM t
+    """
+
+
+@register(
+    "stat_mood_median_test",
+    oracle=_mood_oracle(),
+    tags=("stats",),
+)
+def stat_mood_median_test(spark, sf_dir):
+    """Mood's median test across the five order priorities: does each
+    group put the same share of orders above the POOLED median price?
+    The coarsest, most outlier-proof k-sample location test — the
+    counting sibling of `stat_kruskal_wallis` (which uses full
+    ranks).
+
+    Exactness: counts above the doubled pooled median (the exact
+    `med2` integer trick) are integers; the chi-square collapses
+    algebraically to Σ_i D_i²/n_i / (A·B) with D_i = N·a_i - n_i·A
+    exact DECIMAL integers, evaluated as ONE fixed-order expression
+    tree over the five per-group columns (conditional aggregation
+    pivots groups into columns, so no float accumulation order
+    exists). One terminal divide + 4dp round.
+
+    Scale: one pass to the per-group counts (map-side combinable),
+    one exact median over the cents histogram — the same state bound
+    as every med2 query."""
+    grp = F.when(F.col("o_orderpriority") == _MOOD_PRIS[0], 1)
+    for i, pr in enumerate(_MOOD_PRIS[1:], 2):
+        grp = grp.when(F.col("o_orderpriority") == pr, i)
+    p = (table(spark, sf_dir, "orders")
+         .select(grp.alias("grp"),
+                 F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+                 .alias("cents")))
+    md = p.agg((F.expr("percentile(cents, 0.5)") * 2)
+               .cast("long").alias("med2"))
+    cells = []
+    for i in range(1, 6):
+        cells.append(F.sum(F.when((F.col("grp") == i)
+                                  & (2 * F.col("cents") > F.col("med2")),
+                                  1).otherwise(0))
+                     .cast("long").alias(f"a{i}"))
+        cells.append(F.sum(F.when(F.col("grp") == i, 1).otherwise(0))
+                     .cast("long").alias(f"n{i}"))
+    c = p.crossJoin(F.broadcast(md)).agg(*cells)
+    t = c.selectExpr("*", "a1 + a2 + a3 + a4 + a5 AS aa",
+                     "n1 + n2 + n3 + n4 + n5 AS nn")
+    d_terms = " + ".join(
+        f"CAST(CAST(nn AS DECIMAL(38,0)) * a{i}"
+        f" - CAST(n{i} AS DECIMAL(38,0)) * aa AS DOUBLE)"
+        f" * CAST(CAST(nn AS DECIMAL(38,0)) * a{i}"
+        f" - CAST(n{i} AS DECIMAL(38,0)) * aa AS DOUBLE)"
+        f" / n{i}" for i in range(1, 6))
+    return t.selectExpr(
+        "CAST(aa AS BIGINT) AS n_above", "CAST(nn AS BIGINT) AS n_total",
+        f"round(({d_terms}) / (CAST(aa AS DOUBLE) * (nn - aa)), 4)"
+        " AS chi2")

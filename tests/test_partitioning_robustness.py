@@ -88,6 +88,7 @@ _KEEPERS = [
     "ts_yule_walker_ar2", "graph_katz_centrality",
     "stat_hodges_lehmann_shift",
     "dedup_cdc_chunking", "multimodal_phash_dct",
+    "ts_croston_intermittent", "stat_mood_median_test",
 ]
 
 _seen: set[str] = set()
