@@ -513,3 +513,83 @@ def stat_mood_median_test(spark, sf_dir):
         "CAST(aa AS BIGINT) AS n_above", "CAST(nn AS BIGINT) AS n_total",
         f"round(({d_terms}) / (CAST(aa AS DOUBLE) * (nn - aa)), 4)"
         " AS chi2")
+
+
+# ------------------------------------------------ MAD robust outliers
+
+
+@register(
+    "dq_outlier_mad_robust",
+    oracle="""
+    WITH p AS (
+      SELECT o_orderpriority AS pri,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    m AS (SELECT pri, CAST(quantile_cont(cents, 0.5) * 2 AS BIGINT)
+                 AS med2
+          FROM p GROUP BY pri),
+    dev AS (
+      SELECT p.pri, p.cents, m.med2,
+             abs(2 * p.cents - m.med2) AS dev2
+      FROM p JOIN m ON m.pri = p.pri),
+    md AS (SELECT pri, CAST(quantile_cont(dev2, 0.5) * 2 AS BIGINT)
+                  AS mad4
+           FROM dev GROUP BY pri)
+    SELECT d.pri,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN 1349 * abs(2 * d.cents - d.med2)
+                              > 3500 * md.mad4
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(sum(CASE WHEN 1349 * abs(2 * d.cents - d.med2)
+                               > 3500 * md.mad4
+                          THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS outlier_share,
+           round(max(md.mad4) / 400.0, 2) AS mad
+    FROM dev d JOIN md ON md.pri = d.pri
+    GROUP BY d.pri
+    """,
+    tags=("dq", "stats"),
+)
+def dq_outlier_mad_robust(spark, sf_dir):
+    """Robust outlier screen per order priority by the modified
+    z-score (Iglewicz-Hoaglin): |0.6745·(x-median)/MAD| > 3.5 — the
+    estimator whose breakdown point (50%) survives the very outliers
+    it hunts, unlike the IQR fence (`dq_expectations_report`) whose
+    quartiles a heavy tail drags.
+
+    PURE-INTEGER decision: with doubled medians (med2 = 2·median,
+    exact for integer cents) and doubled deviation medians
+    (mad4 = 4·MAD), the threshold 0.6745·2·|2x-med2|/mad4 > 3.5
+    cross-multiplies to 1349·|2x-med2| > 3500·mad4 — integers on
+    both sides, no float ever compared. The reported MAD is the one
+    terminal divide (mad4/4, in currency units /100).
+
+    Scale: two exact medians per group over the cents histogram +
+    one counting pass — the med2 state bound; at 100 TB the medians
+    come from the same bounded value-histogram every med2 query
+    uses."""
+    p = (table(spark, sf_dir, "orders")
+         .select(F.col("o_orderpriority").alias("pri"),
+                 F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+                 .alias("cents")))
+    m = (p.groupBy("pri")
+         .agg((F.expr("percentile(cents, 0.5)") * 2)
+              .cast("long").alias("med2")))
+    dev = (p.join(F.broadcast(m), "pri")
+           .select("pri", "cents", "med2",
+                   F.abs(2 * F.col("cents") - F.col("med2"))
+                   .alias("dev2")))
+    md = (dev.groupBy("pri")
+          .agg((F.expr("percentile(dev2, 0.5)") * 2)
+               .cast("long").alias("mad4")))
+    flag = (1349 * F.abs(2 * F.col("cents") - F.col("med2"))
+            > 3500 * F.col("mad4"))
+    return (dev.join(F.broadcast(md), "pri")
+            .groupBy("pri")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum(F.when(flag, 1).otherwise(0)).cast("long")
+                 .alias("n_outliers"),
+                 F.round(F.sum(F.when(flag, 1).otherwise(0))
+                         / F.count("*").cast("double"), 6)
+                 .alias("outlier_share"),
+                 F.round(F.max("mad4") / 400.0, 2).alias("mad")))

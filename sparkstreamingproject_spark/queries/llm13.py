@@ -261,3 +261,89 @@ def multimodal_phash_dct(spark, sf_dir):
                               F.expr("shiftleft(CAST(1 AS BIGINT), "
                                      "CAST(idx AS INT))"))
                        .otherwise(0)).cast("long").alias("phash")))
+
+
+# ------------------------------------------------ submodular coverage
+
+_SC_K = 5  # greedy selection rounds
+
+
+def _subcov_oracle() -> str:
+    ctes = ["""g1 AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS gain
+      FROM dw GROUP BY doc_id),
+    s1 AS MATERIALIZED (
+      SELECT doc_id, gain FROM g1 ORDER BY gain DESC, doc_id LIMIT 1),
+    c1 AS MATERIALIZED (
+      SELECT DISTINCT word FROM dw JOIN s1 USING (doc_id))"""]
+    for k in range(2, _SC_K + 1):
+        ctes.append(f"""g{k} AS (
+      SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS gain
+      FROM dw LEFT JOIN c{k - 1} cc ON cc.word = dw.word
+      WHERE cc.word IS NULL GROUP BY dw.doc_id),
+    s{k} AS MATERIALIZED (
+      SELECT doc_id, gain FROM g{k} ORDER BY gain DESC, doc_id LIMIT 1),
+    c{k} AS MATERIALIZED (
+      SELECT word FROM c{k - 1}
+      UNION
+      SELECT word FROM dw JOIN s{k} USING (doc_id))""")
+    sels = "\n      UNION ALL\n".join(
+        f"      SELECT {k} AS round, doc_id, gain FROM s{k}"
+        for k in range(1, _SC_K + 1))
+    return f"""
+    WITH dw AS MATERIALIZED (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents),
+    {",".join(ctes)}
+    SELECT CAST(round AS INT) AS round, doc_id, gain
+    FROM ({sels})
+    """
+
+
+@register(
+    "curation_submodular_coverage",
+    oracle=_subcov_oracle(),
+    tags=("llm", "curation"),
+)
+def curation_submodular_coverage(spark, sf_dir):
+    """Greedy submodular max-coverage selection of {_SC_K} documents —
+    the classic (1-1/e)-approximation for picking a small subset that
+    covers the most distinct vocabulary: each round scores every doc
+    by its MARGINAL gain (words not yet covered) and takes the
+    argmax, ties to the lowest doc_id. The coverage-first complement
+    of `curation_mmr_diverse_select` (which balances relevance
+    against pairwise similarity; facility location and coverage are
+    the two standard submodular objectives for data subset
+    selection).
+
+    Deterministic by construction: gains are integer counts, argmax
+    is (gain DESC, doc_id) — no floats at all. Scale shape: each
+    round is one anti-join of the posting relation against the
+    covered-vocabulary relation + one count aggregate + a top-1 heap
+    (TakeOrdered, never a global sort); the covered set grows by one
+    doc's vocabulary per round and is lineage-cut (localCheckpoint)
+    exactly like the other iterative kernels. K rounds = K bounded
+    passes; at corpus scale the CELF lazy-evaluation upgrade
+    (re-scoring only stale winners) drops into the same loop."""
+    dw = (table(spark, sf_dir, "documents")
+          .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+          .distinct()
+          .localCheckpoint())
+    covered = None
+    sels = None
+    for k in range(1, _SC_K + 1):
+        rem = (dw if covered is None
+               else dw.join(covered, "word", "left_anti"))
+        gains = (rem.groupBy("doc_id")
+                 .agg(F.count("*").cast("long").alias("gain")))
+        pick = (gains.orderBy(F.desc("gain"), "doc_id").limit(1)
+                .localCheckpoint())
+        sel = pick.select(F.lit(k).cast("int").alias("round"),
+                          "doc_id", "gain")
+        sels = sel if sels is None else sels.unionByName(sel)
+        new_words = (dw.join(pick.select("doc_id"), "doc_id",
+                             "left_semi").select("word"))
+        covered = (new_words if covered is None
+                   else covered.unionByName(new_words).distinct())
+        covered = covered.localCheckpoint()
+    return sels

@@ -89,6 +89,7 @@ _KEEPERS = [
     "stat_hodges_lehmann_shift",
     "dedup_cdc_chunking", "multimodal_phash_dct",
     "ts_croston_intermittent", "stat_mood_median_test",
+    "curation_submodular_coverage", "dq_outlier_mad_robust",
 ]
 
 _seen: set[str] = set()
