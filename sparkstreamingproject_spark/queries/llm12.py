@@ -1137,3 +1137,127 @@ def curation_mmr_diverse_select(spark, sf_dir):
             .select("step", "vec_id",
                     F.round(F.col("d2q").cast("double") / F.lit(1e12), 6)
                     .alias("dist_to_query")))
+
+
+# ------------------------------------------------ greedy graph search
+
+_GS_HOPS = 3
+_GS_NQ = 5  # query vectors: vec_id < 5
+
+
+def _greedy_search_oracle() -> str:
+    hops = []
+    for h in range(_GS_HOPS):
+        hops.append(f""",
+    cand{h} AS (
+      SELECT DISTINCT c.qid, g.b AS node
+      FROM cur{h} c JOIN gsym g ON g.a = c.node
+      WHERE g.b <> c.qid),
+    cd{h} AS (
+      SELECT p.qid, p.node,
+             sum((ea.x - eb.x) * (ea.x - eb.x)) AS d2
+      FROM cand{h} p
+      JOIN el ea ON ea.vec_id = p.qid
+      JOIN el eb ON eb.vec_id = p.node AND eb.pos = ea.pos
+      GROUP BY 1, 2),
+    best{h} AS (
+      SELECT qid, node, d2
+      FROM (SELECT qid, node, d2,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY d2, node) AS rn
+            FROM cd{h})
+      WHERE rn = 1),
+    cur{h + 1} AS MATERIALIZED (
+      SELECT c.qid,
+             CASE WHEN b.d2 IS NOT NULL AND b.d2 < c.d2
+                  THEN b.node ELSE c.node END AS node,
+             CASE WHEN b.d2 IS NOT NULL AND b.d2 < c.d2
+                  THEN b.d2 ELSE c.d2 END AS d2
+      FROM cur{h} c LEFT JOIN best{h} b ON b.qid = c.qid)""")
+    return f"""{_knn_base_ctes()},
+    gsym AS (SELECT src AS a, dst AS b FROM knn
+             UNION SELECT dst, src FROM knn),
+    qs AS (SELECT vec_id AS qid FROM embeddings
+           WHERE vec_id < {_GS_NQ}),
+    ent AS (
+      SELECT qs.qid, min(g.a) AS node
+      FROM qs JOIN gsym g ON g.a <> qs.qid
+      GROUP BY qs.qid),
+    cur0 AS MATERIALIZED (
+      SELECT e.qid, e.node,
+             sum((ea.x - eb.x) * (ea.x - eb.x)) AS d2
+      FROM ent e
+      JOIN el ea ON ea.vec_id = e.qid
+      JOIN el eb ON eb.vec_id = e.node AND eb.pos = ea.pos
+      GROUP BY 1, 2){"".join(hops)}
+    SELECT qid AS query_id, node AS found_id,
+           round(CAST(d2 AS DOUBLE) / 1e12, 6) AS dist_sq
+    FROM cur{_GS_HOPS}
+    """
+
+
+@register("sim_knn_graph_greedy_search", oracle=_greedy_search_oracle(),
+          tags=("llm", "similarity", "graph"))
+def sim_knn_graph_greedy_search(spark, sf_dir):
+    """Greedy best-first routing on the LSH-seeded kNN graph — the
+    NSW/HNSW query primitive that completes the graph-ANN story
+    (build `embedding_knn_graph` → refine
+    `embedding_knn_descent_round` → SEARCH): from a fixed entry
+    vertex (smallest non-self node id), each hop moves to the
+    neighbor closest to the query iff it is STRICTLY closer,
+    {_GS_HOPS} unrolled hops, exact integer squared-L2 throughout,
+    ties to the lowest neighbor id. Monotone by construction (moves
+    only downhill), so both engines walk identical paths.
+
+    Scale shape: per hop, candidates = the current vertices' ≤2k
+    graph neighbors per query — |Q|·2k rows, never corpus-sized; the
+    distance rerank joins the element relation on the candidate set
+    only. At index scale this is the navigable-small-world query
+    loop: O(hops·degree) distance evaluations per query, with the
+    entry fixed (HNSW's upper layers replace the fixed entry with a
+    coarse-to-fine one; the hop loop is unchanged)."""
+    emb = table(spark, sf_dir, "embeddings")
+    el = _quantized_elements(emb).localCheckpoint()
+    seed = _knn_seed_edges(emb).select("src", "dst").localCheckpoint()
+    gsym = (seed.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+            .unionByName(seed.select(F.col("dst").alias("a"),
+                                     F.col("src").alias("b")))
+            .distinct()
+            .localCheckpoint())
+    qs = emb.filter(F.col("vec_id") < _GS_NQ) \
+        .select(F.col("vec_id").alias("qid"))
+    ent = (qs.join(gsym, gsym["a"] != qs["qid"])
+           .groupBy("qid").agg(F.min("a").alias("node")))
+
+    def dist(pairs):
+        # exact integer L2 between (qid, node) via the element relation
+        d = _exact_d2(pairs.select(F.col("qid").alias("src"),
+                                   F.col("node").alias("dst")), el)
+        return d.select(F.col("src").alias("qid"),
+                        F.col("dst").alias("node"), "d2")
+
+    cur = dist(ent).localCheckpoint()
+    from pyspark.sql import Window
+    for _ in range(_GS_HOPS):
+        cand = (cur.join(gsym, cur["node"] == gsym["a"])
+                .filter(F.col("b") != F.col("qid"))
+                .select("qid", F.col("b").alias("node")).distinct())
+        cd = dist(cand)
+        wq = Window.partitionBy("qid").orderBy("d2", "node")
+        best = (cd.withColumn("rn", F.row_number().over(wq))
+                .filter(F.col("rn") == 1)
+                .select("qid", F.col("node").alias("b_node"),
+                        F.col("d2").alias("b_d2")))
+        better = F.col("b_d2").isNotNull() & (F.col("b_d2") < F.col("d2"))
+        cur = (cur.join(best, "qid", "left")
+               .select("qid",
+                       F.when(better, F.col("b_node"))
+                       .otherwise(F.col("node")).alias("node"),
+                       F.when(better, F.col("b_d2"))
+                       .otherwise(F.col("d2")).alias("d2"))
+               .localCheckpoint())
+    return cur.select(
+        F.col("qid").alias("query_id"),
+        F.col("node").alias("found_id"),
+        F.round(F.col("d2").cast("double") / F.lit(1e12), 6)
+        .alias("dist_sq"))

@@ -90,6 +90,7 @@ _KEEPERS = [
     "dedup_cdc_chunking", "multimodal_phash_dct",
     "ts_croston_intermittent", "stat_mood_median_test",
     "curation_submodular_coverage", "dq_outlier_mad_robust",
+    "sim_knn_graph_greedy_search",
 ]
 
 _seen: set[str] = set()
