@@ -593,3 +593,101 @@ def dq_outlier_mad_robust(spark, sf_dir):
                          / F.count("*").cast("double"), 6)
                  .alias("outlier_share"),
                  F.round(F.max("mad4") / 400.0, 2).alias("mad")))
+
+
+# ------------------------------------------------ Ansari-Bradley scale
+
+# shared z expression (exact DECIMAL numerators, one terminal sqrt):
+# null moments of the AB statistic differ by parity of N.
+_AB_Z = (
+    "CASE WHEN nn % 2 = 0 THEN "
+    "CAST(4 * CAST(ab AS DECIMAL(38,0)) - CAST(n1 AS DECIMAL(38,0))"
+    " * (nn + 2) AS DOUBLE)"
+    " / (4.0 * sqrt(CAST(CAST(n1 AS DECIMAL(38,0)) * n2 * (nn + 2)"
+    " * (nn - 2) AS DOUBLE) / (48.0 * (nn - 1))))"
+    " ELSE "
+    "CAST(4 * CAST(nn AS DECIMAL(38,0)) * ab"
+    " - CAST(n1 AS DECIMAL(38,0)) * (nn + 1) * (nn + 1) AS DOUBLE)"
+    " / (4.0 * CAST(nn AS DOUBLE)"
+    " * sqrt(CAST(CAST(n1 AS DECIMAL(38,0)) * n2 * (nn + 1)"
+    " * (3 + CAST(nn AS DECIMAL(38,0)) * nn) AS DOUBLE)"
+    " / (48.0 * CAST(CAST(nn AS DECIMAL(38,0)) * nn AS DOUBLE)))) END")
+
+
+@register(
+    "stat_ansari_bradley_scale",
+    oracle=f"""
+    WITH p AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 2 END
+               AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderkey AS okey
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+    r AS (
+      SELECT grp,
+             row_number() OVER (ORDER BY cents, okey) AS rn,
+             count(*) OVER () AS nn
+      FROM p),
+    s AS (
+      SELECT grp, least(rn, nn + 1 - rn) AS score FROM r),
+    a AS (
+      SELECT CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(sum(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n2,
+             CAST(sum(CASE WHEN grp = 1 THEN score ELSE 0 END)
+                  AS BIGINT) AS ab
+      FROM s),
+    t AS (SELECT n1, n2, n1 + n2 AS nn, ab FROM a)
+    SELECT n1, n2, ab AS ab_sum, round({_AB_Z}, 4) AS z
+    FROM t
+    """,
+    tags=("stats",),
+)
+def stat_ansari_bradley_scale(spark, sf_dir):
+    """Ansari-Bradley test for a SCALE (dispersion) difference between
+    URGENT and LOW order prices: rank from both ends inward
+    (score = min(rank, N+1-rank)), so a group concentrated near the
+    pooled median scores high — the rank test for variance that
+    pairs with `stat_mann_whitney_u` (location) and `stat_levene_test`
+    (the moment-based scale test).
+
+    Deterministic-tiebreak variant: ranks use the TOTAL order
+    (cents, orderkey) rather than midranks, so every score is an
+    exact integer in both engines (midrank AB scores carry
+    per-tie-block rational denominators that no common scaling
+    clears; the orderkey tiebreak is the documented deterministic
+    resolution, like the registry's other full-tiebreak order
+    statistics). The z uses the exact null moments (parity-split
+    closed forms) with DECIMAL(38,0) numerators and one terminal
+    sqrt.
+
+    Scale note: score assignment is one ordered pass here; at 100 TB
+    ranks come from the standard two-pass range-partitioned ranking
+    (per-partition counts → prefix offsets), identical algebra."""
+    p = (table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+         .select(F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+                 .otherwise(2).alias("grp"),
+                 F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+                 .alias("cents"),
+                 F.col("o_orderkey").alias("okey")))
+    wr = Window.orderBy("cents", "okey")
+    wn = Window.partitionBy()
+    r = p.select("grp",
+                 F.row_number().over(wr).alias("rn"),
+                 F.count("*").over(wn).alias("nn"))
+    s = r.select("grp",
+                 F.least(F.col("rn"), F.col("nn") + 1 - F.col("rn"))
+                 .alias("score"))
+    a = s.agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("grp") == 2, 1).otherwise(0)).cast("long")
+        .alias("n2"),
+        F.sum(F.when(F.col("grp") == 1, F.col("score")).otherwise(0))
+        .cast("long").alias("ab"))
+    t = a.selectExpr("n1", "n2", "n1 + n2 AS nn", "ab")
+    return t.selectExpr("n1", "n2", "ab AS ab_sum",
+                        f"round({_AB_Z}, 4) AS z")

@@ -91,6 +91,7 @@ _KEEPERS = [
     "ts_croston_intermittent", "stat_mood_median_test",
     "curation_submodular_coverage", "dq_outlier_mad_robust",
     "sim_knn_graph_greedy_search",
+    "stat_ansari_bradley_scale",
 ]
 
 _seen: set[str] = set()

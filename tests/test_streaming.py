@@ -1864,3 +1864,39 @@ def test_cdc_end_to_end_effectively_once(spark, tmp_path, monkeypatch):
     run(args, spark=spark).awaitTermination(120)
     assert spark.read.parquet(f"{out}/facts").count() == fact_rows
     assert spark.read.parquet(f"{out}/dim/user_info").count() == dim_rows_n
+
+
+def test_progress_recorder_flushes_on_terminate_and_bounds_pending(
+        tmp_path):
+    """ADVICE r08: (a) a crash/stop with NO reader must still leave
+    the post-mortem JSONL populated — onQueryTerminated flushes the
+    buffer; (b) the pending buffer is bounded by max_batches, drops
+    the oldest rows, and counts the drops."""
+    import json as _json
+    from types import SimpleNamespace
+
+    from sparkstreamingproject_spark.streaming.monitor import (
+        ProgressRecorder,
+    )
+
+    jsonl = str(tmp_path / "pm.jsonl")
+    rec = ProgressRecorder(max_batches=3, jsonl_path=jsonl)
+    for i in range(5):
+        p = SimpleNamespace(
+            id=f"q-{i}", batchId=i, timestamp=f"t{i}",
+            numInputRows=10 * i, inputRowsPerSecond=1.0,
+            processedRowsPerSecond=2.0, batchDuration=100 + i,
+            stateOperators=[], eventTime={})
+        rec.onQueryProgress(SimpleNamespace(progress=p))
+
+    # bounded: 3 kept, 2 oldest dropped and counted
+    assert rec.dropped_pending == 2
+    # terminal event persists WITHOUT any rows()/flush() reader call
+    rec.onQueryTerminated(None)
+    with open(jsonl) as f:
+        disk = [_json.loads(line) for line in f]
+    assert [r["batch_id"] for r in disk] == [2, 3, 4]
+    # idempotent: a second terminate adds nothing
+    rec.onQueryTerminated(None)
+    with open(jsonl) as f:
+        assert len(f.readlines()) == 3
