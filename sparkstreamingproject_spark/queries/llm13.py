@@ -347,3 +347,108 @@ def curation_submodular_coverage(spark, sf_dir):
                    else covered.unionByName(new_words).distinct())
         covered = covered.localCheckpoint()
     return sels
+
+
+# ------------------------------------------------ Hilbert layout index
+
+_HB_ORDER = 8  # 8 bits/dimension → 256x256 grid, d in [0, 65535]
+
+
+def _hilbert_stage_exprs() -> list[tuple[int, str, str, str]]:
+    """Per-level (s, d_expr, x_expr, y_expr) for the standard xy→d
+    Hilbert walk, as ONE shared SQL text per stage (runs verbatim in
+    Spark and DuckDB): the quadrant term (3·rx) XOR ry is folded to
+    pure CASE arithmetic (rx=0 → ry; rx=1 → 3-ry), and the
+    reflect+swap rotation is two CASE expressions over the ORIGINAL
+    x/y of the stage."""
+    stages = []
+    for k in range(_HB_ORDER - 1, -1, -1):
+        s = 1 << k
+        rx = f"(CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)"
+        d = (f"d + {s * s} * (CASE WHEN {rx} = 0 THEN {ry} "
+             f"ELSE 3 - {ry} END)")
+        x = (f"CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 "
+             f"THEN {s} - 1 - y ELSE y END) ELSE x END")
+        y_ = (f"CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 "
+              f"THEN {s} - 1 - x ELSE x END) ELSE y END")
+        stages.append((s, d, x, y_))
+    return stages
+
+
+def _hilbert_oracle() -> str:
+    ctes = []
+    prev = "h0"
+    for i, (_s, d, x, y) in enumerate(_hilbert_stage_exprs(), 1):
+        ctes.append(f"""h{i} AS (
+      SELECT pk, ({d}) AS d, ({x}) AS x, ({y}) AS y FROM {prev})""")
+        prev = f"h{i}"
+    n = _HB_ORDER
+    return f"""
+    WITH h0 AS (
+      SELECT p_partkey AS pk,
+             CAST(0 AS BIGINT) AS d,
+             CAST(p_size * 5 AS BIGINT) & 255 AS x,
+             CAST(round(p_retailprice) AS BIGINT) & 255 AS y
+      FROM part),
+    {",".join(ctes)},
+    fin AS (SELECT pk, d FROM {prev}),
+    adj AS (
+      SELECT abs(d - lag(d) OVER (ORDER BY x0.x, x0.y, pk)) AS jump
+      FROM fin JOIN (SELECT pk, x, y FROM h0) x0 USING (pk))
+    SELECT CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(min(d) AS BIGINT) AS min_d, CAST(max(d) AS BIGINT)
+             AS max_d,
+           CAST((SELECT sum(jump) FROM adj WHERE jump IS NOT NULL)
+                AS BIGINT) AS rowmajor_scan_jump_total
+    FROM fin
+    """
+
+
+@register(
+    "layout_hilbert_order",
+    oracle=_hilbert_oracle(),
+    tags=("layout",),
+)
+def layout_hilbert_order(spark, sf_dir):
+    """Hilbert space-filling-curve layout key over the part
+    (size, price) plane — the better-locality sibling of the z-order
+    key (`operators/zorder.py` / `layout_zonemap_pruning`): unlike
+    Morton interleave, the Hilbert walk never makes the diagonal
+    jumps that scatter a 2-D range across the 1-D order, so min/max
+    zone maps prune tighter for the same data. Emits the layout
+    audit: key range + total |Δd| along a row-major sweep of the
+    grid (the locality figure you compare against z-order's before
+    rewriting a 100 TB table).
+
+    Exactness: the xy→d walk is the standard {_HB_ORDER}-level
+    reflect/swap recurrence, generated ONCE as per-level CASE
+    arithmetic over integers (the (3rx)⊕ry quadrant term folds to
+    rx=0→ry / rx=1→3-ry, so no engine-specific XOR syntax exists)
+    and run verbatim by both engines — chained selectExpr in Spark,
+    the identical text as CTE stages in DuckDB.
+
+    Scale shape: map-only per-row integer arithmetic inside
+    whole-stage codegen (like zorder_key's shift/or chain) + one
+    ordered grid-grain pass for the audit metric; writing a
+    table Hilbert-clustered is `write_zordered` with this key."""
+    d0 = (table(spark, sf_dir, "part")
+          .selectExpr("p_partkey AS pk",
+                      "CAST(0 AS BIGINT) AS d",
+                      "CAST(p_size * 5 AS BIGINT) & 255 AS x",
+                      "CAST(round(p_retailprice) AS BIGINT) & 255 AS y"))
+    cur = d0
+    for _s, dd, xx, yy in _hilbert_stage_exprs():
+        cur = cur.selectExpr("pk", f"({dd}) AS d", f"({xx}) AS x",
+                             f"({yy}) AS y")
+    fin = cur.select("pk", "d")
+    x0 = d0.select("pk", "x", "y")
+    w = Window.orderBy("x", "y", "pk")
+    adj = (fin.join(x0, "pk")
+           .select(F.abs(F.col("d") - F.lag("d").over(w)).alias("jump")))
+    tot = adj.filter(F.col("jump").isNotNull()) \
+        .agg(F.sum("jump").cast("long").alias("rowmajor_scan_jump_total"))
+    return (fin.agg(F.count("*").cast("long").alias("n_parts"),
+                    F.min("d").cast("long").alias("min_d"),
+                    F.max("d").cast("long").alias("max_d"))
+            .crossJoin(F.broadcast(tot)))

@@ -805,3 +805,29 @@ def test_knn_descent_improves_recall(spark, sf_dir):
     r_desc = recall(embedding_knn_descent_round(spark, sf_dir))
     assert r_desc >= r_seed, (r_seed, r_desc)
     assert r_desc > r_seed, (r_seed, r_desc)  # strict lift on testdata
+
+
+def test_hilbert_walk_is_a_bijection(spark):
+    """The generated Hilbert stage expressions must map the full
+    2^n x 2^n grid one-to-one onto [0, 4^n) — the property that makes
+    the key a valid clustering order (any collision or gap breaks
+    range pruning). Checked on the full 256x256 grid via the same
+    shared SQL text the query runs."""
+    from sparkstreamingproject_spark.queries.llm13 import (
+        _HB_ORDER, _hilbert_stage_exprs,
+    )
+
+    n = 1 << _HB_ORDER
+    grid = spark.range(n * n).selectExpr(
+        "id AS pk", "CAST(0 AS BIGINT) AS d",
+        f"CAST(id div {n} AS BIGINT) AS x",
+        f"CAST(id % {n} AS BIGINT) AS y")
+    cur = grid
+    for _s, dd, xx, yy in _hilbert_stage_exprs():
+        cur = cur.selectExpr("pk", f"({dd}) AS d", f"({xx}) AS x",
+                             f"({yy}) AS y")
+    stats = cur.agg(
+        F.countDistinct("d").alias("nd"),
+        F.min("d").alias("lo"), F.max("d").alias("hi")).collect()[0]
+    assert stats["nd"] == n * n and stats["lo"] == 0 \
+        and stats["hi"] == n * n - 1, stats

@@ -92,6 +92,7 @@ _KEEPERS = [
     "curation_submodular_coverage", "dq_outlier_mad_robust",
     "sim_knn_graph_greedy_search",
     "stat_ansari_bradley_scale",
+    "layout_hilbert_order",
 ]
 
 _seen: set[str] = set()
