@@ -452,3 +452,115 @@ def layout_hilbert_order(spark, sf_dir):
                     F.min("d").cast("long").alias("min_d"),
                     F.max("d").cast("long").alias("max_d"))
             .crossJoin(F.broadcast(tot)))
+
+
+# ------------------------------------------------ audio landmark FP
+
+_LM_MIN = 100   # peak admission threshold (char-code "amplitude")
+_LM_FAN = 8     # pair each anchor with peaks within this many steps
+
+
+@register(
+    "multimodal_audio_landmarks",
+    oracle=f"""
+    WITH d AS MATERIALIZED (
+      SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+      FROM documents WHERE length(text) >= 3),
+    sig AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS t,
+             ascii(substr(text, CAST(i AS INT), 1)) AS amp
+      FROM d, unnest(range(1, n + 1)) AS g(i)),
+    pk AS MATERIALIZED (
+      SELECT doc_id, t, amp
+      FROM (SELECT doc_id, t, amp,
+                   lag(amp) OVER (PARTITION BY doc_id ORDER BY t)
+                     AS la,
+                   lead(amp) OVER (PARTITION BY doc_id ORDER BY t)
+                     AS lb
+            FROM sig)
+      WHERE amp > {_LM_MIN} AND la IS NOT NULL AND lb IS NOT NULL
+        AND amp > la AND amp > lb),
+    lm AS (
+      SELECT a.doc_id,
+             a.amp * 65536 + b.amp * 256 + (b.t - a.t) AS lhash
+      FROM pk a JOIN pk b
+        ON b.doc_id = a.doc_id AND b.t > a.t
+       AND b.t - a.t <= {_LM_FAN}),
+    per AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_landmarks,
+             md5(string_agg(CAST(lhash AS VARCHAR), ','
+                            ORDER BY lhash)) AS fingerprint
+      FROM lm GROUP BY doc_id),
+    np AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_peaks
+           FROM pk GROUP BY doc_id)
+    SELECT np.doc_id, np.n_peaks,
+           coalesce(per.n_landmarks, 0) AS n_landmarks,
+           per.fingerprint
+    FROM np LEFT JOIN per ON per.doc_id = np.doc_id
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_audio_landmarks(spark, sf_dir):
+    """Shazam-style constellation fingerprinting over the
+    text-as-waveform stand-in: strict local maxima above an
+    amplitude floor become PEAKS; each anchor peak pairs with every
+    peak within {_LM_FAN} steps ahead into a LANDMARK hash
+    (f1·2^16 + f2·2^8 + Δt — the classic target-zone triple); a
+    document's fingerprint is the md5 of its ordered landmark list.
+    A real audio pipeline feeds spectrogram-bin peaks from the Arrow
+    decode kernel into the SAME peak→pair→hash chain — this is how
+    near-duplicate audio is matched at catalog scale.
+
+    Exactness: amplitudes, peak tests, and landmark hashes are pure
+    integers; the fingerprint aggregates the landmark list in
+    EXPLICIT lhash order on both engines (ordered string_agg /
+    sort_array+concat_ws), so the md5 is deterministic under any
+    partitioning.
+
+    Scale shape: peak detection is one windowed pass over the signal
+    explode (map-only volume, like VAD); the landmark self-join is
+    per-doc with a {_LM_FAN}-step target zone — fanout bounded by
+    peak density × zone width, never quadratic in signal length;
+    the fingerprint aggregate is per-doc. Matching two catalogs is
+    then an equi-join on lhash (posting lists), the same shape as
+    every banding dedup here."""
+    d = (table(spark, sf_dir, "documents")
+         .filter(F.length("text") >= 3)
+         .select("doc_id", "text"))
+    sig = d.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            "transform(sequence(1, length(text)), "
+            "i -> ascii(substr(text, CAST(i AS INT), 1)))"
+        )).alias("i0", "amp")).select(
+        "doc_id", (F.col("i0") + 1).alias("t"), "amp")
+    w = Window.partitionBy("doc_id").orderBy("t")
+    pk = (sig.select("doc_id", "t", "amp",
+                     F.lag("amp").over(w).alias("la"),
+                     F.lead("amp").over(w).alias("lb"))
+          .filter((F.col("amp") > _LM_MIN)
+                  & F.col("la").isNotNull() & F.col("lb").isNotNull()
+                  & (F.col("amp") > F.col("la"))
+                  & (F.col("amp") > F.col("lb")))
+          .select("doc_id", "t", "amp"))
+    a, b = pk.alias("a"), pk.alias("b")
+    lm = (a.join(b, (F.col("b.doc_id") == F.col("a.doc_id"))
+                 & (F.col("b.t") > F.col("a.t"))
+                 & (F.col("b.t") - F.col("a.t") <= _LM_FAN))
+          .select(F.col("a.doc_id").alias("doc_id"),
+                  (F.col("a.amp") * 65536 + F.col("b.amp") * 256
+                   + (F.col("b.t") - F.col("a.t"))).alias("lhash")))
+    per = (lm.groupBy("doc_id")
+           .agg(F.count("*").cast("long").alias("n_landmarks"),
+                F.md5(F.concat_ws(",", F.expr(
+                    "transform(sort_array(collect_list(lhash)), "
+                    "v -> CAST(v AS STRING))")))
+                .alias("fingerprint")))
+    np_ = pk.groupBy("doc_id").agg(F.count("*").cast("long")
+                                   .alias("n_peaks"))
+    return (np_.join(per, "doc_id", "left")
+            .select("doc_id", "n_peaks",
+                    F.coalesce("n_landmarks", F.lit(0)).cast("long")
+                    .alias("n_landmarks"),
+                    "fingerprint"))

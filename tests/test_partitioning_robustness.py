@@ -93,6 +93,7 @@ _KEEPERS = [
     "sim_knn_graph_greedy_search",
     "stat_ansari_bradley_scale",
     "layout_hilbert_order",
+    "multimodal_audio_landmarks",
 ]
 
 _seen: set[str] = set()
