@@ -691,3 +691,162 @@ def stat_ansari_bradley_scale(spark, sf_dir):
     t = a.selectExpr("n1", "n2", "n1 + n2 AS nn", "ab")
     return t.selectExpr("n1", "n2", "ab AS ab_sum",
                         f"round({_AB_Z}, 4) AS z")
+
+
+# ------------------------------------------------ HyperANF
+
+_HA_M = 8       # HLL registers per vertex (8 B sketch state each)
+_HA_ROUNDS = 2  # neighborhood function N(0), N(1), N(2)
+_HA_ALPHA_NUM = (0.7213 / (1 + 1.079 / _HA_M)) * (_HA_M * _HA_M)
+_HA_2_33 = 8589934592  # 2^33
+
+
+def _hyperanf_oracle() -> str:
+    rounds = []
+    ests = []
+    for h in range(_HA_ROUNDS + 1):
+        if h > 0:
+            rounds.append(f""",
+    r{h} AS MATERIALIZED (
+      SELECT node, bucket, max(m) AS m
+      FROM (SELECT d.b AS node, r.bucket, r.m
+            FROM dir d JOIN r{h - 1} r ON r.node = d.a
+            UNION ALL
+            SELECT node, bucket, m FROM r{h - 1})
+      GROUP BY 1, 2)""")
+        ests.append(f"""
+      SELECT {h} AS h,
+             CAST(count(*) AS BIGINT) AS n_vertices,
+             CAST(sum(est) AS DOUBLE) AS est_reachable_pairs
+      FROM (SELECT node,
+                   CAST(round((CAST({_HA_ALPHA_NUM} AS DOUBLE)
+                         * CAST({_HA_2_33} AS DOUBLE))
+                        / (sum(CAST(1 AS BIGINT) << (33 - m))
+                           + ({_HA_M} - count(*)) * {_HA_2_33}), 4)
+                        AS DECIMAL(28,4)) AS est
+            FROM r{h} GROUP BY node)""")
+    return f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey < b.l_partkey),
+    dir AS MATERIALIZED (SELECT u AS a, v AS b FROM e
+            UNION ALL SELECT v, u FROM e),
+    hx AS (SELECT DISTINCT a AS node,
+                  md5(CAST(a AS VARCHAR)) AS h
+           FROM dir),
+    r0 AS MATERIALIZED (
+      SELECT node,
+             CAST(('0x' || substr(h, 1, 3)) AS BIGINT) % {_HA_M}
+               AS bucket,
+             max(CASE WHEN CAST(('0x' || substr(h, 4, 8)) AS BIGINT) = 0
+                      THEN 33
+                      ELSE 33 - length(bin(CAST(('0x' || substr(h, 4, 8))
+                                               AS BIGINT))) END) AS m
+      FROM hx GROUP BY 1, 2){"".join(rounds)}
+    SELECT h, n_vertices, round(est_reachable_pairs, 2)
+             AS est_reachable_pairs
+    FROM ({" UNION ALL ".join(ests)})
+    """
+
+
+@register(
+    "graph_hyperanf_reachable_pairs",
+    oracle=_hyperanf_oracle(),
+    tags=("graph", "sketch"),
+)
+def graph_hyperanf_reachable_pairs(spark, sf_dir):
+    """HyperANF (Boldi-Rosa-Vigna): the neighborhood function
+    N(h) = Σ_v |ball(v, h)| estimated by giving every vertex a
+    {_HA_M}-register HyperLogLog and max-merging neighbors' sketches
+    per round — THE way to measure reachable pairs / effective
+    diameter on a graph too big for BFS-per-vertex (exact
+    all-pairs is O(V·E); this is O(h·E) with {_HA_M}-byte state per
+    vertex). Two rounds here; the curve's growth rate N(2)/N(1) is
+    the expansion signal.
+
+    Exactness: registers are the certified `sketch_hll_distinct`
+    integers (md5 bucket + leading-one position via length(bin), no
+    libm); merges are max() — exact, associative, order-free; each
+    vertex's estimate is ONE fixed-order float expression over its
+    own ≤{_HA_M} registers; and the vertex SUM is over estimates
+    rounded to DECIMAL(28,4) first — decimal addition is exact and
+    commutative, so no float-summation order exists anywhere. The
+    linear-counting small-range correction is omitted (its ln() is a
+    cross-engine libm hazard — same documented choice as
+    `sketch_hll_distinct`), so tiny-ball estimates carry the known
+    raw-HLL upward bias identically in both engines; the h≥1 growth
+    curve is the product.
+
+    Scale shape: per round ONE edge⋈register join + (node, bucket)
+    max-aggregate — register rows ≤ {_HA_M}·V, the join is the
+    PageRank shuffle with a {_HA_M}× fanout cap; localCheckpoint
+    cuts lineage per round. At 100 TB this is exactly the HyperANF
+    layout: sketches live beside vertices, rounds are map-side-
+    combinable max-merges."""
+    li = (table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    a, b = li.alias("a"), li.alias("b")
+    e = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+         .select(F.col("a.l_partkey").alias("u"),
+                 F.col("b.l_partkey").alias("v"))
+         .distinct())
+    dirn = (e.select(F.col("u").alias("na"), F.col("v").alias("nb"))
+            .unionAll(e.select(F.col("v").alias("na"),
+                               F.col("u").alias("nb"))))
+    dirn = dirn.localCheckpoint()
+    hx = (dirn.select(F.col("na").alias("node")).distinct()
+          .select("node", F.md5(F.col("node").cast("string")).alias("h")))
+    r = (hx.groupBy("node",
+                    (F.conv(F.substring("h", 1, 3), 16, 10).cast("long")
+                     % _HA_M).alias("bucket"))
+         .agg(F.max(F.when(F.conv(F.substring("h", 4, 8), 16, 10)
+                           .cast("long") == 0, 33)
+                    .otherwise(33 - F.length(F.bin(
+                        F.conv(F.substring("h", 4, 8), 16, 10)
+                        .cast("long"))))).alias("m"))
+         .localCheckpoint())
+
+    def estimate(regs, h):
+        per = (regs.groupBy("node")
+               .agg(F.sum(F.expr(
+                   "shiftleft(CAST(1 AS BIGINT), CAST(33 - m AS INT))"))
+                   .alias("s_filled"),
+                   F.count("*").alias("v")))
+        est = (F.lit(_HA_ALPHA_NUM) * F.lit(float(_HA_2_33))) / (
+            F.col("s_filled") + (F.lit(_HA_M) - F.col("v"))
+            * F.lit(_HA_2_33))
+        return (per.select(F.round(est, 4).cast("decimal(28,4)")
+                           .alias("est"))
+                .agg(F.count("*").cast("long").alias("n_vertices"),
+                     F.sum("est").cast("double")
+                     .alias("est_reachable_pairs"))
+                .select(F.lit(h).cast("int").alias("h"), "n_vertices",
+                        F.round("est_reachable_pairs", 2)
+                        .alias("est_reachable_pairs")))
+
+    out = estimate(r, 0)
+    for h in range(1, _HA_ROUNDS + 1):
+        # sort-merge, NOT broadcast and NOT hash: broadcasting EDGES
+        # is the wrong plan at any scale (they are the big relation,
+        # and at sf0.1 the 38 MB edge list slips under the session's
+        # 64 MB broadcast threshold and blows a 1 GB driver heap);
+        # hash builds also pressure small heaps, while SMJ spills —
+        # the right posture for a register-fanout join that emits
+        # |E|·m rows
+        prop = (dirn.join(r.withColumnRenamed("node", "na")
+                          .hint("merge"), "na")
+                .select(F.col("nb").alias("node"), "bucket", "m")
+                # pre-partition on the agg key at higher parallelism:
+                # the |E|·m fanout is the round's big relation, and
+                # 32-way tasks of it overrun a 1 GB heap — 256-way
+                # tasks stream/spill comfortably, and the groupBy
+                # reuses the partitioning (no extra exchange)
+                .repartition(256, "node", "bucket"))
+        r = (prop.unionByName(r)
+             .groupBy("node", "bucket").agg(F.max("m").alias("m"))
+             .localCheckpoint())
+        out = out.unionByName(estimate(r, h))
+    return out

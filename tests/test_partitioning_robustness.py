@@ -94,6 +94,7 @@ _KEEPERS = [
     "stat_ansari_bradley_scale",
     "layout_hilbert_order",
     "multimodal_audio_landmarks",
+    "graph_hyperanf_reachable_pairs",
 ]
 
 _seen: set[str] = set()
