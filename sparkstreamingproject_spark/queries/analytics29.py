@@ -850,3 +850,151 @@ def graph_hyperanf_reachable_pairs(spark, sf_dir):
              .localCheckpoint())
         out = out.unionByName(estimate(r, h))
     return out
+
+
+# ------------------------------------------------ Ljung-Box portmanteau
+
+# Q = n(n+2) Σ_k r_k²/(n-k), k=1..3 — written as one fixed-order
+# expression over the 6dp-rounded certified ACF values
+_LB_Q = ("CAST(n AS DOUBLE) * (n + 2) * ("
+         "r1 * r1 / (n - 1) + r2 * r2 / (n - 2) + r3 * r3 / (n - 3))")
+
+
+def _ljung_box_oracle() -> str:
+    leads = ",\n             ".join(
+        f"lead(x, {k}) OVER (ORDER BY d) AS x{k}" for k in (1, 2, 3))
+    aggs = ",\n             ".join(
+        f"CAST(sum(CAST(x AS DECIMAL(38,0)) * x{k}) AS DECIMAL(38,0))"
+        f" AS p{k},\n             "
+        f"CAST(sum(CASE WHEN x{k} IS NOT NULL THEN x ELSE 0 END)"
+        f" AS BIGINT) AS a{k},\n             "
+        f"CAST(sum(x{k}) AS BIGINT) AS b{k}"
+        for k in (1, 2, 3))
+    return f"""
+    WITH daily AS (
+      SELECT o_orderdate AS d, CAST(count(*) AS BIGINT) AS x
+      FROM orders GROUP BY 1),
+    l AS (SELECT x, {leads} FROM daily),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s,
+             CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0))
+               AS q,
+             {aggs}
+      FROM l),
+    acf AS (
+      SELECT n, {_acf_expr_sql(1)} AS r1, {_acf_expr_sql(2)} AS r2,
+             {_acf_expr_sql(3)} AS r3
+      FROM g)
+    SELECT CAST(n AS BIGINT) AS n, r1, r2, r3,
+           round({_LB_Q}, 4) AS q_lb
+    FROM acf
+    """
+
+
+@register(
+    "ts_ljung_box",
+    oracle=_ljung_box_oracle(),
+    tags=("timeseries", "stat"),
+)
+def ts_ljung_box(spark, sf_dir):
+    """Ljung-Box portmanteau statistic on the daily order-count
+    series at lags 1-3: Q = n(n+2)·Σ r_k²/(n-k), the standard
+    is-there-any-autocorrelation-left test — the residual-whiteness
+    gate that closes the Box-Jenkins loop (ACF identifies → PACF
+    orders → Yule-Walker fits → Ljung-Box validates).
+
+    Exactness: r_k are the certified exact DECIMAL(38,0) ACF values
+    rounded to 6dp BEFORE Q; Q itself is one fixed-order three-term
+    expression tree shared by both engines (no aggregate over
+    floats). Scale: identical to the ACF — day-grain collapse, one
+    3-lag moment pass, scalar tail."""
+    daily = (table(spark, sf_dir, "orders")
+             .groupBy(F.col("o_orderdate").alias("d"))
+             .agg(F.count("*").cast("long").alias("x")))
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "x", *[F.lead("x", k).over(w).alias(f"x{k}") for k in (1, 2, 3)])
+    dec = "decimal(38,0)"
+    aggs = [F.count("*").cast("long").alias("n"),
+            F.sum("x").cast("long").alias("s"),
+            F.sum(F.col("x").cast(dec) * F.col("x")).cast(dec).alias("q")]
+    for k in (1, 2, 3):
+        aggs += [
+            F.sum(F.col("x").cast(dec) * F.col(f"x{k}")).cast(dec)
+            .alias(f"p{k}"),
+            F.sum(F.when(F.col(f"x{k}").isNotNull(), F.col("x"))
+                  .otherwise(0)).cast("long").alias(f"a{k}"),
+            F.sum(f"x{k}").cast("long").alias(f"b{k}")]
+    g = lagged.agg(*aggs)
+    acf = g.selectExpr("n", f"{_acf_expr_sql(1)} AS r1",
+                       f"{_acf_expr_sql(2)} AS r2",
+                       f"{_acf_expr_sql(3)} AS r3")
+    return acf.selectExpr("CAST(n AS BIGINT) AS n", "r1", "r2", "r3",
+                          f"round({_LB_Q}, 4) AS q_lb")
+
+
+# ------------------------------------------------ Grubbs statistic
+
+# G = max|x - mean| / s with the mean cleared of fractions:
+# max|n·x - S| / (n·s), s² = (n·Q - S²)/(n·(n-1)) — one sqrt at the end
+_GRUBBS_G = ("CAST(dmax AS DOUBLE) / sqrt(CAST(n AS DOUBLE) * "
+             "(CAST(CAST(n AS DECIMAL(38,0)) * q "
+             "- CAST(s AS DECIMAL(38,0)) * s AS DOUBLE) / (n - 1.0)))")
+
+
+@register(
+    "stat_grubbs_test",
+    oracle=f"""
+    WITH p AS (
+      SELECT o_orderpriority AS pri,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    g AS (
+      SELECT pri, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s,
+             CAST(sum(CAST(cents AS DECIMAL(38,0)) * cents)
+                  AS DECIMAL(38,0)) AS q
+      FROM p GROUP BY pri),
+    d AS (
+      SELECT p.pri,
+             max(abs(CAST(g.n AS DECIMAL(38,0)) * p.cents - g.s))
+               AS dmax
+      FROM p JOIN g ON g.pri = p.pri
+      GROUP BY p.pri)
+    SELECT g.pri, g.n,
+           round({_GRUBBS_G}, 4) AS grubbs_g
+    FROM g JOIN d ON d.pri = g.pri
+    """,
+    tags=("stats", "dq"),
+)
+def stat_grubbs_test(spark, sf_dir):
+    """Grubbs' statistic per order priority: the maximum studentized
+    deviation G = max|x-x̄|/s — the single-most-extreme-outlier test
+    (the parametric partner of the MAD screen
+    `dq_outlier_mad_robust`, which survives what Grubbs assumes
+    away).
+
+    Exactness: the mean is cleared of fractions by working with
+    n·x - S (exact DECIMAL integers, so the max is an exact integer
+    order statistic), and the sample variance comes from the exact
+    n·Q - S² form; ONE terminal sqrt + divide shared by both
+    engines. Scale: two map-side-combinable aggregates over the
+    fact stream + one broadcast join of the 5-row moment relation —
+    no sort, no window."""
+    p = (table(spark, sf_dir, "orders")
+         .select(F.col("o_orderpriority").alias("pri"),
+                 F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+                 .alias("cents")))
+    dec = "decimal(38,0)"
+    g = (p.groupBy("pri")
+         .agg(F.count("*").cast("long").alias("n"),
+              F.sum("cents").cast("long").alias("s"),
+              F.sum(F.col("cents").cast(dec) * F.col("cents"))
+              .cast(dec).alias("q")))
+    d = (p.join(F.broadcast(g), "pri")
+         .groupBy("pri")
+         .agg(F.max(F.abs(F.col("n").cast(dec) * F.col("cents")
+                          - F.col("s"))).alias("dmax")))
+    return (g.join(d, "pri")
+            .selectExpr("pri", "n", f"round({_GRUBBS_G}, 4) AS grubbs_g"))

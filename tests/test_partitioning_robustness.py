@@ -95,6 +95,7 @@ _KEEPERS = [
     "layout_hilbert_order",
     "multimodal_audio_landmarks",
     "graph_hyperanf_reachable_pairs",
+    "ts_ljung_box", "stat_grubbs_test",
 ]
 
 _seen: set[str] = set()
