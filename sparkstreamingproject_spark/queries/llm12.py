@@ -1261,3 +1261,170 @@ def sim_knn_graph_greedy_search(spark, sf_dir):
         F.col("node").alias("found_id"),
         F.round(F.col("d2").cast("double") / F.lit(1e12), 6)
         .alias("dist_sq"))
+
+
+# ------------------------------------------------ two-layer search
+
+_HN_MOD = 4       # layer-1 membership: vec_id % 4 == 0 (deterministic)
+_HN_HOPS = 2      # greedy hops per layer
+
+
+def _hop_ctes(layer: str, start: int, hops: int) -> str:
+    """Unrolled greedy hops cur{start}..cur{start+hops} over graph
+    CTE ``{layer}`` — same shape as the flat greedy walk."""
+    out = []
+    for h in range(start, start + hops):
+        out.append(f""",
+    cand{h} AS (
+      SELECT DISTINCT c.qid, g.b AS node
+      FROM cur{h} c JOIN {layer} g ON g.a = c.node
+      WHERE g.b <> c.qid),
+    cd{h} AS (
+      SELECT p.qid, p.node,
+             sum((ea.x - eb.x) * (ea.x - eb.x)) AS d2
+      FROM cand{h} p
+      JOIN el ea ON ea.vec_id = p.qid
+      JOIN el eb ON eb.vec_id = p.node AND eb.pos = ea.pos
+      GROUP BY 1, 2),
+    best{h} AS (
+      SELECT qid, node, d2
+      FROM (SELECT qid, node, d2,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY d2, node) AS rn
+            FROM cd{h})
+      WHERE rn = 1),
+    cur{h + 1} AS MATERIALIZED (
+      SELECT c.qid,
+             CASE WHEN b.d2 IS NOT NULL AND b.d2 < c.d2
+                  THEN b.node ELSE c.node END AS node,
+             CASE WHEN b.d2 IS NOT NULL AND b.d2 < c.d2
+                  THEN b.d2 ELSE c.d2 END AS d2
+      FROM cur{h} c LEFT JOIN best{h} b ON b.qid = c.qid)""")
+    return "".join(out)
+
+
+def _two_layer_oracle() -> str:
+    k = _KNN_K
+    return f"""{_knn_base_ctes()},
+    knn1 AS MATERIALIZED (
+      SELECT src, dst, d2, rank
+      FROM (SELECT src, dst, d2,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY d2, dst) AS rank
+            FROM d2
+            WHERE src % {_HN_MOD} = 0 AND dst % {_HN_MOD} = 0)
+      WHERE rank <= {k}),
+    g1 AS (SELECT src AS a, dst AS b FROM knn1
+           UNION SELECT dst, src FROM knn1),
+    g0 AS (SELECT src AS a, dst AS b FROM knn
+           UNION SELECT dst, src FROM knn),
+    qs AS (SELECT vec_id AS qid FROM embeddings
+           WHERE vec_id < {_GS_NQ}),
+    ent AS (
+      SELECT qs.qid, min(g.a) AS node
+      FROM qs JOIN g1 g ON g.a <> qs.qid
+      GROUP BY qs.qid),
+    cur0 AS MATERIALIZED (
+      SELECT e.qid, e.node,
+             sum((ea.x - eb.x) * (ea.x - eb.x)) AS d2
+      FROM ent e
+      JOIN el ea ON ea.vec_id = e.qid
+      JOIN el eb ON eb.vec_id = e.node AND eb.pos = ea.pos
+      GROUP BY 1, 2){_hop_ctes("g1", 0, _HN_HOPS)}{
+        _hop_ctes("g0", _HN_HOPS, _HN_HOPS)}
+    SELECT qid AS query_id, node AS found_id,
+           round(CAST(d2 AS DOUBLE) / 1e12, 6) AS dist_sq
+    FROM cur{2 * _HN_HOPS}
+    """
+
+
+@register("sim_ann_two_layer_search", oracle=_two_layer_oracle(),
+          tags=("llm", "similarity", "graph"))
+def sim_ann_two_layer_search(spark, sf_dir):
+    """Hierarchical (HNSW-style) two-layer graph search: a COARSE
+    layer-1 graph over the deterministic 1/{_HN_MOD} node subset
+    (hash-style membership replaces HNSW's random level draw — same
+    expected layer sizes, reproducible) routes {_HN_HOPS} greedy hops
+    to a good REGION, then the full layer-0 kNN graph refines with
+    {_HN_HOPS} more hops. This is exactly why HNSW beats flat NSW:
+    the coarse layer crosses the space in few hops (its edges are
+    long), so layer-0 starts near the target instead of at a fixed
+    global entry (`sim_knn_graph_greedy_search` is the flat
+    baseline).
+
+    Both layers re-rank with the SAME exact integer squared-L2 and
+    (d2, node) tiebreaks; monotone downhill moves only — identical
+    walks in both engines. The layer-1 kNN graph costs nothing
+    extra: it re-ranks the ALREADY-COMPUTED LSH candidate distances
+    restricted to layer-1 pairs.
+
+    Scale: per hop |Q|·degree distance evaluations (the NSW loop);
+    layer-1 has ~1/{_HN_MOD} the nodes so its graph build is a
+    filter + window over the shared candidate distances, no second
+    LSH pass."""
+    emb = table(spark, sf_dir, "embeddings")
+    el = _quantized_elements(emb).localCheckpoint()
+    from ..llm.similarity import lsh_multi_table_pairs
+    cand = lsh_multi_table_pairs(emb)
+    sym = (cand.select(F.col("id_a").alias("src"),
+                       F.col("id_b").alias("dst"))
+           .unionByName(cand.select(F.col("id_b").alias("src"),
+                                    F.col("id_a").alias("dst"))))
+    d2 = _exact_d2(sym, el).localCheckpoint()
+    knn0 = _topk_per_src(d2).select("src", "dst")
+    knn1 = _topk_per_src(
+        d2.filter((F.col("src") % _HN_MOD == 0)
+                  & (F.col("dst") % _HN_MOD == 0))).select("src", "dst")
+
+    def symg(edges):
+        return (edges.select(F.col("src").alias("a"),
+                             F.col("dst").alias("b"))
+                .unionByName(edges.select(F.col("dst").alias("a"),
+                                          F.col("src").alias("b")))
+                .distinct().localCheckpoint())
+
+    g0, g1 = symg(knn0), symg(knn1)
+    qs = emb.filter(F.col("vec_id") < _GS_NQ) \
+        .select(F.col("vec_id").alias("qid"))
+    ent = (qs.join(g1, g1["a"] != qs["qid"])
+           .groupBy("qid").agg(F.min("a").alias("node")))
+
+    def dist(pairs):
+        d = _exact_d2(pairs.select(F.col("qid").alias("src"),
+                                   F.col("node").alias("dst")), el)
+        return d.select(F.col("src").alias("qid"),
+                        F.col("dst").alias("node"), "d2")
+
+    from pyspark.sql import Window
+
+    def hops(cur, gsym, n):
+        for _ in range(n):
+            cand_h = (cur.join(gsym, cur["node"] == gsym["a"])
+                      .filter(F.col("b") != F.col("qid"))
+                      .select("qid", F.col("b").alias("node"))
+                      .distinct())
+            cd = dist(cand_h)
+            wq = Window.partitionBy("qid").orderBy("d2", "node")
+            best = (cd.withColumn("rn", F.row_number().over(wq))
+                    .filter(F.col("rn") == 1)
+                    .select("qid", F.col("node").alias("b_node"),
+                            F.col("d2").alias("b_d2")))
+            better = (F.col("b_d2").isNotNull()
+                      & (F.col("b_d2") < F.col("d2")))
+            cur = (cur.join(best, "qid", "left")
+                   .select("qid",
+                           F.when(better, F.col("b_node"))
+                           .otherwise(F.col("node")).alias("node"),
+                           F.when(better, F.col("b_d2"))
+                           .otherwise(F.col("d2")).alias("d2"))
+                   .localCheckpoint())
+        return cur
+
+    cur = dist(ent).localCheckpoint()
+    cur = hops(cur, g1, _HN_HOPS)   # coarse layer crosses the space
+    cur = hops(cur, g0, _HN_HOPS)   # full layer refines locally
+    return cur.select(
+        F.col("qid").alias("query_id"),
+        F.col("node").alias("found_id"),
+        F.round(F.col("d2").cast("double") / F.lit(1e12), 6)
+        .alias("dist_sq"))

@@ -96,6 +96,7 @@ _KEEPERS = [
     "multimodal_audio_landmarks",
     "graph_hyperanf_reachable_pairs",
     "ts_ljung_box", "stat_grubbs_test",
+    "sim_ann_two_layer_search",
 ]
 
 _seen: set[str] = set()
