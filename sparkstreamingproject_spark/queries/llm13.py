@@ -564,3 +564,119 @@ def multimodal_audio_landmarks(spark, sf_dir):
                     F.coalesce("n_landmarks", F.lit(0)).cast("long")
                     .alias("n_landmarks"),
                     "fingerprint"))
+
+
+# ------------------------------------------------ Cavnar-Trenkle lang-ID
+
+_CT_LP = 30   # language-profile depth (top trigrams)
+_CT_DP = 20   # document-profile depth
+_CT_PEN = 30  # out-of-place penalty for grams absent from a profile
+
+
+@register(
+    "text_lang_id_cavnar_trenkle",
+    oracle=f"""
+    WITH d AS MATERIALIZED (
+      SELECT doc_id, lang, text, CAST(length(text) AS BIGINT) AS n
+      FROM documents WHERE length(text) >= 3),
+    tg AS MATERIALIZED (
+      SELECT doc_id, lang, substr(text, CAST(i AS INT), 3) AS g
+      FROM d, unnest(range(1, n - 1)) AS t(i)),
+    lp AS MATERIALIZED (
+      SELECT lang, g, rnk
+      FROM (SELECT lang, g,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY count(*) DESC, g)
+                     AS rnk
+            FROM tg GROUP BY lang, g)
+      WHERE rnk <= {_CT_LP}),
+    dp AS MATERIALIZED (
+      SELECT doc_id, lang AS true_lang, g, rnk
+      FROM (SELECT doc_id, lang, g,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY count(*) DESC, g)
+                     AS rnk
+            FROM tg GROUP BY doc_id, lang, g)
+      WHERE rnk <= {_CT_DP}),
+    langs AS (SELECT DISTINCT lang FROM d),
+    sc AS (
+      SELECT dp.doc_id, dp.true_lang, l.lang AS cand,
+             CAST(sum(CASE WHEN lp.rnk IS NULL THEN {_CT_PEN}
+                           ELSE abs(dp.rnk - lp.rnk) END) AS BIGINT)
+               AS score
+      FROM dp CROSS JOIN langs l
+      LEFT JOIN lp ON lp.lang = l.lang AND lp.g = dp.g
+      GROUP BY 1, 2, 3),
+    pred AS (
+      SELECT doc_id, true_lang, cand AS pred_lang
+      FROM (SELECT doc_id, true_lang, cand,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY score, cand) AS rn
+            FROM sc)
+      WHERE rn = 1)
+    SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+    FROM pred GROUP BY 1, 2
+    """,
+    tags=("llm", "text", "classify"),
+)
+def text_lang_id_cavnar_trenkle(spark, sf_dir):
+    """Cavnar-Trenkle n-gram rank-profile language ID (the classic
+    'out-of-place' measure behind textcat/langdetect): each language
+    gets a profile of its top-{_CT_LP} character trigrams by
+    frequency rank; a document's top-{_CT_DP} trigram ranks are
+    compared to each profile by summed rank displacement (absent
+    grams pay the max penalty {_CT_PEN}); predict the
+    minimum-displacement language. Emits the confusion matrix — the
+    rank-statistics alternative to the registry's Naive-Bayes
+    classifier (`nb_lang_classifier`), and the corpus-quality gate
+    run before language-filtering a 100 TB crawl.
+
+    Exactness: counts, ranks (full (count DESC, gram) tiebreaks),
+    displacements, and argmin (score, lang) are all integers — no
+    float exists. In-sample profiles by design (the profile build IS
+    part of the measured pipeline).
+
+    Scale shape: one trigram explode (≈ text volume) feeding two
+    rank windows — per-language profiles are {_CT_LP}-row relations
+    (broadcast), document profiles are {_CT_DP} rows/doc; scoring
+    joins doc-profile grams against the tiny profile relation and
+    aggregates per (doc, candidate) — |langs|·{_CT_DP} rows per doc,
+    map-side combinable."""
+    d = (table(spark, sf_dir, "documents")
+         .filter(F.length("text") >= 3)
+         .select("doc_id", "lang", "text"))
+    tg = d.select(
+        "doc_id", "lang",
+        F.explode(F.expr(
+            "transform(sequence(1, length(text) - 2), "
+            "i -> substr(text, CAST(i AS INT), 3))")).alias("g"))
+    tg = tg.localCheckpoint()
+    wl = Window.partitionBy("lang").orderBy(F.desc("c"), "g")
+    lp = (tg.groupBy("lang", "g").agg(F.count("*").alias("c"))
+          .withColumn("rnk", F.row_number().over(wl))
+          .filter(F.col("rnk") <= _CT_LP)
+          .select("lang", "g", "rnk"))
+    wd = Window.partitionBy("doc_id").orderBy(F.desc("c"), "g")
+    dp = (tg.groupBy("doc_id", "lang", "g").agg(F.count("*").alias("c"))
+          .withColumn("rnk", F.row_number().over(wd))
+          .filter(F.col("rnk") <= _CT_DP)
+          .select("doc_id", F.col("lang").alias("true_lang"), "g",
+                  "rnk"))
+    langs = d.select("lang").distinct()
+    sc = (dp.crossJoin(F.broadcast(langs.withColumnRenamed("lang",
+                                                           "cand")))
+          .join(F.broadcast(lp.select(F.col("lang").alias("cand"),
+                                      "g",
+                                      F.col("rnk").alias("lp_rnk"))),
+                ["cand", "g"], "left")
+          .groupBy("doc_id", "true_lang", "cand")
+          .agg(F.sum(F.when(F.col("lp_rnk").isNull(), _CT_PEN)
+                     .otherwise(F.abs(F.col("rnk") - F.col("lp_rnk"))))
+               .cast("long").alias("score")))
+    wp = Window.partitionBy("doc_id").orderBy("score", "cand")
+    pred = (sc.withColumn("rn", F.row_number().over(wp))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", "true_lang",
+                    F.col("cand").alias("pred_lang")))
+    return (pred.groupBy("true_lang", "pred_lang")
+            .agg(F.count("*").cast("long").alias("n")))

@@ -97,6 +97,7 @@ _KEEPERS = [
     "graph_hyperanf_reachable_pairs",
     "ts_ljung_box", "stat_grubbs_test",
     "sim_ann_two_layer_search",
+    "text_lang_id_cavnar_trenkle",
 ]
 
 _seen: set[str] = set()
