@@ -338,3 +338,46 @@ def _stub_feature_bytes(b: bytes) -> list[float]:
     ``decode_stub_features`` — the two decode paths must produce
     byte-identical output (pinned by test)."""
     return [float(sum(b[i::FEATURE_DIM]) % 997) for i in range(FEATURE_DIM)]
+
+
+LANDMARK_MIN_AMP = 100  # peak admission threshold
+LANDMARK_FAN = 8        # target-zone width (steps ahead)
+
+
+def landmark_postings(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Shazam-style landmark postings (id, lhash) from the
+    text-as-waveform stand-in: strict local maxima above
+    ``LANDMARK_MIN_AMP`` become peaks; each anchor pairs with every
+    peak within ``LANDMARK_FAN`` steps ahead into
+    lhash = f1·2^16 + f2·2^8 + Δt. Shared by the batch fingerprint
+    query (``queries/llm13.py:multimodal_audio_landmarks``) and the
+    streaming catalog-match ingest (``streaming/landmark_ingest``) —
+    one definition, one hash space. All integer; a real audio
+    pipeline feeds spectrogram-bin peaks from the Arrow decode
+    kernel into this same chain."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    sig = (df.filter(F.length(text_col) >= 3)
+           .select(id_col, F.posexplode(F.expr(
+               f"transform(sequence(1, length({text_col})), "
+               f"i -> ascii(substr({text_col}, CAST(i AS INT), 1)))"
+           )).alias("i0", "amp"))
+           .select(id_col, (F.col("i0") + 1).alias("t"), "amp"))
+    w = Window.partitionBy(id_col).orderBy("t")
+    pk = (sig.select(id_col, "t", "amp",
+                     F.lag("amp").over(w).alias("la"),
+                     F.lead("amp").over(w).alias("lb"))
+          .filter((F.col("amp") > LANDMARK_MIN_AMP)
+                  & F.col("la").isNotNull() & F.col("lb").isNotNull()
+                  & (F.col("amp") > F.col("la"))
+                  & (F.col("amp") > F.col("lb")))
+          .select(id_col, "t", "amp"))
+    a, b = pk.alias("a"), pk.alias("b")
+    return (a.join(b, (F.col(f"b.{id_col}") == F.col(f"a.{id_col}"))
+                   & (F.col("b.t") > F.col("a.t"))
+                   & (F.col("b.t") - F.col("a.t") <= LANDMARK_FAN))
+            .select(F.col(f"a.{id_col}").alias(id_col),
+                    (F.col("a.amp") * 65536 + F.col("b.amp") * 256
+                     + (F.col("b.t") - F.col("a.t"))).alias("lhash")))

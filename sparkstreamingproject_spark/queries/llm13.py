@@ -456,8 +456,10 @@ def layout_hilbert_order(spark, sf_dir):
 
 # ------------------------------------------------ audio landmark FP
 
-_LM_MIN = 100   # peak admission threshold (char-code "amplitude")
-_LM_FAN = 8     # pair each anchor with peaks within this many steps
+# single source of truth: the same constants drive the streaming
+# catalog ingest (streaming/landmark_ingest.py)
+from ..llm.multimodal import LANDMARK_FAN as _LM_FAN  # noqa: E402
+from ..llm.multimodal import LANDMARK_MIN_AMP as _LM_MIN  # noqa: E402
 
 
 @register(
@@ -525,9 +527,13 @@ def multimodal_audio_landmarks(spark, sf_dir):
     the fingerprint aggregate is per-doc. Matching two catalogs is
     then an equi-join on lhash (posting lists), the same shape as
     every banding dedup here."""
+    from ..llm.multimodal import landmark_postings
     d = (table(spark, sf_dir, "documents")
          .filter(F.length("text") >= 3)
          .select("doc_id", "text"))
+    # the peak detector, inlined only for its peak COUNT output — the
+    # landmark pairing itself is the shared llm.multimodal chain the
+    # streaming catalog ingest also runs
     sig = d.select(
         "doc_id",
         F.posexplode(F.expr(
@@ -544,13 +550,7 @@ def multimodal_audio_landmarks(spark, sf_dir):
                   & (F.col("amp") > F.col("la"))
                   & (F.col("amp") > F.col("lb")))
           .select("doc_id", "t", "amp"))
-    a, b = pk.alias("a"), pk.alias("b")
-    lm = (a.join(b, (F.col("b.doc_id") == F.col("a.doc_id"))
-                 & (F.col("b.t") > F.col("a.t"))
-                 & (F.col("b.t") - F.col("a.t") <= _LM_FAN))
-          .select(F.col("a.doc_id").alias("doc_id"),
-                  (F.col("a.amp") * 65536 + F.col("b.amp") * 256
-                   + (F.col("b.t") - F.col("a.t"))).alias("lhash")))
+    lm = landmark_postings(d, "doc_id", "text")
     per = (lm.groupBy("doc_id")
            .agg(F.count("*").cast("long").alias("n_landmarks"),
                 F.md5(F.concat_ws(",", F.expr(

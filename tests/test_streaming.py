@@ -1900,3 +1900,88 @@ def test_progress_recorder_flushes_on_terminate_and_bounds_pending(
     rec.onQueryTerminated(None)
     with open(jsonl) as f:
         assert len(f.readlines()) == 3
+
+
+@pytest.mark.slow
+def test_landmark_ingest_stream_matches_batch_and_replay(
+        spark, tmp_path):
+    """Streaming audio-fingerprint catalog ingest: after two
+    micro-batches, (a) the posting index equals the batch
+    landmark_postings of all docs, (b) emitted matches are exactly
+    the cross-batch pairs sharing >= MATCH_MIN_SHARED landmarks
+    (batch-2 docs vs batch-1 catalog; within-batch pairs excluded by
+    contract), and (c) replaying the drained stream adds nothing."""
+    from sparkstreamingproject_spark.llm.multimodal import (
+        landmark_postings,
+    )
+    from sparkstreamingproject_spark.sources.streams import file_stream
+    from sparkstreamingproject_spark.streaming.landmark_ingest import (
+        MATCH_MIN_SHARED, landmark_ingest_stream,
+    )
+
+    # batch 1: two originals; batch 2: a near-copy of doc 1 (same
+    # text, should share every landmark) + an unrelated doc
+    t1 = "zz Zebra QUArtz zz VORtex zz Zebra QUArtz zz"
+    t2 = "aa mm bb nn cc oo dd pp ee qq ff rr gg ss hh"
+    t3 = t1.replace("VORtex", "VURtex")  # one landmark region differs
+    t4 = "1234 5678 90 1234 5678 90 1234 5678 90 1234"
+    src = str(tmp_path / "lm_land")
+    import os
+    import time as _time
+    b1 = spark.createDataFrame([(1, t1), (2, t2)],
+                               "doc_id long, text string")
+    b2 = spark.createDataFrame([(3, t3), (4, t4)],
+                               "doc_id long, text string")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    for f in os.listdir(src):
+        os.utime(os.path.join(src, f), (1_700_000_000, 1_700_000_000))
+    before = set(os.listdir(src))
+    b2.coalesce(1).write.mode("append").parquet(src)
+    for f in set(os.listdir(src)) - before:
+        os.utime(os.path.join(src, f), (1_700_000_100, 1_700_000_100))
+
+    index_dir = str(tmp_path / "lm_index")
+    matches_dir = str(tmp_path / "lm_matches")
+    ck = str(tmp_path / "lm_ck")
+    stream = file_stream(spark, src, b1.schema, max_files_per_trigger=1)
+    q = landmark_ingest_stream(stream, index_dir, matches_dir, ck)
+    q.awaitTermination(120)
+
+    all_docs = b1.unionByName(b2)
+    exp_post = {(r["doc_id"], r["lhash"]) for r in
+                landmark_postings(all_docs).distinct().collect()}
+    got_post = {(r["doc_id"], r["lhash"]) for r in
+                spark.read.parquet(f"{index_dir}/postings")
+                .select("doc_id", "lhash").collect()}
+    assert got_post == exp_post
+
+    # expected matches: batch2 docs vs batch1 docs sharing >= T
+    p = landmark_postings(all_docs).distinct()
+    exp_pairs = {}
+    rows = {(r["doc_id"], r["lhash"]) for r in p.collect()}
+    import collections
+    by_doc = collections.defaultdict(set)
+    for d_, h_ in rows:
+        by_doc[d_].add(h_)
+    for new in (3, 4):
+        for old in (1, 2):
+            n = len(by_doc[new] & by_doc[old])
+            if n >= MATCH_MIN_SHARED:
+                exp_pairs[(new, old)] = n
+    got_pairs = {(r["doc_id"], r["catalog_id"]): r["n_shared"]
+                 for r in spark.read.parquet(matches_dir)
+                 .select("doc_id", "catalog_id", "n_shared").collect()}
+    assert got_pairs == exp_pairs
+    assert (3, 1) in got_pairs  # the near-copy IS caught
+
+    # replay: restart from the drained checkpoint — no growth
+    _time.sleep(0.1)
+    q2 = landmark_ingest_stream(
+        file_stream(spark, src, b1.schema, max_files_per_trigger=1),
+        index_dir, matches_dir, ck)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(f"{index_dir}/postings").count() == \
+        len(exp_post)
+    n_match_rows = len(got_pairs)
+    assert spark.read.parquet(matches_dir).count() == n_match_rows \
+        if n_match_rows else True
