@@ -680,3 +680,134 @@ def text_lang_id_cavnar_trenkle(spark, sf_dir):
                     F.col("cand").alias("pred_lang")))
     return (pred.groupBy("true_lang", "pred_lang")
             .agg(F.count("*").cast("long").alias("n")))
+
+
+# ------------------------------------------------ Burrows' Delta
+
+_BD_WORDS = 50  # most-frequent-word profile depth
+_BD_TOP = 10    # closest source pairs reported
+
+
+@register(
+    "text_burrows_delta",
+    oracle=f"""
+    WITH w AS MATERIALIZED (
+      SELECT source, unnest(string_split(text, ' ')) AS word
+      FROM documents),
+    topw AS MATERIALIZED (
+      SELECT word FROM (
+        SELECT word, row_number() OVER (ORDER BY count(*) DESC, word)
+                 AS rn
+        FROM w GROUP BY word)
+      WHERE rn <= {_BD_WORDS}),
+    srcs AS (SELECT source, CAST(count(*) AS BIGINT) AS nw
+             FROM w GROUP BY source),
+    cnt AS (
+      SELECT w.source, w.word, CAST(count(*) AS BIGINT) AS c
+      FROM w JOIN topw USING (word) GROUP BY 1, 2),
+    grid AS (
+      SELECT t.word, s.source,
+             CAST(round(coalesce(c.c, 0) * 1.0 / s.nw, 9)
+                  AS DECIMAL(20,9)) AS f
+      FROM topw t CROSS JOIN srcs s
+      LEFT JOIN cnt c ON c.word = t.word AND c.source = s.source),
+    mom AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS k,
+             sum(f) AS s1, sum(f * f) AS s2
+      FROM grid GROUP BY word),
+    z AS (
+      SELECT g.word, g.source,
+             (CAST(g.f AS DOUBLE) - CAST(m.s1 AS DOUBLE) / m.k)
+               / sqrt((m.k * CAST(m.s2 AS DOUBLE)
+                       - CAST(m.s1 AS DOUBLE) * CAST(m.s1 AS DOUBLE))
+                      / (CAST(m.k AS DOUBLE) * m.k)) AS zv
+      FROM grid g JOIN mom m ON m.word = g.word
+      WHERE m.k * CAST(m.s2 AS DOUBLE)
+            - CAST(m.s1 AS DOUBLE) * CAST(m.s1 AS DOUBLE) > 0),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS n_words,
+             sum(CAST(round(abs(a.zv - b.zv), 6) AS DECIMAL(18,6)))
+               AS dsum
+      FROM z a JOIN z b
+        ON a.word = b.word AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT src_a, src_b, n_words,
+           round(CAST(dsum AS DOUBLE) / n_words, 4) AS delta,
+           CAST(rn AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+                      ORDER BY CAST(dsum AS DOUBLE) / n_words,
+                               src_a, src_b) AS rn
+          FROM pairs)
+    WHERE rn <= {_BD_TOP}
+    """,
+    tags=("llm", "text"),
+)
+def text_burrows_delta(spark, sf_dir):
+    """Burrows' Delta stylometric distance between sources — the
+    standard authorship-attribution measure: z-score each source's
+    relative frequency of the {_BD_WORDS} most frequent words
+    (function words carry style, not topic), then Delta(a,b) = mean
+    |z_a - z_b| over the profile; report the {_BD_TOP} closest
+    pairs. In a training-data pipeline this is the
+    same-author/same-template detector that catches near-duplicate
+    SOURCES the document-level dedups miss.
+
+    Determinism discipline: relative frequencies are rounded to
+    DECIMAL(20,9) BEFORE any aggregation, so the per-word moment
+    sums are exact decimal arithmetic (no float order); z-scores are
+    then fixed expressions over exact inputs; per-pair sums run over
+    6dp-rounded DECIMAL terms (the HyperANF trick) — no float
+    accumulation order exists anywhere. Zero-variance words are
+    excluded on both engines by the same exact predicate.
+
+    Scale shape: word counts are map-side combinable; the grid is
+    {_BD_WORDS}×|sources| (tiny, broadcast); the pair join is
+    |sources|²·{_BD_WORDS} rows — quadratic only in SOURCES (the
+    entities being compared), never in documents or tokens."""
+    w = (table(spark, sf_dir, "documents")
+         .select("source", F.explode(F.split("text", " ")).alias("word")))
+    w = w.localCheckpoint()
+    wr = Window.orderBy(F.desc("c"), "word")
+    topw = (w.groupBy("word").agg(F.count("*").alias("c"))
+            .withColumn("rn", F.row_number().over(wr))
+            .filter(F.col("rn") <= _BD_WORDS).select("word"))
+    srcs = w.groupBy("source").agg(F.count("*").cast("long").alias("nw"))
+    cnt = (w.join(F.broadcast(topw), "word")
+           .groupBy("source", "word").agg(F.count("*").cast("long")
+                                          .alias("c")))
+    grid = (topw.crossJoin(srcs)
+            .join(cnt, ["word", "source"], "left")
+            .select("word", "source",
+                    F.round(F.coalesce(F.col("c"), F.lit(0))
+                            / F.col("nw").cast("double"), 9)
+                    .cast("decimal(20,9)").alias("f")))
+    mom = (grid.groupBy("word")
+           .agg(F.count("*").cast("long").alias("k"),
+                F.sum("f").alias("s1"),
+                F.sum(F.col("f") * F.col("f")).alias("s2")))
+    var_num = (F.col("k") * F.col("s2").cast("double")
+               - F.col("s1").cast("double") * F.col("s1").cast("double"))
+    z = (grid.join(F.broadcast(mom), "word")
+         .filter(var_num > 0)
+         .select("word", "source",
+                 ((F.col("f").cast("double")
+                   - F.col("s1").cast("double") / F.col("k"))
+                  / F.sqrt(var_num / (F.col("k").cast("double")
+                                      * F.col("k")))).alias("zv")))
+    a, b = z.alias("a"), z.alias("b")
+    pairs = (a.join(b, (F.col("a.word") == F.col("b.word"))
+                    & (F.col("a.source") < F.col("b.source")))
+             .groupBy(F.col("a.source").alias("src_a"),
+                      F.col("b.source").alias("src_b"))
+             .agg(F.count("*").cast("long").alias("n_words"),
+                  F.sum(F.round(F.abs(F.col("a.zv") - F.col("b.zv")), 6)
+                        .cast("decimal(18,6)")).alias("dsum")))
+    wp = Window.orderBy(F.col("dsum").cast("double") / F.col("n_words"),
+                        "src_a", "src_b")
+    return (pairs.withColumn("rn", F.row_number().over(wp))
+            .filter(F.col("rn") <= _BD_TOP)
+            .select("src_a", "src_b", "n_words",
+                    F.round(F.col("dsum").cast("double")
+                            / F.col("n_words"), 4).alias("delta"),
+                    F.col("rn").cast("int").alias("rank")))

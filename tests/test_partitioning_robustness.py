@@ -98,6 +98,7 @@ _KEEPERS = [
     "ts_ljung_box", "stat_grubbs_test",
     "sim_ann_two_layer_search",
     "text_lang_id_cavnar_trenkle",
+    "text_burrows_delta",
 ]
 
 _seen: set[str] = set()
