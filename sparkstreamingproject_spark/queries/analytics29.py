@@ -998,3 +998,90 @@ def stat_grubbs_test(spark, sf_dir):
                           - F.col("s"))).alias("dmax")))
     return (g.join(d, "pri")
             .selectExpr("pri", "n", f"round({_GRUBBS_G}, 4) AS grubbs_g"))
+
+
+# ------------------------------------------------ bitmap retention
+
+_BM_W = 60  # bits per word (sign bit + headroom clear)
+_US_DAY_BM = 86_400_000_000
+
+
+@register(
+    "events_retention_bitmap_index",
+    oracle=f"""
+    WITH e AS (
+      SELECT CAST(epoch_us(ts) // {_US_DAY_BM} AS BIGINT) AS day,
+             user_id
+      FROM events),
+    bm AS MATERIALIZED (
+      SELECT day, CAST(user_id // {_BM_W} AS BIGINT) AS w,
+             bit_or(CAST(1 AS BIGINT)
+                    << CAST(user_id % {_BM_W} AS INT)) AS bits
+      FROM e GROUP BY 1, 2),
+    dau AS (
+      SELECT day, CAST(sum(bit_count(bits)) AS BIGINT) AS dau
+      FROM bm GROUP BY day),
+    ret AS (
+      SELECT a.day,
+             CAST(sum(bit_count(a.bits & b.bits)) AS BIGINT)
+               AS retained
+      FROM bm a JOIN bm b ON b.day = a.day + 1 AND b.w = a.w
+      GROUP BY a.day)
+    SELECT d.day, d.dau, n.dau AS dau_next,
+           coalesce(r.retained, 0) AS retained,
+           round(coalesce(r.retained, 0) * 1.0 / d.dau, 6)
+             AS retention_rate
+    FROM dau d
+    JOIN dau n ON n.day = d.day + 1
+    LEFT JOIN ret r ON r.day = d.day
+    """,
+    tags=("events", "sketch"),
+)
+def events_retention_bitmap_index(spark, sf_dir):
+    """Day-over-day user retention from a WORD-PARTITIONED presence
+    bitmap index — the roaring-bitmap engine trick behind every
+    production DAU/retention dashboard: each day's active users
+    become (word = id div {_BM_W}, bits) rows via bit_or, and
+    "active on d AND d+1" is Σ bit_count(a & b) over matching words
+    — NO distinct set intersection, no user-grain shuffle at query
+    time. (`bitmap_user_segments` is the fixed-width segment
+    miniature; this is the full index keyed by user-id word.)
+
+    Exactness: bit_or is associative, commutative, and idempotent —
+    the ideal distributed aggregate (any partitioning, bit-exact);
+    counts are integers; one terminal ratio. Duplicate events per
+    user collapse for free in the OR.
+
+    Scale shape: the bitmap build is one map-side-combinable
+    aggregate producing ≤ users/{_BM_W} words per day (a ~60×
+    compression of the presence relation); the retention join is
+    word-keyed day-to-day — at 100 TB this index IS the product, and
+    any cohort/funnel slice is ANDs over it."""
+    e = (table(spark, sf_dir, "events")
+         .select((F.unix_micros("ts") / _US_DAY_BM).cast("long")
+                 .alias("day"), "user_id"))
+    bm = (e.groupBy("day",
+                    (F.col("user_id") / _BM_W).cast("long").alias("w"))
+          .agg(F.bit_or(F.expr(
+              f"shiftleft(CAST(1 AS BIGINT), "
+              f"CAST(user_id % {_BM_W} AS INT))")).alias("bits")))
+    bm = bm.localCheckpoint()
+    dau = (bm.groupBy("day")
+           .agg(F.sum(F.bit_count("bits")).cast("long").alias("dau")))
+    a, b = bm.alias("a"), bm.alias("b")
+    ret = (a.join(b, (F.col("b.day") == F.col("a.day") + 1)
+                  & (F.col("b.w") == F.col("a.w")))
+           .groupBy(F.col("a.day").alias("day"))
+           .agg(F.sum(F.bit_count(F.col("a.bits")
+                                  .bitwiseAND(F.col("b.bits"))))
+                .cast("long").alias("retained")))
+    nxt = dau.select((F.col("day") - 1).alias("day"),
+                     F.col("dau").alias("dau_next"))
+    return (dau.join(nxt, "day")
+            .join(ret, "day", "left")
+            .select("day", "dau", "dau_next",
+                    F.coalesce("retained", F.lit(0)).cast("long")
+                    .alias("retained"),
+                    F.round(F.coalesce("retained", F.lit(0))
+                            / F.col("dau").cast("double"), 6)
+                    .alias("retention_rate")))

@@ -99,6 +99,7 @@ _KEEPERS = [
     "sim_ann_two_layer_search",
     "text_lang_id_cavnar_trenkle",
     "text_burrows_delta",
+    "events_retention_bitmap_index",
 ]
 
 _seen: set[str] = set()
