@@ -811,3 +811,129 @@ def text_burrows_delta(spark, sf_dir):
                     F.round(F.col("dsum").cast("double")
                             / F.col("n_words"), 4).alias("delta"),
                     F.col("rn").cast("int").alias("rank")))
+
+
+# ------------------------------------------------ k-center greedy
+
+_KC_PICKS = 4  # greedy rounds after the deterministic seed
+
+
+def _kcenter_oracle() -> str:
+    ctes = []
+    for k in range(1, _KC_PICKS + 1):
+        ctes.append(f""",
+    md{k} AS (
+      SELECT e.vec_id, min(d.d2) AS min_d2
+      FROM el e
+      JOIN c{k - 1} ch ON TRUE
+      JOIN (SELECT a.vec_id AS p, b.vec_id AS q,
+                   sum((ea.x - eb.x) * (ea.x - eb.x)) AS d2
+            FROM pts a JOIN c{k - 1} b ON a.vec_id <> b.vec_id
+            JOIN elx ea ON ea.vec_id = a.vec_id
+            JOIN elx eb ON eb.vec_id = b.vec_id AND eb.pos = ea.pos
+            GROUP BY 1, 2) d
+        ON d.p = e.vec_id AND d.q = ch.vec_id
+      GROUP BY e.vec_id),
+    s{k} AS MATERIALIZED (
+      SELECT vec_id, min_d2
+      FROM (SELECT vec_id, min_d2,
+                   row_number() OVER (ORDER BY min_d2 DESC, vec_id)
+                     AS rn
+            FROM md{k}
+            WHERE vec_id NOT IN (SELECT vec_id FROM c{k - 1}))
+      WHERE rn = 1),
+    c{k} AS MATERIALIZED (
+      SELECT vec_id FROM c{k - 1}
+      UNION ALL SELECT vec_id FROM s{k})""")
+    sels = "\n      UNION ALL\n".join(
+        f"      SELECT {k} AS round, vec_id, min_d2 FROM s{k}"
+        for k in range(1, _KC_PICKS + 1))
+    return f"""
+    WITH pts AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings),
+    elx AS MATERIALIZED (
+      SELECT vec_id, CAST(i AS INT) AS pos,
+             CAST(round(v[i] * 1000000) AS BIGINT) AS x
+      FROM pts, unnest(range(1, len(v) + 1)) AS g(i)),
+    el AS (SELECT DISTINCT vec_id FROM elx),
+    c0 AS MATERIALIZED (
+      SELECT min(vec_id) AS vec_id FROM pts){"".join(ctes)}
+    SELECT CAST(round AS INT) AS round, vec_id,
+           round(CAST(min_d2 AS DOUBLE) / 1e12, 6) AS min_dist_sq
+    FROM ({sels})
+    """
+
+
+@register("sample_kcenter_greedy", oracle=_kcenter_oracle(),
+          tags=("llm", "sample", "similarity"))
+def sample_kcenter_greedy(spark, sf_dir):
+    """Farthest-first traversal (Gonzalez k-center greedy) over the
+    embedding space: seed with the lowest vec_id, then {_KC_PICKS}
+    rounds each add the point FARTHEST from the chosen set (max
+    min-distance, ties to the lowest id) — the 2-approximation
+    coreset/diversity selector whose emitted min_dist_sq sequence IS
+    the coverage-radius curve (each value bounds how far any point
+    sits from the selected set). The geometric complement of
+    `curation_submodular_coverage` (vocabulary coverage) and
+    `curation_mmr_diverse_select` (relevance-diversity trade).
+
+    Exactness: distances are the exact once-quantized integer
+    squared-L2 of the kNN family; min/argmax are integer order
+    statistics with full (d2 DESC, id) tiebreaks.
+
+    Scale shape: per round ONE pass computing each point's distance
+    to the ≤{_KC_PICKS}+1 chosen centers (broadcast — centers are a
+    handful of rows) and a top-1 heap; never a point-point pair
+    relation. At corpus scale this is the standard coreset builder
+    (seed k-means++, pick annotation batches, cap per-cluster
+    sampling)."""
+    emb = table(spark, sf_dir, "embeddings")
+    el = _el_quantized(emb).localCheckpoint()
+    ids = emb.select("vec_id")
+    chosen = (emb.agg(F.min("vec_id").alias("vec_id"))
+              .localCheckpoint())
+    sels = None
+    for k in range(1, _KC_PICKS + 1):
+        # distance of every point to every chosen center (centers
+        # broadcast), min per point, excluding already-chosen
+        pairs = (el.alias("p")
+                 .join(F.broadcast(
+                     el.join(chosen, "vec_id")
+                     .select(F.col("vec_id").alias("q"),
+                             F.col("pos").alias("pos"),
+                             F.col("x").alias("xq"))).alias("c"),
+                     "pos")
+                 .filter(F.col("p.vec_id") != F.col("c.q"))
+                 .groupBy(F.col("p.vec_id").alias("vec_id"),
+                          F.col("c.q").alias("q"))
+                 .agg(F.sum((F.col("p.x") - F.col("xq"))
+                            * (F.col("p.x") - F.col("xq")))
+                      .alias("d2")))
+        md = (pairs.join(chosen.withColumnRenamed("vec_id", "ch"),
+                         pairs["q"] == F.col("ch"), "left_semi")
+              .groupBy("vec_id").agg(F.min("d2").alias("min_d2"))
+              .join(chosen, "vec_id", "left_anti"))
+        pick = (md.orderBy(F.desc("min_d2"), "vec_id").limit(1)
+                .localCheckpoint())
+        sel = pick.select(F.lit(k).cast("int").alias("round"),
+                          "vec_id",
+                          F.round(F.col("min_d2").cast("double")
+                                  / F.lit(1e12), 6)
+                          .alias("min_dist_sq"))
+        sels = sel if sels is None else sels.unionByName(sel)
+        chosen = (chosen.unionByName(pick.select("vec_id"))
+                  .localCheckpoint())
+    return sels
+
+
+def _el_quantized(emb):
+    """(vec_id, pos, x): once-quantized integer elements — the same
+    relation the kNN family reranks on (llm12._quantized_elements;
+    local copy keeps llm13 import-independent of llm12)."""
+    return emb.select(
+        "vec_id",
+        F.posexplode(F.expr(
+            "transform(embedding, v -> "
+            "CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT))"
+        )).alias("pos", "x"))

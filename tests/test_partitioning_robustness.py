@@ -100,6 +100,7 @@ _KEEPERS = [
     "text_lang_id_cavnar_trenkle",
     "text_burrows_delta",
     "events_retention_bitmap_index",
+    "sample_kcenter_greedy",
 ]
 
 _seen: set[str] = set()
