@@ -1085,3 +1085,140 @@ def events_retention_bitmap_index(spark, sf_dir):
                     F.round(F.coalesce("retained", F.lit(0))
                             / F.col("dau").cast("double"), 6)
                     .alias("retention_rate")))
+
+
+# ------------------------------------------------ binary segmentation
+
+# CUSUM split score at relative position t of an n-point segment with
+# prefix sum p and total s: D = n·p - t·s (exact integer); score =
+# D² / (t·(n-t)) — one fixed expression, ties to the earliest day
+_BS_SCORE = ("CAST(CAST(nn AS DECIMAL(38,0)) * p "
+             "- CAST(t AS DECIMAL(38,0)) * s AS DOUBLE)"
+             " * CAST(CAST(nn AS DECIMAL(38,0)) * p "
+             "- CAST(t AS DECIMAL(38,0)) * s AS DOUBLE)"
+             " / (CAST(t AS DOUBLE) * (nn - t))")
+
+
+@register(
+    "ts_changepoint_binseg",
+    oracle=f"""
+    WITH daily AS (
+      SELECT o_orderdate AS d, CAST(count(*) AS BIGINT) AS x
+      FROM orders GROUP BY 1),
+    idx AS MATERIALIZED (
+      SELECT d, x,
+             row_number() OVER (ORDER BY d) AS t,
+             CAST(sum(x) OVER (ORDER BY d) AS BIGINT) AS p,
+             count(*) OVER () AS n_all,
+             CAST(sum(x) OVER () AS BIGINT) AS s_all
+      FROM daily),
+    l1 AS MATERIALIZED (
+      SELECT d, t, score
+      FROM (SELECT d, t,
+                   {_BS_SCORE.replace("nn", "n_all")
+                             .replace(" s ", " s_all ")
+                             .replace("* s A", "* s_all A")} AS score,
+                   row_number() OVER (
+                     ORDER BY {_BS_SCORE.replace("nn", "n_all")
+                                        .replace(" s ", " s_all ")
+                                        .replace("* s A", "* s_all A")}
+                       DESC, t) AS rn
+            FROM idx WHERE t < n_all)
+      WHERE rn = 1),
+    seg AS MATERIALIZED (
+      SELECT i.d, i.x,
+             CASE WHEN i.t <= l1.t THEN 'L' ELSE 'R' END AS sg
+      FROM idx i CROSS JOIN l1),
+    idx2 AS (
+      SELECT sg, d,
+             row_number() OVER (PARTITION BY sg ORDER BY d) AS t,
+             CAST(sum(x) OVER (PARTITION BY sg ORDER BY d) AS BIGINT)
+               AS p,
+             count(*) OVER (PARTITION BY sg) AS nn,
+             CAST(sum(x) OVER (PARTITION BY sg) AS BIGINT) AS s
+      FROM seg),
+    l2 AS (
+      SELECT sg, d, t, score
+      FROM (SELECT sg, d, t, {_BS_SCORE} AS score,
+                   row_number() OVER (
+                     PARTITION BY sg
+                     ORDER BY {_BS_SCORE} DESC, t) AS rn
+            FROM idx2 WHERE t < nn AND nn >= 2)
+      WHERE rn = 1)
+    SELECT 1 AS level, 'all' AS segment, d AS split_day,
+           CAST(t AS BIGINT) AS t_rel, round(score, 4) AS score
+    FROM l1
+    UNION ALL
+    SELECT 2, sg, d, CAST(t AS BIGINT), round(score, 4) FROM l2
+    """,
+    tags=("timeseries", "stat"),
+)
+def ts_changepoint_binseg(spark, sf_dir):
+    """Two-level BINARY SEGMENTATION changepoints on the daily
+    order-count series: level 1 finds the split maximizing the
+    normalized CUSUM statistic D²/(t(n-t)) with D = n·P_t - t·S
+    over the whole series; level 2 re-runs the same search inside
+    each half — the recursive scheme that turns a single-changepoint
+    test into a multiple-changepoint detector (`ts_changepoint_pettitt`
+    is the rank-based single-split sibling; `events_cusum_changepoint`
+    the sequential alarm).
+
+    Exactness: D is an exact DECIMAL integer from windowed prefix
+    sums; the score is one fixed expression per row; argmax breaks
+    ties on the earliest position. Both levels run identical algebra
+    (level 2 merely partitions the windows by the level-1 side).
+
+    Scale: the series collapses to day grain first; each level is
+    one windowed pass over the day-grain relation — at 100 TB
+    segmentation depth adds passes, never data volume."""
+    daily = (table(spark, sf_dir, "orders")
+             .groupBy(F.col("o_orderdate").alias("d"))
+             .agg(F.count("*").cast("long").alias("x")))
+    wo = Window.orderBy("d")
+    wall = Window.partitionBy()
+    idx = daily.select(
+        "d", "x",
+        F.row_number().over(wo).alias("t"),
+        F.sum("x").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long").alias("p"),
+        F.count("*").over(wall).alias("n_all"),
+        F.sum("x").over(wall).cast("long").alias("s_all"))
+    sc1 = _BS_SCORE.replace("nn", "n_all") \
+        .replace(" s ", " s_all ").replace("* s A", "* s_all A")
+    w1 = Window.orderBy(F.expr(sc1).desc(), "t")
+    l1 = (idx.filter(F.col("t") < F.col("n_all"))
+          .withColumn("score", F.expr(sc1))
+          .withColumn("rn", F.row_number().over(w1))
+          .filter(F.col("rn") == 1)
+          .select("d", "t", "score")
+          .localCheckpoint())
+    seg = (idx.crossJoin(F.broadcast(l1.select(F.col("t").alias("t1"))))
+           .select("d", "x",
+                   F.when(F.col("t") <= F.col("t1"), "L")
+                   .otherwise("R").alias("sg")))
+    ws = Window.partitionBy("sg").orderBy("d")
+    wsn = Window.partitionBy("sg")
+    idx2 = seg.select(
+        "sg", "d",
+        F.row_number().over(ws).alias("t"),
+        F.sum("x").over(ws.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long").alias("p"),
+        F.count("*").over(wsn).alias("nn"),
+        F.sum("x").over(wsn).cast("long").alias("s"))
+    w2 = Window.partitionBy("sg").orderBy(F.expr(_BS_SCORE).desc(), "t")
+    l2 = (idx2.filter((F.col("t") < F.col("nn")) & (F.col("nn") >= 2))
+          .withColumn("score", F.expr(_BS_SCORE))
+          .withColumn("rn", F.row_number().over(w2))
+          .filter(F.col("rn") == 1)
+          .select("sg", "d", "t", "score"))
+    out1 = l1.select(F.lit(1).cast("int").alias("level"),
+                     F.lit("all").alias("segment"),
+                     F.col("d").alias("split_day"),
+                     F.col("t").cast("long").alias("t_rel"),
+                     F.round("score", 4).alias("score"))
+    out2 = l2.select(F.lit(2).cast("int").alias("level"),
+                     F.col("sg").alias("segment"),
+                     F.col("d").alias("split_day"),
+                     F.col("t").cast("long").alias("t_rel"),
+                     F.round("score", 4).alias("score"))
+    return out1.unionByName(out2)

@@ -101,6 +101,7 @@ _KEEPERS = [
     "text_burrows_delta",
     "events_retention_bitmap_index",
     "sample_kcenter_greedy",
+    "ts_changepoint_binseg",
 ]
 
 _seen: set[str] = set()
