@@ -138,6 +138,14 @@ def main() -> None:
     # warm the JVM + parquet footers with one tiny action
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
 
+    # pre-warm the Python/Arrow worker pool (VERDICT r09 §next 5):
+    # one no-op mapInPandas across all cores so the first pandas-UDF
+    # headline query (dedup_embedding_cosine) measures its kernel,
+    # not 32 interpreter start-ups + Arrow IPC setup.
+    n_cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    (spark.range(n_cores * 4, numPartitions=n_cores * 4)
+     .mapInPandas(lambda it: it, "id long").count())
+
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn
@@ -163,11 +171,14 @@ def main() -> None:
     # (VERDICT r08 §next 4/8): which kernel ran and the bytes the
     # guard saw — drift diagnosis without rerunning anything.
     from sparkstreamingproject_spark.llm import similarity as _sim
+
+    # Output framing (VERDICT r09 §next 4 — BENCH_r09 `parsed: null`):
+    # the long diagnostic maps go on their OWN line first; the
+    # driver-parsed headline metric is the SOLE FINAL line and stays
+    # short, so a tail capture can never clip its front.
+    sys.stdout.flush()
     print(json.dumps({
-        "metric": "headline_queries_total_wall",
-        "value": total,
-        "unit": "sec",
-        "queries": times,
+        "diag": "sidecar",
         "sidecar": sidecar,
         "sidecar_vs_r05": {
             n: round(t / SIDECAR_R05[n], 2)
@@ -182,9 +193,15 @@ def main() -> None:
             n: round(t / SIDECAR_R09[n], 2)
             for n, t in sidecar.items() if n in SIDECAR_R09},
         "cosine_kernel": dict(_sim.last_kernel_decision),
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
 
 
 if __name__ == "__main__":

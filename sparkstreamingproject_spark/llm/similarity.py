@@ -303,10 +303,12 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.3,
     if est is not None:
         est4 = est * 4
         if est4 * 8 <= broadcast_max_bytes:      # safe even if est is 8× low
-            _record_kernel("broadcast", est=est, exact=None)
+            _record_kernel("broadcast", est=est, exact=None,
+                           cap=broadcast_max_bytes)
             return _near_dup_broadcast(df, threshold, id_col, emb_col)
         if est4 > broadcast_max_bytes * 8:       # hopeless even if 8× high
-            _record_kernel("bucketed", est=est, exact=None)
+            _record_kernel("bucketed", est=est, exact=None,
+                           cap=broadcast_max_bytes)
             return _near_dup_bucketed(df, threshold, id_col, emb_col)
     # borderline (or stats unavailable): exact dense-f64 bytes = n*d*8
     head = (df.groupBy()
@@ -314,9 +316,11 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.3,
             .first())
     exact = (head["n"] or 0) * (head["d"] or 0) * 8
     if exact <= broadcast_max_bytes:
-        _record_kernel("broadcast", est=est, exact=exact)
+        _record_kernel("broadcast", est=est, exact=exact,
+                       cap=broadcast_max_bytes)
         return _near_dup_broadcast(df, threshold, id_col, emb_col)
-    _record_kernel("bucketed", est=est, exact=exact)
+    _record_kernel("bucketed", est=est, exact=exact,
+                   cap=broadcast_max_bytes)
     return _near_dup_bucketed(df, threshold, id_col, emb_col)
 
 
@@ -326,11 +330,12 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.3,
 last_kernel_decision: dict = {}
 
 
-def _record_kernel(kernel: str, est: int | None, exact: int | None) -> None:
+def _record_kernel(kernel: str, est: int | None, exact: int | None,
+                   cap: int) -> None:
     last_kernel_decision.clear()
     last_kernel_decision.update(
         kernel=kernel, plan_stats_bytes=est, exact_bytes=exact,
-        cap_bytes=BROADCAST_MAX_BYTES)
+        cap_bytes=cap)
 
 
 def _plan_size_bytes(df: DataFrame) -> int | None:

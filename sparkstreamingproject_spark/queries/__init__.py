@@ -308,8 +308,56 @@ _ROUND9_WINDOW = [
 ]
 
 
+# Round-10 driver window (VERDICT r09 §next 1):
+#  - 0-22: the 23 round-9 additions, registered after the r9 window
+#    was pinned so never driver-checked — certifying them closes the
+#    ledger at 394/394 (first fully-closed registry since r7);
+#  - 23-…: round-10 additions (registered this round, window-included
+#    immediately so they certify the same round — the lag that kept
+#    the ledger open in r8/r9 is structural and this kills it);
+#  - tail: edit-recency re-checks (dedup_embedding_cosine after the
+#    _record_kernel cap fix, events_retention_bitmap_index after the
+#    integer-div fix — also in 0-22) plus the heaviest bench kernels
+#    re-certified on current code.
+# Pre-flight: parity at sf0.001/0.01/0.1 under TZ=America/New_York +
+# hostile partitioning (tests/test_partitioning_robustness.py).
+_ROUND10_WINDOW = [
+    # 0-22: round-9 additions, never driver-checked (registry order)
+    "ts_yule_walker_ar2", "graph_katz_centrality",
+    "graph_hyperanf_reachable_pairs", "stat_hodges_lehmann_shift",
+    "ts_croston_intermittent", "stat_mood_median_test",
+    "dq_outlier_mad_robust", "stat_ansari_bradley_scale",
+    "stat_grubbs_test", "ts_ljung_box", "dedup_cdc_chunking",
+    "multimodal_phash_dct", "multimodal_audio_landmarks",
+    "text_lang_id_cavnar_trenkle", "text_burrows_delta",
+    "curation_submodular_coverage", "layout_hilbert_order",
+    "events_retention_bitmap_index", "sample_kcenter_greedy",
+    "ts_changepoint_binseg", "embedding_knn_descent_round",
+    "sim_knn_graph_greedy_search", "sim_ann_two_layer_search",
+    # 23-…: round-10 additions (window-included at registration)
+    # (appended as the round progresses; see changelog)
+    # tail: edit-recency + heaviest kernels on current code
+    "dedup_embedding_cosine", "graph_kcore_peeling",
+    "split_5way_log", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_basket_setsim", "graph_ppr_seeded",
+    "embedding_pca_top2_project", "embedding_knn_graph",
+    "bloom_semi_join_prune", "q21_sole_returner", "q9_product_profit",
+    "sketch_hll_distinct", "text_tfidf_top_terms", "text_search_bm25",
+    "asof_join_latest_order", "range_join_event_pairs",
+    "agg_pricing_summary", "graph_triangle_count",
+    "recursive_trade_reach", "sim_topk_int8_rerank",
+    "pandas_grouped_zscore", "ts_sliding_window", "dedup_exact",
+    "dim_upsert_kv", "sim_topk_bruteforce", "dedup_simhash",
+]
+
+# Round-agnostic alias — scripts/gen_ledger.py and any other tooling
+# read THIS name so a window rename can never silently zero the ledger
+# (ADVICE r09 item 2).
+_CURRENT_WINDOW = _ROUND10_WINDOW
+
+
 def _reorder() -> None:
-    window = _ROUND9_WINDOW
+    window = _CURRENT_WINDOW
     missing = [n for n in window if n not in REGISTRY]
     assert not missing, f"window names not registered: {missing}"
     assert len(set(window)) == len(window), "duplicate window entries"

@@ -1057,14 +1057,19 @@ def events_retention_bitmap_index(spark, sf_dir):
     compression of the presence relation); the retention join is
     word-keyed day-to-day — at 100 TB this index IS the product, and
     any cohort/funnel slice is ANDs over it."""
+    # exact integer arithmetic end-to-end (ADVICE r09 item 3): `div`
+    # instead of float-divide-then-cast (bit-exact past 2^53), and
+    # pmod keeps the shift count in [0, _BM_W) for any id sign. Spark
+    # `div` truncates while the oracle's `//` floors — identical on
+    # this dataset's non-negative day/user_id domain.
     e = (table(spark, sf_dir, "events")
-         .select((F.unix_micros("ts") / _US_DAY_BM).cast("long")
+         .select(F.expr(f"unix_micros(ts) div {_US_DAY_BM}")
                  .alias("day"), "user_id"))
     bm = (e.groupBy("day",
-                    (F.col("user_id") / _BM_W).cast("long").alias("w"))
+                    F.expr(f"user_id div {_BM_W}").alias("w"))
           .agg(F.bit_or(F.expr(
               f"shiftleft(CAST(1 AS BIGINT), "
-              f"CAST(user_id % {_BM_W} AS INT))")).alias("bits")))
+              f"CAST(pmod(user_id, {_BM_W}) AS INT))")).alias("bits")))
     bm = bm.localCheckpoint()
     dau = (bm.groupBy("day")
            .agg(F.sum(F.bit_count("bits")).cast("long").alias("dau")))

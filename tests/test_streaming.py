@@ -1982,6 +1982,7 @@ def test_landmark_ingest_stream_matches_batch_and_replay(
     q2.awaitTermination(120)
     assert spark.read.parquet(f"{index_dir}/postings").count() == \
         len(exp_post)
+    # unconditional (ADVICE r09 item 4): even with zero expected match
+    # rows, a replay that wrongly ADDS rows must fail.
     n_match_rows = len(got_pairs)
-    assert spark.read.parquet(matches_dir).count() == n_match_rows \
-        if n_match_rows else True
+    assert spark.read.parquet(matches_dir).count() == n_match_rows
