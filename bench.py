@@ -87,6 +87,8 @@ SIDECAR = [
     "graph_ppr_seeded",
     # round-9 heavy addition (floor: SIDECAR_R09)
     "embedding_knn_descent_round",
+    # round-10 heavy addition (floor: SIDECAR_R10)
+    "dedup_containment_lsh_ensemble",
 ]
 
 # sidecar comparison floor: first measurements (BENCH_r05, sf=0.1,
@@ -129,6 +131,12 @@ SIDECAR_R08 = {
 # their pins, so left unchanged).
 SIDECAR_R09 = {
     "embedding_knn_descent_round": 5.0,
+}
+
+# floor for the round-10 sidecar addition: quietest r10 measurement
+# (sf=0.1, local[32], warmed session).
+SIDECAR_R10 = {
+    "dedup_containment_lsh_ensemble": 11.1,
 }
 
 def main() -> None:
@@ -192,6 +200,9 @@ def main() -> None:
         "sidecar_vs_r09": {
             n: round(t / SIDECAR_R09[n], 2)
             for n, t in sidecar.items() if n in SIDECAR_R09},
+        "sidecar_vs_r10": {
+            n: round(t / SIDECAR_R10[n], 2)
+            for n, t in sidecar.items() if n in SIDECAR_R10},
         "cosine_kernel": dict(_sim.last_kernel_decision),
     }))
     spark.stop()

@@ -61,6 +61,7 @@ from . import analytics28  # noqa: E402,F401
 from . import llm12  # noqa: E402,F401
 from . import analytics29  # noqa: E402,F401
 from . import llm13  # noqa: E402,F401
+from . import llm14  # noqa: E402,F401
 
 # --- driver-window ordering --------------------------------------------------
 # The verify driver checks the FIRST 50 registry entries per round
@@ -335,7 +336,7 @@ _ROUND10_WINDOW = [
     "ts_changepoint_binseg", "embedding_knn_descent_round",
     "sim_knn_graph_greedy_search", "sim_ann_two_layer_search",
     # 23-…: round-10 additions (window-included at registration)
-    # (appended as the round progresses; see changelog)
+    "dedup_containment_lsh_ensemble",
     # tail: edit-recency + heaviest kernels on current code
     "dedup_embedding_cosine", "graph_kcore_peeling",
     "split_5way_log", "dedup_minhash_lsh", "dedup_ngram_jaccard",
@@ -347,7 +348,7 @@ _ROUND10_WINDOW = [
     "agg_pricing_summary", "graph_triangle_count",
     "recursive_trade_reach", "sim_topk_int8_rerank",
     "pandas_grouped_zscore", "ts_sliding_window", "dedup_exact",
-    "dim_upsert_kv", "sim_topk_bruteforce", "dedup_simhash",
+    "dim_upsert_kv", "sim_topk_bruteforce",
 ]
 
 # Round-agnostic alias — scripts/gen_ledger.py and any other tooling

@@ -831,3 +831,39 @@ def test_hilbert_walk_is_a_bijection(spark):
         F.min("d").alias("lo"), F.max("d").alias("hi")).collect()[0]
     assert stats["nd"] == n * n and stats["lo"] == 0 \
         and stats["hi"] == n * n - 1, stats
+
+
+def test_lsh_ensemble_containment_recall_and_envelope(spark, sf_dir):
+    """VERDICT r09 §next 3 gates: (a) on the fixture the ensemble's
+    pairs are a superset of the capped exact query's pairs (the cap
+    drops hot-shingle pairs; the ensemble must not lose any of the
+    pairs the exact query DID keep), (b) every reported containment is
+    exact (matches the uncapped containment_pairs value — precision 1),
+    (c) a planted near-subset pair across a large size gap (within the
+    16x envelope) is caught."""
+    from sparkstreamingproject_spark.llm.dedup import (
+        containment_pairs, lsh_ensemble_containment_pairs,
+    )
+    docs = _docs(spark, sf_dir)
+    ens = {(r.id_a, r.id_b): r.containment
+           for r in lsh_ensemble_containment_pairs(docs).collect()}
+    capped = {(r.id_a, r.id_b)
+              for r in containment_pairs(docs, threshold=0.9,
+                                         max_postings=50).collect()}
+    assert capped <= set(ens), sorted(capped - set(ens))[:5]
+    exact = {(r.id_a, r.id_b): r.containment
+             for r in containment_pairs(docs, threshold=0.9,
+                                        max_postings=None).collect()}
+    for pair, cv in ens.items():
+        assert exact.get(pair) == cv, (pair, cv, exact.get(pair))
+
+    # planted: a 12-shingle snippet verbatim inside a ~160-shingle doc
+    # (size ratio ~13x -> partition gap 3, inside the envelope)
+    words = [f"w{i}" for i in range(160)]
+    big = " ".join(words)
+    small = " ".join(words[40:54])  # 14 words -> 12 distinct shingles
+    planted = spark.createDataFrame(
+        [(900001, big), (900002, small)], "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.containment
+           for r in lsh_ensemble_containment_pairs(planted).collect()}
+    assert got == {(900001, 900002): 1.0}, got
