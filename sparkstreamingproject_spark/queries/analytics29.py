@@ -1057,20 +1057,33 @@ def events_retention_bitmap_index(spark, sf_dir):
     compression of the presence relation); the retention join is
     word-keyed day-to-day — at 100 TB this index IS the product, and
     any cohort/funnel slice is ANDs over it."""
-    # exact integer arithmetic end-to-end (ADVICE r09 item 3): `div`
-    # instead of float-divide-then-cast (bit-exact past 2^53), and
-    # pmod keeps the shift count in [0, _BM_W) for any id sign. Spark
-    # `div` truncates while the oracle's `//` floors — identical on
-    # this dataset's non-negative day/user_id domain.
-    e = (table(spark, sf_dir, "events")
-         .select(F.expr(f"unix_micros(ts) div {_US_DAY_BM}")
-                 .alias("day"), "user_id"))
-    bm = (e.groupBy("day",
-                    F.expr(f"user_id div {_BM_W}").alias("w"))
-          .agg(F.bit_or(F.expr(
-              f"shiftleft(CAST(1 AS BIGINT), "
-              f"CAST(pmod(user_id, {_BM_W}) AS INT))")).alias("bits")))
-    bm = bm.localCheckpoint()
+    bm = day_word_bitmaps(table(spark, sf_dir, "events"))
+    return retention_over_bitmaps(bm.localCheckpoint())
+
+
+def day_word_bitmaps(e):
+    """(day, w, bits) presence-bitmap index rows from an events
+    relation (ts, user_id). Exact integer arithmetic end-to-end
+    (ADVICE r09 item 3): `div` instead of float-divide-then-cast
+    (bit-exact past 2^53), and pmod keeps the shift count in
+    [0, _BM_W) for any id sign. Spark `div` truncates while the
+    oracle's `//` floors — identical on this dataset's non-negative
+    day/user_id domain. bit_or is associative, commutative, AND
+    idempotent, so these rows fold across micro-batches replay-safely
+    (streaming/retention_maintain.py maintains exactly this table)."""
+    return (e.select(F.expr(f"unix_micros(ts) div {_US_DAY_BM}")
+                     .alias("day"), "user_id")
+            .groupBy("day",
+                     F.expr(f"user_id div {_BM_W}").alias("w"))
+            .agg(F.bit_or(F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(pmod(user_id, {_BM_W}) AS INT))")).alias("bits")))
+
+
+def retention_over_bitmaps(bm):
+    """Day-over-day retention from a (day, w, bits) bitmap index —
+    shared verbatim by the batch query above and the maintained
+    streaming index, so stream≡batch is an identity on this plan."""
     dau = (bm.groupBy("day")
            .agg(F.sum(F.bit_count("bits")).cast("long").alias("dau")))
     a, b = bm.alias("a"), bm.alias("b")

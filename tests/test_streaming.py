@@ -1986,3 +1986,93 @@ def test_landmark_ingest_stream_matches_batch_and_replay(
     # rows, a replay that wrongly ADDS rows must fail.
     n_match_rows = len(got_pairs)
     assert spark.read.parquet(matches_dir).count() == n_match_rows
+
+
+@pytest.mark.slow
+def test_retention_bitmap_stream_equals_batch(spark, tmp_path, sf_dir):
+    """Maintained (day, w, bits) presence index (foreachBatch
+    bit_or-merge) must be byte-identical to a batch rebuild over all
+    events, with files arriving as separate micro-batches — and the
+    retention query over the maintained index must equal the batch
+    events_retention_bitmap_index result (VERDICT r09 §next 7)."""
+    from pyspark.sql.window import Window as W
+
+    from sparkstreamingproject_spark.queries import REGISTRY
+    from sparkstreamingproject_spark.queries.analytics29 import (
+        day_word_bitmaps)
+    from sparkstreamingproject_spark.sources.streams import file_stream
+    from sparkstreamingproject_spark.streaming.retention_maintain import (
+        retention_bitmap_stream, retention_from_index)
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    land = str(tmp_path / "events_land")
+    (events.withColumn("_b", F.ntile(3).over(W.orderBy("user_id", "ts")))
+     .repartition(3, "_b").drop("_b").write.parquet(land))
+
+    stream = file_stream(spark, land, events.schema,
+                         max_files_per_trigger=1)
+    idx_dir = str(tmp_path / "bm_idx")
+    q = retention_bitmap_stream(stream, idx_dir, str(tmp_path / "ck_bm"))
+    q.awaitTermination(180)
+
+    got_bits = {(r.day, r.w): r.bits
+                for r in spark.read.parquet(idx_dir).collect()}
+    exp_bits = {(r.day, r.w): r.bits
+                for r in day_word_bitmaps(events).collect()}
+    assert got_bits == exp_bits  # index byte-identical, not just rates
+
+    got = {r.day: (r.dau, r.dau_next, r.retained, r.retention_rate)
+           for r in retention_from_index(spark, idx_dir).collect()}
+    exp = {r.day: (r.dau, r.dau_next, r.retained, r.retention_rate)
+           for r in REGISTRY["events_retention_bitmap_index"]
+           .fn(spark, sf_dir).collect()}
+    assert got == exp and len(got) > 0
+
+
+def test_swap_in_crash_recovery_retention_bitmap(spark, tmp_path,
+                                                 monkeypatch):
+    """Crash-replay drill for the retention-bitmap fold: a crash
+    injected between the rename-aside and rename-in leaves the old
+    index readable; the replayed batch re-ORs to bits identical to a
+    batch recompute (bit_or idempotence — no dupes, no loss)."""
+    import os as _os
+    from datetime import datetime, timezone
+
+    from sparkstreamingproject_spark.queries.analytics29 import (
+        day_word_bitmaps)
+    from sparkstreamingproject_spark.streaming import statestore
+    from sparkstreamingproject_spark.streaming.retention_maintain import (
+        merge_bitmaps)
+
+    sch = "user_id long, ts timestamp"
+    t1 = datetime(2024, 1, 1, 10, tzinfo=timezone.utc)
+    t2 = datetime(2024, 1, 2, 10, tzinfo=timezone.utc)
+    b1 = spark.createDataFrame([(i, t1) for i in range(100)], sch)
+    b2 = spark.createDataFrame(
+        [(i, t2) for i in range(50, 150)] + [(7, t1)], sch)
+
+    idx = str(tmp_path / "bm")
+    merge_bitmaps(b1, idx)
+
+    real = _os.rename
+    calls = {"n": 0}
+
+    def flaky(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("injected")
+        real(src, dst)
+
+    monkeypatch.setattr(statestore.os, "rename", flaky)
+    with pytest.raises(OSError, match="injected"):
+        merge_bitmaps(b2, idx)
+    monkeypatch.setattr(statestore.os, "rename", real)
+    assert not _os.path.isdir(idx)  # old state renamed aside, no torn dir
+
+    merge_bitmaps(b2, idx)  # replay
+    merge_bitmaps(b2, idx)  # double replay: idempotent, bits unchanged
+    got = {(r.day, r.w): r.bits for r in spark.read.parquet(idx).collect()}
+    exp = {(r.day, r.w): r.bits
+           for r in day_word_bitmaps(b1.unionByName(b2)).collect()}
+    assert got == exp
