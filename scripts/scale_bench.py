@@ -1,0 +1,153 @@
+"""sf1.0 spot-bench of the heaviest kernels (VERDICT r09 §next 6).
+
+The driver testdata tops out at sf0.1; the 100 TB posture claims were
+design-verified but never measured past 10× the oracle SF. This script
+synthesizes an sf1.0-EQUIVALENT volume by 10× DISJOINT replication of
+the sf0.1 tables the five heaviest kernels read:
+
+- ``lineitem``: every key column (orderkey/partkey/suppkey) offset by
+  replica·stride → 10 structurally-identical, key-disjoint copies. The
+  co-purchase graphs the kernels build become 10 disjoint components
+  of the sf0.1 graph — per-key density is held constant while volume
+  grows 10×, so measured super-linearity is ENGINE cost (shuffle,
+  memory, scheduling), not a data-distribution artifact.
+- ``documents``: doc_id offset + every word suffixed with the replica
+  tag → 10 disjoint shingle/vocabulary universes (no cross-replica
+  near-dups; candidate volume scales exactly linearly by
+  construction, same reasoning).
+
+This is a measurement harness, not test data: results land in
+SCALE.md between ``<!-- scale:spot -->`` markers; the synthetic tables
+live under ``.scale/sf1.0`` (gitignored) and never feed the
+correctness gate.
+
+Usage:  python scripts/scale_bench.py [--rebuild]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from sparkstreamingproject_spark.queries import REGISTRY  # noqa: E402
+from sparkstreamingproject_spark.session import get_spark  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+DST = os.path.join(ROOT, ".scale", "sf1.0")
+REPLICAS = 10
+
+KERNELS = [
+    "graph_kcore_peeling",
+    "dedup_basket_setsim",
+    "dedup_ngram_jaccard",
+    "graph_ppr_seeded",
+    "dedup_minhash_lsh",
+]
+
+SFS = [("0.01", "/root/testdata/sf0.01"),
+       ("0.1", "/root/testdata/sf0.1"),
+       ("1.0*", DST)]
+
+
+def build_sf1(spark, rebuild: bool = False) -> None:
+    os.makedirs(DST, exist_ok=True)
+    li_path = f"{DST}/lineitem.parquet"
+    if rebuild or not os.path.isdir(li_path):
+        li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+        strides = {c: int(li.agg(F.max(c)).first()[0]) + 1
+                   for c in ("l_orderkey", "l_partkey", "l_suppkey")}
+        reps = None
+        for k in range(REPLICAS):
+            r = li
+            for c, s in strides.items():
+                r = r.withColumn(c, F.col(c) + F.lit(k * s))
+            reps = r if reps is None else reps.unionByName(r)
+        reps.repartition(32).write.mode("overwrite").parquet(li_path)
+    doc_path = f"{DST}/documents.parquet"
+    if rebuild or not os.path.isdir(doc_path):
+        d = spark.read.parquet(f"{SRC}/documents.parquet")
+        stride = int(d.agg(F.max("doc_id")).first()[0]) + 1
+        reps = None
+        for k in range(REPLICAS):
+            r = d.withColumn("doc_id", F.col("doc_id") + F.lit(k * stride))
+            if k > 0:
+                tag = F.lit(f"~{k}")
+                r = r.withColumn(
+                    "text",
+                    F.array_join(F.transform(
+                        F.split("text", " "),
+                        lambda w: F.concat(w, tag)), " "))
+            reps = r if reps is None else reps.unionByName(r)
+        reps.repartition(32).write.mode("overwrite").parquet(doc_path)
+
+
+def _isolate(spark) -> None:
+    """Reset session state between measurements so each kernel is
+    timed on a quiet JVM, not against the PREVIOUS kernel's async
+    cleanup. Found while building this bench: after the iterative
+    k-core kernel (12 rounds of localCheckpoints + AQE runtime
+    broadcasts), the NEXT query ran 5-7× slow (110 s vs 16 s for
+    dedup_basket_setsim at sf1.0) until the ContextCleaner drained —
+    unpersist alone did not fix it; releasing references, forcing
+    GC, and giving the cleaner ~10 s did. Production analogue in
+    SCALE.md §scale-curves."""
+    import gc
+    gc.collect()
+    sc = spark.sparkContext
+    it = sc._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        it.next()._2().unpersist(True)
+    sc._jvm.System.gc()
+    time.sleep(10)
+    sc._jvm.System.gc()
+
+
+def main() -> None:
+    spark = get_spark("scale-bench")
+    build_sf1(spark, rebuild="--rebuild" in sys.argv)
+    spark.read.parquet(f"{SRC}/region.parquet").count()  # warm JVM
+
+    results: dict[str, dict[str, float]] = {k: {} for k in KERNELS}
+    for label, sf_dir in SFS:
+        for name in KERNELS:
+            _isolate(spark)
+            t0 = time.perf_counter()
+            n = REGISTRY[name].fn(spark, sf_dir).count()
+            dt = round(time.perf_counter() - t0, 2)
+            results[name][label] = dt
+            print(f"  {name} @ sf{label}: {dt}s ({n} rows)", flush=True)
+
+    lines = ["| kernel | sf0.01 | sf0.1 | sf1.0* | 0.1→1.0 ratio |",
+             "|---|---|---|---|---|"]
+    for name in KERNELS:
+        r = results[name]
+        ratio = round(r["1.0*"] / r["0.1"], 1) if r["0.1"] else float("inf")
+        lines.append(f"| {name} | {r['0.01']} s | {r['0.1']} s "
+                     f"| {r['1.0*']} s | {ratio}× |")
+    block = "\n".join(lines)
+    print(block)
+    print(json.dumps({"scale_spot": results}))
+
+    path = os.path.join(ROOT, "SCALE.md")
+    with open(path) as f:
+        body = f.read()
+    start, end = "<!-- scale:spot -->", "<!-- /scale:spot -->"
+    if start in body:
+        pre, rest = body.split(start, 1)
+        _, post = rest.split(end, 1)
+        body = pre + start + "\n" + block + "\n" + end + post
+        with open(path, "w") as f:
+            f.write(body)
+        print(f"patched {path}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -336,7 +336,9 @@ _ROUND10_WINDOW = [
     "ts_changepoint_binseg", "embedding_knn_descent_round",
     "sim_knn_graph_greedy_search", "sim_ann_two_layer_search",
     # 23-…: round-10 additions (window-included at registration)
-    "dedup_containment_lsh_ensemble",
+    "dedup_containment_lsh_ensemble", "curation_dsir_importance",
+    "sim_binary_hamming_index", "multimodal_dhash_dedup",
+    "vocab_coverage_curve",
     # tail: edit-recency + heaviest kernels on current code
     "dedup_embedding_cosine", "graph_kcore_peeling",
     "split_5way_log", "dedup_minhash_lsh", "dedup_ngram_jaccard",
@@ -347,8 +349,7 @@ _ROUND10_WINDOW = [
     "asof_join_latest_order", "range_join_event_pairs",
     "agg_pricing_summary", "graph_triangle_count",
     "recursive_trade_reach", "sim_topk_int8_rerank",
-    "pandas_grouped_zscore", "ts_sliding_window", "dedup_exact",
-    "dim_upsert_kv", "sim_topk_bruteforce",
+    "pandas_grouped_zscore",
 ]
 
 # Round-agnostic alias — scripts/gen_ledger.py and any other tooling

@@ -9,6 +9,9 @@ verification, not just the final containment arithmetic.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
 from ..llm import dedup as D
 from .base import register, table
 from .llm import SHINGLES_CTE
@@ -75,3 +78,382 @@ def dedup_containment_lsh_ensemble(spark, sf_dir):
     partition-covered)."""
     return D.lsh_ensemble_containment_pairs(
         table(spark, sf_dir, "documents"), threshold=0.9)
+
+
+# ------------------------------------------------ DSIR importance weights
+
+_DSIR_B = 256   # hashed-bigram feature buckets
+_DSIR_K = 100   # selected docs
+
+
+@register(
+    "curation_dsir_importance",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+               FROM documents),
+    bg AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, greatest(len(ws), 1)),
+                    i -> ws[i] || ' ' || ws[i+1])) AS bigram
+      FROM w),
+    db AS MATERIALIZED (
+      SELECT doc_id, lang,
+             CAST('0x' || substr(md5(bigram), 1, 4) AS BIGINT)
+               % {_DSIR_B} AS bucket,
+             count(*) AS n
+      FROM bg GROUP BY 1, 2, 3),
+    stats AS (
+      SELECT bucket, CAST(sum(n) AS BIGINT) AS c_raw,
+             CAST(sum(CASE WHEN lang = 'en' THEN n ELSE 0 END) AS BIGINT)
+               AS c_tgt
+      FROM db GROUP BY 1),
+    tot AS (SELECT CAST(sum(c_raw) AS BIGINT) AS n_raw,
+                   CAST(sum(c_tgt) AS BIGINT) AS n_tgt FROM stats),
+    llr AS (
+      SELECT bucket,
+             ln((c_tgt + 1.0) / (n_tgt + {_DSIR_B}))
+               - ln((c_raw + 1.0) / (n_raw + {_DSIR_B})) AS llr
+      FROM stats, tot),
+    wts AS (
+      SELECT db.doc_id, round(sum(db.n * llr.llr), 4) AS dsir_weight
+      FROM db JOIN llr USING (bucket)
+      GROUP BY 1)
+    SELECT doc_id, dsir_weight,
+           CAST(row_number() OVER (ORDER BY dsir_weight DESC, doc_id)
+                AS BIGINT) AS rank
+    FROM wts
+    QUALIFY rank <= {_DSIR_K}
+    """,
+    tags=("llm", "curation"),
+)
+def curation_dsir_importance(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023, public): importance
+    weight of every document under a hashed-bigram bag model —
+    w(doc) = Σ_features n(doc,b)·[ln p_target(b) − ln p_raw(b)] with
+    Laplace-smoothed bucket distributions (target = the English
+    slice, raw = the whole corpus), top-{_DSIR_K} selected. The
+    deterministic-selection variant of the paper's Gumbel resampling:
+    ranking by the exact weight keeps the oracle hash-comparable.
+
+    Scale: bigrams hash into {_DSIR_B} buckets, so the model state is
+    a {_DSIR_B}-row relation (broadcast) no matter the corpus size —
+    the whole point of hashed DSIR at 100 TB; per-doc weights are one
+    map-side-combinable aggregate over (doc, bucket) counts; only the
+    top-k window is a (tiny, aggregated) global sort."""
+    ws = F.split(F.col("text"), " ")
+    bigrams = F.expr(
+        "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 0)),"
+        " i -> concat(element_at(split(text, ' '), i), ' ',"
+        " element_at(split(text, ' '), i + 1)))")
+    assert ws is not None
+    bg = (table(spark, sf_dir, "documents")
+          .select("doc_id", "lang", F.explode(bigrams).alias("bigram")))
+    db = (bg.select(
+        "doc_id", "lang",
+        (F.conv(F.substring(F.md5("bigram"), 1, 4), 16, 10)
+         .cast("long") % _DSIR_B).alias("bucket"))
+        .groupBy("doc_id", "lang", "bucket")
+        .agg(F.count("*").alias("n")))
+    stats = (db.groupBy("bucket")
+             .agg(F.sum("n").cast("long").alias("c_raw"),
+                  F.sum(F.when(F.col("lang") == "en", F.col("n"))
+                        .otherwise(0)).cast("long").alias("c_tgt")))
+    tot = stats.agg(F.sum("c_raw").cast("long").alias("n_raw"),
+                    F.sum("c_tgt").cast("long").alias("n_tgt"))
+    llr = (stats.crossJoin(F.broadcast(tot))
+           .select("bucket",
+                   (F.log((F.col("c_tgt") + 1.0)
+                          / (F.col("n_tgt") + _DSIR_B))
+                    - F.log((F.col("c_raw") + 1.0)
+                            / (F.col("n_raw") + _DSIR_B))).alias("llr")))
+    wts = (db.join(F.broadcast(llr), "bucket")
+           .groupBy("doc_id")
+           .agg(F.round(F.sum(F.col("n") * F.col("llr")), 4)
+                .alias("dsir_weight")))
+    w = Window.orderBy(F.col("dsir_weight").desc(), F.col("doc_id"))
+    return (wts.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= _DSIR_K))
+
+
+# ------------------------------------------ binary Hamming embedding index
+
+_BH_POOL = 20   # approximate-pass pool per query
+_BH_K = 5
+
+
+def _bh_pack_sql(lo: int) -> str:
+    return (f"CAST(list_sum(list_transform(range({lo}, {lo + 32}), "
+            f"i -> CASE WHEN embedding[i+1] >= 0 "
+            f"THEN (1::BIGINT << (i - {lo})) ELSE 0::BIGINT END)) "
+            f"AS BIGINT)")
+
+
+@register(
+    "sim_binary_hamming_index",
+    oracle=f"""
+    WITH b AS MATERIALIZED (
+      SELECT vec_id, embedding,
+             {_bh_pack_sql(0)} AS w0,
+             {_bh_pack_sql(32)} AS w1
+      FROM embeddings),
+    pool AS (
+      SELECT * FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               CAST(bit_count(xor(q.w0, c.w0))
+                    + bit_count(xor(q.w1, c.w1)) AS BIGINT) AS hamming,
+               round(list_cosine_similarity(
+                 CAST(q.embedding AS DOUBLE[]),
+                 CAST(c.embedding AS DOUBLE[])), 6) AS cosine,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY bit_count(xor(q.w0, c.w0))
+                          + bit_count(xor(q.w1, c.w1)), c.vec_id)
+                 AS prk
+        FROM b q JOIN b c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < {_BH_K})
+      WHERE prk <= {_BH_POOL})
+    SELECT query_id, cand_id, hamming, cosine,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, cand_id)
+             AS BIGINT) AS rank
+    FROM pool
+    QUALIFY rank <= {_BH_K}
+    """,
+    tags=("llm", "similarity"),
+)
+def sim_binary_hamming_index(spark, sf_dir):
+    """1-bit quantized retrieval + exact rerank — the binary sibling
+    of ``sim_topk_int8_rerank``: every vector binarizes to its sign
+    bits packed into two 32-bit words (64× less bandwidth than
+    float64), the approximate pass ranks candidates by packed-word
+    Hamming distance (two xor+popcount ops per comparison — no
+    arithmetic), and only the top-{_BH_POOL} pool fetches full
+    vectors for exact cosine rerank.
+
+    Scale: the packed index is 16 bytes/vector — a billion vectors is
+    16 GB, scannable in-memory per executor; queries broadcast; the
+    rerank join touches pool·|Q| full vectors, never N·|Q|. Sign-bit
+    binarization is exact in both engines (no float arithmetic before
+    the compare)."""
+    from ..functions.vector import cosine_similarity
+
+    def pack(lo: int):
+        return F.expr(
+            f"aggregate(transform(sequence({lo}, {lo + 31}), "
+            f"i -> IF(element_at(embedding, i + 1) >= CAST(0 AS FLOAT), "
+            f"shiftleft(CAST(1 AS BIGINT), i - {lo}), "
+            f"CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, x) -> a + x)")
+
+    b = (table(spark, sf_dir, "embeddings")
+         .select("vec_id", "embedding",
+                 pack(0).alias("w0"), pack(32).alias("w1")))
+    q = b.filter(F.col("vec_id") < _BH_K).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("w0").alias("qw0"), F.col("w1").alias("qw1"))
+    c = b.select(F.col("vec_id").alias("cand_id"),
+                 F.col("embedding").alias("c_emb"), "w0", "w1")
+    ham = (F.expr("bit_count(qw0 ^ w0)")
+           + F.expr("bit_count(qw1 ^ w1)")).cast("long")
+    scored = (c.crossJoin(F.broadcast(q))
+              .filter(F.col("cand_id") != F.col("query_id"))
+              .select("query_id", "cand_id", ham.alias("hamming"),
+                      F.round(cosine_similarity("q_emb", "c_emb"), 6)
+                      .alias("cosine")))
+    wp = Window.partitionBy("query_id").orderBy("hamming", "cand_id")
+    pool = (scored.withColumn("prk", F.row_number().over(wp))
+            .filter(F.col("prk") <= _BH_POOL))
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id"))
+    return (pool.withColumn("rank", F.row_number().over(wr).cast("long"))
+            .filter(F.col("rank") <= _BH_K)
+            .select("query_id", "cand_id", "hamming", "cosine", "rank"))
+
+
+# ------------------------------------------------ difference hash (dHash)
+
+_DH_GRID = 64            # 8x8 cell grid -> 8 rows x 7 gradients = 56 bits
+_DH_BITS = 56
+_DH_HAM = 4
+# pigeonhole bands for hamming <= 4: 5 bands (12+11+11+11+11 = 56)
+_DH_BANDS = [(0, 12), (12, 11), (23, 11), (34, 11), (45, 11)]
+
+
+def _dhash_oracle() -> str:
+    band_selects = " UNION ALL ".join(
+        f"""SELECT doc_id, {bi} AS band,
+                   (dhash >> {off}) & {(1 << width) - 1} AS key
+            FROM dh"""
+        for bi, (off, width) in enumerate(_DH_BANDS))
+    return f"""
+    WITH d AS MATERIALIZED (
+      SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+      FROM documents WHERE length(text) >= {_DH_GRID}),
+    g AS (SELECT doc_id, CAST(n // {_DH_GRID} AS BIGINT) AS cw, text
+          FROM d),
+    ch AS (
+      SELECT doc_id, CAST((i - 1) // cw AS BIGINT) AS cell,
+             ascii(substr(text, CAST(i AS INT), 1)) AS code
+      FROM g, unnest(range(1, CAST({_DH_GRID} * cw + 1 AS BIGINT)))
+           AS t(i)),
+    cells AS MATERIALIZED (
+      SELECT doc_id, cell, CAST(sum(code) AS BIGINT) AS s
+      FROM ch GROUP BY 1, 2),
+    dh AS MATERIALIZED (
+      SELECT l.doc_id,
+             CAST(sum(CASE WHEN l.s > r.s
+                           THEN 1::BIGINT << CAST(
+                             l.cell - (l.cell // 8) AS INT)
+                           ELSE 0 END) AS BIGINT) AS dhash
+      FROM cells l JOIN cells r
+        ON r.doc_id = l.doc_id AND r.cell = l.cell + 1
+      WHERE l.cell % 8 != 7
+      GROUP BY 1),
+    bands AS ({band_selects}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+    SELECT c.id_a, c.id_b,
+           CAST(bit_count(xor(x.dhash, y.dhash)) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN dh x ON x.doc_id = c.id_a
+    JOIN dh y ON y.doc_id = c.id_b
+    WHERE bit_count(xor(x.dhash, y.dhash)) <= {_DH_HAM}
+    """
+
+
+@register("multimodal_dhash_dedup", oracle=_dhash_oracle(),
+          tags=("llm", "multimodal", "dedup"))
+def multimodal_dhash_dedup(spark, sf_dir):
+    """Difference-hash (dHash) perceptual near-dup — the gradient
+    sibling completing the aHash (llm12.py) / pHash-DCT (llm13.py)
+    family: over an 8×8 cell grid of the text-as-raster stand-in,
+    bit (r,c) = cell(r,c) > cell(r,c+1) — HORIZONTAL GRADIENT signs,
+    which survive brightness/offset shifts that flip aHash's
+    global-mean bits. 56 bits (7 per row) so the hash and every
+    shift stay inside a signed BIGINT in both engines; pairs within
+    hamming ≤ {_DH_HAM} via the same 5-band pigeonhole + exact
+    bit_count(xor) verify.
+
+    Scale: one bounded explode + two integer aggregates per doc; the
+    gradient compare is a (doc, cell)-keyed self-join of the 64-row
+    per-doc cell relation (narrow — cell sums only); candidates come
+    from band-key buckets, never all-pairs."""
+    d = (table(spark, sf_dir, "documents")
+         .filter(F.length("text") >= _DH_GRID)
+         .select("doc_id", "text",
+                 (F.length("text").cast("long") / _DH_GRID)
+                 .cast("long").alias("cw")))
+    ch = d.select(
+        "doc_id", "cw",
+        F.posexplode(F.expr(
+            f"transform(sequence(1, {_DH_GRID} * cw), "
+            "i -> ascii(substr(text, CAST(i AS INT), 1)))"
+        )).alias("i0", "code")).select(
+        "doc_id",
+        (F.col("i0") / F.col("cw")).cast("long").alias("cell"),
+        "code")
+    cells = (ch.groupBy("doc_id", "cell")
+             .agg(F.sum("code").cast("long").alias("s")))
+    left = cells.filter(F.col("cell") % 8 != 7).select(
+        "doc_id", "cell", F.col("s").alias("sl"))
+    right = cells.select("doc_id", (F.col("cell") - 1).alias("cell"),
+                         F.col("s").alias("sr"))
+    dh = (left.join(right, ["doc_id", "cell"])
+          .groupBy("doc_id")
+          .agg(F.sum(F.when(
+              F.col("sl") > F.col("sr"),
+              F.expr("shiftleft(CAST(1 AS BIGINT), "
+                     "CAST(cell - (cell div 8) AS INT))"))
+              .otherwise(0)).cast("long").alias("dhash"))
+          .localCheckpoint())
+    bands = None
+    for bi, (off, width) in enumerate(_DH_BANDS):
+        b = dh.select("doc_id", F.lit(bi).alias("band"),
+                      (F.shiftright(F.col("dhash"), off)
+                       .bitwiseAND((1 << width) - 1)).alias("key"))
+        bands = b if bands is None else bands.unionByName(b)
+    cand = (bands.alias("a").join(
+        bands.alias("b"),
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b")).distinct())
+    ham = F.expr("bit_count(ha ^ hb)")
+    return (cand
+            .join(dh.select(F.col("doc_id").alias("id_a"),
+                            F.col("dhash").alias("ha")), "id_a")
+            .join(dh.select(F.col("doc_id").alias("id_b"),
+                            F.col("dhash").alias("hb")), "id_b")
+            .filter(ham <= _DH_HAM)
+            .select("id_a", "id_b", ham.cast("long").alias("hamming")))
+
+
+# ------------------------------------------------ vocab coverage curve
+
+_VC_PPM = [250_000, 500_000, 750_000, 900_000, 950_000, 990_000]
+
+
+@register(
+    "vocab_coverage_curve",
+    oracle=f"""
+    WITH w AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+    freq AS (SELECT word, CAST(count(*) AS BIGINT) AS f
+             FROM w GROUP BY 1),
+    tot AS (SELECT CAST(sum(f) AS BIGINT) AS t FROM freq),
+    ranked AS MATERIALIZED (
+      SELECT word, f,
+             CAST(row_number() OVER (ORDER BY f DESC, word) AS BIGINT)
+               AS rnk,
+             CAST(sum(f) OVER (ORDER BY f DESC, word
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM freq),
+    th AS (SELECT unnest(ARRAY{_VC_PPM}) AS threshold_ppm)
+    SELECT CAST(th.threshold_ppm AS BIGINT) AS threshold_ppm,
+           min(r.rnk) AS vocab_size,
+           round(arg_min(r.cum, r.rnk) * 1.0 / any_value(tot.t), 6)
+             AS coverage
+    FROM th, tot, ranked r
+    WHERE r.cum * 1000000 >= th.threshold_ppm * tot.t
+    GROUP BY 1
+    """,
+    tags=("llm", "text"),
+)
+def vocab_coverage_curve(spark, sf_dir):
+    """Tokenizer-sizing curve: the smallest vocabulary (top-N words by
+    corpus frequency, ties alphabetical) whose cumulative token mass
+    reaches each coverage threshold — the classic Zipf-area question
+    ("how big a vocab covers 99% of tokens?") asked before training a
+    tokenizer; the sibling of ``text_heaps_law`` (vocab GROWTH) and
+    ``vocab_build_topk`` (the vocab itself). Threshold comparisons are
+    exact integer cross-multiplications (cum·10⁶ ≥ ppm·total); the
+    only float is the terminal coverage ratio.
+
+    Scale: the corpus collapses to the (word, freq) relation first
+    (map-side combinable; Heaps-bounded ≪ corpus), the running sum
+    orders that aggregated relation only, and the threshold probe is a
+    6-row broadcast."""
+    freq = (table(spark, sf_dir, "documents")
+            .select(F.explode(F.split("text", " ")).alias("word"))
+            .groupBy("word").agg(F.count("*").cast("long").alias("f")))
+    tot = freq.agg(F.sum("f").cast("long").alias("t"))
+    w = Window.orderBy(F.col("f").desc(), F.col("word"))
+    ranked = freq.select(
+        "word", "f",
+        F.row_number().over(w).cast("long").alias("rnk"),
+        F.sum("f").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long").alias("cum"))
+    th = spark.createDataFrame([(p,) for p in _VC_PPM],
+                               "threshold_ppm long")
+    return (ranked.crossJoin(F.broadcast(tot))
+            .crossJoin(F.broadcast(th))
+            .filter(F.col("cum") * 1_000_000
+                    >= F.col("threshold_ppm") * F.col("t"))
+            .groupBy("threshold_ppm")
+            .agg(F.min("rnk").alias("vocab_size"),
+                 F.round(F.min_by("cum", "rnk")
+                         / F.first("t").cast("double"), 6)
+                 .alias("coverage")))

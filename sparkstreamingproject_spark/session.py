@@ -30,7 +30,16 @@ def configure(builder: SparkSession.Builder, shuffle_partitions: int | None = No
     """Apply engine defaults to any SparkSession builder."""
     sp = shuffle_partitions or default_parallelism()
     return (
-        builder.config("spark.sql.adaptive.enabled", "true")
+        # local-mode heap: the driver JVM hosts all executor threads,
+        # so the 1 GiB default starves AQE broadcast builds ~10× past
+        # the bench SF (found by the sf1.0 spot-bench: a runtime-sized
+        # 64 MB broadcast needs driver headroom the default lacks).
+        # Sized for the 128 GiB/32-thread test host; no-op when a
+        # cluster deploy sets real executor memory via spark-submit
+        # (driver.memory only applies at JVM launch).
+        builder.config("spark.driver.memory",
+                       os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(sp))
