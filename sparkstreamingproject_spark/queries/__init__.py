@@ -62,6 +62,7 @@ from . import llm12  # noqa: E402,F401
 from . import analytics29  # noqa: E402,F401
 from . import llm13  # noqa: E402,F401
 from . import llm14  # noqa: E402,F401
+from . import analytics30  # noqa: E402,F401
 
 # --- driver-window ordering --------------------------------------------------
 # The verify driver checks the FIRST 50 registry entries per round
@@ -338,7 +339,10 @@ _ROUND10_WINDOW = [
     # 23-…: round-10 additions (window-included at registration)
     "dedup_containment_lsh_ensemble", "curation_dsir_importance",
     "sim_binary_hamming_index", "multimodal_dhash_dedup",
-    "vocab_coverage_curve",
+    "vocab_coverage_curve", "stat_cramers_v", "stat_cohens_kappa",
+    "graph_degree_powerlaw_fit", "stat_brunner_munzel",
+    "ts_theta_forecast", "text_msttr_diversity",
+    "privacy_randomized_response",
     # tail: edit-recency + heaviest kernels on current code
     "dedup_embedding_cosine", "graph_kcore_peeling",
     "split_5way_log", "dedup_minhash_lsh", "dedup_ngram_jaccard",
@@ -346,10 +350,6 @@ _ROUND10_WINDOW = [
     "embedding_pca_top2_project", "embedding_knn_graph",
     "bloom_semi_join_prune", "q21_sole_returner", "q9_product_profit",
     "sketch_hll_distinct", "text_tfidf_top_terms", "text_search_bm25",
-    "asof_join_latest_order", "range_join_event_pairs",
-    "agg_pricing_summary", "graph_triangle_count",
-    "recursive_trade_reach", "sim_topk_int8_rerank",
-    "pandas_grouped_zscore",
 ]
 
 # Round-agnostic alias — scripts/gen_ledger.py and any other tooling

@@ -1,0 +1,618 @@
+"""Round-10 stats/TS/graph wave: effect sizes, agreement, robust rank
+tests, power-law degree fits, theta forecasting, lexical diversity,
+and randomized-response privacy.
+
+Exactness discipline (the r03/r07 lessons): every accumulation that
+crosses a shuffle is integer/DECIMAL (ranks doubled to integers,
+deviations cross-multiplied through denominators); floats appear only
+in terminal fixed-arity expressions, rounded once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .base import register, table
+
+_US_DAY = 86_400_000_000
+
+# ------------------------------------------------------- Cramér's V
+
+
+@register(
+    "stat_cramers_v",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type,
+             CAST((epoch_us(ts) // {_US_DAY} + 4) % 7 AS BIGINT) AS dow
+      FROM events),
+    obs AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS o
+            FROM e GROUP BY 1, 2),
+    r AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt
+          FROM obs GROUP BY 1),
+    c AS (SELECT dow, CAST(sum(o) AS BIGINT) AS ct FROM obs GROUP BY 1),
+    t AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                 CAST(count(DISTINCT event_type) AS BIGINT) AS nr,
+                 CAST(count(DISTINCT dow) AS BIGINT) AS nc FROM obs),
+    cell AS (
+      SELECT r.event_type, c.dow, coalesce(obs.o, 0) AS o,
+             r.rt * c.ct AS rc
+      FROM r CROSS JOIN c
+      LEFT JOIN obs ON obs.event_type = r.event_type
+                   AND obs.dow = c.dow),
+    chi AS (
+      SELECT sum((o * t.n - rc) * (o * t.n - rc) * 1.0 / (rc * t.n))
+               AS chi2
+      FROM cell, t)
+    SELECT round(chi.chi2, 4) AS chi2,
+           (t.nr - 1) * (t.nc - 1) AS df,
+           round(sqrt(chi.chi2 / (t.n * (least(t.nr, t.nc) - 1))), 4)
+             AS cramers_v
+    FROM chi, t
+    """,
+    tags=("stats",),
+)
+def stat_cramers_v(spark, sf_dir):
+    """Cramér's V effect size for the event-type × day-of-week
+    contingency — the "is the association MEANINGFUL, not just
+    significant" companion to ``stat_chi_square`` (which only reports
+    the statistic): V = sqrt(χ²/(n·(min(r,c)−1))) ∈ [0,1]. Day-of-week
+    is exact epoch-day arithmetic ((day+4) mod 7 — 1970-01-01 was a
+    Thursday), never an engine calendar function (they disagree on
+    week start). χ² accumulates as (o·n − rt·ct)²/(rt·ct·n) so every
+    numerator is an exact integer before the one division.
+
+    Scale: the contingency is |types|×7 cells from one
+    map-side-combinable count; everything after is arithmetic on a
+    broadcast-sized relation."""
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"(unix_micros(ts) div {_US_DAY} + 4) % 7")
+        .cast("long").alias("dow"))
+    obs = e.groupBy("event_type", "dow").agg(
+        F.count("*").cast("long").alias("o"))
+    r = obs.groupBy("event_type").agg(F.sum("o").cast("long").alias("rt"))
+    c = obs.groupBy("dow").agg(F.sum("o").cast("long").alias("ct"))
+    t = obs.agg(F.sum("o").cast("long").alias("n"),
+                F.countDistinct("event_type").cast("long").alias("nr"),
+                F.countDistinct("dow").cast("long").alias("nc"))
+    cell = (r.crossJoin(c)
+            .join(obs, ["event_type", "dow"], "left")
+            .select(F.coalesce("o", F.lit(0)).alias("o"),
+                    (F.col("rt") * F.col("ct")).alias("rc")))
+    chi = (cell.crossJoin(F.broadcast(t))
+           .agg(F.sum((F.col("o") * F.col("n") - F.col("rc"))
+                      * (F.col("o") * F.col("n") - F.col("rc"))
+                      / (F.col("rc") * F.col("n").cast("double")))
+                .alias("chi2")))
+    return (chi.crossJoin(F.broadcast(t))
+            .select(F.round("chi2", 4).alias("chi2"),
+                    ((F.col("nr") - 1) * (F.col("nc") - 1)).alias("df"),
+                    F.round(F.sqrt(F.col("chi2")
+                                   / (F.col("n")
+                                      * (F.least("nr", "nc") - 1))), 4)
+                    .alias("cramers_v")))
+
+
+# ---------------------------------------------------- Cohen's kappa
+
+
+@register(
+    "stat_cohens_kappa",
+    oracle="""
+    WITH rated AS (
+      SELECT doc_id,
+             CASE WHEN n_chars < 200 THEN 'short'
+                  WHEN n_chars < 400 THEN 'mid' ELSE 'long' END AS ra,
+             CASE WHEN len(string_split(text, ' ')) < 40 THEN 'short'
+                  WHEN len(string_split(text, ' ')) < 80 THEN 'mid'
+                  ELSE 'long' END AS rb
+      FROM documents),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rated),
+    po AS (SELECT CAST(count(*) AS BIGINT) AS agree FROM rated
+           WHERE ra = rb),
+    m AS (
+      SELECT cat, CAST(sum(na) AS BIGINT) AS na,
+             CAST(sum(nb) AS BIGINT) AS nb
+      FROM (
+        SELECT ra AS cat, count(*) AS na, 0 AS nb FROM rated GROUP BY 1
+        UNION ALL
+        SELECT rb AS cat, 0 AS na, count(*) AS nb FROM rated GROUP BY 1)
+      GROUP BY 1),
+    pe AS (SELECT CAST(sum(na * nb) AS BIGINT) AS cross_mass FROM m)
+    SELECT n.n,
+           round(po.agree * 1.0 / n.n, 6) AS po,
+           round(pe.cross_mass * 1.0 / (n.n * n.n), 6) AS pe,
+           round((po.agree * 1.0 * n.n - pe.cross_mass)
+                 / (n.n * 1.0 * n.n - pe.cross_mass), 4) AS kappa
+    FROM n, po, pe
+    """,
+    tags=("stats", "llm"),
+)
+def stat_cohens_kappa(spark, sf_dir):
+    """Cohen's kappa agreement between two deterministic document
+    "raters" — the char-length band vs the word-count band (the
+    labeling-QA primitive: chance-corrected agreement between two
+    annotators/classifiers). κ = (po − pe)/(1 − pe) computed in the
+    all-integer form (agree·n − Σ na·nb)/(n² − Σ na·nb), one terminal
+    division. Scale: two map-only classifications + counts; the
+    marginal relation is |categories| rows."""
+    d = table(spark, sf_dir, "documents").select(
+        F.when(F.col("n_chars") < 200, "short")
+        .when(F.col("n_chars") < 400, "mid")
+        .otherwise("long").alias("ra"),
+        F.when(F.size(F.split("text", " ")) < 40, "short")
+        .when(F.size(F.split("text", " ")) < 80, "mid")
+        .otherwise("long").alias("rb"))
+    n = d.agg(F.count("*").cast("long").alias("n"),
+              F.sum(F.when(F.col("ra") == F.col("rb"), 1)
+                    .otherwise(0)).cast("long").alias("agree"))
+    m = (d.select(F.col("ra").alias("cat"), F.lit(1).alias("na"),
+                  F.lit(0).alias("nb"))
+         .unionAll(d.select(F.col("rb").alias("cat"),
+                            F.lit(0).alias("na"), F.lit(1).alias("nb")))
+         .groupBy("cat")
+         .agg(F.sum("na").cast("long").alias("na"),
+              F.sum("nb").cast("long").alias("nb")))
+    pe = m.agg(F.sum(F.col("na") * F.col("nb")).cast("long")
+               .alias("cross_mass"))
+    return (n.crossJoin(F.broadcast(pe))
+            .select("n",
+                    F.round(F.col("agree") / F.col("n").cast("double"), 6)
+                    .alias("po"),
+                    F.round(F.col("cross_mass")
+                            / (F.col("n") * F.col("n")).cast("double"), 6)
+                    .alias("pe"),
+                    F.round((F.col("agree") * F.col("n")
+                             - F.col("cross_mass"))
+                            / (F.col("n") * F.col("n")
+                               - F.col("cross_mass")).cast("double"), 4)
+                    .alias("kappa")))
+
+
+# ------------------------------------------- degree power-law fit
+
+
+@register(
+    "graph_degree_powerlaw_fit",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+      GROUP BY 1),
+    hist AS MATERIALIZED (
+      SELECT d, CAST(count(*) AS BIGINT) AS nd FROM deg GROUP BY 1),
+    pts AS (SELECT ln(d * 1.0) AS x, ln(nd * 1.0) AS y FROM hist),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS k, sum(x) AS sx,
+                 sum(y) AS sy, sum(x * x) AS sxx, sum(y * y) AS syy,
+                 sum(x * y) AS sxy
+          FROM pts)
+    SELECT k AS n_points,
+           round((k * sxy - sx * sy) / (k * sxx - sx * sx), 4)
+             AS slope,
+           round((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx)
+                 / k, 4) AS intercept,
+           round((k * sxy - sx * sy) * (k * sxy - sx * sy)
+                 / ((k * sxx - sx * sx) * (k * syy - sy * sy)), 4)
+             AS r2
+    FROM s
+    """,
+    tags=("graph", "stats"),
+)
+def graph_degree_powerlaw_fit(spark, sf_dir):
+    """Scale-free check on the part co-purchase graph: OLS of
+    ln(count of nodes with degree d) on ln(d) — the log-log degree
+    histogram slope is the power-law exponent estimate (−α), and r²
+    says how power-law the graph actually is. The sanity gate before
+    betting a partitioning strategy on "degrees are heavy-tailed".
+
+    Scale: the histogram collapses the graph to ≤ max-degree rows
+    before any float; the OLS runs over that tiny relation with
+    moment sums (the stat_linear_trend kernel)."""
+    li = (table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    a, b = li.alias("a"), li.alias("b")
+    e = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+         .select(F.col("a.l_partkey").alias("u"),
+                 F.col("b.l_partkey").alias("v"))
+         .distinct())
+    deg = (e.select(F.col("u").alias("node"))
+           .unionAll(e.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count("*").cast("long").alias("d")))
+    hist = deg.groupBy("d").agg(F.count("*").cast("long").alias("nd"))
+    pts = hist.select(F.log(F.col("d").cast("double")).alias("x"),
+                      F.log(F.col("nd").cast("double")).alias("y"))
+    s = pts.agg(F.count("*").cast("long").alias("k"),
+                F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                F.sum(F.col("y") * F.col("y")).alias("syy"),
+                F.sum(F.col("x") * F.col("y")).alias("sxy"))
+    slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) \
+        / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return s.select(
+        F.col("k").alias("n_points"),
+        F.round(slope, 4).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("k"), 4)
+        .alias("intercept"),
+        F.round((F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                * (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / ((F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                   * (F.col("k") * F.col("syy")
+                      - F.col("sy") * F.col("sy"))), 4).alias("r2"))
+
+
+# ------------------------------------------------ Brunner-Munzel
+
+
+@register(
+    "stat_brunner_munzel",
+    oracle="""
+    WITH v AS MATERIALIZED (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 2 END
+               AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+    r AS MATERIALIZED (
+      SELECT grp, cents,
+             CAST(2 * rank() OVER (ORDER BY cents)
+                  + count(*) OVER (PARTITION BY cents) - 1 AS BIGINT)
+               AS r2c,
+             CAST(2 * rank() OVER (PARTITION BY grp ORDER BY cents)
+                  + count(*) OVER (PARTITION BY grp, cents) - 1
+                  AS BIGINT) AS r2w
+      FROM v),
+    g AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS nk,
+             CAST(sum(r2c) AS BIGINT) AS u2
+      FROM r GROUP BY 1),
+    dev AS (
+      SELECT r.grp,
+             CAST(sum(CAST(g.nk * (r.r2c - r.r2w) - g.u2
+                           + g.nk * g.nk + g.nk
+                           AS DECIMAL(38,0))
+                      * CAST(g.nk * (r.r2c - r.r2w) - g.u2
+                             + g.nk * g.nk + g.nk
+                             AS DECIMAL(38,0)))
+               AS DECIMAL(38,0)) AS vss
+      FROM r JOIN g ON g.grp = r.grp
+      GROUP BY 1),
+    st AS (
+      SELECT
+        (SELECT nk FROM g WHERE grp = 1) AS n1,
+        (SELECT nk FROM g WHERE grp = 2) AS n2,
+        (SELECT u2 FROM g WHERE grp = 1) AS u1,
+        (SELECT u2 FROM g WHERE grp = 2) AS u2,
+        (SELECT CAST(vss AS DOUBLE) FROM dev WHERE grp = 1) AS vss1,
+        (SELECT CAST(vss AS DOUBLE) FROM dev WHERE grp = 2) AS vss2)
+    SELECT n1, n2,
+           round((u2 * 1.0 / n2 - u1 * 1.0 / n1) / (2.0 * (n1 + n2))
+                 + 0.5, 6) AS p_hat,
+           round(n1 * n2 * ((u2 * 1.0 / n2 - u1 * 1.0 / n1) / 2)
+                 / ((n1 + n2)
+                    * sqrt(n1 * (vss1 / (4.0 * n1 * n1 * (n1 - 1)))
+                           + n2 * (vss2 / (4.0 * n2 * n2 * (n2 - 1))))),
+                 4) AS bm_stat
+    FROM st
+    """,
+    tags=("stats",),
+)
+def stat_brunner_munzel(spark, sf_dir):
+    """Brunner-Munzel rank test (the heteroscedastic-and-ties-safe
+    replacement for Mann-Whitney): P(X < Y) + ½P(X = Y) for URGENT vs
+    LOW order prices, with the studentized statistic. All rank
+    arithmetic is exact: tie-averaged ranks are half-integers, so the
+    engine carries 2·rank (integers — 2R = 2·rank() + ties − 1); the
+    within-group deviation is cross-multiplied through its
+    denominator (v_i = nk·(2R_comb − 2R_within) − Σ2R + nk² + nk =
+    2nk·deviation, an exact integer) so the deviation sum of squares
+    shuffles as DECIMAL(38,0) — bit-stable under any partitioning —
+    and floats appear only in the terminal statistic.
+
+    Scale: two ordered windows over the two-priority slice (AQE-sized
+    range partitioning), one grouped integer aggregate, 1-row output."""
+    v = (table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+         .select(F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+                 .otherwise(2).alias("grp"),
+                 F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+                 .alias("cents")))
+    wc = Window.orderBy("cents")
+    ww = Window.partitionBy("grp").orderBy("cents")
+    r = v.select(
+        "grp",
+        (2 * F.rank().over(wc)
+         + F.count("*").over(Window.partitionBy("cents")) - 1)
+        .cast("long").alias("r2c"),
+        (2 * F.rank().over(ww)
+         + F.count("*").over(Window.partitionBy("grp", "cents")) - 1)
+        .cast("long").alias("r2w"))
+    g = r.groupBy("grp").agg(F.count("*").cast("long").alias("nk"),
+                             F.sum("r2c").cast("long").alias("u2"))
+    dec = "decimal(38,0)"
+    dev = (r.join(F.broadcast(g), "grp")
+           .select("grp",
+                   (F.col("nk") * (F.col("r2c") - F.col("r2w"))
+                    - F.col("u2") + F.col("nk") * F.col("nk")
+                    + F.col("nk")).cast(dec).alias("vi"))
+           .groupBy("grp")
+           .agg(F.sum(F.col("vi") * F.col("vi")).cast(dec).alias("vss")))
+    gd = g.join(dev, "grp")
+    one = gd.filter(F.col("grp") == 1).select(
+        F.col("nk").alias("n1"), F.col("u2").alias("u1"),
+        F.col("vss").cast("double").alias("vss1"))
+    two = gd.filter(F.col("grp") == 2).select(
+        F.col("nk").alias("n2"), F.col("u2").alias("u2"),
+        F.col("vss").cast("double").alias("vss2"))
+    st = one.crossJoin(F.broadcast(two))
+    mean_diff = (F.col("u2") / F.col("n2") - F.col("u1") / F.col("n1"))
+    return st.select(
+        "n1", "n2",
+        F.round(mean_diff / (2.0 * (F.col("n1") + F.col("n2"))) + 0.5, 6)
+        .alias("p_hat"),
+        F.round(F.col("n1") * F.col("n2") * (mean_diff / 2)
+                / ((F.col("n1") + F.col("n2"))
+                   * F.sqrt(F.col("n1")
+                            * (F.col("vss1")
+                               / (4.0 * F.col("n1") * F.col("n1")
+                                  * (F.col("n1") - 1)))
+                            + F.col("n2")
+                            * (F.col("vss2")
+                               / (4.0 * F.col("n2") * F.col("n2")
+                                  * (F.col("n2") - 1))))),
+                4).alias("bm_stat"))
+
+
+# ------------------------------------------------- theta forecast
+
+_TH_ALPHA = 0.3   # SES smoothing for the theta-2 line
+_TH_K = 8         # truncated SES depth (the ts_ewma discipline)
+# literal weights (1-a)^i — generated constants, no runtime pow()
+_TH_W = [round((1 - _TH_ALPHA) ** i, 12) for i in range(_TH_K)]
+
+
+def _theta_ses(col: str) -> tuple[str, str]:
+    """Truncated-SES numerator/denominator over lag columns
+    ``{col}0..{col}K-1`` with literal weights, renormalized over the
+    lags that exist (series head)."""
+    num = " + ".join(f"coalesce({col}{i} * {_TH_W[i]!r}, 0.0)"
+                     for i in range(_TH_K))
+    den = " + ".join(
+        f"(CASE WHEN {col}{i} IS NOT NULL THEN {_TH_W[i]!r} ELSE 0.0 END)"
+        for i in range(_TH_K))
+    return num, den
+
+
+@register(
+    "ts_theta_forecast",
+    oracle=f"""
+    WITH daily AS MATERIALIZED (
+      SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2),
+    idx AS MATERIALIZED (
+      SELECT pri, day, cents,
+             CAST(row_number() OVER (PARTITION BY pri ORDER BY day) - 1
+                  AS BIGINT) AS t
+      FROM daily),
+    fit AS (
+      SELECT pri, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(t) AS BIGINT) AS st,
+             CAST(sum(t * t) AS BIGINT) AS stt,
+             CAST(sum(cents) AS BIGINT) AS sy,
+             CAST(sum(t * cents) AS BIGINT) AS sty
+      FROM idx GROUP BY 1),
+    ab AS MATERIALIZED (
+      SELECT pri, n,
+             (n * sty - st * sy) * 1.0 / (n * stt - st * st) AS b,
+             (sy - (n * sty - st * sy) * 1.0 / (n * stt - st * st)
+              * st) / n AS a
+      FROM fit),
+    z AS MATERIALIZED (
+      SELECT i.pri, i.t, 2.0 * i.cents - (ab.a + ab.b * i.t) AS z,
+             ab.a AS a, ab.b AS b, ab.n AS n
+      FROM idx i JOIN ab ON ab.pri = i.pri),
+    lag_z AS (
+      SELECT pri, t, a, b, n,
+             {", ".join(f"lag(z, {i}) OVER (PARTITION BY pri ORDER BY t) AS z{i}" if i else "z AS z0" for i in range(_TH_K))}
+      FROM z),
+    last AS (
+      SELECT pri, a, b, n,
+             ({_theta_ses('z')[0]}) / ({_theta_ses('z')[1]}) AS ses_z
+      FROM lag_z
+      WHERE t = n - 1)
+    SELECT pri, n AS n_days,
+           round(b / 100.0, 4) AS trend_per_day,
+           round(ses_z / 100.0, 4) AS ses_theta2,
+           round((0.5 * (a + b * n) + 0.5 * ses_z) / 100.0, 4)
+             AS forecast_next
+    FROM last
+    """,
+    tags=("timeseries", "stats"),
+)
+def ts_theta_forecast(spark, sf_dir):
+    """Theta-method one-step forecast (Assimakopoulos & Nikolopoulos
+    2000 — the M3-winning decomposition) per order priority: the
+    series splits into the θ=0 line (the OLS linear trend, damping
+    all curvature) and the θ=2 line (2y − trend, doubling it); the
+    forecast averages the trend extrapolation with an SES of the
+    θ=2 line. SES follows the ``ts_ewma`` truncated-lag discipline —
+    literal (1−α)^i weights over the last {_TH_K} observations, a
+    fixed-arity expression, no recursive float state and no runtime
+    pow() — so the result is bit-stable under any partitioning.
+    Trend coefficients come from exact integer moment sums.
+
+    Scale: daily aggregate (map-side combinable) → one per-key OLS
+    over integer moments → one per-key window for the last {_TH_K}
+    lags; dimension × |days| rows end to end."""
+    daily = (table(spark, sf_dir, "orders")
+             .groupBy(F.col("o_orderpriority").alias("pri"),
+                      F.to_date("o_orderdate").alias("day"))
+             .agg(F.sum(F.expr(
+                 "CAST(round(o_totalprice * 100) AS BIGINT)"))
+                 .alias("cents")))
+    wd = Window.partitionBy("pri").orderBy("day")
+    idx = daily.select(
+        "pri", "cents",
+        (F.row_number().over(wd) - 1).cast("long").alias("t"))
+    fit = idx.groupBy("pri").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+        F.sum("cents").cast("long").alias("sy"),
+        F.sum(F.col("t") * F.col("cents")).cast("long").alias("sty"))
+    b = (F.col("n") * F.col("sty") - F.col("st") * F.col("sy")) \
+        / (F.col("n") * F.col("stt") - F.col("st") * F.col("st")) \
+        .cast("double")
+    ab = fit.select("pri", "n", b.alias("b"),
+                    ((F.col("sy") - b * F.col("st")) / F.col("n"))
+                    .alias("a"))
+    z = (idx.join(F.broadcast(ab), "pri")
+         .select("pri", "t", "a", "b", "n",
+                 (2.0 * F.col("cents")
+                  - (F.col("a") + F.col("b") * F.col("t"))).alias("z")))
+    wt = Window.partitionBy("pri").orderBy("t")
+    lagged = z.select(
+        "pri", "t", "a", "b", "n", F.col("z").alias("z0"),
+        *[F.lag("z", i).over(wt).alias(f"z{i}")
+          for i in range(1, _TH_K)])
+    num, den = _theta_ses("z")
+    last = (lagged.filter(F.col("t") == F.col("n") - 1)
+            .select("pri", "a", "b", "n",
+                    F.expr(f"({num}) / ({den})").alias("ses_z")))
+    return last.select(
+        "pri", F.col("n").alias("n_days"),
+        F.round(F.col("b") / 100.0, 4).alias("trend_per_day"),
+        F.round(F.col("ses_z") / 100.0, 4).alias("ses_theta2"),
+        F.round((0.5 * (F.col("a") + F.col("b") * F.col("n"))
+                 + 0.5 * F.col("ses_z")) / 100.0, 4)
+        .alias("forecast_next"))
+
+
+# ---------------------------------------------- MSTTR lexical diversity
+
+_MS_W = 50  # tokens per segment
+
+
+@register(
+    "text_msttr_diversity",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+      FROM documents),
+    seg AS (
+      SELECT doc_id, CAST(pos // {_MS_W} AS BIGINT) AS seg,
+             word, count(*) OVER (PARTITION BY doc_id) AS n_tok
+      FROM w),
+    full_segs AS (
+      SELECT doc_id, seg,
+             CAST(count(DISTINCT word) AS BIGINT) AS types
+      FROM seg
+      WHERE (seg + 1) * {_MS_W} <= n_tok
+      GROUP BY 1, 2)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+           round(sum(types) * 1.0 / (count(*) * {_MS_W}), 6) AS msttr
+    FROM full_segs
+    GROUP BY 1
+    """,
+    tags=("llm", "text"),
+)
+def text_msttr_diversity(spark, sf_dir):
+    """Mean segmental type-token ratio (MSTTR-{_MS_W}): lexical
+    diversity measured over consecutive {_MS_W}-token segments and
+    averaged — the length-robust replacement for raw TTR (which decays
+    with doc length — Heaps' law — making long docs look artificially
+    repetitive; ``text_heaps_law`` measures that decay, this corrects
+    for it). Incomplete tail segments are dropped (the standard
+    definition), so every segment's ratio has the same denominator
+    and the mean is Σtypes/(k·{_MS_W}) — one exact integer sum per
+    doc, one terminal division.
+
+    Scale: posexplode + integer div segment keys — map-only until the
+    (doc, segment) distinct-count aggregate; no windows over the
+    corpus."""
+    w = (table(spark, sf_dir, "documents")
+         .select("doc_id",
+                 F.posexplode(F.split("text", " ")).alias("pos", "word")))
+    seg = w.select(
+        "doc_id", "word",
+        F.expr(f"pos div {_MS_W}").cast("long").alias("seg"),
+        F.count("*").over(Window.partitionBy("doc_id")).alias("n_tok"))
+    full_segs = (seg.filter((F.col("seg") + 1) * _MS_W <= F.col("n_tok"))
+                 .groupBy("doc_id", "seg")
+                 .agg(F.countDistinct("word").cast("long").alias("types")))
+    return (full_segs.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_segments"),
+                 F.round(F.sum("types")
+                         / (F.count("*") * _MS_W).cast("double"), 6)
+                 .alias("msttr")))
+
+
+# ---------------------------------------- randomized response debias
+
+
+@register(
+    "privacy_randomized_response",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS truth
+      FROM events GROUP BY 1),
+    rr AS (
+      SELECT user_id, truth,
+             CAST('0x' || substr(md5('rr:' || CAST(user_id AS VARCHAR)),
+                                 1, 8) AS BIGINT) % 4 AS coin
+      FROM u),
+    rep AS (
+      SELECT CASE WHEN coin <= 1 THEN truth
+                  WHEN coin = 2 THEN 1 ELSE 0 END AS report,
+             truth
+      FROM rr)
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           round(avg(report), 6) AS p_observed,
+           round(2 * avg(report) - 0.5, 6) AS p_estimated,
+           round(avg(truth), 6) AS p_actual
+    FROM rep
+    """,
+    tags=("privacy", "stats"),
+)
+def privacy_randomized_response(spark, sf_dir):
+    """Warner randomized response with debiasing — the local-DP
+    primitive: each user reports the truth with probability 1/2 and a
+    coin flip otherwise (P(report=1) = p/2 + 1/4), so individual
+    reports are plausibly deniable (ε = ln 3 local DP) while the
+    population rate recovers as p̂ = 2·p_obs − 1/2. The "randomness"
+    is a deterministic salted-md5 coin per user — reproducible across
+    engines AND the exact mechanism a production pipeline uses to
+    make privacy audits replayable. Reported next to the true rate so
+    the debiasing error is visible.
+
+    Scale: one user-level aggregate (map-side combinable max), one
+    map-only coin, one global average — no shuffle wider than the
+    user relation."""
+    u = (table(spark, sf_dir, "events")
+         .groupBy("user_id")
+         .agg(F.max(F.when(F.col("event_type") == "purchase", 1)
+                    .otherwise(0)).alias("truth")))
+    coin = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("rr:"), F.col("user_id").cast("string"))),
+        1, 8), 16, 10).cast("long") % 4)
+    rep = u.select(
+        "truth",
+        F.when(coin <= 1, F.col("truth"))
+        .when(coin == 2, F.lit(1)).otherwise(F.lit(0)).alias("report"))
+    return rep.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.round(F.avg("report"), 6).alias("p_observed"),
+        F.round(2 * F.avg("report") - 0.5, 6).alias("p_estimated"),
+        F.round(F.avg("truth"), 6).alias("p_actual"))
