@@ -151,8 +151,16 @@ def main() -> None:
     # headline query (dedup_embedding_cosine) measures its kernel,
     # not 32 interpreter start-ups + Arrow IPC setup.
     n_cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    def _warm(it):
+        # pay the per-worker import + BLAS first-call cost here, not
+        # inside the first timed pandas-UDF query
+        import numpy as _np
+        _np.ones((8, 8)) @ _np.ones((8, 8))
+        yield from it
+
     (spark.range(n_cores * 4, numPartitions=n_cores * 4)
-     .mapInPandas(lambda it: it, "id long").count())
+     .mapInPandas(_warm, "id long").count())
 
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -616,3 +616,420 @@ def privacy_randomized_response(spark, sf_dir):
         F.round(F.avg("report"), 6).alias("p_observed"),
         F.round(2 * F.avg("report") - 0.5, 6).alias("p_estimated"),
         F.round(F.avg("truth"), 6).alias("p_actual"))
+
+
+# ------------------------------------------------------- McNemar
+
+
+@register(
+    "stat_mcnemar",
+    oracle="""
+    WITH rated AS (
+      SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
+             CASE WHEN len(string_split(text, ' ')) >= 60 THEN 1
+                  ELSE 0 END AS b
+      FROM documents),
+    cnt AS (
+      SELECT CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b01,
+             CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c10
+      FROM rated)
+    SELECT b01, c10,
+           round((abs(b01 - c10) - 1) * (abs(b01 - c10) - 1) * 1.0
+                 / (b01 + c10), 4) AS mcnemar_chi2
+    FROM cnt
+    """,
+    tags=("stats",),
+)
+def stat_mcnemar(spark, sf_dir):
+    """McNemar's paired-proportions test (continuity-corrected) on
+    the two binary document raters — did classifier B flip cases
+    relative to classifier A beyond chance? Only the discordant cells
+    matter: χ² = (|b−c|−1)²/(b+c), exact integers until the one
+    terminal division. The paired sibling of ``stat_cohens_kappa``
+    (agreement) and ``stat_ab_proportion_ztest`` (unpaired).
+    Scale: one map-only classification + one global count."""
+    d = table(spark, sf_dir, "documents").select(
+        F.when(F.col("n_chars") >= 300, 1).otherwise(0).alias("a"),
+        F.when(F.size(F.split("text", " ")) >= 60, 1)
+        .otherwise(0).alias("b"))
+    cnt = d.agg(
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 0), 1)
+              .otherwise(0)).cast("long").alias("b01"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 1), 1)
+              .otherwise(0)).cast("long").alias("c10"))
+    dlt = F.abs(F.col("b01") - F.col("c10"))
+    return cnt.select(
+        "b01", "c10",
+        F.round((dlt - 1) * (dlt - 1)
+                / (F.col("b01") + F.col("c10")).cast("double"), 4)
+        .alias("mcnemar_chi2"))
+
+
+# ------------------------------------------------------ Cohen's d
+
+
+@register(
+    "stat_cohens_d",
+    oracle="""
+    WITH v AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 2 END
+               AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+    m AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s,
+             CAST(sum(CAST(cents AS DECIMAL(38,0)) * cents)
+                  AS DECIMAL(38,0)) AS q
+      FROM v GROUP BY 1),
+    st AS (
+      SELECT
+        (SELECT n FROM m WHERE grp = 1) AS n1,
+        (SELECT s FROM m WHERE grp = 1) AS s1,
+        (SELECT CAST(q AS DOUBLE) FROM m WHERE grp = 1) AS q1,
+        (SELECT n FROM m WHERE grp = 2) AS n2,
+        (SELECT s FROM m WHERE grp = 2) AS s2,
+        (SELECT CAST(q AS DOUBLE) FROM m WHERE grp = 2) AS q2)
+    SELECT n1, n2,
+           round((s1 * 1.0 / n1 - s2 * 1.0 / n2) / 100, 2)
+             AS mean_diff,
+           round((s1 * 1.0 / n1 - s2 * 1.0 / n2)
+                 / sqrt(((q1 - s1 * 1.0 / n1 * s1)
+                         + (q2 - s2 * 1.0 / n2 * s2))
+                        / (n1 + n2 - 2)), 4) AS cohens_d,
+           round((s1 * 1.0 / n1 - s2 * 1.0 / n2)
+                 / sqrt(((q1 - s1 * 1.0 / n1 * s1)
+                         + (q2 - s2 * 1.0 / n2 * s2))
+                        / (n1 + n2 - 2))
+                 * (1 - 3.0 / (4 * (n1 + n2) - 9)), 4) AS hedges_g
+    FROM st
+    """,
+    tags=("stats",),
+)
+def stat_cohens_d(spark, sf_dir):
+    """Cohen's d standardized mean difference (URGENT vs LOW order
+    value) with the Hedges' g small-sample correction — the effect
+    size behind ``stat_ttest_welch``'s significance. Pooled variance
+    from exact integer moments (Σx as BIGINT cents, Σx² as
+    DECIMAL(38,0)): (n−1)s² = q − s²/n, summed across groups, one
+    terminal sqrt. Scale: one two-group moment aggregate."""
+    v = (table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+         .select(F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+                 .otherwise(2).alias("grp"),
+                 F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+                 .alias("cents")))
+    dec = "decimal(38,0)"
+    m = v.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(F.col("cents").cast(dec) * F.col("cents")).cast(dec)
+        .alias("q"))
+    one = m.filter(F.col("grp") == 1).select(
+        F.col("n").alias("n1"), F.col("s").alias("s1"),
+        F.col("q").cast("double").alias("q1"))
+    two = m.filter(F.col("grp") == 2).select(
+        F.col("n").alias("n2"), F.col("s").alias("s2"),
+        F.col("q").cast("double").alias("q2"))
+    st = one.crossJoin(F.broadcast(two))
+    mean_diff = (F.col("s1") / F.col("n1").cast("double")
+                 - F.col("s2") / F.col("n2").cast("double"))
+    pooled = F.sqrt(((F.col("q1") - F.col("s1") / F.col("n1").cast("double")
+                      * F.col("s1"))
+                     + (F.col("q2")
+                        - F.col("s2") / F.col("n2").cast("double")
+                        * F.col("s2")))
+                    / (F.col("n1") + F.col("n2") - 2))
+    d = mean_diff / pooled
+    return st.select(
+        "n1", "n2",
+        F.round(mean_diff / 100, 2).alias("mean_diff"),
+        F.round(d, 4).alias("cohens_d"),
+        F.round(d * (1 - 3.0 / (4 * (F.col("n1") + F.col("n2")) - 9)), 4)
+        .alias("hedges_g"))
+
+
+# ---------------------------------------------- rich-club coefficient
+
+_RC_KS = [2, 4, 8, 16]
+
+
+@register(
+    "graph_rich_club_coefficient",
+    oracle=f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey),
+    deg AS MATERIALIZED (
+      SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+      GROUP BY 1),
+    ks AS (SELECT unnest(ARRAY{_RC_KS}) AS k),
+    nodes AS (
+      SELECT ks.k, CAST(count(*) AS BIGINT) AS n_nodes
+      FROM ks JOIN deg ON deg.d > ks.k GROUP BY 1),
+    edges AS (
+      SELECT ks.k, CAST(count(*) AS BIGINT) AS n_edges
+      FROM ks
+      JOIN e ON true
+      JOIN deg du ON du.node = e.u AND du.d > ks.k
+      JOIN deg dv ON dv.node = e.v AND dv.d > ks.k
+      GROUP BY 1)
+    SELECT CAST(n.k AS BIGINT) AS k, n.n_nodes,
+           coalesce(ed.n_edges, 0) AS n_edges,
+           round(coalesce(ed.n_edges, 0) * 2.0
+                 / (n.n_nodes * (n.n_nodes - 1)), 6) AS phi
+    FROM nodes n LEFT JOIN edges ed ON ed.k = n.k
+    WHERE n.n_nodes >= 2
+    """,
+    tags=("graph",),
+)
+def graph_rich_club_coefficient(spark, sf_dir):
+    """Rich-club coefficient φ(k) of the part co-purchase graph: among
+    nodes with degree > k, the fraction of possible edges that exist —
+    do the hubs preferentially interconnect? (The hub-connectivity
+    companion to ``graph_degree_assortativity``'s global correlation
+    and ``graph_degree_powerlaw_fit``'s tail shape.) Exact integer
+    counts; one terminal ratio per k.
+
+    Scale: the edge relation joins the (node, degree) relation twice
+    (key-partitioned), the k-threshold probe is a 4-row broadcast —
+    never an all-pairs count."""
+    li = (table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    a, b = li.alias("a"), li.alias("b")
+    e = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+         .select(F.col("a.l_partkey").alias("u"),
+                 F.col("b.l_partkey").alias("v"))
+         .distinct())
+    deg = (e.select(F.col("u").alias("node"))
+           .unionAll(e.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count("*").cast("long").alias("d")))
+    ks = spark.createDataFrame([(k,) for k in _RC_KS], "k long")
+    nodes = (deg.crossJoin(F.broadcast(ks))
+             .filter(F.col("d") > F.col("k"))
+             .groupBy("k").agg(F.count("*").cast("long").alias("n_nodes")))
+    edges = (e.join(deg.select(F.col("node").alias("u"),
+                               F.col("d").alias("du")), "u")
+             .join(deg.select(F.col("node").alias("v"),
+                              F.col("d").alias("dv")), "v")
+             .crossJoin(F.broadcast(ks))
+             .filter((F.col("du") > F.col("k")) & (F.col("dv") > F.col("k")))
+             .groupBy("k").agg(F.count("*").cast("long").alias("n_edges")))
+    return (nodes.join(edges, "k", "left")
+            .filter(F.col("n_nodes") >= 2)
+            .select("k", "n_nodes",
+                    F.coalesce("n_edges", F.lit(0)).alias("n_edges"),
+                    F.round(F.coalesce("n_edges", F.lit(0)) * 2.0
+                            / (F.col("n_nodes")
+                               * (F.col("n_nodes") - 1)), 6)
+                    .alias("phi")))
+
+
+# ------------------------------------------ Horvitz-Thompson estimate
+
+_HT_PCT = 10  # Bernoulli inclusion probability, percent
+
+
+@register(
+    "sample_horvitz_thompson",
+    oracle=f"""
+    WITH o AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST('0x' || substr(md5('ht:' || CAST(o_orderkey AS VARCHAR)),
+                                 1, 8) AS BIGINT) % 100 AS coin
+      FROM orders),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_sampled,
+             CAST(sum(cents) AS BIGINT) AS sample_cents
+      FROM o WHERE coin < {_HT_PCT}),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+                 CAST(sum(cents) AS BIGINT) AS total_cents FROM o)
+    SELECT s.n_sampled, t.n_total,
+           round(s.sample_cents * (100.0 / {_HT_PCT}) / 100, 2)
+             AS ht_total_est,
+           round(t.total_cents / 100.0, 2) AS actual_total,
+           round((s.sample_cents * (100 // {_HT_PCT}) - t.total_cents)
+                 * 1.0 / t.total_cents, 6) AS rel_err
+    FROM s, t
+    """,
+    tags=("sampling", "stats"),
+)
+def sample_horvitz_thompson(spark, sf_dir):
+    """Horvitz-Thompson total estimator under deterministic
+    hash-Bernoulli sampling (π = {_HT_PCT}%): T̂ = Σ_sample y_i/π —
+    the unbiasedness workhorse behind every sampled dashboard; shown
+    against the true total so the realized error is visible. The
+    inclusion coin is a salted md5 (reproducible in both engines, and
+    how production pipelines make sampled metrics replayable); the
+    estimator is an exact integer sum times an integer weight
+    (100/{_HT_PCT}), floats only in terminal display ratios.
+
+    Scale: one map-only coin + two global integer aggregates over one
+    scan — the sampled branch never materializes separately."""
+    o = table(spark, sf_dir, "orders").select(
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        (F.conv(F.substring(F.md5(F.concat(
+            F.lit("ht:"), F.col("o_orderkey").cast("string"))), 1, 8),
+            16, 10).cast("long") % 100).alias("coin"))
+    s = (o.filter(F.col("coin") < _HT_PCT)
+         .agg(F.count("*").cast("long").alias("n_sampled"),
+              F.sum("cents").cast("long").alias("sample_cents")))
+    t = o.agg(F.count("*").cast("long").alias("n_total"),
+              F.sum("cents").cast("long").alias("total_cents"))
+    return (s.crossJoin(F.broadcast(t))
+            .select("n_sampled", "n_total",
+                    F.round(F.col("sample_cents") * (100.0 / _HT_PCT)
+                            / 100, 2).alias("ht_total_est"),
+                    F.round(F.col("total_cents") / 100.0, 2)
+                    .alias("actual_total"),
+                    F.round((F.col("sample_cents") * (100 // _HT_PCT)
+                             - F.col("total_cents"))
+                            / F.col("total_cents").cast("double"), 6)
+                    .alias("rel_err")))
+
+
+# ------------------------------------- seasonal Mann-Kendall trend
+
+
+@register(
+    "ts_seasonal_mann_kendall",
+    oracle=f"""
+    WITH d AS MATERIALIZED (
+      SELECT epoch_us(ts) // {_US_DAY} AS day,
+             CAST((epoch_us(ts) // {_US_DAY} + 4) % 7 AS BIGINT) AS dow,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT CAST(sum(CASE WHEN b.x > a.x THEN 1
+                           WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
+               AS s_stat
+      FROM d a JOIN d b ON a.dow = b.dow AND a.day < b.day),
+    vmain AS (
+      SELECT CAST(sum(n * (n - 1) * (2 * n + 5)) AS BIGINT) AS vmain
+      FROM (SELECT dow, count(*) AS n FROM d GROUP BY 1)),
+    vties AS (
+      SELECT CAST(coalesce(sum(c * (c - 1) * (2 * c + 5)), 0) AS BIGINT)
+               AS vties
+      FROM (SELECT dow, x, count(*) AS c FROM d GROUP BY 1, 2)
+      WHERE c > 1),
+    var_s AS (SELECT vmain, vties FROM vmain, vties)
+    SELECT s.s_stat,
+           round((s.s_stat - CASE WHEN s.s_stat > 0 THEN 1
+                                  WHEN s.s_stat < 0 THEN -1 ELSE 0 END)
+                 / sqrt((vmain - vties) / 18.0), 4) AS z
+    FROM s, var_s
+    """,
+    tags=("timeseries", "stats"),
+)
+def ts_seasonal_mann_kendall(spark, sf_dir):
+    """Seasonal Mann-Kendall (Hirsch-Slack) on daily event volume:
+    the MK pair-sign statistic computed WITHIN each day-of-week
+    series and summed, so a strong weekly cycle cannot masquerade as
+    (or mask) a monotonic trend — the seasonal-data companion to the
+    driver-green ``stat_mann_kendall_trend``. S and the tie-corrected
+    variance are exact integers per season (the per-(dow, x) tie
+    groups correct each season's variance); the continuity-corrected
+    z is one terminal float.
+
+    Scale: pairs form within a season only (7 × (days/7)² bounded by
+    calendar span, not corpus size); day-of-week is exact epoch
+    arithmetic."""
+    e = table(spark, sf_dir, "events")
+    d = (e.groupBy(
+        F.expr(f"unix_micros(ts) div {_US_DAY}").alias("day"),
+        F.expr(f"(unix_micros(ts) div {_US_DAY} + 4) % 7")
+        .cast("long").alias("dow"))
+        .agg(F.count("*").cast("long").alias("x")))
+    a = d.select(F.col("dow"), F.col("day").alias("da"),
+                 F.col("x").alias("xa"))
+    b = d.select(F.col("dow"), F.col("day").alias("db"),
+                 F.col("x").alias("xb"))
+    s = (a.join(b, "dow")
+         .filter(F.col("da") < F.col("db"))
+         .agg(F.sum(F.when(F.col("xb") > F.col("xa"), 1)
+                    .when(F.col("xb") < F.col("xa"), -1)
+                    .otherwise(0)).cast("long").alias("s_stat")))
+    per_season = d.groupBy("dow").agg(F.count("*").alias("n"))
+    vmain = per_season.agg(
+        F.sum(F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5))
+        .cast("long").alias("vmain"))
+    ties = (d.groupBy("dow", "x").agg(F.count("*").alias("c"))
+            .filter(F.col("c") > 1)
+            .agg(F.coalesce(F.sum(F.col("c") * (F.col("c") - 1)
+                                  * (2 * F.col("c") + 5)), F.lit(0))
+                 .cast("long").alias("vties")))
+    j = s.crossJoin(F.broadcast(vmain)).crossJoin(F.broadcast(ties))
+    cc = (F.when(F.col("s_stat") > 0, 1)
+          .when(F.col("s_stat") < 0, -1).otherwise(0))
+    return j.select(
+        "s_stat",
+        F.round((F.col("s_stat") - cc)
+                / F.sqrt((F.col("vmain") - F.col("vties")) / 18.0), 4)
+        .alias("z"))
+
+
+# ------------------------------------------ Nelson-Aalen hazard
+
+
+@register(
+    "orders_nelson_aalen_hazard",
+    oracle="""
+    WITH lat AS (
+      SELECT CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                            CAST(l.l_shipdate AS DATE)) AS BIGINT)
+               AS days
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+    ev AS (SELECT days, CAST(count(*) AS BIGINT) AS d
+           FROM lat GROUP BY 1),
+    risk AS (
+      SELECT days, d,
+             CAST(sum(d) OVER (ORDER BY days DESC
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS n_at_risk
+      FROM ev)
+    SELECT days, d, n_at_risk,
+           round(sum(d * 1.0 / n_at_risk)
+                 OVER (ORDER BY days ROWS UNBOUNDED PRECEDING), 6)
+             AS cum_hazard
+    FROM risk
+    """,
+    tags=("stats", "timeseries"),
+)
+def orders_nelson_aalen_hazard(spark, sf_dir):
+    """Nelson-Aalen cumulative hazard of ship latency: H(t) =
+    Σ_{t_i ≤ t} d_i/n_i over event days — the hazard-scale companion
+    to the driver-green Kaplan-Meier survival curve (H = −ln S only
+    asymptotically; NA is the estimator production reliability
+    dashboards plot). d_i and the at-risk counts are exact integers
+    (n_at_risk = a reversed cumulative sum — no censoring in this
+    fixture); the hazard increments are summed by BOTH engines in the
+    same day order (ordered window), so the float sequence is
+    identical operation-for-operation.
+
+    Scale: one grouped count to the ~day-grain relation, two ordered
+    windows over it — |distinct latencies| rows, not the fact table."""
+    lat = (table(spark, sf_dir, "lineitem").alias("l")
+           .join(table(spark, sf_dir, "orders").alias("o"),
+                 F.col("o.o_orderkey") == F.col("l.l_orderkey"))
+           .select(F.datediff(F.col("l.l_shipdate"),
+                              F.col("o.o_orderdate"))
+                   .cast("long").alias("days")))
+    ev = lat.groupBy("days").agg(F.count("*").cast("long").alias("d"))
+    w_desc = Window.orderBy(F.col("days").desc()) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    w_asc = Window.orderBy("days") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    risk = ev.select(
+        "days", "d", F.sum("d").over(w_desc).cast("long")
+        .alias("n_at_risk"))
+    return risk.select(
+        "days", "d", "n_at_risk",
+        F.round(F.sum(F.col("d") / F.col("n_at_risk").cast("double"))
+                .over(w_asc), 6).alias("cum_hazard"))

@@ -102,6 +102,11 @@ _KEEPERS = [
     "events_retention_bitmap_index",
     "sample_kcenter_greedy",
     "ts_changepoint_binseg",
+    # round-10 additions registered past the 50-slot driver window
+    # (r11 window candidates — pre-flight them now, not next round)
+    "stat_mcnemar", "stat_cohens_d", "graph_rich_club_coefficient",
+    "sample_horvitz_thompson", "ts_seasonal_mann_kendall",
+    "orders_nelson_aalen_hazard",
 ]
 
 _seen: set[str] = set()
