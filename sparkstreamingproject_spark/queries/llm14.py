@@ -140,24 +140,41 @@ def curation_dsir_importance(spark, sf_dir):
     the whole point of hashed DSIR at 100 TB; per-doc weights are one
     map-side-combinable aggregate over (doc, bucket) counts; only the
     top-k window is a (tiny, aggregated) global sort."""
-    ws = F.split(F.col("text"), " ")
+    db = dsir_doc_buckets(table(spark, sf_dir, "documents"))
+    return dsir_weights(db, dsir_bucket_stats(db))
+
+
+def dsir_doc_buckets(docs):
+    """(doc_id, lang, bucket, n) hashed-bigram counts per doc — the
+    shared feature extraction for the batch query AND the streaming
+    stats fold (streaming/dsir_maintain.py)."""
     bigrams = F.expr(
         "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 0)),"
         " i -> concat(element_at(split(text, ' '), i), ' ',"
         " element_at(split(text, ' '), i + 1)))")
-    assert ws is not None
-    bg = (table(spark, sf_dir, "documents")
-          .select("doc_id", "lang", F.explode(bigrams).alias("bigram")))
-    db = (bg.select(
+    bg = docs.select("doc_id", "lang", F.explode(bigrams).alias("bigram"))
+    return (bg.select(
         "doc_id", "lang",
         (F.conv(F.substring(F.md5("bigram"), 1, 4), 16, 10)
          .cast("long") % _DSIR_B).alias("bucket"))
         .groupBy("doc_id", "lang", "bucket")
         .agg(F.count("*").alias("n")))
-    stats = (db.groupBy("bucket")
-             .agg(F.sum("n").cast("long").alias("c_raw"),
-                  F.sum(F.when(F.col("lang") == "en", F.col("n"))
-                        .otherwise(0)).cast("long").alias("c_tgt")))
+
+
+def dsir_bucket_stats(db):
+    """(bucket, c_raw, c_tgt) model state — {_DSIR_B} rows no matter
+    the corpus size; ADDITIVE across any partition of the corpus, so
+    the streaming fold merges it exactly."""
+    return (db.groupBy("bucket")
+            .agg(F.sum("n").cast("long").alias("c_raw"),
+                 F.sum(F.when(F.col("lang") == "en", F.col("n"))
+                       .otherwise(0)).cast("long").alias("c_tgt")))
+
+
+def dsir_weights(db, stats):
+    """Top-k DSIR selection from doc-bucket counts + model stats —
+    identical arithmetic whether stats come from the same batch (the
+    oracle-checked query) or a maintained streaming table."""
     tot = stats.agg(F.sum("c_raw").cast("long").alias("n_raw"),
                     F.sum("c_tgt").cast("long").alias("n_tgt"))
     llr = (stats.crossJoin(F.broadcast(tot))

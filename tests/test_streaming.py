@@ -2076,3 +2076,75 @@ def test_swap_in_crash_recovery_retention_bitmap(spark, tmp_path,
     exp = {(r.day, r.w): r.bits
            for r in day_word_bitmaps(b1.unionByName(b2)).collect()}
     assert got == exp
+
+
+@pytest.mark.slow
+def test_dsir_stats_stream_equals_batch_and_scoring(spark, tmp_path,
+                                                    sf_dir):
+    """Maintained DSIR bucket stats (marker-guarded additive fold)
+    must equal a batch recompute over all documents, and scoring
+    against the maintained model must equal the oracle-checked batch
+    query exactly."""
+    from pyspark.sql.window import Window as W
+
+    from sparkstreamingproject_spark.queries import REGISTRY
+    from sparkstreamingproject_spark.queries.llm14 import (
+        dsir_bucket_stats, dsir_doc_buckets)
+    from sparkstreamingproject_spark.sources.streams import file_stream
+    from sparkstreamingproject_spark.streaming.dsir_maintain import (
+        dsir_stats_stream, score_against_model)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "lang", "text")
+    land = str(tmp_path / "docs_land")
+    (docs.withColumn("_b", F.ntile(3).over(W.orderBy("doc_id")))
+     .repartition(3, "_b").drop("_b").write.parquet(land))
+
+    stream = file_stream(spark, land, docs.schema, max_files_per_trigger=1)
+    tbl = str(tmp_path / "dsir_stats")
+    q = dsir_stats_stream(stream, tbl, str(tmp_path / "ck_dsir"),
+                          str(tmp_path / "mk_dsir"))
+    q.awaitTermination(180)
+
+    got = {r.bucket: (r.c_raw, r.c_tgt)
+           for r in spark.read.parquet(tbl).collect()}
+    exp = {r.bucket: (r.c_raw, r.c_tgt)
+           for r in dsir_bucket_stats(dsir_doc_buckets(docs)).collect()}
+    assert got == exp and len(got) > 0  # counters exactly additive
+
+    scored = {(r.doc_id): (r.dsir_weight, r.rank)
+              for r in score_against_model(docs, tbl).collect()}
+    batch = {(r.doc_id): (r.dsir_weight, r.rank)
+             for r in REGISTRY["curation_dsir_importance"]
+             .fn(spark, sf_dir).collect()}
+    assert scored == batch
+
+
+def test_dsir_stats_replay_is_skipped_by_marker(spark, tmp_path):
+    """Additive fold + idempotence marker: re-delivering a batch id
+    must NOT double-count; a crash before the marker commits replays
+    the fold against the pre-crash state (swap_in recovery)."""
+    from sparkstreamingproject_spark.queries.llm14 import (
+        dsir_bucket_stats, dsir_doc_buckets)
+    from sparkstreamingproject_spark.streaming.dsir_maintain import (
+        merge_dsir_stats)
+    from sparkstreamingproject_spark.streaming.idempotent import (
+        idempotent_foreach_batch)
+
+    sch = "doc_id long, lang string, text string"
+    b1 = spark.createDataFrame(
+        [(1, "en", "a b c a b"), (2, "de", "x y z")], sch)
+    b2 = spark.createDataFrame([(3, "en", "a b q r")], sch)
+    tbl = str(tmp_path / "stats")
+    write = idempotent_foreach_batch(
+        lambda b, _id: merge_dsir_stats(b, tbl),
+        str(tmp_path / "markers"))
+    write(b1, 0)
+    write(b2, 1)
+    write(b2, 1)  # replayed batch id — must be skipped
+    got = {r.bucket: (r.c_raw, r.c_tgt)
+           for r in spark.read.parquet(tbl).collect()}
+    exp = {r.bucket: (r.c_raw, r.c_tgt)
+           for r in dsir_bucket_stats(
+               dsir_doc_buckets(b1.unionByName(b2))).collect()}
+    assert got == exp
