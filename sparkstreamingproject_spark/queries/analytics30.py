@@ -1033,3 +1033,167 @@ def orders_nelson_aalen_hazard(spark, sf_dir):
         "days", "d", "n_at_risk",
         F.round(F.sum(F.col("d") / F.col("n_at_risk").cast("double"))
                 .over(w_asc), 6).alias("cum_hazard"))
+
+
+# --------------------------------- sign-flip permutation test
+
+_PM_N = 200  # deterministic permutations
+
+
+@register(
+    "stat_signflip_permutation_test",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                           THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS cu,
+             CAST(sum(CASE WHEN o_orderpriority = '5-LOW'
+                           THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS cl,
+             CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS nu,
+             CAST(sum(CASE WHEN o_orderpriority = '5-LOW'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS nl
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+      GROUP BY 1),
+    pairs AS MATERIALIZED (
+      SELECT day, cu - cl AS diff FROM daily
+      WHERE nu > 0 AND nl > 0),
+    obs AS (SELECT CAST(sum(diff) AS BIGINT) AS obs_diff,
+                   CAST(count(*) AS BIGINT) AS n_days FROM pairs),
+    perms AS (
+      SELECT p.p,
+             CAST(sum(CASE WHEN CAST('0x' || substr(md5(
+                        CAST(p.p AS VARCHAR) || ':'
+                        || CAST(pairs.day AS VARCHAR)), 1, 8) AS BIGINT)
+                        % 2 = 0
+                       THEN pairs.diff ELSE -pairs.diff END) AS BIGINT)
+               AS pstat
+      FROM (SELECT unnest(range(0, {_PM_N})) AS p) p, pairs
+      GROUP BY 1),
+    pv AS (
+      SELECT CAST(sum(CASE WHEN abs(perms.pstat) >= abs(obs.obs_diff)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+      FROM perms, obs)
+    SELECT obs.n_days, round(obs.obs_diff / 100.0, 2) AS obs_diff,
+           CAST({_PM_N} AS BIGINT) AS n_perms,
+           round((pv.n_extreme + 1.0) / ({_PM_N} + 1), 6) AS p_value
+    FROM obs, pv
+    """,
+    tags=("stats",),
+)
+def stat_signflip_permutation_test(spark, sf_dir):
+    """Exact sign-flip permutation test on the paired daily revenue
+    difference (URGENT − LOW, days where both traded): under H₀ the
+    difference is symmetric, so each day's sign flips ±1 with equal
+    probability — the distribution-free paired test with NO variance
+    formula to get wrong. The {_PM_N} permutations are deterministic
+    salted-md5 coin sequences (replayable audits — the same discipline
+    as the Poisson bootstrap and randomized-response queries), every
+    permutation statistic is an exact integer sum of ±cents, and the
+    add-one p-value is the single terminal float.
+
+    Scale: |days| × {_PM_N} rows from a broadcast of the {_PM_N}-row
+    permutation relation against the day-grain aggregate — bounded by
+    calendar span, never the order stream; the flip-sum is map-side
+    combinable."""
+    daily = (table(spark, sf_dir, "orders")
+             .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+             .groupBy(F.to_date("o_orderdate").alias("day"))
+             .agg(*[F.sum(F.when(F.col("o_orderpriority") == pri,
+                                 F.expr("CAST(round(o_totalprice * 100)"
+                                        " AS BIGINT)")).otherwise(0))
+                    .cast("long").alias(c)
+                    for pri, c in [("1-URGENT", "cu"), ("5-LOW", "cl")]],
+                  *[F.sum(F.when(F.col("o_orderpriority") == pri, 1)
+                          .otherwise(0)).cast("long").alias(c)
+                    for pri, c in [("1-URGENT", "nu"), ("5-LOW", "nl")]]))
+    pairs = (daily.filter((F.col("nu") > 0) & (F.col("nl") > 0))
+             .select("day", (F.col("cu") - F.col("cl")).alias("diff")))
+    obs = pairs.agg(F.sum("diff").cast("long").alias("obs_diff"),
+                    F.count("*").cast("long").alias("n_days"))
+    perm_ids = spark.range(_PM_N).select(F.col("id").alias("p"))
+    coin = (F.conv(F.substring(F.md5(F.concat(
+        F.col("p").cast("string"), F.lit(":"),
+        F.col("day").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 2)
+    perms = (pairs.crossJoin(F.broadcast(perm_ids))
+             .select("p", F.when(coin == 0, F.col("diff"))
+                     .otherwise(-F.col("diff")).alias("sdiff"))
+             .groupBy("p")
+             .agg(F.sum("sdiff").cast("long").alias("pstat")))
+    pv = (perms.crossJoin(F.broadcast(obs))
+          .agg(F.sum(F.when(F.abs(F.col("pstat"))
+                            >= F.abs(F.col("obs_diff")), 1)
+                     .otherwise(0)).cast("long").alias("n_extreme")))
+    return (obs.crossJoin(F.broadcast(pv))
+            .select("n_days",
+                    F.round(F.col("obs_diff") / 100.0, 2)
+                    .alias("obs_diff"),
+                    F.lit(_PM_N).cast("long").alias("n_perms"),
+                    F.round((F.col("n_extreme") + 1.0) / (_PM_N + 1), 6)
+                    .alias("p_value")))
+
+
+# ------------------------------------- interpurchase gamma fit
+
+
+@register(
+    "events_interpurchase_gamma_fit",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, epoch_us(ts) AS us FROM events
+      WHERE event_type = 'purchase'),
+    gaps AS (
+      SELECT (us - lag(us) OVER (PARTITION BY user_id ORDER BY us))
+               // 1000000 AS gap_s
+      FROM p
+      QUALIFY gap_s IS NOT NULL),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(gap_s) AS BIGINT) AS s,
+             CAST(sum(CAST(gap_s AS DECIMAL(38,0)) * gap_s)
+                  AS DECIMAL(38,0)) AS q
+      FROM gaps)
+    SELECT n,
+           round(s * 1.0 / n, 2) AS mean_gap_s,
+           round((s * 1.0 / n) * (s * 1.0 / n)
+                 / ((CAST(q AS DOUBLE) - s * 1.0 / n * s) / (n - 1)), 4)
+             AS k_hat,
+           round(((CAST(q AS DOUBLE) - s * 1.0 / n * s) / (n - 1))
+                 / (s * 1.0 / n), 2) AS theta_hat
+    FROM m
+    """,
+    tags=("events", "stats"),
+)
+def events_interpurchase_gamma_fit(spark, sf_dir):
+    """Method-of-moments Gamma fit of inter-purchase times: k̂ = m²/s²,
+    θ̂ = s²/m — the parametric intensity model behind buy-till-you-die
+    CLV estimates (k̂ < 1 = bursty repurchasing, k̂ ≈ 1 = Poisson,
+    k̂ > 1 = regular). Gaps are exact integer seconds from a per-user
+    ordered lag; moments accumulate as BIGINT/DECIMAL (q − s·m is the
+    exact (n−1)s² form), two terminal divisions.
+
+    Scale: one user-keyed window over purchases + one global moment
+    aggregate; no state beyond the moment triple."""
+    p = (table(spark, sf_dir, "events")
+         .filter(F.col("event_type") == "purchase")
+         .select("user_id", F.unix_micros("ts").alias("us")))
+    w = Window.partitionBy("user_id").orderBy("us")
+    gaps = (p.select(F.expr("(us - lag(us) OVER (PARTITION BY user_id "
+                            "ORDER BY us)) div 1000000").alias("gap_s"))
+            .filter(F.col("gap_s").isNotNull()))
+    dec = "decimal(38,0)"
+    m = gaps.agg(F.count("*").cast("long").alias("n"),
+                 F.sum("gap_s").cast("long").alias("s"),
+                 F.sum(F.col("gap_s").cast(dec) * F.col("gap_s"))
+                 .cast(dec).alias("q"))
+    mean = F.col("s") / F.col("n").cast("double")
+    var = (F.col("q").cast("double") - mean * F.col("s")) \
+        / (F.col("n") - 1)
+    return m.select(
+        "n", F.round(mean, 2).alias("mean_gap_s"),
+        F.round(mean * mean / var, 4).alias("k_hat"),
+        F.round(var / mean, 2).alias("theta_hat"))

@@ -15,6 +15,11 @@ from pyspark.sql import functions as F
 from ..llm import dedup as D
 from .base import register, table
 from .llm import SHINGLES_CTE
+from .llm2 import _bands_sql, _shingles_sql
+
+_MC_AGREE = " + ".join(
+    f"(CASE WHEN sa.h{j} = sb.h{j} THEN 1 ELSE 0 END)"
+    for j in range(D.N_MINHASH))
 
 # one min-agg per hash, generated from the same constants as Spark
 _LSHE_MINS = ",\n           ".join(
@@ -474,3 +479,173 @@ def vocab_coverage_curve(spark, sf_dir):
                  F.round(F.min_by("cum", "rnk")
                          / F.first("t").cast("double"), 6)
                  .alias("coverage")))
+
+
+# ----------------------------------- MinHash containment estimator
+
+# containment from a Jaccard estimate and exact set sizes:
+#   J = i/(a+b-i)  =>  i = J(a+b)/(1+J)  =>  C = i/min(a,b)
+_MC_EST = "(est_j * (ca + cb) / (1 + est_j)) / least(ca, cb)"
+
+
+@register(
+    "dedup_minhash_containment_estimate",
+    oracle=f"""
+    WITH {_shingles_sql('documents', 'd').lstrip().rstrip(',')},
+    {_bands_sql('d').lstrip()},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM d_bands a JOIN d_bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS c FROM d_sh
+            GROUP BY doc_id),
+    est AS (
+      SELECT c.id_a, c.id_b,
+             ({_MC_AGREE}) * 1.0 / {D.N_MINHASH} AS est_j,
+             ca.c AS ca, cb.c AS cb
+      FROM cand c
+      JOIN d_sig sa ON sa.doc_id = c.id_a
+      JOIN d_sig sb ON sb.doc_id = c.id_b
+      JOIN cnt ca ON ca.doc_id = c.id_a
+      JOIN cnt cb ON cb.doc_id = c.id_b),
+    inter AS (
+      SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS i
+      FROM cand c
+      JOIN d_sh sa ON sa.doc_id = c.id_a
+      JOIN d_sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2)
+    SELECT e.id_a, e.id_b,
+           round({_MC_EST}, 6) AS est_containment,
+           round(i.i * 1.0 / least(e.ca, e.cb), 6) AS containment,
+           round(abs({_MC_EST} - i.i * 1.0 / least(e.ca, e.cb)), 6)
+             AS abs_err
+    FROM est e JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+    """,
+    tags=("llm", "dedup", "sketch"),
+)
+def dedup_minhash_containment_estimate(spark, sf_dir):
+    """Containment estimated from the MinHash sketch alone — the
+    LSH-Ensemble paper's conversion C = J(|A|+|B|)/((1+J)·min(|A|,|B|))
+    applied to the signature-agreement Jaccard estimate, audited
+    against the exact containment per candidate pair (the sibling of
+    the driver-green ``dedup_minhash_estimate`` Jaccard audit). This
+    is the query that sizes the sketch before trusting
+    ``dedup_containment_lsh_ensemble``'s candidate recall at corpus
+    scale: set sizes are exact (stored per doc), so ALL estimator
+    error comes from J̃ — visible in abs_err.
+
+    Scale: one signature pass feeds bands and the estimate; exact
+    verification joins candidate docs' shingles only."""
+    docs = table(spark, sf_dir, "documents")
+    sig = D.minhash_signatures(docs)
+    cand = D.lsh_candidate_pairs(docs)
+    sh = D.word_shingles(docs, distinct=True)
+    cnt = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("c"))
+    agree = sum(
+        F.when(F.col(f"a.h{j}") == F.col(f"b.h{j}"), 1).otherwise(0)
+        for j in range(D.N_MINHASH))
+    est_j = agree / F.lit(D.N_MINHASH)
+    est_c = (est_j * (F.col("ca") + F.col("cb")) / (1 + est_j)) \
+        / F.least("ca", "cb")
+    est = (cand
+           .join(sig.alias("a"), F.col("id_a") == F.col("a.doc_id"))
+           .join(sig.alias("b"), F.col("id_b") == F.col("b.doc_id"))
+           .join(F.broadcast(cnt.select(F.col("doc_id").alias("id_a"),
+                                        F.col("c").alias("ca"))), "id_a")
+           .join(F.broadcast(cnt.select(F.col("doc_id").alias("id_b"),
+                                        F.col("c").alias("cb"))), "id_b")
+           .select("id_a", "id_b", est_c.alias("est_c"),
+                   "ca", "cb"))
+    inter = (cand
+             .join(sh.select(F.col("doc_id").alias("id_a"), "shingle"),
+                   "id_a")
+             .join(sh.select(F.col("doc_id").alias("id_b"), "shingle"),
+                   ["id_b", "shingle"])
+             .groupBy("id_a", "id_b")
+             .agg(F.count("*").cast("long").alias("i")))
+    exact_c = F.col("i") / F.least("ca", "cb").cast("double")
+    return (est.join(inter, ["id_a", "id_b"])
+            .select("id_a", "id_b",
+                    F.round("est_c", 6).alias("est_containment"),
+                    F.round(exact_c, 6).alias("containment"),
+                    F.round(F.abs(F.col("est_c") - exact_c), 6)
+                    .alias("abs_err")))
+
+
+# ------------------------------------ intrinsic dimension (MLE)
+
+_ID_K = 6        # use ratios T_k/T_j, j = 1..k-1
+_ID_MOD = 10     # anchors: vec_id % 10 == 0 (deterministic 10%)
+
+
+@register(
+    "embedding_intrinsic_dim_mle",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    anchors AS (SELECT vec_id AS aid, v AS av FROM e
+                WHERE vec_id % {_ID_MOD} = 0),
+    d2 AS (
+      SELECT a.aid, e.vec_id AS cid,
+             list_sum(list_transform(list_zip(a.av, e.v),
+                      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+      FROM anchors a JOIN e ON e.vec_id != a.aid),
+    rnk AS (
+      SELECT aid, cid, d2,
+             row_number() OVER (PARTITION BY aid ORDER BY d2, cid)
+               AS rk
+      FROM d2 WHERE d2 > 0),
+    kth AS (SELECT aid, d2 AS dk FROM rnk WHERE rk = {_ID_K}),
+    logs AS (
+      SELECT sum(0.5 * ln(k.dk / r.d2)) AS logsum,
+             CAST(count(DISTINCT r.aid) AS BIGINT) AS n_anchors
+      FROM rnk r JOIN kth k ON k.aid = r.aid
+      WHERE r.rk < {_ID_K})
+    SELECT n_anchors, CAST({_ID_K} AS BIGINT) AS k,
+           round(n_anchors * ({_ID_K} - 1) / logsum, 4) AS m_hat
+    FROM logs
+    """,
+    tags=("llm", "similarity", "stats"),
+)
+def embedding_intrinsic_dim_mle(spark, sf_dir):
+    """Levina-Bickel MLE of the embedding cloud's intrinsic dimension
+    (MacKay-Ghahramani averaged-inverse form): m̂ = n(k−1) /
+    ΣΣ ln(T_k/T_j) over each anchor's k nearest neighbors — the
+    diagnostic that says whether 64-dim embeddings actually live on a
+    ~10-dim manifold (and hence how hard ANN indexing/quantization can
+    compress). Anchors are a deterministic 10% (vec_id mod), distances
+    are squared euclidean (the log halves — no sqrt), zero-distance
+    duplicates are excluded, ranking ties break by cand_id.
+
+    Scale: |anchors|·N distance pairs with the anchor side broadcast —
+    the brute-force-topk shape; per-anchor top-k is a window heap. At
+    corpus scale the anchor fraction is the cost dial (the estimator
+    converges with hundreds of anchors regardless of N)."""
+    e = (table(spark, sf_dir, "embeddings")
+         .select("vec_id", F.col("embedding").cast("array<double>")
+                 .alias("v")))
+    anchors = (e.filter(F.col("vec_id") % _ID_MOD == 0)
+               .select(F.col("vec_id").alias("aid"),
+                       F.col("v").alias("av")))
+    d2 = (e.crossJoin(F.broadcast(anchors))
+          .filter(F.col("vec_id") != F.col("aid"))
+          .select(F.col("aid"), F.col("vec_id").alias("cid"),
+                  F.aggregate(
+                      F.zip_with("av", "v",
+                                 lambda x, y: (x - y) * (x - y)),
+                      F.lit(0.0), lambda acc, z: acc + z).alias("d2"))
+          .filter(F.col("d2") > 0))
+    w = Window.partitionBy("aid").orderBy("d2", "cid")
+    rnk = d2.withColumn("rk", F.row_number().over(w)) \
+        .filter(F.col("rk") <= _ID_K)
+    kth = rnk.filter(F.col("rk") == _ID_K).select(
+        "aid", F.col("d2").alias("dk"))
+    logs = (rnk.filter(F.col("rk") < _ID_K)
+            .join(kth, "aid")
+            .agg(F.sum(0.5 * F.log(F.col("dk") / F.col("d2")))
+                 .alias("logsum"),
+                 F.countDistinct("aid").cast("long").alias("n_anchors")))
+    return logs.select(
+        "n_anchors", F.lit(_ID_K).cast("long").alias("k"),
+        F.round(F.col("n_anchors") * (_ID_K - 1) / F.col("logsum"), 4)
+        .alias("m_hat"))

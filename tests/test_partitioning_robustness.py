@@ -106,7 +106,9 @@ _KEEPERS = [
     # (r11 window candidates — pre-flight them now, not next round)
     "stat_mcnemar", "stat_cohens_d", "graph_rich_club_coefficient",
     "sample_horvitz_thompson", "ts_seasonal_mann_kendall",
-    "orders_nelson_aalen_hazard",
+    "orders_nelson_aalen_hazard", "dedup_minhash_containment_estimate",
+    "embedding_intrinsic_dim_mle", "stat_signflip_permutation_test",
+    "events_interpurchase_gamma_fit",
 ]
 
 _seen: set[str] = set()
