@@ -1197,3 +1197,73 @@ def events_interpurchase_gamma_fit(spark, sf_dir):
         "n", F.round(mean, 2).alias("mean_gap_s"),
         F.round(mean * mean / var, 4).alias("k_hat"),
         F.round(var / mean, 2).alias("theta_hat"))
+
+
+# --------------------------------- event-sequence Markov perplexity
+
+
+@register(
+    "events_markov_perplexity",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+      FROM events),
+    tr AS (
+      SELECT event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY us, event_id) AS nxt
+      FROM s QUALIFY nxt IS NOT NULL),
+    pair AS MATERIALIZED (
+      SELECT cur, nxt, CAST(count(*) AS BIGINT) AS c
+      FROM tr GROUP BY 1, 2),
+    marg AS (SELECT cur, CAST(sum(c) AS BIGINT) AS cc
+             FROM pair GROUP BY 1),
+    h AS (
+      SELECT CAST(sum(p.c) AS BIGINT) AS n_transitions,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             -sum(p.c * ln(p.c * 1.0 / m.cc)) AS nll
+      FROM pair p JOIN marg m ON m.cur = p.cur)
+    SELECT n_transitions, n_pairs,
+           round(nll / n_transitions, 4) AS cross_entropy_nats,
+           round(exp(nll / n_transitions), 4) AS perplexity
+    FROM h
+    """,
+    tags=("events", "stats", "llm"),
+)
+def events_markov_perplexity(spark, sf_dir):
+    """In-sample perplexity of user event sequences under the MLE
+    first-order Markov model — "how predictable is the clickstream":
+    H = −Σ c(u,v)·ln(c(u,v)/c(u))/N over the transition-count
+    relation, PPL = e^H. The language-modeling evaluation applied to
+    behavioral sequences (the LM-side siblings are
+    ``text_bigram_lm_score``/``text_kneser_ney_bigram``); the MLE
+    transition matrix is the same relation ``events_markov_stationary``
+    iterates. Ordering ties (same user, same micro-second) break on
+    event_id so both engines see identical sequences; counts are exact
+    integers, the log-sum runs over the |types|² pair relation (tiny),
+    two terminal rounds.
+
+    Scale: one user-keyed ordered window over events + one grouped
+    count; the entropy aggregate touches |types|² rows."""
+    s = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us"),
+        "event_id")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    tr = (s.select(F.col("event_type").alias("cur"),
+                   F.lead("event_type").over(w).alias("nxt"))
+          .filter(F.col("nxt").isNotNull()))
+    pair = tr.groupBy("cur", "nxt").agg(F.count("*").cast("long")
+                                        .alias("c"))
+    marg = pair.groupBy("cur").agg(F.sum("c").cast("long").alias("cc"))
+    h = (pair.join(F.broadcast(marg), "cur")
+         .agg(F.sum("c").cast("long").alias("n_transitions"),
+              F.count("*").cast("long").alias("n_pairs"),
+              (-F.sum(F.col("c")
+                      * F.log(F.col("c") / F.col("cc").cast("double"))))
+              .alias("nll")))
+    return h.select(
+        "n_transitions", "n_pairs",
+        F.round(F.col("nll") / F.col("n_transitions"), 4)
+        .alias("cross_entropy_nats"),
+        F.round(F.exp(F.col("nll") / F.col("n_transitions")), 4)
+        .alias("perplexity"))

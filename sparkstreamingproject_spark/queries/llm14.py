@@ -9,12 +9,15 @@ verification, not just the final containment arithmetic.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..llm import dedup as D
 from .base import register, table
 from .llm import SHINGLES_CTE
+from .llm import BM25_TERMS as T_BM25_TERMS
 from .llm2 import _bands_sql, _shingles_sql
 
 _MC_AGREE = " + ".join(
@@ -649,3 +652,118 @@ def embedding_intrinsic_dim_mle(spark, sf_dir):
         "n_anchors", F.lit(_ID_K).cast("long").alias("k"),
         F.round(F.col("n_anchors") * (_ID_K - 1) / F.col("logsum"), 4)
         .alias("m_hat"))
+
+
+# ------------------------------------------------ nDCG search eval
+
+_NDCG_K = 10
+# literal log2 discounts — generated constants, no runtime log2()
+_NDCG_W = {i: round(1.0 / math.log2(i + 1), 12)
+           for i in range(1, _NDCG_K + 1)}
+
+
+def _ndcg_w_sql(rank_col: str) -> str:
+    return ("CASE " + " ".join(
+        f"WHEN {rank_col} = {i} THEN {w!r}"
+        for i, w in _NDCG_W.items()) + " ELSE 0.0 END")
+
+
+@register(
+    "text_ndcg_search_eval",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents),
+    q AS (SELECT unnest(ARRAY{T_BM25_TERMS!r}) AS word),
+    grades AS MATERIALIZED (
+      SELECT w.doc_id,
+             CAST(count(DISTINCT w.word) AS BIGINT) AS grade
+      FROM w JOIN q USING (word) GROUP BY 1),
+    dl AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+    stats AS (
+      SELECT count(*) AS n_docs, (SELECT avg(dl) FROM dl) AS avgdl
+      FROM documents),
+    tf AS (
+      SELECT doc_id, word, count(*) AS tf FROM w
+      WHERE word IN ('spark', 'join', 'fast', 'window') GROUP BY 1, 2),
+    dfreq AS (SELECT word, count(DISTINCT doc_id) AS df FROM tf
+              GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+             ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+               * (tf * (1.2 + 1))
+               / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+               AS term_score
+      FROM tf
+      JOIN dfreq USING (word)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats),
+    bm AS (
+      SELECT doc_id, round(sum(term_score), 4) AS bm25
+      FROM scored GROUP BY doc_id),
+    ranked AS (
+      SELECT bm.doc_id,
+             coalesce(g.grade, 0) AS grade,
+             row_number() OVER (ORDER BY bm.bm25 DESC, bm.doc_id)
+               AS rnk
+      FROM bm LEFT JOIN grades g ON g.doc_id = bm.doc_id),
+    dcg AS (
+      SELECT sum(((1 << grade) - 1) * ({_ndcg_w_sql('rnk')})) AS dcg
+      FROM ranked WHERE rnk <= {_NDCG_K}),
+    ideal AS (
+      SELECT sum(((1 << grade) - 1) * ({_ndcg_w_sql('irk')})) AS idcg
+      FROM (SELECT grade,
+                   row_number() OVER (ORDER BY grade DESC) AS irk
+            FROM grades)
+      WHERE irk <= {_NDCG_K})
+    SELECT round(dcg.dcg, 4) AS dcg_at_k,
+           round(ideal.idcg, 4) AS idcg_at_k,
+           round(dcg.dcg / ideal.idcg, 4) AS ndcg_at_k
+    FROM dcg, ideal
+    """,
+    tags=("llm", "text", "search"),
+)
+def text_ndcg_search_eval(spark, sf_dir):
+    """nDCG@{_NDCG_K} of the BM25 ranking against a deterministic
+    graded-relevance label (grade = distinct query terms present,
+    0-4) — the ranking-quality eval every search stack runs
+    next to its scorer (``sim_recall_at_k_eval`` is the vector-side
+    sibling). Gains are exact integers (2^grade − 1); the rank
+    discounts 1/log2(i+1) are LITERAL constants generated in Python
+    (no runtime log2 — the ts_ewma weight discipline), so the only
+    floats are ten fixed products; ranking ties break on the already
+    4dp-rounded BM25 score then doc_id, which both engines order
+    identically.
+
+    Scale: BM25's inverted-index shape + one {_NDCG_K}-row window
+    head; the ideal ranking needs only the top-{_NDCG_K} grades (a
+    heap, not a sort, under TakeOrdered)."""
+    from ..llm import textstats as T2
+    bm = T2.bm25_scores(table(spark, sf_dir, "documents"), T_BM25_TERMS)
+    wq = (table(spark, sf_dir, "documents")
+          .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+          .filter(F.col("word").isin(*T_BM25_TERMS))
+          .groupBy("doc_id")
+          .agg(F.countDistinct("word").cast("long").alias("grade")))
+    ranked = (bm.join(wq, "doc_id", "left")
+              .select("doc_id", F.coalesce("grade", F.lit(0)).alias("grade"),
+                      F.row_number().over(
+                          Window.orderBy(F.col("bm25").desc(), "doc_id"))
+                      .alias("rnk")))
+    wlit = F.when(F.lit(False), 0.0)
+    for i, wv in _NDCG_W.items():
+        wlit = wlit.when(F.col("rnk") == i, wv)
+    gain = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(grade AS INT)) - 1")
+    dcg = (ranked.filter(F.col("rnk") <= _NDCG_K)
+           .agg(F.sum(gain * wlit.otherwise(0.0)).alias("dcg")))
+    ideal_ranked = wq.select(
+        "grade", F.row_number().over(Window.orderBy(F.col("grade").desc()))
+        .alias("rnk"))
+    idcg = (ideal_ranked.filter(F.col("rnk") <= _NDCG_K)
+            .agg(F.sum(gain * wlit.otherwise(0.0)).alias("idcg")))
+    return (dcg.crossJoin(F.broadcast(idcg))
+            .select(F.round("dcg", 4).alias("dcg_at_k"),
+                    F.round("idcg", 4).alias("idcg_at_k"),
+                    F.round(F.col("dcg") / F.col("idcg"), 4)
+                    .alias("ndcg_at_k")))

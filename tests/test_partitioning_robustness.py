@@ -108,7 +108,8 @@ _KEEPERS = [
     "sample_horvitz_thompson", "ts_seasonal_mann_kendall",
     "orders_nelson_aalen_hazard", "dedup_minhash_containment_estimate",
     "embedding_intrinsic_dim_mle", "stat_signflip_permutation_test",
-    "events_interpurchase_gamma_fit",
+    "events_interpurchase_gamma_fit", "text_ndcg_search_eval",
+    "events_markov_perplexity",
 ]
 
 _seen: set[str] = set()
