@@ -1267,3 +1267,147 @@ def events_markov_perplexity(spark, sf_dir):
         .alias("cross_entropy_nats"),
         F.round(F.exp(F.col("nll") / F.col("n_transitions")), 4)
         .alias("perplexity"))
+
+
+# ------------------------------------------ F-test variance ratio
+
+
+@register(
+    "stat_f_test_variance_ratio",
+    oracle="""
+    WITH v AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 2 END
+               AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+    m AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s,
+             CAST(sum(CAST(cents AS DECIMAL(38,0)) * cents)
+                  AS DECIMAL(38,0)) AS q
+      FROM v GROUP BY 1),
+    st AS (
+      SELECT
+        (SELECT n FROM m WHERE grp = 1) AS n1,
+        (SELECT s FROM m WHERE grp = 1) AS s1,
+        (SELECT CAST(q AS DOUBLE) FROM m WHERE grp = 1) AS q1,
+        (SELECT n FROM m WHERE grp = 2) AS n2,
+        (SELECT s FROM m WHERE grp = 2) AS s2,
+        (SELECT CAST(q AS DOUBLE) FROM m WHERE grp = 2) AS q2)
+    SELECT n1 - 1 AS df1, n2 - 1 AS df2,
+           round(((q1 - s1 * 1.0 / n1 * s1) / (n1 - 1))
+                 / ((q2 - s2 * 1.0 / n2 * s2) / (n2 - 1)), 4)
+             AS f_stat
+    FROM st
+    """,
+    tags=("stats",),
+)
+def stat_f_test_variance_ratio(spark, sf_dir):
+    """F-test of equal variances (URGENT vs LOW order value): the
+    parametric member of the scale-test family next to the rank-based
+    Levene/Ansari-Bradley entries — F = s₁²/s₂² with each sample
+    variance from exact integer/DECIMAL moments ((n−1)s² = q − s²/n),
+    one terminal division. Scale: one two-group moment aggregate."""
+    v = (table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+         .select(F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+                 .otherwise(2).alias("grp"),
+                 F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+                 .alias("cents")))
+    dec = "decimal(38,0)"
+    m = v.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(F.col("cents").cast(dec) * F.col("cents")).cast(dec)
+        .alias("q"))
+    one = m.filter(F.col("grp") == 1).select(
+        F.col("n").alias("n1"), F.col("s").alias("s1"),
+        F.col("q").cast("double").alias("q1"))
+    two = m.filter(F.col("grp") == 2).select(
+        F.col("n").alias("n2"), F.col("s").alias("s2"),
+        F.col("q").cast("double").alias("q2"))
+    st = one.crossJoin(F.broadcast(two))
+    var1 = (F.col("q1") - F.col("s1") / F.col("n1").cast("double")
+            * F.col("s1")) / (F.col("n1") - 1)
+    var2 = (F.col("q2") - F.col("s2") / F.col("n2").cast("double")
+            * F.col("s2")) / (F.col("n2") - 1)
+    return st.select((F.col("n1") - 1).alias("df1"),
+                     (F.col("n2") - 1).alias("df2"),
+                     F.round(var1 / var2, 4).alias("f_stat"))
+
+
+# ------------------------------------ RAPPOR categorical histogram
+
+
+@register(
+    "privacy_rappor_histogram",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, min(event_type) AS truth
+      FROM events GROUP BY 1),
+    cats AS (SELECT DISTINCT event_type AS cat FROM events),
+    reports AS (
+      SELECT u.user_id, c.cat,
+             CASE WHEN CAST('0x' || substr(md5('rp:'
+                        || CAST(u.user_id AS VARCHAR) || ':' || c.cat),
+                        1, 8) AS BIGINT) % 4 <= 1
+                  THEN CASE WHEN u.truth = c.cat THEN 1 ELSE 0 END
+                  WHEN CAST('0x' || substr(md5('rp:'
+                        || CAST(u.user_id AS VARCHAR) || ':' || c.cat),
+                        1, 8) AS BIGINT) % 4 = 2
+                  THEN 1 ELSE 0 END AS bit,
+             CASE WHEN u.truth = c.cat THEN 1 ELSE 0 END AS true_bit
+      FROM u CROSS JOIN cats c),
+    agg AS (
+      SELECT cat, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(bit) AS BIGINT) AS ones,
+             CAST(sum(true_bit) AS BIGINT) AS true_ones
+      FROM reports GROUP BY 1)
+    SELECT cat, n,
+           round(ones * 1.0 / n, 6) AS p_observed,
+           round(2.0 * ones / n - 0.5, 6) AS p_estimated,
+           round(true_ones * 1.0 / n, 6) AS p_actual
+    FROM agg
+    """,
+    tags=("privacy", "stats"),
+)
+def privacy_rappor_histogram(spark, sf_dir):
+    """RAPPOR-style locally-private categorical histogram: each user's
+    first event type becomes a one-hot bit vector, every BIT goes
+    through randomized response independently (report truth w.p. 1/2,
+    else a fair coin — the ε = ln 3 basic-RAPPOR round), and each
+    category's rate debiases as 2·p_obs − ½ — the multi-category
+    extension of ``privacy_randomized_response``. Coins are
+    deterministic per (user, category) salted md5, so the privacy
+    audit replays bit-for-bit in both engines; debiased vs actual
+    shown per category.
+
+    Scale: |users| × |categories| one-hot rows from a broadcast of the
+    tiny category relation; one grouped integer aggregate."""
+    u = (table(spark, sf_dir, "events")
+         .groupBy("user_id").agg(F.min("event_type").alias("truth")))
+    cats = (table(spark, sf_dir, "events")
+            .select(F.col("event_type").alias("cat")).distinct())
+    coin = (F.conv(F.substring(F.md5(F.concat(
+        F.lit("rp:"), F.col("user_id").cast("string"),
+        F.lit(":"), F.col("cat"))), 1, 8), 16, 10)
+        .cast("long") % 4)
+    true_bit = F.when(F.col("truth") == F.col("cat"), 1).otherwise(0)
+    rep = (u.crossJoin(F.broadcast(cats))
+           .select("cat", true_bit.alias("true_bit"),
+                   F.when(coin <= 1, true_bit)
+                   .when(coin == 2, F.lit(1))
+                   .otherwise(F.lit(0)).alias("bit")))
+    return (rep.groupBy("cat")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum("bit").cast("long").alias("ones"),
+                 F.sum("true_bit").cast("long").alias("true_ones"))
+            .select("cat", "n",
+                    F.round(F.col("ones") / F.col("n").cast("double"), 6)
+                    .alias("p_observed"),
+                    F.round(2.0 * F.col("ones") / F.col("n") - 0.5, 6)
+                    .alias("p_estimated"),
+                    F.round(F.col("true_ones")
+                            / F.col("n").cast("double"), 6)
+                    .alias("p_actual")))

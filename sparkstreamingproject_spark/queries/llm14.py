@@ -767,3 +767,109 @@ def text_ndcg_search_eval(spark, sf_dir):
                     F.round("idcg", 4).alias("idcg_at_k"),
                     F.round(F.col("dcg") / F.col("idcg"), 4)
                     .alias("ndcg_at_k")))
+
+
+# --------------------------- binary-index pool-size recall sweep
+
+_BP_POOLS = [10, 20, 40]
+
+
+@register(
+    "sim_binary_pool_recall_sweep",
+    oracle=f"""
+    WITH b AS MATERIALIZED (
+      SELECT vec_id, embedding,
+             {_bh_pack_sql(0)} AS w0,
+             {_bh_pack_sql(32)} AS w1
+      FROM embeddings),
+    scored AS MATERIALIZED (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1))
+               AS hamming,
+             round(list_cosine_similarity(
+               CAST(q.embedding AS DOUBLE[]),
+               CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+      FROM b q JOIN b c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < {_BH_K}),
+    exact AS (
+      SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, cand_id) AS rk
+        FROM scored) WHERE rk <= {_BH_K}),
+    hrank AS (
+      SELECT query_id, cand_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY hamming, cand_id) AS hrk
+      FROM scored),
+    pools AS (SELECT unnest(ARRAY{_BP_POOLS}) AS pool),
+    hits AS (
+      SELECT p.pool, CAST(count(*) AS BIGINT) AS n_hit
+      FROM pools p
+      JOIN hrank h ON h.hrk <= p.pool
+      JOIN exact e ON e.query_id = h.query_id
+                  AND e.cand_id = h.cand_id
+      GROUP BY 1)
+    SELECT CAST(p.pool AS BIGINT) AS pool,
+           round(coalesce(h.n_hit, 0) * 1.0
+                 / ({_BH_K} * {_BH_K}), 4) AS recall_at_{_BH_K}
+    FROM pools p LEFT JOIN hits h ON h.pool = p.pool
+    """,
+    tags=("llm", "similarity"),
+)
+def sim_binary_pool_recall_sweep(spark, sf_dir):
+    """Recall-vs-pool-size curve for the 1-bit Hamming index: how many
+    of the exact cosine top-{_BH_K} survive a Hamming pre-filter of
+    pool 10/20/40 — the tuning sweep run before trusting
+    ``sim_binary_hamming_index`` in production (the binary sibling of
+    the driver-green ``sim_ann_nprobe_recall_sweep``). Both rankings
+    come from ONE scored relation (ranked twice, by cosine and by
+    Hamming), the pool thresholds are a 3-row broadcast, recall
+    denominators are exact integers.
+
+    Scale: the scored relation is |Q|·N with |Q| broadcast; at corpus
+    scale the exact arm comes from an offline golden set and the sweep
+    touches only the index."""
+    from ..functions.vector import cosine_similarity
+
+    def pack(lo: int):
+        return F.expr(
+            f"aggregate(transform(sequence({lo}, {lo + 31}), "
+            f"i -> IF(element_at(embedding, i + 1) >= CAST(0 AS FLOAT), "
+            f"shiftleft(CAST(1 AS BIGINT), i - {lo}), "
+            f"CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, x) -> a + x)")
+
+    b = (table(spark, sf_dir, "embeddings")
+         .select("vec_id", "embedding",
+                 pack(0).alias("w0"), pack(32).alias("w1")))
+    q = b.filter(F.col("vec_id") < _BH_K).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("w0").alias("qw0"), F.col("w1").alias("qw1"))
+    c = b.select(F.col("vec_id").alias("cand_id"),
+                 F.col("embedding").alias("c_emb"), "w0", "w1")
+    scored = (c.crossJoin(F.broadcast(q))
+              .filter(F.col("cand_id") != F.col("query_id"))
+              .select("query_id", "cand_id",
+                      (F.expr("bit_count(qw0 ^ w0)")
+                       + F.expr("bit_count(qw1 ^ w1)")).alias("hamming"),
+                      F.round(cosine_similarity("q_emb", "c_emb"), 6)
+                      .alias("cosine"))
+              .localCheckpoint())
+    we = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "cand_id")
+    exact = (scored.withColumn("rk", F.row_number().over(we))
+             .filter(F.col("rk") <= _BH_K).select("query_id", "cand_id"))
+    wh = Window.partitionBy("query_id").orderBy("hamming", "cand_id")
+    hrank = scored.withColumn("hrk", F.row_number().over(wh)) \
+        .select("query_id", "cand_id", "hrk")
+    pools = spark.createDataFrame([(p,) for p in _BP_POOLS], "pool long")
+    hits = (hrank.crossJoin(F.broadcast(pools))
+            .filter(F.col("hrk") <= F.col("pool"))
+            .join(exact, ["query_id", "cand_id"])
+            .groupBy("pool").agg(F.count("*").cast("long").alias("n_hit")))
+    return (pools.join(hits, "pool", "left")
+            .select("pool",
+                    F.round(F.coalesce("n_hit", F.lit(0))
+                            / float(_BH_K * _BH_K), 4)
+                    .alias(f"recall_at_{_BH_K}")))

@@ -109,7 +109,8 @@ _KEEPERS = [
     "orders_nelson_aalen_hazard", "dedup_minhash_containment_estimate",
     "embedding_intrinsic_dim_mle", "stat_signflip_permutation_test",
     "events_interpurchase_gamma_fit", "text_ndcg_search_eval",
-    "events_markov_perplexity",
+    "events_markov_perplexity", "sim_binary_pool_recall_sweep",
+    "stat_f_test_variance_ratio", "privacy_rappor_histogram",
 ]
 
 _seen: set[str] = set()
