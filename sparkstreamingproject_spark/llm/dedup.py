@@ -404,7 +404,10 @@ def lsh_ensemble_containment_pairs(
         "y -> struct(x AS id_a, y AS id_b))))")
     cands = (lists.select(F.explode(pair_expr).alias("pr"))
              .select("pr.id_a", "pr.id_b").distinct())
-    counts = sh.groupBy(id_col).agg(F.count("*").alias("c"))
+    # per-doc sizes already live in the signature aggregate — reusing
+    # it skips a second full shingle scan + distinct + doc-keyed
+    # shuffle (r10 review finding; this is the heaviest new sidecar)
+    counts = sig.select(F.col(id_col), "c")
     inter = (cands
              .join(sh.select(F.col(id_col).alias("id_a"), "shingle"),
                    "id_a")

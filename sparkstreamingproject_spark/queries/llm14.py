@@ -156,10 +156,16 @@ def dsir_doc_buckets(docs):
     """(doc_id, lang, bucket, n) hashed-bigram counts per doc — the
     shared feature extraction for the batch query AND the streaming
     stats fold (streaming/dsir_maintain.py)."""
+    # guard: Spark's sequence(1, 0) is DESCENDING ([1, 0]) — a
+    # single-word doc would index element_at(ws, 2)/(ws, 0) and throw;
+    # the CASE mirrors word_shingles' n >= k guard (and the oracle's
+    # range(), which is empty-correct by itself)
     bigrams = F.expr(
-        "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 0)),"
+        "CASE WHEN size(split(text, ' ')) >= 2 THEN"
+        " transform(sequence(1, size(split(text, ' ')) - 1),"
         " i -> concat(element_at(split(text, ' '), i), ' ',"
-        " element_at(split(text, ' '), i + 1)))")
+        " element_at(split(text, ' '), i + 1)))"
+        " ELSE CAST(array() AS ARRAY<STRING>) END")
     bg = docs.select("doc_id", "lang", F.explode(bigrams).alias("bigram"))
     return (bg.select(
         "doc_id", "lang",
@@ -213,6 +219,17 @@ def _bh_pack_sql(lo: int) -> str:
             f"AS BIGINT)")
 
 
+def _bh_pack_col(lo: int):
+    """Sign-bit 32-dim word packer — the ONE definition both binary
+    queries (index + recall sweep) and the _bh_pack_sql oracle
+    fragment must stay bit-identical with."""
+    return F.expr(
+        f"aggregate(transform(sequence({lo}, {lo + 31}), "
+        f"i -> IF(element_at(embedding, i + 1) >= CAST(0 AS FLOAT), "
+        f"shiftleft(CAST(1 AS BIGINT), i - {lo}), "
+        f"CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, x) -> a + x)")
+
+
 @register(
     "sim_binary_hamming_index",
     oracle=f"""
@@ -262,16 +279,10 @@ def sim_binary_hamming_index(spark, sf_dir):
     the compare)."""
     from ..functions.vector import cosine_similarity
 
-    def pack(lo: int):
-        return F.expr(
-            f"aggregate(transform(sequence({lo}, {lo + 31}), "
-            f"i -> IF(element_at(embedding, i + 1) >= CAST(0 AS FLOAT), "
-            f"shiftleft(CAST(1 AS BIGINT), i - {lo}), "
-            f"CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, x) -> a + x)")
-
     b = (table(spark, sf_dir, "embeddings")
          .select("vec_id", "embedding",
-                 pack(0).alias("w0"), pack(32).alias("w1")))
+                 _bh_pack_col(0).alias("w0"),
+                 _bh_pack_col(32).alias("w1")))
     q = b.filter(F.col("vec_id") < _BH_K).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -686,7 +697,8 @@ def _ndcg_w_sql(rank_col: str) -> str:
       FROM documents),
     tf AS (
       SELECT doc_id, word, count(*) AS tf FROM w
-      WHERE word IN ('spark', 'join', 'fast', 'window') GROUP BY 1, 2),
+      WHERE word IN ({", ".join(f"'{t}'" for t in T_BM25_TERMS)})
+      GROUP BY 1, 2),
     dfreq AS (SELECT word, count(DISTINCT doc_id) AS df FROM tf
               GROUP BY 1),
     scored AS (
@@ -832,16 +844,10 @@ def sim_binary_pool_recall_sweep(spark, sf_dir):
     touches only the index."""
     from ..functions.vector import cosine_similarity
 
-    def pack(lo: int):
-        return F.expr(
-            f"aggregate(transform(sequence({lo}, {lo + 31}), "
-            f"i -> IF(element_at(embedding, i + 1) >= CAST(0 AS FLOAT), "
-            f"shiftleft(CAST(1 AS BIGINT), i - {lo}), "
-            f"CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, x) -> a + x)")
-
     b = (table(spark, sf_dir, "embeddings")
          .select("vec_id", "embedding",
-                 pack(0).alias("w0"), pack(32).alias("w1")))
+                 _bh_pack_col(0).alias("w0"),
+                 _bh_pack_col(32).alias("w1")))
     q = b.filter(F.col("vec_id") < _BH_K).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),

@@ -867,3 +867,21 @@ def test_lsh_ensemble_containment_recall_and_envelope(spark, sf_dir):
     got = {(r.id_a, r.id_b): r.containment
            for r in lsh_ensemble_containment_pairs(planted).collect()}
     assert got == {(900001, 900002): 1.0}, got
+
+
+def test_dsir_single_word_and_empty_docs_do_not_crash(spark):
+    """Regression (r10 review): Spark's sequence(1, 0) is DESCENDING,
+    so an unguarded bigram transform indexes element_at(ws, 0) and
+    throws on single-word docs — which reach dsir_doc_buckets through
+    the streaming fold with arbitrary content."""
+    from sparkstreamingproject_spark.queries.llm14 import (
+        dsir_bucket_stats, dsir_doc_buckets,
+    )
+    docs = spark.createDataFrame(
+        [(1, "en", "word"), (2, "en", ""), (3, "de", "two words"),
+         (4, "en", "a b c")],
+        "doc_id long, lang string, text string")
+    db = dsir_doc_buckets(docs).collect()
+    assert {r.doc_id for r in db} == {3, 4}  # no-bigram docs drop out
+    stats = dsir_bucket_stats(dsir_doc_buckets(docs)).collect()
+    assert sum(r.c_raw for r in stats) == 3  # 1 + 2 bigrams
