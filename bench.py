@@ -175,8 +175,18 @@ def main() -> None:
     # non-gating sidecar: the newest heavy operator families, timed so
     # a scale regression is visible BEFORE one ever enters a headline
     # (VERDICT r04 §next 6). NOT part of the frozen headline total.
+    # Each sidecar measurement is ISOLATED (VERDICT r10 §next 2): the
+    # checkpoint-heavy kernels (k-core, containment, kNN family) leave
+    # a ContextCleaner backlog that lifted the whole r10 quiet block
+    # ~1.3-2× — drain it so each number is the kernel, not its
+    # predecessor's cleanup. Headline times stay un-drained: their
+    # floor (BASELINE.md, r01) was measured in-sequence and the 1:1
+    # comparison would break if the protocol changed.
+    from sparkstreamingproject_spark.session import drain_cleaner
     sidecar: dict[str, float] = {}
     for name in SIDECAR:
+        drain_cleaner(spark, wait_s=float(
+            os.environ.get("SPARK_GRAFT_SIDECAR_DRAIN_S", "5")))
         fn = REGISTRY[name].fn
         t0 = time.perf_counter()
         rows = fn(spark, SF_DIR).collect()

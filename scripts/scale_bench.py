@@ -98,15 +98,8 @@ def _isolate(spark) -> None:
     unpersist alone did not fix it; releasing references, forcing
     GC, and giving the cleaner ~10 s did. Production analogue in
     SCALE.md §scale-curves."""
-    import gc
-    gc.collect()
-    sc = spark.sparkContext
-    it = sc._jsc.sc().getPersistentRDDs().iterator()
-    while it.hasNext():
-        it.next()._2().unpersist(True)
-    sc._jvm.System.gc()
-    time.sleep(10)
-    sc._jvm.System.gc()
+    from sparkstreamingproject_spark.session import drain_cleaner
+    drain_cleaner(spark, wait_s=10.0)
 
 
 def main() -> None:

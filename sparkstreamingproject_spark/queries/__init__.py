@@ -63,6 +63,7 @@ from . import analytics29  # noqa: E402,F401
 from . import llm13  # noqa: E402,F401
 from . import llm14  # noqa: E402,F401
 from . import analytics30  # noqa: E402,F401
+from . import llm15  # noqa: E402,F401
 
 # --- driver-window ordering --------------------------------------------------
 # The verify driver checks the FIRST 50 registry entries per round
@@ -352,10 +353,46 @@ _ROUND10_WINDOW = [
     "sketch_hll_distinct", "text_tfidf_top_terms", "text_search_bm25",
 ]
 
+# Round-11 driver window (VERDICT r10 §next 1):
+#  - 0-14: the 15 round-10 post-window additions — the only registered
+#    queries without a driver CORRECTNESS row (registered after the r10
+#    window was pinned; all parity-green in the r10 close gate).
+#    Certifying them closes the ledger at 421/421 for the first time.
+#  - 15-49: staleness re-checks, oldest `last_round` first — the 35
+#    oldest rows are all r01-certified (KV/scalar/join/window/ts tails
+#    that have not been driver-re-checked in 10 rounds), taken in
+#    registry order within the round-1 cohort.
+# Pre-flight: parity at sf0.001/0.01/0.1 under TZ=America/New_York +
+# hostile partitioning (tests/test_partitioning_robustness.py).
+_ROUND11_WINDOW = [
+    # 0-14: round-10 additions, never driver-checked (registry order)
+    "dedup_minhash_containment_estimate", "embedding_intrinsic_dim_mle",
+    "text_ndcg_search_eval", "sim_binary_pool_recall_sweep",
+    "stat_mcnemar", "stat_cohens_d", "graph_rich_club_coefficient",
+    "sample_horvitz_thompson", "ts_seasonal_mann_kendall",
+    "orders_nelson_aalen_hazard", "stat_signflip_permutation_test",
+    "events_interpurchase_gamma_fit", "events_markov_perplexity",
+    "stat_f_test_variance_ratio", "privacy_rappor_histogram",
+    # 15-49: oldest-certified re-checks (all last driver-checked r01)
+    "project_flatten_common", "struct_pack_serialize",
+    "case_when_map_optype", "filter_isin_broadcast",
+    "route_dynamic_topic", "dim_upsert_kv", "kv_get", "kv_range_scan",
+    "kv_multi_get_set", "kv_list_set_ops", "kv_zset_ops",
+    "scalar_functions", "kv_put_upsert", "kv_delete",
+    "join_local_supplier_volume", "join_broadcast_dim_enrich",
+    "join_left_null_branch", "join_semi", "join_anti",
+    "agg_distinct_count", "agg_rollup", "agg_cube",
+    "setop_except_intersect", "sort_limit_topn", "window_running_sum",
+    "window_lag_lead", "window_rank_dense", "ts_tumbling_window",
+    "ts_session_window", "ts_dedup", "ts_watermark_recent",
+    "ts_user_retention", "ts_funnel_view_purchase", "dedup_exact",
+    "text_fingerprint",
+]
+
 # Round-agnostic alias — scripts/gen_ledger.py and any other tooling
 # read THIS name so a window rename can never silently zero the ledger
 # (ADVICE r09 item 2).
-_CURRENT_WINDOW = _ROUND10_WINDOW
+_CURRENT_WINDOW = _ROUND11_WINDOW
 
 
 def _reorder() -> None:

@@ -36,8 +36,9 @@ _US_DAY = 86_400_000_000
                  CAST(count(DISTINCT event_type) AS BIGINT) AS nr,
                  CAST(count(DISTINCT dow) AS BIGINT) AS nc FROM obs),
     cell AS (
-      SELECT r.event_type, c.dow, coalesce(obs.o, 0) AS o,
-             r.rt * c.ct AS rc
+      SELECT r.event_type, c.dow,
+             CAST(coalesce(obs.o, 0) AS DECIMAL(38,0)) AS o,
+             CAST(r.rt AS DECIMAL(38,0)) * c.ct AS rc
       FROM r CROSS JOIN c
       LEFT JOIN obs ON obs.event_type = r.event_type
                    AND obs.dow = c.dow),
@@ -77,14 +78,19 @@ def stat_cramers_v(spark, sf_dir):
     t = obs.agg(F.sum("o").cast("long").alias("n"),
                 F.countDistinct("event_type").cast("long").alias("nr"),
                 F.countDistinct("dow").cast("long").alias("nc"))
+    # o·n and rt·ct as DECIMAL(38,0) so the cross-multiplied numerator
+    # is exact past ~3e9 total events (ADVICE r10 item 3 — the
+    # Brunner-Munzel discipline; BIGINT products would silently wrap)
+    dec = "decimal(38,0)"
     cell = (r.crossJoin(c)
             .join(obs, ["event_type", "dow"], "left")
-            .select(F.coalesce("o", F.lit(0)).alias("o"),
-                    (F.col("rt") * F.col("ct")).alias("rc")))
+            .select(F.coalesce("o", F.lit(0)).cast(dec).alias("o"),
+                    (F.col("rt").cast(dec) * F.col("ct")).alias("rc")))
+    dev = F.col("o") * F.col("n").cast(dec) - F.col("rc")
     chi = (cell.crossJoin(F.broadcast(t))
-           .agg(F.sum((F.col("o") * F.col("n") - F.col("rc"))
-                      * (F.col("o") * F.col("n") - F.col("rc"))
-                      / (F.col("rc") * F.col("n").cast("double")))
+           .agg(F.sum((dev * dev).cast("double")
+                      / (F.col("rc").cast("double")
+                         * F.col("n").cast("double")))
                 .alias("chi2")))
     return (chi.crossJoin(F.broadcast(t))
             .select(F.round("chi2", 4).alias("chi2"),

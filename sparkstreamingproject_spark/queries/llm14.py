@@ -379,7 +379,9 @@ def multimodal_dhash_dedup(spark, sf_dir):
     d = (table(spark, sf_dir, "documents")
          .filter(F.length("text") >= _DH_GRID)
          .select("doc_id", "text",
-                 (F.length("text").cast("long") / _DH_GRID)
+                 # integer `div` end-to-end, matching the oracle's //
+                 # (ADVICE r10 item 1 — no float-floor round-trip)
+                 F.expr(f"length(text) div {_DH_GRID}")
                  .cast("long").alias("cw")))
     ch = d.select(
         "doc_id", "cw",
@@ -388,7 +390,7 @@ def multimodal_dhash_dedup(spark, sf_dir):
             "i -> ascii(substr(text, CAST(i AS INT), 1)))"
         )).alias("i0", "code")).select(
         "doc_id",
-        (F.col("i0") / F.col("cw")).cast("long").alias("cell"),
+        F.expr("i0 div cw").cast("long").alias("cell"),
         "code")
     cells = (ch.groupBy("doc_id", "cell")
              .agg(F.sum("code").cast("long").alias("s")))
@@ -564,10 +566,12 @@ def dedup_minhash_containment_estimate(spark, sf_dir):
     est = (cand
            .join(sig.alias("a"), F.col("id_a") == F.col("a.doc_id"))
            .join(sig.alias("b"), F.col("id_b") == F.col("b.doc_id"))
-           .join(F.broadcast(cnt.select(F.col("doc_id").alias("id_a"),
-                                        F.col("c").alias("ca"))), "id_a")
-           .join(F.broadcast(cnt.select(F.col("doc_id").alias("id_b"),
-                                        F.col("c").alias("cb"))), "id_b")
+           # cnt is per-document — no broadcast hint (AQE converts
+           # when small; unconditional hint would OOM at corpus scale)
+           .join(cnt.select(F.col("doc_id").alias("id_a"),
+                            F.col("c").alias("ca")), "id_a")
+           .join(cnt.select(F.col("doc_id").alias("id_b"),
+                            F.col("c").alias("cb")), "id_b")
            .select("id_a", "id_b", est_c.alias("est_c"),
                    "ca", "cb"))
     inter = (cand

@@ -13,7 +13,13 @@ exactly-once batch delivery but double-counts on a replayed
 micro-batch — so the writer is wrapped in the per-batch-id idempotence
 marker (``streaming/idempotent.py``), the same upgrade the additive
 rollup folds use. Contrast with the retention bitmap / HLL folds where
-bit_or / max are idempotent and need no marker.
+bit_or / max are idempotent and need no marker. Residual window: the
+marker is the parquet-only approximation documented in
+``idempotent.py`` — a crash after ``swap_in`` completes but before the
+marker rename lands replays the fold against the POST-swap state and
+double-counts that one batch. Delta/Iceberg's atomic data+marker
+commit closes it; with plain parquet the window is narrow (two local
+renames apart) but real.
 
 At 100 TB: the per-batch partial is a map-side-combinable aggregate to
 ≤ {B} rows; the merge touches a {B}-row table; scoring joins documents

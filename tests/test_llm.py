@@ -885,3 +885,71 @@ def test_dsir_single_word_and_empty_docs_do_not_crash(spark):
     assert {r.doc_id for r in db} == {3, 4}  # no-bigram docs drop out
     stats = dsir_bucket_stats(dsir_doc_buckets(docs)).collect()
     assert sum(r.c_raw for r in stats) == 3  # 1 + 2 bigrams
+
+
+def test_semantic_cells_within_cell_recall_and_keep_rule(spark, sf_dir):
+    """SemDeDup envelope (VERDICT r10 §next 4): the per-cell pair
+    stage must find EVERY near-dup pair whose members share a cell
+    (within-cell recall = 1, precision = 1 — each emitted cosine is
+    exact), and the miss set must be EXACTLY the cross-cell pairs —
+    the paper's documented trade, bought for an n²→Σ|cell|² reduction.
+    Planted exact dups (identical vectors, fresh ids) must always be
+    found: cosine-identical vectors can never be split across cells
+    by the deterministic argmax assignment. The keep rule holds one
+    keeper per component — the member farthest from its centroid."""
+    from sparkstreamingproject_spark.llm.similarity import (
+        embedding_near_dup_pairs, kmeans_assign, kmeans_centroids,
+    )
+    from sparkstreamingproject_spark.queries.llm15 import (
+        SEM_THRESHOLD, dedup_semantic_cells, semantic_cell_pairs,
+    )
+
+    emb = _emb(spark, sf_dir)
+    pts = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cents = kmeans_centroids(emb, n_iter=2)
+    assigned = kmeans_assign(pts, cents)
+    cell_of = {r.vec_id: r.cell for r in assigned.collect()}
+
+    got = {(r.id_a, r.id_b)
+           for r in semantic_cell_pairs(assigned).collect()}
+    truth = {(r.id_a, r.id_b)
+             for r in embedding_near_dup_pairs(
+                 emb, threshold=SEM_THRESHOLD).collect()}
+    within = {p for p in truth if cell_of[p[0]] == cell_of[p[1]]}
+    assert got == within, (sorted(got ^ within)[:5],
+                           "per-cell pairs must equal the same-cell "
+                           "slice of the global truth")
+    # the documented envelope: misses are exactly the cross-cell pairs
+    assert truth - got == {p for p in truth
+                           if cell_of[p[0]] != cell_of[p[1]]}
+
+    # planted exact dups: copies of two existing vectors under new ids
+    two = emb.select("vec_id", "embedding").orderBy("vec_id") \
+        .limit(2).collect()
+    planted = spark.createDataFrame(
+        [(900001 + i, r.embedding) for i, r in enumerate(two)],
+        "vec_id long, embedding array<float>")
+    emb = emb.select("vec_id", "embedding")
+    aug = emb.unionByName(planted)
+    cents2 = kmeans_centroids(aug, n_iter=2)
+    a2 = kmeans_assign(
+        aug.select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("v")),
+        cents2)
+    got2 = {(r.id_a, r.id_b) for r in semantic_cell_pairs(a2).collect()}
+    for i, r in enumerate(two):
+        assert (r.vec_id, 900001 + i) in got2, (
+            "identical planted vector must pair with its source")
+
+    # keep rule: exactly one keeper per component, and it is the
+    # member with the minimum centroid similarity (ties to min id)
+    rows = dedup_semantic_cells(spark, sf_dir).collect()
+    by_comp: dict = {}
+    for r in rows:
+        by_comp.setdefault(r.component, []).append(r)
+    for comp, members in by_comp.items():
+        keepers = [m for m in members if m.is_kept]
+        assert len(keepers) == 1, comp
+        best = min(members, key=lambda m: (m.centroid_sim, m.vec_id))
+        assert keepers[0].vec_id == best.vec_id, comp

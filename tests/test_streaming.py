@@ -2122,8 +2122,13 @@ def test_dsir_stats_stream_equals_batch_and_scoring(spark, tmp_path,
 
 def test_dsir_stats_replay_is_skipped_by_marker(spark, tmp_path):
     """Additive fold + idempotence marker: re-delivering a batch id
-    must NOT double-count; a crash before the marker commits replays
-    the fold against the pre-crash state (swap_in recovery)."""
+    whose marker committed must NOT double-count. Residual window
+    (parquet-approximation gap, idempotent.py module docstring): a
+    crash AFTER swap_in completes but BEFORE the marker rename lands
+    replays the additive fold against the post-swap state and
+    double-counts that one batch — Delta/Iceberg's atomic data+marker
+    commit is the production fix; this test pins the marker-committed
+    path only."""
     from sparkstreamingproject_spark.queries.llm14 import (
         dsir_bucket_stats, dsir_doc_buckets)
     from sparkstreamingproject_spark.streaming.dsir_maintain import (
