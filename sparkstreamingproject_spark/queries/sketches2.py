@@ -306,3 +306,193 @@ def sample_priority_topk(spark, sf_dir):
                            " * CAST(1000000 AS DECIMAL(38,0))"
                            " div exact_total_cents AS BIGINT)")
                     .alias("err_ppm")))
+
+
+# ------------------------- KLL-shaped level-sampling quantile sketch
+#
+# The fixed-bin histogram sketch above is right for bounded integer
+# domains (money in cents) and wrong for arbitrary-range metrics: the
+# bin width bakes the domain in. This closes the gap (VERDICT r10
+# §next 6) with the hash-coin LEVEL-SAMPLING form of the KLL compactor
+# cascade (Karnin-Lang-Liberty, FOCS 2016): an item survives level L
+# iff the low L bits of its 60-bit md5 item-hash are zero, so the
+# retained sample is a deterministic 2^-L uniform thinning with every
+# survivor weighing 2^L. Rank error is O(1/sqrt(K)) like the paper's
+# single-compactor bound; the full KLL cascade only improves the
+# constant. Two properties the fixed-bin sketch cannot offer:
+#   - domain-free: no bin width, any value range, floats included;
+#   - MERGEABLE BY UNION: inclusion masks are nested (h & mask(L) = 0
+#     implies h & mask(L') = 0 for L' <= L), so merging sketches built
+#     at different levels is union + one re-thin at the combined
+#     level — bit-identical to sketching the concatenated input
+#     (pinned by tests/test_sketches.py).
+# Determinism: the "coins" are item hashes, so both engines and any
+# partitioning produce the SAME sample — the same discipline that made
+# KMV/HLL oracle-expressible.
+
+KLL_K = 256            # target sample size (error ~ 1/sqrt(K) ≈ 6%)
+_KLL_QS = (50, 90, 99)
+_KLL_QLIST = "[" + ", ".join(str(q) for q in _KLL_QS) + "]"
+
+# level: smallest L with n/2^L <= K, as pure integer bit-width
+# arithmetic — L = bit_length(ceil(n/K) - 1); never floor(log2()).
+_KLL_LVL_SQL = ("CAST(CASE WHEN {n} <= {k} THEN 0 ELSE "
+                "length(bin(({n} + {k1}) {div} {k} - 1)) END AS INT)")
+
+
+def kll_hash(key_col):
+    """60-bit md5 item hash — the deterministic coin supply."""
+    return F.conv(F.substring(F.md5(F.col(key_col).cast("string")),
+                              1, 15), 16, 10).cast("long")
+
+
+def kll_level(n_col, k: int = KLL_K):
+    return F.expr(_KLL_LVL_SQL.format(n=n_col, k=k, k1=k - 1, div="div"))
+
+
+def kll_sample(hv, level_col: str = "lvl"):
+    """Thin a (cents, h) relation to the survivors of ``level_col``:
+    keep rows whose low ``lvl`` hash bits are zero (weight 2^lvl
+    each). ``lvl`` arrives as a 1-row broadcast (global) or a join on
+    the group key (per-group form)."""
+    mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), {level_col}) - 1")
+    return hv.filter((F.col("h").bitwiseAND(mask)) == 0)
+
+
+@register(
+    "sketch_kll_quantiles",
+    oracle=f"""
+    WITH hv AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                  1, 15)) AS BIGINT) AS h
+      FROM orders),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM hv),
+    lvl AS (SELECT n,
+                   {_KLL_LVL_SQL.format(n="n", k=KLL_K, k1=KLL_K - 1,
+                                        div="//")} AS lvl
+            FROM n),
+    s AS (SELECT cents, h FROM hv, lvl
+          WHERE (h & ((CAST(1 AS BIGINT) << lvl) - 1)) = 0),
+    ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, h) AS rn,
+             count(*) OVER () AS ms
+      FROM s),
+    qs AS (SELECT unnest({_KLL_QLIST}) AS q),
+    r AS (
+      SELECT qs.q, min(ranked.cents) AS qc, max(ranked.ms) AS ms
+      FROM qs JOIN ranked ON ranked.rn * 100 >= qs.q * ranked.ms
+      GROUP BY qs.q)
+    SELECT CAST(q AS INT) AS q, lvl.lvl AS level,
+           lvl.n AS n_rows, CAST(ms AS BIGINT) AS sample_size,
+           round(qc / 100.0, 2) AS est_value
+    FROM r, lvl
+    """,
+    tags=("sketch", "stats"),
+)
+def sketch_kll_quantiles(spark, sf_dir):
+    """P50/P90/P99 of order totals from the level-sampling sketch —
+    a domain the fixed-bin sketch can't hold (totals run to ~$500k;
+    $4 bins would need 125k of them, and a float metric would need
+    none of this). One scan computes (cents, hash); the count fixes
+    the level; the thinned sample (≤ ~K rows) is sorted once and the
+    nearest-rank read is integer cross-multiplication, exactly like
+    the histogram sketch. At 100 TB the thinning predicate pushes to
+    the scan side of every shuffle: only ~K rows ever leave the map
+    stage, whatever the row count; merges across shards are unions
+    plus one re-thin."""
+    o = table(spark, sf_dir, "orders")
+    hv = o.select(
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        kll_hash("o_orderkey").alias("h"))
+    lvl = (hv.agg(F.count("*").cast("long").alias("n"))
+           .select("n", kll_level("n").alias("lvl")))
+    s = kll_sample(hv.crossJoin(F.broadcast(lvl)))
+    ranked = s.select(
+        "cents",
+        F.row_number().over(Window.orderBy("cents", "h")).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("ms"))
+    qs = spark.range(0, 1).select(
+        F.explode(F.array(*[F.lit(q) for q in _KLL_QS])).alias("q"))
+    r = (qs.join(F.broadcast(ranked),
+                 F.col("rn") * 100 >= F.col("q") * F.col("ms"))
+         .groupBy("q")
+         .agg(F.min("cents").alias("qc"), F.max("ms").alias("ms")))
+    return (r.crossJoin(F.broadcast(lvl))
+            .select(F.col("q").cast("int").alias("q"),
+                    F.col("lvl").alias("level"),
+                    F.col("n").alias("n_rows"),
+                    F.col("ms").cast("long").alias("sample_size"),
+                    F.round(F.col("qc") / 100.0, 2).alias("est_value")))
+
+
+@register(
+    "sketch_kll_quantiles_by_priority",
+    oracle=f"""
+    WITH hv AS (
+      SELECT o_orderpriority AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                  1, 15)) AS BIGINT) AS h
+      FROM orders),
+    n AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM hv GROUP BY 1),
+    lvl AS (SELECT grp, n,
+                   {_KLL_LVL_SQL.format(n="n", k=KLL_K, k1=KLL_K - 1,
+                                        div="//")} AS lvl
+            FROM n),
+    s AS (SELECT hv.grp, hv.cents, hv.h
+          FROM hv JOIN lvl ON lvl.grp = hv.grp
+          WHERE (h & ((CAST(1 AS BIGINT) << lvl) - 1)) = 0),
+    ranked AS (
+      SELECT grp, cents,
+             row_number() OVER (PARTITION BY grp ORDER BY cents, h) AS rn,
+             count(*) OVER (PARTITION BY grp) AS ms
+      FROM s),
+    qs AS (SELECT unnest({_KLL_QLIST}) AS q),
+    r AS (
+      SELECT ranked.grp, qs.q, min(ranked.cents) AS qc,
+             max(ranked.ms) AS ms
+      FROM qs JOIN ranked ON ranked.rn * 100 >= qs.q * ranked.ms
+      GROUP BY ranked.grp, qs.q)
+    SELECT r.grp AS o_orderpriority, CAST(r.q AS INT) AS q,
+           lvl.lvl AS level, lvl.n AS n_rows,
+           CAST(r.ms AS BIGINT) AS sample_size,
+           round(r.qc / 100.0, 2) AS est_value
+    FROM r JOIN lvl ON lvl.grp = r.grp
+    """,
+    tags=("sketch", "stats"),
+)
+def sketch_kll_quantiles_by_priority(spark, sf_dir):
+    """Per-group form: each order priority carries its own level
+    (smaller groups thin less — the sketch adapts state to group
+    size, K rows per group max). The group key partitions both the
+    rank window and the level join, so state is groups × K no matter
+    the fact size — the per-key generalization every serving system
+    needs."""
+    o = table(spark, sf_dir, "orders")
+    hv = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        kll_hash("o_orderkey").alias("h"))
+    lvl = (hv.groupBy("grp").agg(F.count("*").cast("long").alias("n"))
+           .select("grp", "n", kll_level("n").alias("lvl")))
+    s = kll_sample(hv.join(lvl, "grp"))
+    ranked = s.select(
+        "grp", "cents",
+        F.row_number().over(Window.partitionBy("grp").orderBy("cents", "h"))
+        .alias("rn"),
+        F.count("*").over(Window.partitionBy("grp")).alias("ms"))
+    qs = spark.range(0, 1).select(
+        F.explode(F.array(*[F.lit(q) for q in _KLL_QS])).alias("q"))
+    r = (qs.join(ranked,
+                 F.col("rn") * 100 >= F.col("q") * F.col("ms"))
+         .groupBy("grp", "q")
+         .agg(F.min("cents").alias("qc"), F.max("ms").alias("ms")))
+    return (r.join(lvl, "grp")
+            .select(F.col("grp").alias("o_orderpriority"),
+                    F.col("q").cast("int").alias("q"),
+                    F.col("lvl").alias("level"),
+                    F.col("n").alias("n_rows"),
+                    F.col("ms").cast("long").alias("sample_size"),
+                    F.round(F.col("qc") / 100.0, 2).alias("est_value")))

@@ -111,6 +111,9 @@ _KEEPERS = [
     "events_interpurchase_gamma_fit", "text_ndcg_search_eval",
     "events_markov_perplexity", "sim_binary_pool_recall_sweep",
     "stat_f_test_variance_ratio", "privacy_rappor_histogram",
+    # round-11 additions (r12 window candidates)
+    "dedup_semantic_cells", "sketch_kll_quantiles",
+    "sketch_kll_quantiles_by_priority",
 ]
 
 _seen: set[str] = set()

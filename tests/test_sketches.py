@@ -210,3 +210,61 @@ def test_salting_spreads_hot_key_load(spark, sf_dir):
         assert r.n_parts_used <= 32
         assert r.load_factor == round(r.max_part_rows * 32
                                       / r.total_rows, 4)
+
+
+def test_kll_sketch_rank_error_and_union_merge(spark, sf_dir):
+    """The level-sampling quantile sketch's two contract properties
+    (VERDICT r10 §next 6):
+    1. RANK ERROR: every estimated quantile's true rank lies within
+       3/sqrt(K) of the requested rank (3 sigma of the 2^-L thinning;
+       K=256 -> 18.75%, and the fixture lands far inside it).
+    2. MERGEABILITY: sketches built on disjoint shards at their OWN
+       levels union + one re-thin at the combined level into a sample
+       BIT-IDENTICAL to sketching the concatenated input — because
+       hash-coin inclusion masks are nested (h & mask(L)=0 implies
+       h & mask(L')=0 for L'<=L), the property a fixed random sample
+       cannot offer."""
+    from sparkstreamingproject_spark.queries.sketches2 import (
+        KLL_K, kll_hash, kll_level, kll_sample)
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    hv = o.select(
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        kll_hash("o_orderkey").alias("h"))
+    n = hv.count()
+
+    # 1. rank error of each registered estimate
+    rows = REGISTRY["sketch_kll_quantiles"].fn(spark, sf_dir).collect()
+    assert {r.q for r in rows} == {50, 90, 99}
+    tol = 3.0 / (KLL_K ** 0.5)
+    for r in rows:
+        cents = int(round(r.est_value * 100))
+        lo = hv.filter(F.col("cents") < cents).count()
+        hi = hv.filter(F.col("cents") <= cents).count()
+        target = r.q / 100.0 * n
+        assert lo <= target + tol * n and hi >= target - tol * n, (
+            r.q, r.est_value, lo, hi, target, tol * n)
+        assert r.n_rows == n
+
+    # 2. union-merge == direct sketch, bit-identical
+    shard_a = hv.filter(F.col("h") % 2 == 0)
+    shard_b = hv.filter(F.col("h") % 2 == 1)
+    lvl_of = lambda df: (df.agg(F.count("*").cast("long").alias("n"))
+                         .select("n", kll_level("n").alias("lvl")))
+    samp = lambda df: kll_sample(
+        df.crossJoin(F.broadcast(lvl_of(df))))
+    # each shard thinned at its own (smaller-or-equal) level
+    sa = samp(shard_a).select("cents", "h")
+    sb = samp(shard_b).select("cents", "h")
+    combined_lvl = lvl_of(hv)
+    merged = kll_sample(
+        sa.unionByName(sb).crossJoin(F.broadcast(combined_lvl)))
+    direct = kll_sample(hv.crossJoin(F.broadcast(combined_lvl)))
+    m = sorted((r.cents, r.h) for r in merged.select("cents", "h").collect())
+    d = sorted((r.cents, r.h) for r in direct.select("cents", "h").collect())
+    assert m == d and len(d) > 0
+    # shard levels never exceed the combined level (nested masks hold)
+    la = lvl_of(shard_a).first().lvl
+    lb = lvl_of(shard_b).first().lvl
+    lc = combined_lvl.first().lvl
+    assert max(la, lb) <= lc
