@@ -384,6 +384,24 @@ def lsh_ensemble_containment_pairs(
     docs' shingles only. No cross join anywhere.
     """
     sh = word_shingles(df, id_col, text_col, distinct=True)
+    counts, keys = lshe_doc_postings(sh, id_col, n_hashes, max_gap)
+    return lshe_pairs_from_postings(keys, counts, sh, id_col=id_col,
+                                    threshold=threshold,
+                                    bucket_cap=bucket_cap)
+
+
+def lshe_doc_postings(sh: DataFrame, id_col: str = "doc_id",
+                      n_hashes: int = LSHE_N_HASHES,
+                      max_gap: int = LSHE_MAX_GAP
+                      ) -> tuple[DataFrame, DataFrame]:
+    """The per-document HALF of the LSH-Ensemble index: from a
+    (id, shingle) relation, one shuffle builds (id, c) counts and the
+    (id, j, h, q) posting rows. Split out so the STREAMING fold
+    (``streaming/containment_maintain.py``) appends exactly the rows
+    the batch kernel would compute — a doc's shingle count (hence its
+    size partition and probes) never changes, so posting rows are
+    append-stable and the stream≡batch equivalence holds by shared
+    code, not by parallel reimplementation."""
     sig = (sh.groupBy(id_col)
            .agg(F.count("*").alias("c"),
                 *[F.min(minhash_hex(j)).alias(f"h{j}")
@@ -395,6 +413,19 @@ def lsh_ensemble_containment_pairs(
         for j in range(n_hashes) for s in range(max_gap + 1)])
     keys = (sig.select(F.col(id_col), F.explode(key_structs).alias("k"))
             .select(id_col, "k.j", "k.h", "k.q"))
+    return sig.select(F.col(id_col), "c"), keys
+
+
+def lshe_pairs_from_postings(keys: DataFrame, counts: DataFrame,
+                             sh: DataFrame, id_col: str = "doc_id",
+                             threshold: float = 0.9,
+                             bucket_cap: int = LSHE_BUCKET_CAP
+                             ) -> DataFrame:
+    """The query HALF: bucket the posting rows, cap, expand pairs,
+    verify exactly over the candidate docs' shingles. The bucket cap
+    is applied HERE — at read time over the full posting set — because
+    bucket membership grows as batches land; baking it at append time
+    would freeze a stale cap."""
     lists = (keys.groupBy("j", "h", "q")
              .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
              .filter((F.size("ids") >= 2) & (F.size("ids") <= bucket_cap)))
@@ -404,10 +435,9 @@ def lsh_ensemble_containment_pairs(
         "y -> struct(x AS id_a, y AS id_b))))")
     cands = (lists.select(F.explode(pair_expr).alias("pr"))
              .select("pr.id_a", "pr.id_b").distinct())
-    # per-doc sizes already live in the signature aggregate — reusing
-    # it skips a second full shingle scan + distinct + doc-keyed
-    # shuffle (r10 review finding; this is the heaviest new sidecar)
-    counts = sig.select(F.col(id_col), "c")
+    # per-doc sizes arrive from the signature aggregate (or the
+    # persisted counts relation) — never a second full shingle scan
+    # (r10 review finding; this is the heaviest sidecar)
     inter = (cands
              .join(sh.select(F.col(id_col).alias("id_a"), "shingle"),
                    "id_a")

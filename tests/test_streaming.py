@@ -2153,3 +2153,54 @@ def test_dsir_stats_replay_is_skipped_by_marker(spark, tmp_path):
            for r in dsir_bucket_stats(
                dsir_doc_buckets(b1.unionByName(b2))).collect()}
     assert got == exp
+
+
+@pytest.mark.slow
+def test_containment_index_stream_equals_batch_and_replay(
+        spark, tmp_path, sf_dir):
+    """Maintained LSH-Ensemble containment index (VERDICT r10 §next
+    7): pairs queried from the streamed index must equal the batch
+    kernel on the full corpus EXACTLY (the per-doc half is
+    append-stable and code-shared; the bucket cap re-checks at read
+    time), and a replayed micro-batch must leave the index unchanged
+    (ingest_batch= overwrite partitions)."""
+    from pyspark.sql.window import Window as W
+
+    from sparkstreamingproject_spark.llm.dedup import (
+        lsh_ensemble_containment_pairs)
+    from sparkstreamingproject_spark.sources.streams import file_stream
+    from sparkstreamingproject_spark.streaming.containment_maintain import (
+        containment_index_stream, containment_pairs_from_index,
+        fold_containment_index)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    land = str(tmp_path / "docs_land")
+    (docs.withColumn("_b", F.ntile(3).over(W.orderBy("doc_id")))
+     .repartition(3, "_b").drop("_b").write.parquet(land))
+
+    idx = str(tmp_path / "cont_idx")
+    q = containment_index_stream(
+        file_stream(spark, land, docs.schema, max_files_per_trigger=1),
+        idx, str(tmp_path / "ck_cont"))
+    q.awaitTermination(180)
+
+    got = {(r.id_a, r.id_b): r.containment
+           for r in containment_pairs_from_index(
+               spark, idx, docs).collect()}
+    exp = {(r.id_a, r.id_b): r.containment
+           for r in lsh_ensemble_containment_pairs(docs).collect()}
+    assert got == exp
+
+    # crash-replay drill: re-deliver batch 0's OWN rows (a real replay
+    # repeats the same data) — the overwrite partition absorbs both
+    b0_ids = (spark.read.parquet(f"{idx}/postings")
+              .filter(F.col("ingest_batch") == 0)
+              .select("doc_id").distinct())
+    replayed = docs.join(b0_ids, "doc_id", "left_semi").localCheckpoint()
+    fold_containment_index(replayed, idx, batch_id=0)
+    fold_containment_index(replayed, idx, batch_id=0)  # double replay
+    got2 = {(r.id_a, r.id_b): r.containment
+            for r in containment_pairs_from_index(
+                spark, idx, docs).collect()}
+    assert got2 == exp
