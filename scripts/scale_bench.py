@@ -49,6 +49,10 @@ KERNELS = [
     "dedup_ngram_jaccard",
     "graph_ppr_seeded",
     "dedup_minhash_lsh",
+    # r11 (VERDICT r10 §next 5): the heaviest sidecar, born after the
+    # r10 spot-bench — 128 posting rows/doc and the bucket-cap path
+    # are exactly where LSH-Ensemble could go super-linear.
+    "dedup_containment_lsh_ensemble",
 ]
 
 SFS = [("0.01", "/root/testdata/sf0.01"),
@@ -107,9 +111,14 @@ def main() -> None:
     build_sf1(spark, rebuild="--rebuild" in sys.argv)
     spark.read.parquet(f"{SRC}/region.parquet").count()  # warm JVM
 
-    results: dict[str, dict[str, float]] = {k: {} for k in KERNELS}
+    kernels = KERNELS
+    if "--only" in sys.argv:  # measure a subset (new-kernel curves)
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+        kernels = [k for k in KERNELS if k in only]
+
+    results: dict[str, dict[str, float]] = {k: {} for k in kernels}
     for label, sf_dir in SFS:
-        for name in KERNELS:
+        for name in kernels:
             _isolate(spark)
             t0 = time.perf_counter()
             n = REGISTRY[name].fn(spark, sf_dir).count()
@@ -119,7 +128,7 @@ def main() -> None:
 
     lines = ["| kernel | sf0.01 | sf0.1 | sf1.0* | 0.1→1.0 ratio |",
              "|---|---|---|---|---|"]
-    for name in KERNELS:
+    for name in kernels:
         r = results[name]
         ratio = round(r["1.0*"] / r["0.1"], 1) if r["0.1"] else float("inf")
         lines.append(f"| {name} | {r['0.01']} s | {r['0.1']} s "
@@ -132,7 +141,9 @@ def main() -> None:
     with open(path) as f:
         body = f.read()
     start, end = "<!-- scale:spot -->", "<!-- /scale:spot -->"
-    if start in body:
+    if kernels != KERNELS:
+        print("subset run: SCALE.md not patched (merge rows by hand)")
+    elif start in body:
         pre, rest = body.split(start, 1)
         _, post = rest.split(end, 1)
         body = pre + start + "\n" + block + "\n" + end + post
