@@ -236,7 +236,10 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     ca = counts.select(F.col(id_col).alias("id_a"), F.col("c").alias("ca"))
     cb = counts.select(F.col(id_col).alias("id_b"), F.col("c").alias("cb"))
     jacc = F.round(F.col("i") / (F.col("ca") + F.col("cb") - F.col("i")), 6)
-    return (inter.join(F.broadcast(ca), "id_a").join(F.broadcast(cb), "id_b")
+    # counts is one row per DOCUMENT — no broadcast hint (same rule as
+    # lshe_pairs_from_postings, VERDICT r10 §wrong 2); AQE broadcasts
+    # when the relation is genuinely small.
+    return (inter.join(ca, "id_a").join(cb, "id_b")
             .select("id_a", "id_b", jacc.alias("jaccard"))
             .filter(F.col("jaccard") >= threshold))
 
@@ -272,7 +275,8 @@ def containment_pairs(df: DataFrame, id_col: str = "doc_id",
     ca = counts.select(F.col(id_col).alias("id_a"), F.col("c").alias("ca"))
     cb = counts.select(F.col(id_col).alias("id_b"), F.col("c").alias("cb"))
     cont = F.round(F.col("i") / F.least(F.col("ca"), F.col("cb")), 6)
-    return (inter.join(F.broadcast(ca), "id_a").join(F.broadcast(cb), "id_b")
+    # per-document counts: plain keyed joins, AQE picks the strategy
+    return (inter.join(ca, "id_a").join(cb, "id_b")
             .select("id_a", "id_b", cont.alias("containment"))
             .filter(F.col("containment") >= threshold))
 

@@ -142,8 +142,10 @@ def bm25_scores(df: DataFrame, terms: list[str], id_col: str = "doc_id",
           .groupBy(id_col, "word").agg(F.count("*").alias("tf")))
     dfreq = tf.groupBy("word").agg(F.countDistinct(id_col).alias("df"))
     idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    # dfreq is bounded by the query-term list (tiny, hint OK); dl is
+    # one row per DOCUMENT — no hint, AQE decides (VERDICT r10 §wrong 2)
     scored = (tf.join(F.broadcast(dfreq), "word")
-              .join(F.broadcast(dl), id_col)
+              .join(dl, id_col)
               .crossJoin(F.broadcast(stats))
               .select(id_col,
                       (idf * (F.col("tf") * (k1 + 1))

@@ -114,6 +114,9 @@ _KEEPERS = [
     # round-11 additions (r12 window candidates)
     "dedup_semantic_cells", "sketch_kll_quantiles",
     "sketch_kll_quantiles_by_priority",
+    # r11 wave-2 additions (r12 window candidates)
+    "text_readability_fk", "text_gtest_keyness", "text_sumbasic_extract",
+    "dedup_soft_weight", "text_hapax_ratio",
 ]
 
 _seen: set[str] = set()

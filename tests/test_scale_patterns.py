@@ -298,7 +298,8 @@ def test_containment_kernels_never_hint_per_document_broadcast(
     runtime sizes."""
     from sparkstreamingproject_spark.queries import REGISTRY
     for name in ("dedup_containment_lsh_ensemble",
-                 "dedup_minhash_containment_estimate"):
+                 "dedup_minhash_containment_estimate",
+                 "dedup_ngram_jaccard", "dedup_containment"):
         df = REGISTRY[name].fn(spark, sf_dir)
         analyzed = df._jdf.queryExecution().analyzed().toString()
         assert "ResolvedHint" not in analyzed, (
