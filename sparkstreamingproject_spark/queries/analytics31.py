@@ -1,0 +1,359 @@
+"""Round-11 stats wave: Fisher's exact test, Benjamini-Hochberg FDR
+over a per-nation test battery, and TOST equivalence testing.
+
+These close three long-standing gaps in the inference family: the
+chi-square/G² queries approximate what Fisher's exact test computes
+exactly (and the approximation is exactly wrong in the small-cell
+regime curation slices hit); every per-group test battery in the
+registry (per-nation, per-type) reports UNADJUSTED statistics —
+Benjamini-Hochberg is the standard multiple-comparison correction; and
+the existing t/z tests can only reject equality — TOST (two one-sided
+tests) is how you *demonstrate* equivalence, the thing an A/B "no
+regression" claim actually needs.
+
+Float discipline: the Fisher log-probabilities come from ONE
+running-sum log-factorial table (an ordered window cumsum — sequential
+left-to-right in BOTH engines, so the table is engine-identical to the
+last bit modulo libm ln); every p-value is a fixed-arity float tree
+rounded BEFORE any ranking; the BH step-up runs on rounded p-values
+with explicit key tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .base import register, table
+
+# ------------------------------------------------- Fisher's exact test
+
+_F_LANG = "en"
+_F_SRC = "src0"
+
+
+@register(
+    "stat_fisher_exact",
+    oracle=f"""
+    WITH m AS (
+      SELECT CAST(count(*) FILTER (WHERE lang = '{_F_LANG}'
+                    AND source = '{_F_SRC}') AS BIGINT) AS a,
+             CAST(count(*) FILTER (WHERE lang = '{_F_LANG}') AS BIGINT)
+               AS r1,
+             CAST(count(*) FILTER (WHERE source = '{_F_SRC}') AS BIGINT)
+               AS c1,
+             CAST(count(*) AS BIGINT) AS nn
+      FROM documents),
+    lf AS (
+      SELECT i,
+             sum(CASE WHEN i = 0 THEN 0.0 ELSE ln(i) END)
+               OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) AS lf
+      FROM (SELECT unnest(range(0, nn + 1)) AS i FROM m)),
+    ks AS (
+      SELECT m.*, k
+      FROM m, unnest(range(greatest(0, m.r1 + m.c1 - m.nn),
+                           least(m.r1, m.c1) + 1)) AS t(k)),
+    logp AS (
+      SELECT ks.k, ks.a, ks.r1, ks.c1, ks.nn,
+             (SELECT lf FROM lf WHERE i = ks.r1)
+           - (SELECT lf FROM lf WHERE i = ks.k)
+           - (SELECT lf FROM lf WHERE i = ks.r1 - ks.k)
+           + (SELECT lf FROM lf WHERE i = ks.nn - ks.r1)
+           - (SELECT lf FROM lf WHERE i = ks.c1 - ks.k)
+           - (SELECT lf FROM lf WHERE i = ks.nn - ks.r1 - ks.c1 + ks.k)
+           - (SELECT lf FROM lf WHERE i = ks.nn)
+           + (SELECT lf FROM lf WHERE i = ks.c1)
+           + (SELECT lf FROM lf WHERE i = ks.nn - ks.c1) AS lp
+      FROM ks),
+    obs AS (SELECT lp AS lp_obs FROM logp WHERE k = a)
+    SELECT logp.a, logp.r1, logp.c1, logp.nn,
+           round(sum(CASE WHEN logp.lp <= obs.lp_obs + 1e-7
+                          THEN exp(logp.lp) ELSE 0 END), 6)
+             AS p_two_sided,
+           round(CASE WHEN (logp.r1 - logp.a) * (logp.c1 - logp.a) = 0
+                      THEN NULL
+                      ELSE CAST(logp.a AS DOUBLE)
+                           * (logp.nn - logp.r1 - logp.c1 + logp.a)
+                           / (CAST(logp.r1 - logp.a AS DOUBLE)
+                              * (logp.c1 - logp.a)) END, 6) AS odds_ratio
+    FROM logp CROSS JOIN obs
+    GROUP BY 1, 2, 3, 4, obs.lp_obs
+    """,
+    tags=("analytics", "stats"),
+)
+def stat_fisher_exact(spark, sf_dir):
+    """Fisher's EXACT test of lang='{_F_LANG}' × source='{_F_SRC}' on
+    the corpus — the hypergeometric-tail answer the chi-square /
+    G² queries approximate, and the only valid one when cells are
+    small. Two-sided p = Σ P(k) over tables no more likely than the
+    observed one (scipy's convention, tolerance 1e-7 on the
+    log-probability).
+
+    Determinism: the log-factorial table is ONE ordered running-sum
+    window — a sequential left-to-right cumsum in both engines, so
+    lf(i) is engine-identical; each log-probability is a fixed-arity
+    combination of 9 lf lookups; the terminal tail sum is over ≤
+    min(r1,c1) bounded-magnitude terms, rounded 6dp. Scale note: the
+    exact tail is for BOUNDED margins (the regime where it matters —
+    small-cell contingency); at 10⁹-row margins the normal/chi-square
+    approximations in this family are correct and this query's lf
+    table (O(N) rows, one ordered cumsum) would be replaced by a
+    Stirling/lgamma expression — documented trade, same answer to 6dp
+    where both apply."""
+    docs = table(spark, sf_dir, "documents")
+    m = docs.agg(
+        F.count(F.when((F.col("lang") == _F_LANG)
+                       & (F.col("source") == _F_SRC), 1))
+        .cast("long").alias("a"),
+        F.count(F.when(F.col("lang") == _F_LANG, 1)).cast("long")
+        .alias("r1"),
+        F.count(F.when(F.col("source") == _F_SRC, 1)).cast("long")
+        .alias("c1"),
+        F.count("*").cast("long").alias("nn"))
+    lf = (m.select(F.explode(F.sequence(F.lit(0), F.col("nn")))
+                   .alias("i"))
+          .select("i", F.sum(F.when(F.col("i") == 0, F.lit(0.0))
+                             .otherwise(F.log(F.col("i"))))
+                  .over(Window.orderBy("i")
+                        .rowsBetween(Window.unboundedPreceding, 0))
+                  .alias("lf")))
+    ks = m.select("a", "r1", "c1", "nn",
+                  F.explode(F.sequence(
+                      F.greatest(F.lit(0), F.col("r1") + F.col("c1")
+                                 - F.col("nn")),
+                      F.least(F.col("r1"), F.col("c1")))).alias("k"))
+
+    def look(expr, name):
+        sub = lf.select(F.col("i").alias(f"{name}_i"),
+                        F.col("lf").alias(name))
+        return lambda df: df.join(sub, expr == F.col(f"{name}_i")) \
+                            .drop(f"{name}_i")
+
+    j = ks
+    for name, expr in [
+            ("lr1", F.col("r1")), ("lk", F.col("k")),
+            ("lr1k", F.col("r1") - F.col("k")),
+            ("lnr1", F.col("nn") - F.col("r1")),
+            ("lc1k", F.col("c1") - F.col("k")),
+            ("ld", F.col("nn") - F.col("r1") - F.col("c1") + F.col("k")),
+            ("lnn", F.col("nn")), ("lc1", F.col("c1")),
+            ("lnc1", F.col("nn") - F.col("c1"))]:
+        j = look(expr, name)(j)
+    lp = (F.col("lr1") - F.col("lk") - F.col("lr1k") + F.col("lnr1")
+          - F.col("lc1k") - F.col("ld") - F.col("lnn") + F.col("lc1")
+          + F.col("lnc1"))
+    logp = j.select("k", "a", "r1", "c1", "nn", lp.alias("lp"))
+    obs = logp.filter(F.col("k") == F.col("a")) \
+              .select(F.col("lp").alias("lp_obs"))
+    b = F.col("r1") - F.col("a")
+    c = F.col("c1") - F.col("a")
+    d = F.col("nn") - F.col("r1") - F.col("c1") + F.col("a")
+    orat = F.when(b * c == 0, F.lit(None).cast("double")).otherwise(
+        F.col("a").cast("double") * d / (b.cast("double") * c))
+    return (logp.crossJoin(F.broadcast(obs))
+            .groupBy("a", "r1", "c1", "nn", "lp_obs")
+            .agg(F.round(F.sum(F.when(
+                F.col("lp") <= F.col("lp_obs") + 1e-7,
+                F.exp(F.col("lp"))).otherwise(F.lit(0.0))), 6)
+                .alias("p_two_sided"))
+            .select("a", "r1", "c1", "nn", "p_two_sided",
+                    F.round(orat, 6).alias("odds_ratio")))
+
+
+# --------------------------------- Benjamini-Hochberg FDR step-up
+
+_BH_Q = 0.10
+# Zelen & Severo (A&S 26.2.17) polynomial for the standard normal CDF
+_BH_T = 0.2316419
+_BH_B = (0.319381530, -0.356563782, 1.781477937,
+         -1.821255978, 1.330274429)
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def _phi_tail_sql(z: str) -> str:
+    """DuckDB upper-tail 1-Φ(|z|) via the A&S 26.2.17 polynomial —
+    written as the identical Horner tree the Spark side builds."""
+    t = f"(1.0 / (1.0 + {_BH_T} * abs({z})))"
+    b1, b2, b3, b4, b5 = _BH_B
+    horner = (f"({t} * ({b1} + {t} * ({b2} + {t} * ({b3} + {t} "
+              f"* ({b4} + {t} * {b5})))))")
+    return (f"({_INV_SQRT_2PI} * exp(-abs({z}) * abs({z}) / 2.0) "
+            f"* {horner})")
+
+
+@register(
+    "stat_benjamini_hochberg_fdr",
+    oracle=f"""
+    WITH li AS (
+      SELECT c.c_nationkey,
+             CAST(count(*) FILTER (WHERE l.l_returnflag = 'R') AS BIGINT)
+               AS x,
+             CAST(count(*) AS BIGINT) AS n
+      FROM customer c
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1),
+    g AS (SELECT CAST(sum(x) AS BIGINT) AS gx,
+                 CAST(sum(n) AS BIGINT) AS gn,
+                 CAST(count(*) AS BIGINT) AS m
+          FROM li),
+    zt AS (
+      SELECT li.c_nationkey, li.x, li.n, g.m,
+             (CAST(li.x AS DOUBLE) / li.n
+              - CAST(g.gx - li.x AS DOUBLE) / (g.gn - li.n))
+             / sqrt((CAST(g.gx AS DOUBLE) / g.gn)
+                    * (1.0 - CAST(g.gx AS DOUBLE) / g.gn)
+                    * (1.0 / li.n + 1.0 / (g.gn - li.n))) AS z
+      FROM li CROSS JOIN g),
+    zr AS (SELECT c_nationkey, x, n, m, round(z, 4) AS z FROM zt),
+    pv AS (
+      SELECT c_nationkey, x, n, m, z,
+             round(2.0 * {_phi_tail_sql('z')}, 6) AS p_raw
+      FROM zr),
+    rk AS (
+      SELECT *, row_number() OVER (ORDER BY p_raw, c_nationkey) AS i
+      FROM pv),
+    adj AS (
+      SELECT *, least(1.0, min(p_raw * m / i)
+               OVER (ORDER BY i ROWS BETWEEN CURRENT ROW
+                     AND UNBOUNDED FOLLOWING)) AS bh
+      FROM rk)
+    SELECT c_nationkey, x, n, z, p_raw,
+           round(bh, 6) AS p_bh,
+           round(bh, 6) <= {_BH_Q} AS reject
+    FROM adj
+    """,
+    tags=("analytics", "stats"),
+)
+def stat_benjamini_hochberg_fdr(spark, sf_dir):
+    """Benjamini-Hochberg FDR correction over a per-nation test
+    battery: each nation's returned-line share is z-tested against the
+    rest of the world (two-proportion, pooled), then the 25 raw
+    p-values go through the BH step-up (p·m/i with a reverse running
+    min) at q={_BH_Q}. This is the missing layer over every per-group
+    battery in the registry — 25 uncorrected tests at α=0.05 expect a
+    false positive; BH bounds the false-discovery RATE.
+
+    Determinism: Φ is the A&S 26.2.17 polynomial — the same Horner
+    float tree in both engines (libm exp only); p is rounded 6dp
+    BEFORE ranking (nationkey tie-break), and the step-up is a
+    windowed running min over those rounded values — no float
+    accumulation anywhere. Scale: the battery is one
+    customer⋈orders⋈lineitem aggregate keyed by nation; everything
+    after is |nations| rows on one partition by construction."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    per = (cust.join(orders, cust.c_custkey == orders.o_custkey)
+           .join(li, li.l_orderkey == orders.o_orderkey)
+           .groupBy("c_nationkey")
+           .agg(F.count(F.when(F.col("l_returnflag") == "R", 1))
+                .cast("long").alias("x"),
+                F.count("*").cast("long").alias("n")))
+    g = per.agg(F.sum("x").cast("long").alias("gx"),
+                F.sum("n").cast("long").alias("gn"),
+                F.count("*").cast("long").alias("m"))
+    ph = F.col("gx").cast("double") / F.col("gn")
+    z = ((F.col("x").cast("double") / F.col("n")
+          - (F.col("gx") - F.col("x")).cast("double")
+          / (F.col("gn") - F.col("n")))
+         / F.sqrt(ph * (1.0 - ph)
+                  * (1.0 / F.col("n")
+                     + 1.0 / (F.col("gn") - F.col("n")))))
+    zt = (per.crossJoin(F.broadcast(g))
+          .select("c_nationkey", "x", "n", "m", F.round(z, 4).alias("z")))
+    az = F.abs(F.col("z"))
+    t = 1.0 / (1.0 + _BH_T * az)
+    b1, b2, b3, b4, b5 = _BH_B
+    horner = t * (b1 + t * (b2 + t * (b3 + t * (b4 + t * b5))))
+    tail = _INV_SQRT_2PI * F.exp(-az * az / 2.0) * horner
+    pv = zt.select("c_nationkey", "x", "n", "m", "z",
+                   F.round(2.0 * tail, 6).alias("p_raw"))
+    wi = Window.orderBy("p_raw", "c_nationkey")
+    wmin = (Window.orderBy("i")
+            .rowsBetween(0, Window.unboundedFollowing))
+    rk = pv.withColumn("i", F.row_number().over(wi))
+    bh = F.least(F.lit(1.0),
+                 F.min(F.col("p_raw") * F.col("m") / F.col("i"))
+                 .over(wmin))
+    return (rk.withColumn("bh", bh)
+            .select("c_nationkey", "x", "n", "z", "p_raw",
+                    F.round("bh", 6).alias("p_bh"),
+                    (F.round("bh", 6) <= _BH_Q).alias("reject")))
+
+
+# ----------------------------------------------- TOST equivalence test
+
+_TOST_A = "1-URGENT"
+_TOST_B = "5-LOW"
+_TOST_MARGIN = 0.02   # ±2% of the pooled mean
+_TOST_CRIT = 1.6449   # one-sided z at alpha = 0.05
+
+
+@register(
+    "stat_tost_equivalence",
+    oracle=f"""
+    WITH s AS (
+      SELECT count(*) FILTER (WHERE o_orderpriority = '{_TOST_A}') AS n1,
+             avg(o_totalprice) FILTER (WHERE o_orderpriority = '{_TOST_A}')
+               AS m1,
+             var_samp(o_totalprice)
+               FILTER (WHERE o_orderpriority = '{_TOST_A}') AS v1,
+             count(*) FILTER (WHERE o_orderpriority = '{_TOST_B}') AS n2,
+             avg(o_totalprice) FILTER (WHERE o_orderpriority = '{_TOST_B}')
+               AS m2,
+             var_samp(o_totalprice)
+               FILTER (WHERE o_orderpriority = '{_TOST_B}') AS v2
+      FROM orders),
+    d AS (
+      SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+             m1 - m2 AS diff,
+             {_TOST_MARGIN} * ((m1 * n1 + m2 * n2) / (n1 + n2)) AS delta,
+             sqrt(v1 / n1 + v2 / n2) AS se
+      FROM s)
+    SELECT n1, n2, round(diff, 4) AS mean_diff,
+           round(delta, 4) AS delta,
+           round((diff + delta) / se, 4) AS t_lower,
+           round((delta - diff) / se, 4) AS t_upper,
+           round((diff + delta) / se, 4) > {_TOST_CRIT}
+             AND round((delta - diff) / se, 4) > {_TOST_CRIT}
+             AS equivalent
+    FROM d
+    """,
+    tags=("analytics", "stats"),
+)
+def stat_tost_equivalence(spark, sf_dir):
+    """TOST equivalence test (two one-sided tests): are
+    '{_TOST_A}' and '{_TOST_B}' order totals THE SAME to within ±2% of
+    the pooled mean? The t/z tests in this family can only fail to
+    reject equality — TOST is the procedure that affirmatively
+    demonstrates equivalence (both one-sided statistics must clear the
+    one-sided critical value), which is what an A/B "no regression"
+    readout actually claims. Same one-scan conditional-aggregate shape
+    as `stat_ttest_welch`; the margin δ is data-derived from the same
+    single result row, so the whole readout is one fixed-arity float
+    tree, each reported statistic rounded 4dp before the boolean."""
+    orders = table(spark, sf_dir, "orders")
+
+    def side(p):
+        c = F.when(F.col("o_orderpriority") == p, F.col("o_totalprice"))
+        return (F.count(c), F.avg(c), F.var_samp(c))
+
+    n1, m1, v1 = side(_TOST_A)
+    n2, m2, v2 = side(_TOST_B)
+    s = orders.agg(n1.cast("long").alias("n1"), m1.alias("m1"),
+                   v1.alias("v1"), n2.cast("long").alias("n2"),
+                   m2.alias("m2"), v2.alias("v2"))
+    diff = F.col("m1") - F.col("m2")
+    delta = _TOST_MARGIN * ((F.col("m1") * F.col("n1")
+                             + F.col("m2") * F.col("n2"))
+                            / (F.col("n1") + F.col("n2")))
+    se = F.sqrt(F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2"))
+    tl = F.round((diff + delta) / se, 4)
+    tu = F.round((delta - diff) / se, 4)
+    return s.select("n1", "n2",
+                    F.round(diff, 4).alias("mean_diff"),
+                    F.round(delta, 4).alias("delta"),
+                    tl.alias("t_lower"), tu.alias("t_upper"),
+                    ((tl > _TOST_CRIT) & (tu > _TOST_CRIT))
+                    .alias("equivalent"))

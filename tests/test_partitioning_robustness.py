@@ -117,6 +117,8 @@ _KEEPERS = [
     # r11 wave-2 additions (r12 window candidates)
     "text_readability_fk", "text_gtest_keyness", "text_sumbasic_extract",
     "dedup_soft_weight", "text_hapax_ratio",
+    "stat_fisher_exact", "stat_benjamini_hochberg_fdr",
+    "stat_tost_equivalence",
 ]
 
 _seen: set[str] = set()
