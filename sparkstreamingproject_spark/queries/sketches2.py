@@ -402,13 +402,26 @@ def sketch_kll_quantiles(spark, sf_dir):
     the scan side of every shuffle: only ~K rows ever leave the map
     stage, whatever the row count; merges across shards are unions
     plus one re-thin."""
-    o = table(spark, sf_dir, "orders")
-    hv = o.select(
-        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
-        kll_hash("o_orderkey").alias("h"))
+    hv = kll_order_rows(table(spark, sf_dir, "orders"))
     lvl = (hv.agg(F.count("*").cast("long").alias("n"))
            .select("n", kll_level("n").alias("lvl")))
     s = kll_sample(hv.crossJoin(F.broadcast(lvl)))
+    return kll_quantile_read(spark, s, lvl)
+
+
+def kll_order_rows(orders):
+    """(cents, h) sketch input rows — shared by the batch query above
+    and the streaming fold (``streaming/kll_maintain.py``), so the
+    maintained sample is the batch sample by construction."""
+    return orders.select(
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        kll_hash("o_orderkey").alias("h"))
+
+
+def kll_quantile_read(spark, s, lvl):
+    """Quantile read over a level-thinned sample ``s`` (cents, h) and
+    a 1-row (n, lvl) relation — shared by the batch query and the
+    maintained-state read (stream≡batch by shared code)."""
     ranked = s.select(
         "cents",
         F.row_number().over(Window.orderBy("cents", "h")).alias("rn"),

@@ -2204,3 +2204,66 @@ def test_containment_index_stream_equals_batch_and_replay(
             for r in containment_pairs_from_index(
                 spark, idx, docs).collect()}
     assert got2 == exp
+
+
+def test_kll_sketch_stream_equals_batch_and_replay(spark, tmp_path,
+                                                   sf_dir):
+    """Maintained KLL level-sampling sketch (fold #12): quantiles read
+    off the streamed state must equal the batch `sketch_kll_quantiles`
+    EXACTLY — the nested inclusion masks mean every batch's survivors
+    (written at a prefix level) re-thin at read time to the batch
+    sketch over the union. Then three replay drills on a manually
+    folded twin (explicit batch ids): double replay of a batch
+    (overwrite partitions absorb it), a LATE replay after later
+    batches landed (the recomputed higher write level is a subset;
+    the read re-thin erases it), and a partial crash (sample
+    partition written, meta commit row missing) that the retry
+    converges."""
+    from sparkstreamingproject_spark.queries import REGISTRY
+    from sparkstreamingproject_spark.sources.streams import file_stream
+    from sparkstreamingproject_spark.streaming.dedup_ingest import _write
+    from sparkstreamingproject_spark.streaming.kll_maintain import (
+        fold_kll_sample, kll_quantiles_from_state, kll_stream)
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    land = str(tmp_path / "orders_land")
+    orders.repartition(3).write.parquet(land)
+
+    st = str(tmp_path / "kll_state")
+    q = kll_stream(
+        file_stream(spark, land, orders.schema, max_files_per_trigger=1),
+        st, str(tmp_path / "ck_kll"))
+    assert q.awaitTermination(300), "availableNow stream must terminate"
+
+    exp = sorted(map(tuple, REGISTRY["sketch_kll_quantiles"]
+                     .fn(spark, sf_dir).collect()))
+    got = sorted(map(tuple, kll_quantiles_from_state(spark, st).collect()))
+    assert got == exp
+    assert exp[0][1] > 0, "level must be non-trivial at this SF"
+
+    # manually folded twin with explicit batch ids for the drills
+    st2 = str(tmp_path / "kll_state2")
+    thirds = [orders.filter(F.col("o_orderkey") % 3 == r).localCheckpoint()
+              for r in range(3)]
+    for i, part in enumerate(thirds):
+        fold_kll_sample(part, st2, batch_id=i)
+    got2 = sorted(map(tuple, kll_quantiles_from_state(spark, st2).collect()))
+    assert got2 == exp
+
+    # drill 1+2: double replay of batch 0, landing AFTER batches 1-2 —
+    # the late replay writes at a HIGHER level (prior_n now includes
+    # every batch); nested masks make that a subset and the read-time
+    # re-thin yields the identical sketch
+    fold_kll_sample(thirds[0], st2, batch_id=0)
+    fold_kll_sample(thirds[0], st2, batch_id=0)
+    got3 = sorted(map(tuple, kll_quantiles_from_state(spark, st2).collect()))
+    assert got3 == exp
+
+    # drill 3: partial crash — batch 0's sample partition lands, the
+    # meta commit row does not; the retry overwrites both and converges
+    from sparkstreamingproject_spark.queries.sketches2 import (
+        kll_order_rows)
+    _write(kll_order_rows(thirds[0]).limit(7), f"{st2}/sample", 0)
+    fold_kll_sample(thirds[0], st2, batch_id=0)
+    got4 = sorted(map(tuple, kll_quantiles_from_state(spark, st2).collect()))
+    assert got4 == exp
