@@ -357,3 +357,186 @@ def stat_tost_equivalence(spark, sf_dir):
                     tl.alias("t_lower"), tu.alias("t_upper"),
                     ((tl > _TOST_CRIT) & (tu > _TOST_CRIT))
                     .alias("equivalent"))
+
+
+# --------------------------------- Holt-Winters additive (seasonal)
+
+_US_DAY = 86_400_000_000
+_HW_W = 21             # 3 complete weekly seasons
+_HW_M = 7
+_HW_A, _HW_B, _HW_G = 0.5, 0.3, 0.4
+
+
+def _hw_weights():
+    """Coefficient vectors of the truncated Holt-Winters additive
+    recursion over the last W days — the `ts_holt_linear_forecast`
+    truncated-kernel recipe extended to THREE state variables.
+    Init from the first season: l = mean(y_0..y_{m-1}), b = 0,
+    s_p = y_p - l; then W-m coupled update steps. Everything is
+    linear in y, so the final (level, trend, next-season seasonal,
+    forecast) are four literal weight vectors shared by both
+    engines."""
+    w, m, a, b, g = _HW_W, _HW_M, _HW_A, _HW_B, _HW_G
+    lw = [1.0 / m if i < m else 0.0 for i in range(w)]
+    bw = [0.0] * w
+    sw = {p: [(1.0 if i == p else 0.0) - (1.0 / m if i < m else 0.0)
+              for i in range(w)] for p in range(m)}
+    for t in range(m, w):
+        p = t % m
+        y = [1.0 if i == t else 0.0 for i in range(w)]
+        l_new = [a * (y[i] - sw[p][i]) + (1 - a) * (lw[i] + bw[i])
+                 for i in range(w)]
+        b_new = [b * (l_new[i] - lw[i]) + (1 - b) * bw[i]
+                 for i in range(w)]
+        s_new = [g * (y[i] - l_new[i]) + (1 - g) * sw[p][i]
+                 for i in range(w)]
+        lw, bw, sw[p] = l_new, b_new, s_new
+    fp = w % m
+    fw = [lw[i] + bw[i] + sw[fp][i] for i in range(w)]
+    r = lambda v: [round(x, 12) for x in v]
+    return r(lw), r(bw), r(sw[fp]), r(fw)
+
+
+_HW_LW, _HW_BW, _HW_SW, _HW_FW = _hw_weights()
+
+
+def _hw_oracle() -> str:
+    ycols = ",\n             ".join(
+        f"CAST(max(CASE WHEN idx = {i} THEN cents END) AS BIGINT) AS y{i}"
+        for i in range(_HW_W))
+
+    def dot(ws):
+        return " + ".join(f"({w!r} * y{i})" for i, w in enumerate(ws))
+
+    return f"""
+    WITH d AS (
+      SELECT epoch_us(ts) // {_US_DAY} AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1),
+    r AS (
+      SELECT cents,
+             {_HW_W} - row_number() OVER (ORDER BY day DESC) AS idx
+      FROM d),
+    p AS (
+      SELECT {ycols},
+             CAST(count(*) AS BIGINT) AS n_used
+      FROM r WHERE idx >= 0)
+    SELECT n_used,
+           round(({dot(_HW_LW)}) / 100, 4) AS level,
+           round(({dot(_HW_BW)}) / 100, 4) AS trend,
+           round(({dot(_HW_SW)}) / 100, 4) AS seasonal_next,
+           round(({dot(_HW_FW)}) / 100, 4) AS forecast_next
+    FROM p
+    """
+
+
+@register("ts_holt_winters_additive", oracle=_hw_oracle(),
+          tags=("timeseries", "forecast"))
+def ts_holt_winters_additive(spark, sf_dir):
+    """Holt-Winters ADDITIVE one-step forecast of daily revenue —
+    level + trend + weekly seasonality, completing the exponential-
+    smoothing ladder (EWMA → Holt linear → this). The coupled
+    3-variable recursion over the last 21 days unrolls at IMPORT time
+    into four literal weight vectors (level, trend, the next day's
+    seasonal state, and their forecast sum), so the runtime is one
+    conditional-aggregate pivot of exact integer day-cents plus four
+    fixed-arity dot products with shared literals — identical operand
+    order in both engines, no recursion, no state at run time. Scale:
+    reads the day-grain aggregate (bounded by calendar span); the
+    kernel is a 21-column single row."""
+    e = table(spark, sf_dir, "events")
+    d = (e.groupBy((F.unix_micros("ts") / _US_DAY).cast("long")
+                   .alias("day"))
+         .agg(F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+              .cast("long").alias("cents")))
+    r = d.select(
+        "cents",
+        (_HW_W - F.row_number().over(Window.orderBy(F.col("day").desc())))
+        .alias("idx")).filter(F.col("idx") >= 0)
+    p = r.agg(
+        *[F.max(F.when(F.col("idx") == i, F.col("cents"))).cast("long")
+          .alias(f"y{i}") for i in range(_HW_W)],
+        F.count("*").cast("long").alias("n_used"))
+
+    def dot(ws):
+        acc = None
+        for i, wgt in enumerate(ws):
+            t = F.lit(wgt) * F.col(f"y{i}")
+            acc = t if acc is None else acc + t
+        return acc
+
+    return p.select(
+        "n_used",
+        F.round(dot(_HW_LW) / 100, 4).alias("level"),
+        F.round(dot(_HW_BW) / 100, 4).alias("trend"),
+        F.round(dot(_HW_SW) / 100, 4).alias("seasonal_next"),
+        F.round(dot(_HW_FW) / 100, 4).alias("forecast_next"))
+
+
+# ------------------------------------- DP exponential mechanism
+
+_EM_EPS = 1.0
+
+
+@register(
+    "privacy_exponential_mechanism",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(('0x' || substr(md5(event_type), 1, 15)) AS BIGINT)
+               AS h
+      FROM events GROUP BY 1),
+    mx AS (SELECT max(n) AS nmax FROM c),
+    sc AS (
+      SELECT event_type, n,
+             round(exp({_EM_EPS} * (n - nmax) / 2.0), 6) AS w,
+             round({_EM_EPS} * n / 2.0
+                   - ln(-ln((h + 1.0) / {1 << 60})), 6) AS noisy
+      FROM c CROSS JOIN mx),
+    tot AS (SELECT sum(w) AS tw FROM sc)
+    SELECT event_type, n,
+           round(w / tw, 6) AS p_select,
+           noisy,
+           noisy = (SELECT max(noisy) FROM sc) AS is_selected
+    FROM sc CROSS JOIN tot
+    """,
+    tags=("privacy", "stats"),
+)
+def privacy_exponential_mechanism(spark, sf_dir):
+    """The DP exponential mechanism (McSherry-Talwar) selecting the
+    most frequent event type at ε={_EM_EPS}, via the Gumbel-max trick:
+    winner = argmax(ε·u/2Δ + Gumbel noise) — distributed over the
+    utility relation, no sequential sampling. The audit columns carry
+    each candidate's EXACT selection probability exp(εu/2)/Σ
+    (max-shifted so the exponentials stay bounded).
+
+    Determinism discipline (same as `privacy_randomized_response` /
+    RAPPOR): the Gumbel draw's uniform is the candidate's md5 15-hex
+    prefix mapped into (0,1] — reproducible across engines and
+    re-runs, which is what makes a DP *pipeline* testable; a
+    production release swaps the hash for a sealed RNG without
+    touching the plan. All per-row float trees are fixed-arity and
+    rounded 6dp before the argmax comparison; the only cross-row
+    float is the |candidates|-row weight sum. Scale: one keyed
+    aggregate; candidates = |event types|."""
+    e = table(spark, sf_dir, "events")
+    c = (e.groupBy("event_type")
+         .agg(F.count("*").cast("long").alias("n"))
+         .withColumn("h", F.conv(F.substring(F.md5("event_type"), 1, 15),
+                                 16, 10).cast("long")))
+    mx = c.agg(F.max("n").alias("nmax"))
+    u = (F.col("h") + 1.0) / float(1 << 60)
+    sc = (c.crossJoin(F.broadcast(mx))
+          .select("event_type", "n",
+                  F.round(F.exp(_EM_EPS * (F.col("n") - F.col("nmax"))
+                                / 2.0), 6).alias("w"),
+                  F.round(_EM_EPS * F.col("n") / 2.0
+                          - F.log(-F.log(u)), 6).alias("noisy")))
+    tot = sc.agg(F.sum("w").alias("tw"))
+    best = sc.agg(F.max("noisy").alias("nbest"))
+    return (sc.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(best))
+            .select("event_type", "n",
+                    F.round(F.col("w") / F.col("tw"), 6).alias("p_select"),
+                    "noisy",
+                    (F.col("noisy") == F.col("nbest")).alias("is_selected")))

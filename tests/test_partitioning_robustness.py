@@ -119,6 +119,8 @@ _KEEPERS = [
     "dedup_soft_weight", "text_hapax_ratio",
     "stat_fisher_exact", "stat_benjamini_hochberg_fdr",
     "stat_tost_equivalence",
+    "sim_rp_tree_recall", "text_rocchio_prf",
+    "ts_holt_winters_additive", "privacy_exponential_mechanism",
 ]
 
 _seen: set[str] = set()
