@@ -273,7 +273,10 @@ def ts_autocorrelation_lags(spark, sf_dir):
 _LPA_ROUNDS = 2
 
 
-def _lpa_oracle() -> str:
+def _lpa_ctes() -> str:
+    """Shared CTE chain (edges + bounded LPA rounds) — reused by
+    `graph_modularity_score` (analytics31) so the partition it scores
+    is THIS query's partition by construction."""
     parts = ["""
     WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     e AS (
@@ -296,10 +299,13 @@ def _lpa_oracle() -> str:
         FROM cnt{r})
       WHERE rn = 1)"""
         )
-    parts.append(f"""
-    SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members
-    FROM lab{_LPA_ROUNDS} GROUP BY 1""")
     return "".join(parts)
+
+
+def _lpa_oracle() -> str:
+    return _lpa_ctes() + f"""
+    SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members
+    FROM lab{_LPA_ROUNDS} GROUP BY 1"""
 
 
 @register(
@@ -324,6 +330,15 @@ def graph_label_propagation(spark, sf_dir):
     (node,label) count aggregate, one per-node arg-max window
     partitioned by node — all shuffles keyed on node id; the bounded
     unroll cuts lineage exactly like the PageRank/k-means/BPE loops."""
+    _e, _adj, lab = lpa_partition(spark, sf_dir)
+    return (lab.groupBy(F.col("lbl").alias("community"))
+            .agg(F.count("*").cast("long").alias("n_members")))
+
+
+def lpa_partition(spark, sf_dir):
+    """(edges, adjacency, final labels) of the bounded LPA pass —
+    shared with `graph_modularity_score` (analytics31) so the scored
+    partition is this query's partition by construction."""
     li = (table(spark, sf_dir, "lineitem")
           .select("l_orderkey", "l_partkey").distinct())
     a, b = li.alias("a"), li.alias("b")
@@ -342,8 +357,7 @@ def graph_label_propagation(spark, sf_dir):
         w = Window.partitionBy("u").orderBy(F.col("c").desc(), F.col("lbl"))
         lab = (cnt.withColumn("rn", F.row_number().over(w))
                .filter(F.col("rn") == 1).select("u", "lbl"))
-    return (lab.groupBy(F.col("lbl").alias("community"))
-            .agg(F.count("*").cast("long").alias("n_members")))
+    return e, adj, lab
 
 
 # ------------------------------------------------ higher-order arrays

@@ -540,3 +540,213 @@ def privacy_exponential_mechanism(spark, sf_dir):
                     F.round(F.col("w") / F.col("tw"), 6).alias("p_select"),
                     "noisy",
                     (F.col("noisy") == F.col("nbest")).alias("is_selected")))
+
+
+# ------------------------------------------ Weibull median-rank fit
+
+_WB_TMAX = 200
+
+
+@register(
+    "survival_weibull_fit",
+    oracle=f"""
+    WITH t AS (
+      SELECT date_diff('day', o.o_orderdate, l.l_shipdate) AS t
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE date_diff('day', o.o_orderdate, l.l_shipdate)
+            BETWEEN 1 AND {_WB_TMAX}),
+    v AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1),
+    r AS (
+      SELECT t, c,
+             sum(c) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(c) OVER () AS n
+      FROM v),
+    xy AS (
+      SELECT round(ln(t), 6) AS x,
+             round(ln(-ln(1.0 - (cum - 0.3) / (n + 0.4))), 6) AS y
+      FROM r WHERE cum < n),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS np, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM xy),
+    fit AS (
+      SELECT np,
+             (np * sxy - sx * sy) / (np * sxx - sx * sx) AS k,
+             (sy - (np * sxy - sx * sy) / (np * sxx - sx * sx) * sx) / np
+               AS b
+      FROM s)
+    SELECT np AS n_points,
+           (SELECT CAST(max(n) AS BIGINT) FROM r) AS n_obs,
+           round(k, 4) AS shape_k,
+           round(exp(-b / k), 4) AS scale_days
+    FROM fit
+    """,
+    tags=("analytics", "stats", "survival"),
+)
+def survival_weibull_fit(spark, sf_dir):
+    """Weibull shape/scale fit of ship latency by MEDIAN-RANK
+    REGRESSION (the reliability-engineering standard: Bernard's
+    approximation F_i=(i-0.3)/(n+0.4) at each distinct latency's
+    cumulative rank, then OLS of ln(-ln(1-F)) on ln(t)) — the
+    parametric member of the survival family beside the nonparametric
+    `survival_km_ship_latency` and `orders_nelson_aalen_hazard`.
+    shape_k > 1 means latency hazard RISES with age (lines overdue
+    tend to ship), < 1 means a long tail of stragglers.
+
+    Determinism: ranks and counts are exact integers from one
+    value-grain aggregate; x/y are rounded 6dp per point BEFORE the
+    OLS sums (≤ {_WB_TMAX} bounded terms); the top rank (F=1,
+    y=-ln(0)=∞) is excluded by construction. Scale: everything after
+    the day-grain aggregate is ≤ {_WB_TMAX} rows."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    t = (li.join(o, li.l_orderkey == o.o_orderkey)
+         .select(F.datediff("l_shipdate", "o_orderdate").alias("t"))
+         .filter(F.col("t").between(1, _WB_TMAX)))
+    v = t.groupBy("t").agg(F.count("*").cast("long").alias("c"))
+    r = v.select(
+        "t", "c",
+        F.sum("c").over(Window.orderBy("t")
+                        .rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("n"))
+    xy = (r.filter(F.col("cum") < F.col("n"))
+          .select(F.round(F.log("t"), 6).alias("x"),
+                  F.round(F.log(-F.log(1.0 - (F.col("cum") - 0.3)
+                                       / (F.col("n") + 0.4))), 6)
+                  .alias("y")))
+    s = xy.agg(F.count("*").cast("long").alias("np"),
+               F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+               F.sum(F.col("x") * F.col("y")).alias("sxy"),
+               F.sum(F.col("x") * F.col("x")).alias("sxx"))
+    nobs = r.agg(F.max("n").cast("long").alias("n_obs"))
+    k = ((F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy"))
+         / (F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx")))
+    b = (F.col("sy") - k * F.col("sx")) / F.col("np")
+    return (s.crossJoin(F.broadcast(nobs))
+            .select(F.col("np").alias("n_points"), "n_obs",
+                    F.round(k, 4).alias("shape_k"),
+                    F.round(F.exp(-b / k), 4).alias("scale_days")))
+
+
+# --------------------------------- negative-binomial overdispersion
+
+@register(
+    "stat_negbin_overdispersion",
+    oracle="""
+    WITH uc AS (
+      SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_users,
+             avg(c) AS mu, var_samp(c) AS v
+      FROM uc GROUP BY 1)
+    SELECT event_type, n_users,
+           round(mu, 4) AS mean_per_user,
+           round(v / mu, 4) AS dispersion_index,
+           CASE WHEN v > mu
+                THEN round(mu * mu / (v - mu), 4) END AS nb_r,
+           CASE WHEN v > mu THEN round(mu / v, 4) END AS nb_p
+    FROM s
+    """,
+    tags=("analytics", "stats"),
+)
+def stat_negbin_overdispersion(spark, sf_dir):
+    """Negative-binomial overdispersion fit of per-user event counts,
+    per event type: dispersion index var/mean (Poisson ⇒ 1; real user
+    activity is almost always > 1 — burstiness), and the NB
+    method-of-moments parameters r = μ²/(σ²-μ), p = μ/σ² when
+    overdispersed (NULL when at-or-under Poisson — the honest answer,
+    not a negative r). The count-model companion to
+    `stat_poisson_rate_test` (which assumes the dispersion this query
+    measures) and `events_burstiness_fano` (the time-axis view).
+    Per-user counts are exact integers from one (type,user) aggregate;
+    mean/var are the same one-pass conditional moments as
+    `stat_ttest_welch`, rounded 4dp. Scale: two keyed aggregates,
+    output rows = |event types|."""
+    e = table(spark, sf_dir, "events")
+    uc = (e.filter(F.col("user_id").isNotNull())
+          .groupBy("event_type", "user_id")
+          .agg(F.count("*").cast("long").alias("c")))
+    s = uc.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.avg("c").alias("mu"), F.var_samp("c").alias("v"))
+    over = F.col("v") > F.col("mu")
+    return s.select(
+        "event_type", "n_users",
+        F.round("mu", 4).alias("mean_per_user"),
+        F.round(F.col("v") / F.col("mu"), 4).alias("dispersion_index"),
+        F.when(over, F.round(F.col("mu") * F.col("mu")
+                             / (F.col("v") - F.col("mu")), 4))
+        .alias("nb_r"),
+        F.when(over, F.round(F.col("mu") / F.col("v"), 4)).alias("nb_p"))
+
+
+# ------------------------------------------ modularity of a partition
+
+def _modularity_oracle() -> str:
+    from .analytics10 import _LPA_ROUNDS, _lpa_ctes
+    return _lpa_ctes() + f""",
+    lab AS (SELECT u, lbl FROM lab{_LPA_ROUNDS}),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+    intra AS (
+      SELECT CAST(count(*) AS BIGINT) AS ei
+      FROM e JOIN lab la ON la.u = e.u JOIN lab lb ON lb.u = e.v
+      WHERE la.lbl = lb.lbl),
+    dc AS (
+      SELECT CAST(sum(dd * dd) AS DECIMAL(38,0)) AS sum_dc2,
+             CAST(count(*) AS BIGINT) AS n_comm
+      FROM (SELECT la.lbl, CAST(sum(deg.d) AS DECIMAL(38,0)) AS dd
+            FROM deg JOIN lab la ON la.u = deg.u GROUP BY 1))
+    SELECT dc.n_comm AS n_communities, m.m AS m_edges,
+           intra.ei AS intra_edges,
+           round(CAST(intra.ei AS DOUBLE) / m.m
+                 - CAST(dc.sum_dc2 AS DOUBLE) / (4.0 * m.m * m.m), 6)
+             AS q_modularity
+    FROM dc CROSS JOIN m CROSS JOIN intra
+    """
+
+
+@register(
+    "graph_modularity_score",
+    oracle=_modularity_oracle(),
+    tags=("graph", "stats"),
+)
+def graph_modularity_score(spark, sf_dir):
+    """Newman modularity Q of the `graph_label_propagation` partition
+    on the part co-purchase graph — the quality score that turns
+    'here are communities' into 'and they are {{Q}} better than random
+    rewiring'. Q = Σ_c e_c/m − (d_c/2m)², computed from EXACT
+    integers: intra-community edge count (one edge⋈label⋈label
+    semi-restriction), per-community degree sums squared as
+    DECIMAL(38,0) (d_c ≤ 2m squares past int64 at corpus scale — the
+    analytics29 overflow discipline), one terminal fixed-arity float
+    rounded 6dp. The partition comes from the SHARED `lpa_partition`
+    code path, so this scores exactly the certified partition, not a
+    re-derivation. Scale: label joins are node-keyed; everything after
+    the LPA rounds is |communities| rows."""
+    from .analytics10 import lpa_partition
+    e, adj, lab = lpa_partition(spark, sf_dir)
+    deg = adj.groupBy("u").agg(F.count("*").cast("long").alias("d"))
+    m = e.agg(F.count("*").cast("long").alias("m"))
+    la = lab.select(F.col("u").alias("ea"), F.col("lbl").alias("lbl_a"))
+    lb = lab.select(F.col("u").alias("eb"), F.col("lbl").alias("lbl_b"))
+    intra = (e.join(la, e.u == la.ea).join(lb, e.v == lb.eb)
+             .filter(F.col("lbl_a") == F.col("lbl_b"))
+             .agg(F.count("*").cast("long").alias("ei")))
+    dd = (deg.join(lab, "u")
+          .groupBy("lbl")
+          .agg(F.sum("d").cast("decimal(38,0)").alias("dd")))
+    dc = dd.agg(F.sum(F.col("dd") * F.col("dd")).cast("decimal(38,0)")
+                .alias("sum_dc2"),
+                F.count("*").cast("long").alias("n_comm"))
+    return (dc.crossJoin(F.broadcast(m)).crossJoin(F.broadcast(intra))
+            .select(F.col("n_comm").alias("n_communities"),
+                    F.col("m").alias("m_edges"),
+                    F.col("ei").alias("intra_edges"),
+                    F.round(F.col("ei").cast("double") / F.col("m")
+                            - F.col("sum_dc2").cast("double")
+                            / (4.0 * F.col("m") * F.col("m")), 6)
+                    .alias("q_modularity")))

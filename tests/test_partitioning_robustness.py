@@ -121,6 +121,8 @@ _KEEPERS = [
     "stat_tost_equivalence",
     "sim_rp_tree_recall", "text_rocchio_prf",
     "ts_holt_winters_additive", "privacy_exponential_mechanism",
+    "survival_weibull_fit", "stat_negbin_overdispersion",
+    "graph_modularity_score",
 ]
 
 _seen: set[str] = set()
