@@ -89,6 +89,8 @@ SIDECAR = [
     "embedding_knn_descent_round",
     # round-10 heavy addition (floor: SIDECAR_R10)
     "dedup_containment_lsh_ensemble",
+    # round-11 heavy addition (floor: SIDECAR_R11)
+    "dedup_semantic_cells",
 ]
 
 # sidecar comparison floor: first measurements (BENCH_r05, sf=0.1,
@@ -138,6 +140,14 @@ SIDECAR_R09 = {
 # reuse (review finding 2) took the kernel 11.1 -> 8.8 s.
 SIDECAR_R10 = {
     "dedup_containment_lsh_ensemble": 8.8,
+}
+
+# floor for the round-11 sidecar addition: quietest r11 in-bench
+# measurement (sf=0.1, local[32], warmed session, drained sidecar
+# slot) — the SemDeDup composition (2 Lloyd rounds + per-cell pairs +
+# min-label components over 2000 vectors).
+SIDECAR_R11 = {
+    "dedup_semantic_cells": 16.4,
 }
 
 def main() -> None:
@@ -222,6 +232,9 @@ def main() -> None:
         "sidecar_vs_r10": {
             n: round(t / SIDECAR_R10[n], 2)
             for n, t in sidecar.items() if n in SIDECAR_R10},
+        "sidecar_vs_r11": {
+            n: round(t / SIDECAR_R11[n], 2)
+            for n, t in sidecar.items() if n in SIDECAR_R11},
         "cosine_kernel": dict(_sim.last_kernel_decision),
     }))
     spark.stop()

@@ -53,6 +53,12 @@ KERNELS = [
     # r10 spot-bench — 128 posting rows/doc and the bucket-cap path
     # are exactly where LSH-Ensemble could go super-linear.
     "dedup_containment_lsh_ensemble",
+    # r11: SemDeDup with PINNED k=8 cells — fixed k makes the per-cell
+    # quadratic grow as (n/k)², so this curve measures the documented
+    # trade (production scales k ∝ n; the registered query pins k so
+    # the oracle stays checkable). Embeddings replicate by sign-flip
+    # isometry (see build_sf1).
+    "dedup_semantic_cells",
 ]
 
 SFS = [("0.01", "/root/testdata/sf0.01"),
@@ -90,6 +96,29 @@ def build_sf1(spark, rebuild: bool = False) -> None:
                         lambda w: F.concat(w, tag)), " "))
             reps = r if reps is None else reps.unionByName(r)
         reps.repartition(32).write.mode("overwrite").parquet(doc_path)
+    emb_path = f"{DST}/embeddings.parquet"
+    if rebuild or not os.path.isdir(emb_path):
+        em = spark.read.parquet(f"{SRC}/embeddings.parquet")
+        stride = int(em.agg(F.max("vec_id")).first()[0]) + 1
+        dim = len(em.select("embedding").first()[0])
+        reps = None
+        for k in range(REPLICAS):
+            r = em.withColumn("vec_id", F.col("vec_id") + F.lit(k * stride))
+            if k > 0:
+                # per-replica diagonal sign flip: an ISOMETRY, so every
+                # intra-replica cosine (and hence the near-dup structure
+                # per replica) is bit-preserved, while cross-replica
+                # cosines decorrelate — same disjoint-universe reasoning
+                # as the word-tagged documents above
+                signs = F.array(*[
+                    F.lit(1.0 if (k * 31 + j * 7) % 3 else -1.0)
+                    for j in range(dim)])
+                r = r.withColumn(
+                    "embedding",
+                    F.zip_with("embedding", signs,
+                               lambda x, s: (x * s).cast("float")))
+            reps = r if reps is None else reps.unionByName(r)
+        reps.repartition(32).write.mode("overwrite").parquet(emb_path)
 
 
 def _isolate(spark) -> None:

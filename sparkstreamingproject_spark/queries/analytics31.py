@@ -750,3 +750,181 @@ def graph_modularity_score(spark, sf_dir):
                             - F.col("sum_dc2").cast("double")
                             / (4.0 * F.col("m") * F.col("m")), 6)
                     .alias("q_modularity")))
+
+
+# ------------------------------------------ split-conformal interval
+
+_CF_ALPHA = 0.10
+
+
+@register(
+    "stat_conformal_interval",
+    oracle=f"""
+    WITH d AS (
+      SELECT o_orderpriority AS grp, o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderkey % 2 AS part
+      FROM orders),
+    fit AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n_fit,
+             CAST(sum(cents) AS BIGINT) // count(*) AS mu
+      FROM d WHERE part = 0 GROUP BY 1),
+    cal AS (
+      SELECT d.grp, abs(d.cents - fit.mu) AS r
+      FROM d JOIN fit ON fit.grp = d.grp WHERE d.part = 1),
+    rk AS (
+      SELECT grp, r,
+             row_number() OVER (PARTITION BY grp ORDER BY r) AS rn,
+             count(*) OVER (PARTITION BY grp) AS n_cal
+      FROM cal),
+    q AS (
+      SELECT grp, n_cal, r AS qhat
+      FROM rk
+      WHERE rn = least(n_cal,
+                       CAST(ceil((n_cal + 1) * {1 - _CF_ALPHA})
+                            AS BIGINT))),
+    cov AS (
+      SELECT cal.grp,
+             CAST(sum(CASE WHEN cal.r <= q.qhat THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_in
+      FROM cal JOIN q ON q.grp = cal.grp GROUP BY 1)
+    SELECT q.grp AS o_orderpriority, fit.n_fit,
+           CAST(q.n_cal AS BIGINT) AS n_cal,
+           round(fit.mu / 100.0, 2) AS center,
+           round(q.qhat / 100.0, 2) AS half_width,
+           round((fit.mu - q.qhat) / 100.0, 2) AS lo,
+           round((fit.mu + q.qhat) / 100.0, 2) AS hi,
+           round(CAST(cov.n_in AS DOUBLE) / q.n_cal, 6) AS cal_coverage
+    FROM q JOIN fit ON fit.grp = q.grp JOIN cov ON cov.grp = q.grp
+    """,
+    tags=("analytics", "stats"),
+)
+def stat_conformal_interval(spark, sf_dir):
+    """Split-conformal prediction interval for order totals per
+    priority: fit a (deliberately simple) group-mean model on the even
+    orderkeys, take the ceil((n+1)(1-α))-th smallest absolute residual
+    on the odd-key calibration half as q̂, report center ± q̂ — the
+    distribution-free ≥90% coverage guarantee that holds for ANY
+    model, with the calibration coverage as the audit column. This is
+    the modern uncertainty layer the point-estimate queries lack.
+
+    Exactness: the group mean is a truncating integer-cent division,
+    residuals are exact integer cents, q̂ is an order statistic —
+    nothing float until the terminal /100 display conversions. Scale:
+    one scan splits by key parity (deterministic, replayable), one
+    residual join keyed by group, one per-group rank window."""
+    o = table(spark, sf_dir, "orders")
+    d = o.select(F.col("o_orderpriority").alias("grp"), "o_orderkey",
+                 F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+                 .alias("cents"),
+                 (F.col("o_orderkey") % 2).alias("part"))
+    fit = (d.filter(F.col("part") == 0).groupBy("grp")
+           .agg(F.count("*").cast("long").alias("n_fit"),
+                F.expr("CAST(sum(cents) AS BIGINT) div count(*)")
+                .alias("mu")))
+    cal = (d.filter(F.col("part") == 1).join(fit, "grp")
+           .select("grp", F.abs(F.col("cents") - F.col("mu")).alias("r")))
+    wr = Window.partitionBy("grp").orderBy("r")
+    wn = Window.partitionBy("grp")
+    rk = (cal.withColumn("rn", F.row_number().over(wr))
+          .withColumn("n_cal", F.count("*").over(wn)))
+    q = (rk.filter(F.col("rn") == F.least(
+            F.col("n_cal"),
+            F.ceil((F.col("n_cal") + 1) * (1 - _CF_ALPHA)).cast("long")))
+         .select("grp", "n_cal", F.col("r").alias("qhat")))
+    cov = (cal.join(q, "grp")
+           .groupBy("grp")
+           .agg(F.sum(F.when(F.col("r") <= F.col("qhat"), 1).otherwise(0))
+                .cast("long").alias("n_in")))
+    return (q.join(fit, "grp").join(cov, "grp")
+            .select(F.col("grp").alias("o_orderpriority"), "n_fit",
+                    F.col("n_cal").cast("long"),
+                    F.round(F.col("mu") / 100.0, 2).alias("center"),
+                    F.round(F.col("qhat") / 100.0, 2).alias("half_width"),
+                    F.round((F.col("mu") - F.col("qhat")) / 100.0, 2)
+                    .alias("lo"),
+                    F.round((F.col("mu") + F.col("qhat")) / 100.0, 2)
+                    .alias("hi"),
+                    F.round(F.col("n_in").cast("double") / F.col("n_cal"),
+                            6).alias("cal_coverage")))
+
+
+# ------------------------------------------------ Deming regression
+
+@register(
+    "stat_deming_regression",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+             CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+             CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0))
+               AS sxx,
+             CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))
+               AS syy,
+             CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))
+               AS sxy
+      FROM d),
+    c AS (
+      SELECT n,
+             CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx AS cxx,
+             CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy AS cyy,
+             CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS cxy,
+             CAST(sx AS DOUBLE) / n AS mx,
+             CAST(sy AS DOUBLE) / n AS my
+      FROM s)
+    SELECT n,
+           round((cyy - cxx + sqrt((cyy - cxx) * (cyy - cxx)
+                                   + 4 * cxy * cxy))
+                 / (2 * cxy) / 100.0, 6) AS slope_dollars_per_unit,
+           round((my - (cyy - cxx + sqrt((cyy - cxx) * (cyy - cxx)
+                                         + 4 * cxy * cxy))
+                       / (2 * cxy) * mx) / 100.0, 4)
+             AS intercept_dollars
+    FROM c
+    """,
+    tags=("analytics", "stats"),
+)
+def stat_deming_regression(spark, sf_dir):
+    """Deming (errors-in-variables, λ=1) regression of line price on
+    quantity — the fit to use when BOTH variables carry noise, where
+    OLS (`stat_ols_two_features`) attenuates the slope toward zero.
+    Closed form: slope = (S_yy−S_xx+√((S_yy−S_xx)²+4S_xy²))/(2S_xy)
+    over the centered second moments. The moment sums are EXACT
+    DECIMAL(38,0) over integer quantity × integer cents (Σy² at
+    corpus scale squares far past int64 — the analytics29 overflow
+    discipline); the slope/intercept are one fixed-arity float tree
+    each, rounded 6/4dp. Scale: a single map-side moment aggregate —
+    one row out, no shuffle beyond the partial-merge."""
+    li = table(spark, sf_dir, "lineitem")
+    d = li.select(F.col("l_quantity").cast("long").alias("x"),
+                  F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+                  .alias("y"))
+    s = d.agg(F.count("*").cast("long").alias("n"),
+              F.sum("x").cast("decimal(38,0)").alias("sx"),
+              F.sum("y").cast("decimal(38,0)").alias("sy"),
+              F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+              .cast("decimal(38,0)").alias("sxx"),
+              F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+              .cast("decimal(38,0)").alias("syy"),
+              F.sum(F.col("x").cast("decimal(38,0)") * F.col("y"))
+              .cast("decimal(38,0)").alias("sxy"))
+    nd = F.col("n").cast("double")
+    cxx = nd * F.col("sxx").cast("double") \
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    cyy = nd * F.col("syy").cast("double") \
+        - F.col("sy").cast("double") * F.col("sy").cast("double")
+    cxy = nd * F.col("sxy").cast("double") \
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    mx = F.col("sx").cast("double") / F.col("n")
+    my = F.col("sy").cast("double") / F.col("n")
+    slope = (cyy - cxx + F.sqrt((cyy - cxx) * (cyy - cxx)
+                                + 4 * cxy * cxy)) / (2 * cxy)
+    return s.select(
+        "n",
+        F.round(slope / 100.0, 6).alias("slope_dollars_per_unit"),
+        F.round((my - slope * mx) / 100.0, 4).alias("intercept_dollars"))

@@ -123,6 +123,7 @@ _KEEPERS = [
     "ts_holt_winters_additive", "privacy_exponential_mechanism",
     "survival_weibull_fit", "stat_negbin_overdispersion",
     "graph_modularity_score",
+    "stat_conformal_interval", "stat_deming_regression",
 ]
 
 _seen: set[str] = set()
