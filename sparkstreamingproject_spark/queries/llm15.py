@@ -167,6 +167,12 @@ def dedup_semantic_cells(spark, sf_dir):
             .select("vec_id", "v", "cell",
                     F.round(cosine_similarity("v", "cv"), 6)
                     .alias("centroid_sim")))
+    # one lineage cut: csim feeds BOTH the pair stage (whose component
+    # loop materializes it via connected_components' localCheckpoint)
+    # and the final labeling scan — without the cut the 2-iteration
+    # Lloyd chain re-executes per branch (measured ~1.7× the kernel
+    # wall at sf0.1)
+    csim = csim.localCheckpoint()
     pairs = semantic_cell_pairs(csim.select("vec_id", "v", "cell"))
     cc = D.connected_components(pairs)
     labeled = (csim
