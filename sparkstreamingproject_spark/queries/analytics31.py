@@ -928,3 +928,244 @@ def stat_deming_regression(spark, sf_dir):
         "n",
         F.round(slope / 100.0, 6).alias("slope_dollars_per_unit"),
         F.round((my - slope * mx) / 100.0, 4).alias("intercept_dollars"))
+
+
+# --------------------------------------------- DP median via EM
+
+_DPM_BIN = 100_000      # $1000 bins over order totals
+_DPM_EPS = 1.0
+
+
+@register(
+    "privacy_dp_median_em",
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+               // {_DPM_BIN} AS bin,
+             CAST(count(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1),
+    n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM v),
+    u AS (
+      SELECT bin, c,
+             -abs(2 * sum(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+                  - c - n.n) AS util2,
+             CAST(('0x' || substr(md5(CAST(bin AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM v CROSS JOIN n),
+    mx AS (SELECT max(util2) AS umax2 FROM u),
+    sc AS (
+      SELECT bin, c, util2,
+             round(exp({_DPM_EPS} * (util2 - umax2) / 4.0), 6) AS w,
+             round({_DPM_EPS} * util2 / 4.0
+                   - ln(-ln((h + 1.0) / {1 << 60})), 6) AS noisy
+      FROM u CROSS JOIN mx),
+    tot AS (SELECT sum(w) AS tw FROM sc)
+    SELECT bin,
+           round((bin * {_DPM_BIN} + {_DPM_BIN // 2}) / 100.0, 2)
+             AS bin_mid_dollars,
+           c, CAST(util2 AS BIGINT) AS util2,
+           round(w / tw, 6) AS p_select,
+           noisy,
+           noisy = (SELECT max(noisy) FROM sc) AS is_selected
+    FROM sc CROSS JOIN tot
+    """,
+    tags=("privacy", "stats", "sketch"),
+)
+def privacy_dp_median_em(spark, sf_dir):
+    """Differentially-private MEDIAN of order totals by the
+    exponential mechanism over $1000 value bins: utility = −|rank −
+    n/2| (rank sensitivity Δ=1), selection by the Gumbel-max trick
+    with the same deterministic md5 uniforms as
+    `privacy_exponential_mechanism` — the rank-statistic counterpart
+    to that query's count argmax (quantiles are where EM beats
+    Laplace noise: the answer is a VALUE, not a count, so noise must
+    live in selection space). Each bin's utility is an exact integer
+    from one ordered cumulative count (mid-bin rank −c/2 keeps the
+    utility symmetric); p_select = exp(εu/2)/Σ max-shifted, 6dp;
+    audit columns carry the exact per-bin counts. Scale: bins are
+    bounded by the value domain (not the row count); everything after
+    the bin histogram is |bins| rows."""
+    o = table(spark, sf_dir, "orders")
+    v = (o.select(F.expr(f"CAST(round(o_totalprice * 100) AS BIGINT)"
+                         f" div {_DPM_BIN}").alias("bin"))
+         .groupBy("bin").agg(F.count("*").cast("long").alias("c")))
+    n = v.agg(F.sum("c").cast("long").alias("n"))
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    u = (v.crossJoin(F.broadcast(n))
+         .withColumn("util2", -F.abs(
+             2 * F.sum("c").over(wcum) - F.col("c") - F.col("n")))
+         .withColumn("h", F.conv(
+             F.substring(F.md5(F.col("bin").cast("string")), 1, 15),
+             16, 10).cast("long")))
+    mx = u.agg(F.max("util2").alias("umax2"))
+    uh = (F.col("h") + 1.0) / float(1 << 60)
+    sc = (u.crossJoin(F.broadcast(mx))
+          .select("bin", "c", "util2",
+                  F.round(F.exp(_DPM_EPS * (F.col("util2")
+                                            - F.col("umax2"))
+                                / 4.0), 6).alias("w"),
+                  F.round(_DPM_EPS * F.col("util2") / 4.0
+                          - F.log(-F.log(uh)), 6).alias("noisy")))
+    tot = sc.agg(F.sum("w").alias("tw"))
+    best = sc.agg(F.max("noisy").alias("nbest"))
+    return (sc.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(best))
+            .select("bin",
+                    F.round((F.col("bin") * _DPM_BIN + _DPM_BIN // 2)
+                            / 100.0, 2).alias("bin_mid_dollars"),
+                    "c", F.col("util2").cast("long").alias("util2"),
+                    F.round(F.col("w") / F.col("tw"), 6).alias("p_select"),
+                    "noisy",
+                    (F.col("noisy") == F.col("nbest"))
+                    .alias("is_selected")))
+
+
+# ------------------------------------- Mantel-Haenszel stratified OR
+
+_MH_EXPOSED = ("1-URGENT", "2-HIGH")
+
+
+@register(
+    "stat_mantel_haenszel_or",
+    oracle=f"""
+    WITH cell AS (
+      SELECT c.c_nationkey AS stratum,
+             CAST(count(*) FILTER (WHERE o.o_orderpriority IN
+               ('{_MH_EXPOSED[0]}', '{_MH_EXPOSED[1]}')
+               AND l.l_returnflag = 'R') AS BIGINT) AS a,
+             CAST(count(*) FILTER (WHERE o.o_orderpriority IN
+               ('{_MH_EXPOSED[0]}', '{_MH_EXPOSED[1]}')
+               AND l.l_returnflag <> 'R') AS BIGINT) AS b,
+             CAST(count(*) FILTER (WHERE o.o_orderpriority NOT IN
+               ('{_MH_EXPOSED[0]}', '{_MH_EXPOSED[1]}')
+               AND l.l_returnflag = 'R') AS BIGINT) AS c,
+             CAST(count(*) FILTER (WHERE o.o_orderpriority NOT IN
+               ('{_MH_EXPOSED[0]}', '{_MH_EXPOSED[1]}')
+               AND l.l_returnflag <> 'R') AS BIGINT) AS d
+      FROM customer c
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1),
+    terms AS (
+      SELECT stratum,
+             CAST(a AS DOUBLE) * d / (a + b + c + d) AS adn,
+             CAST(b AS DOUBLE) * c / (a + b + c + d) AS bcn
+      FROM cell WHERE a + b + c + d > 0)
+    SELECT CAST(count(*) AS BIGINT) AS n_strata,
+           round(sum(adn), 6) AS sum_ad_n,
+           round(sum(bcn), 6) AS sum_bc_n,
+           round(sum(adn) / sum(bcn), 6) AS mh_odds_ratio
+    FROM terms
+    """,
+    tags=("analytics", "stats"),
+)
+def stat_mantel_haenszel_or(spark, sf_dir):
+    """Mantel-Haenszel common odds ratio of (urgent/high priority →
+    returned line) STRATIFIED BY NATION — the pooled-association
+    estimator that is immune to the confounding a naive pooled 2×2
+    suffers when strata differ in both exposure and outcome rates
+    (Simpson's-paradox protection; `stat_cochran_armitage` and
+    `stat_cramers_v` test single tables, this COMBINES tables).
+    OR_MH = Σ(a_i·d_i/n_i) / Σ(b_i·c_i/n_i): cells are exact integers
+    from ONE three-way-join aggregate keyed by nation; each stratum
+    term is a fixed-arity float; the two 25-term sums are rounded 6dp
+    before the final ratio. Scale: one customer⋈orders⋈lineitem
+    shuffle keyed on nation, then |nations| rows."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    exposed = F.col("o_orderpriority").isin(*_MH_EXPOSED)
+    ret = F.col("l_returnflag") == "R"
+    cell = (cust.join(orders, cust.c_custkey == orders.o_custkey)
+            .join(li, li.l_orderkey == orders.o_orderkey)
+            .groupBy(F.col("c_nationkey").alias("stratum"))
+            .agg(F.count(F.when(exposed & ret, 1)).cast("long").alias("a"),
+                 F.count(F.when(exposed & ~ret, 1)).cast("long")
+                 .alias("b"),
+                 F.count(F.when(~exposed & ret, 1)).cast("long")
+                 .alias("c"),
+                 F.count(F.when(~exposed & ~ret, 1)).cast("long")
+                 .alias("d")))
+    nsum = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    terms = (cell.filter(nsum > 0)
+             .select((F.col("a").cast("double") * F.col("d") / nsum)
+                     .alias("adn"),
+                     (F.col("b").cast("double") * F.col("c") / nsum)
+                     .alias("bcn")))
+    return terms.agg(
+        F.count("*").cast("long").alias("n_strata"),
+        F.round(F.sum("adn"), 6).alias("sum_ad_n"),
+        F.round(F.sum("bcn"), 6).alias("sum_bc_n"),
+        F.round(F.sum("adn") / F.sum("bcn"), 6).alias("mh_odds_ratio"))
+
+
+# ------------------------------------------- capture-recapture
+
+@register(
+    "stat_capture_recapture",
+    oracle="""
+    WITH span AS (SELECT min(ts) AS t0, max(ts) AS t1 FROM events),
+    tagged AS (
+      SELECT DISTINCT user_id,
+             epoch_us(ts) * 2 <= epoch_us(span.t0) + epoch_us(span.t1)
+               AS first_half
+      FROM events CROSS JOIN span
+      WHERE user_id IS NOT NULL),
+    caps AS (
+      SELECT CAST(count(DISTINCT CASE WHEN first_half THEN user_id END)
+                  AS BIGINT) AS n1,
+             CAST(count(DISTINCT CASE WHEN NOT first_half THEN user_id
+                        END) AS BIGINT) AS n2
+      FROM tagged),
+    bo AS (
+      SELECT CAST(count(*) AS BIGINT) AS m FROM (
+        SELECT user_id FROM tagged GROUP BY user_id HAVING count(*) = 2)),
+    truth AS (
+      SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_true
+      FROM events WHERE user_id IS NOT NULL)
+    SELECT caps.n1, caps.n2, bo.m,
+           round((CAST(caps.n1 AS DOUBLE) + 1) * (caps.n2 + 1)
+                 / (bo.m + 1) - 1, 2) AS n_hat_chapman,
+           truth.n_true
+    FROM caps CROSS JOIN bo CROSS JOIN truth
+    """,
+    tags=("analytics", "stats", "sketch"),
+)
+def stat_capture_recapture(spark, sf_dir):
+    """Lincoln-Petersen capture-recapture (Chapman-corrected) estimate
+    of the total user population from two temporal 'captures': users
+    seen in the first half of the event span vs the second half;
+    N̂ = (n₁+1)(n₂+1)/(m+1) − 1 where m = recaptured in both. The
+    ecology estimator that answers 'how many users exist that we have
+    NOT seen' — the abundance complement to HLL/KMV (which count only
+    what was observed); the exact distinct count rides along as the
+    audit column. All counts are exact integers from one distinct
+    (user, half) aggregate; the estimate is one fixed-arity float,
+    2dp. Scale: one user-keyed distinct aggregate; the halves split on
+    an exact integer microsecond midpoint (×2 comparison avoids the
+    truncating halving both engines would have to agree on)."""
+    e = table(spark, sf_dir, "events")
+    span = e.agg(F.min(F.unix_micros("ts")).alias("t0"),
+                 F.max(F.unix_micros("ts")).alias("t1"))
+    tagged = (e.filter(F.col("user_id").isNotNull())
+              .crossJoin(F.broadcast(span))
+              .select("user_id",
+                      (F.unix_micros("ts") * 2
+                       <= F.col("t0") + F.col("t1")).alias("first_half"))
+              .distinct())
+    caps = tagged.agg(
+        F.countDistinct(F.when(F.col("first_half"), F.col("user_id")))
+        .cast("long").alias("n1"),
+        F.countDistinct(F.when(~F.col("first_half"), F.col("user_id")))
+        .cast("long").alias("n2"))
+    both = (tagged.groupBy("user_id").agg(F.count("*").alias("k"))
+            .filter(F.col("k") == 2)
+            .agg(F.count("*").cast("long").alias("m")))
+    truth = (e.filter(F.col("user_id").isNotNull())
+             .agg(F.countDistinct("user_id").cast("long")
+                  .alias("n_true")))
+    nhat = ((F.col("n1").cast("double") + 1) * (F.col("n2") + 1)
+            / (F.col("m") + 1) - 1)
+    return (caps.crossJoin(F.broadcast(both))
+            .crossJoin(F.broadcast(truth))
+            .select("n1", "n2", "m",
+                    F.round(nhat, 2).alias("n_hat_chapman"), "n_true"))

@@ -124,6 +124,8 @@ _KEEPERS = [
     "survival_weibull_fit", "stat_negbin_overdispersion",
     "graph_modularity_score",
     "stat_conformal_interval", "stat_deming_regression",
+    "privacy_dp_median_em", "stat_mantel_haenszel_or",
+    "stat_capture_recapture",
 ]
 
 _seen: set[str] = set()
