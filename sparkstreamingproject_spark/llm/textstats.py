@@ -136,10 +136,22 @@ def bm25_scores(df: DataFrame, terms: list[str], id_col: str = "doc_id",
                       F.explode(F.split(F.col(text_col), " ")).alias("word"))
     dl = df.select(F.col(id_col),
                    F.size(F.split(F.col(text_col), " ")).alias("dl"))
-    stats = dl.agg(F.count("*").cast("double").alias("n_docs"),
-                   F.avg("dl").alias("avgdl"))
     tf = (words.filter(F.col("word").isin(*terms))
           .groupBy(id_col, "word").agg(F.count("*").alias("tf")))
+    return bm25_rank(tf, dl, id_col=id_col, k1=k1, b=b, digits=digits)
+
+
+def bm25_rank(tf: DataFrame, dl: DataFrame, id_col: str = "doc_id",
+              k1: float = 1.2, b: float = 0.75,
+              digits: int = 4) -> DataFrame:
+    """Scoring half of BM25, over an inverted-index-shaped
+    (id, word, tf) relation (already restricted to the query terms)
+    and a per-doc length relation — shared by the batch
+    ``bm25_scores`` above and the maintained streaming index
+    (``streaming/bm25_maintain.py``), so searching the folded index is
+    the batch scorer by construction."""
+    stats = dl.agg(F.count("*").cast("double").alias("n_docs"),
+                   F.avg("dl").alias("avgdl"))
     dfreq = tf.groupBy("word").agg(F.countDistinct(id_col).alias("df"))
     idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     # dfreq is bounded by the query-term list (tiny, hint OK); dl is

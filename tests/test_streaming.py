@@ -2267,3 +2267,67 @@ def test_kll_sketch_stream_equals_batch_and_replay(spark, tmp_path,
     fold_kll_sample(thirds[0], st2, batch_id=0)
     got4 = sorted(map(tuple, kll_quantiles_from_state(spark, st2).collect()))
     assert got4 == exp
+
+
+def test_bm25_index_stream_equals_batch_and_replay(spark, tmp_path,
+                                                   sf_dir):
+    """Maintained BM25 inverted index (fold #13): searching the
+    streamed index must equal the batch `text_search_bm25` EXACTLY —
+    posting and length rows are append-stable per document and the
+    scorer (corpus N/avgdl/df included) is the shared
+    `textstats.bm25_rank` over the folded relations. Replay drills:
+    double replay of a batch, and a partial crash (postings landed,
+    length rows missing → the doc is consistently invisible, then the
+    retry converges)."""
+    from sparkstreamingproject_spark.queries import REGISTRY
+    from sparkstreamingproject_spark.queries.llm import BM25_TERMS
+    from sparkstreamingproject_spark.sources.streams import file_stream
+    from sparkstreamingproject_spark.streaming.bm25_maintain import (
+        bm25_index_stream, doc_index_rows, fold_bm25_index,
+        search_bm25_index)
+    from sparkstreamingproject_spark.streaming.dedup_ingest import _write
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    land = str(tmp_path / "docs_land")
+    docs.repartition(3).write.parquet(land)
+
+    idx = str(tmp_path / "bm25_idx")
+    q = bm25_index_stream(
+        file_stream(spark, land, docs.schema, max_files_per_trigger=1),
+        idx, str(tmp_path / "ck_bm25"))
+    assert q.awaitTermination(300), "availableNow stream must terminate"
+
+    exp = sorted(map(tuple, REGISTRY["text_search_bm25"]
+                     .fn(spark, sf_dir).collect()))
+    got = sorted(map(tuple,
+                     search_bm25_index(spark, idx, BM25_TERMS).collect()))
+    assert got == exp and len(exp) > 0
+
+    # manually folded twin with explicit batch ids for the drills
+    # (replaying into the STREAM's state dir would need the stream's
+    # own batch→rows mapping, which foreachBatch does not expose)
+    idx2 = str(tmp_path / "bm25_idx2")
+    thirds = [docs.filter(F.col("doc_id") % 3 == r).localCheckpoint()
+              for r in range(3)]
+    for i, part in enumerate(thirds):
+        fold_bm25_index(part, idx2, batch_id=i)
+    got2 = sorted(map(tuple,
+                      search_bm25_index(spark, idx2, BM25_TERMS).collect()))
+    assert got2 == exp
+
+    # drill 1: double replay of batch 0 (overwrite partitions absorb it)
+    fold_bm25_index(thirds[0], idx2, batch_id=0)
+    fold_bm25_index(thirds[0], idx2, batch_id=0)
+    got3 = sorted(map(tuple,
+                      search_bm25_index(spark, idx2, BM25_TERMS).collect()))
+    assert got3 == exp
+
+    # drill 2: partial crash — postings land, length rows do not;
+    # the retry overwrites both partitions and converges
+    tf, _dl = doc_index_rows(thirds[0])
+    _write(tf.limit(9), f"{idx2}/tf", 0)       # pre-crash partial state
+    fold_bm25_index(thirds[0], idx2, batch_id=0)  # retry
+    got4 = sorted(map(tuple,
+                      search_bm25_index(spark, idx2, BM25_TERMS).collect()))
+    assert got4 == exp
