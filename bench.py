@@ -147,7 +147,7 @@ SIDECAR_R10 = {
 # slot) — the SemDeDup composition (2 Lloyd rounds + per-cell pairs +
 # min-label components over 2000 vectors).
 SIDECAR_R11 = {
-    "dedup_semantic_cells": 16.4,
+    "dedup_semantic_cells": 9.99,
 }
 
 def main() -> None:
