@@ -1169,3 +1169,110 @@ def stat_capture_recapture(spark, sf_dir):
             .crossJoin(F.broadcast(truth))
             .select("n1", "n2", "m",
                     F.round(nhat, 2).alias("n_hat_chapman"), "n_true"))
+
+
+# ------------------------------------------- spectral entropy
+
+def _spectral_entropy_oracle() -> str:
+    from .analytics14 import _PG_DAYS, _PG_PERIODS, _PG_W, _US_DAY
+    ycols = ",\n             ".join(
+        f"CAST(coalesce(max(CASE WHEN idx = {i} THEN cents END), 0)"
+        f" AS BIGINT) AS y{i}"
+        for i in range(_PG_DAYS))
+    powers = []
+    for p in _PG_PERIODS:
+        cos, sin = _PG_W[p]
+        cs = " + ".join(f"({w!r} * (y{i} - mu))"
+                        for i, w in enumerate(cos))
+        sn = " + ".join(f"({w!r} * (y{i} - mu))"
+                        for i, w in enumerate(sin))
+        powers.append(f"round((({cs}) * ({cs}) + ({sn}) * ({sn}))"
+                      f" / {_PG_DAYS} / 1e4, 4)")
+    pw = ", ".join(f"{e} AS pw{i}" for i, e in enumerate(powers))
+    tot = " + ".join(f"pw{i}" for i in range(len(_PG_PERIODS)))
+    hterms = " + ".join(
+        f"(CASE WHEN pw{i} > 0 THEN -(pw{i} / ({tot}))"
+        f" * ln(pw{i} / ({tot})) ELSE 0 END)"
+        for i in range(len(_PG_PERIODS)))
+    return f"""
+    WITH d AS (
+      SELECT epoch_us(ts) // {_US_DAY} AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1),
+    r AS (
+      SELECT cents,
+             day - (SELECT max(day) FROM d) + {_PG_DAYS} - 1 AS idx
+      FROM d),
+    p AS (
+      SELECT {ycols},
+             CAST(sum(cents) AS DOUBLE) / {_PG_DAYS} AS mu
+      FROM r WHERE idx >= 0),
+    pws AS (SELECT {pw} FROM p)
+    SELECT CAST({len(_PG_PERIODS)} AS INT) AS n_periods,
+           round({tot}, 4) AS total_power,
+           round(({hterms}) / ln({len(_PG_PERIODS)}), 6)
+             AS spectral_entropy_norm
+    FROM pws
+    """
+
+
+@register("ts_spectral_entropy", oracle=_spectral_entropy_oracle(),
+          tags=("timeseries", "stat"))
+def ts_spectral_entropy(spark, sf_dir):
+    """Normalized spectral entropy of the daily-revenue periodogram
+    (candidate periods 7/14/28 days, the `ts_periodogram` weights):
+    H = −Σ p̂ᵢ ln p̂ᵢ / ln k over the normalized band powers — the
+    one-number seasonality-strength diagnostic (→0 = one period
+    dominates, the series is strongly seasonal; →1 = power is flat,
+    no usable cycle), the decision input for whether the seasonal
+    forecasters (`ts_holt_winters_additive`, seasonal-naive) apply at
+    all. Powers are the SAME import-time Fourier-literal fixed-arity
+    trees as the periodogram, rounded 4dp BEFORE the entropy (the
+    value the user would see drives the statistic); the entropy is
+    one fixed-arity tree over k=3 scalars in a single row — no float
+    crosses a shuffle anywhere. Scale: reads the day-grain aggregate
+    only."""
+    from .analytics14 import _PG_DAYS, _PG_PERIODS, _PG_W, _US_DAY
+    e = table(spark, sf_dir, "events")
+    d = (e.groupBy((F.unix_micros("ts") / _US_DAY).cast("long")
+                   .alias("day"))
+         .agg(F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+              .cast("long").alias("cents")))
+    mx = d.agg(F.max("day").alias("mxd"))
+    r = (d.crossJoin(F.broadcast(mx))
+         .select("cents", (F.col("day") - F.col("mxd") + _PG_DAYS - 1)
+                 .alias("idx"))
+         .filter(F.col("idx") >= 0))
+    p = r.agg(
+        *[F.coalesce(F.max(F.when(F.col("idx") == i, F.col("cents"))),
+                     F.lit(0)).cast("long")
+          .alias(f"y{i}") for i in range(_PG_DAYS)],
+        (F.sum("cents").cast("double") / _PG_DAYS).alias("mu"))
+    pws = []
+    for per in _PG_PERIODS:
+        cos, sin = _PG_W[per]
+        cs = None
+        sn = None
+        for i in range(_PG_DAYS):
+            ct = F.lit(cos[i]) * (F.col(f"y{i}") - F.col("mu"))
+            st = F.lit(sin[i]) * (F.col(f"y{i}") - F.col("mu"))
+            cs = ct if cs is None else cs + ct
+            sn = st if sn is None else sn + st
+        pws.append(F.round((cs * cs + sn * sn) / _PG_DAYS / 1e4, 4))
+    import math
+    pcols = p.select(*[pw.alias(f"pw{i}") for i, pw in enumerate(pws)])
+    tot = None
+    for i in range(len(_PG_PERIODS)):
+        tot = F.col(f"pw{i}") if tot is None else tot + F.col(f"pw{i}")
+    h = None
+    for i in range(len(_PG_PERIODS)):
+        frac = F.col(f"pw{i}") / tot
+        term = F.when(F.col(f"pw{i}") > 0,
+                      -frac * F.log(frac)).otherwise(F.lit(0.0))
+        h = term if h is None else h + term
+    return pcols.select(
+        F.lit(len(_PG_PERIODS)).cast("int").alias("n_periods"),
+        F.round(tot, 4).alias("total_power"),
+        F.round(h / math.log(len(_PG_PERIODS)), 6)
+        .alias("spectral_entropy_norm"))

@@ -126,6 +126,8 @@ _KEEPERS = [
     "stat_conformal_interval", "stat_deming_regression",
     "privacy_dp_median_em", "stat_mantel_haenszel_or",
     "stat_capture_recapture",
+    "decontaminate_minhash", "text_stopword_discovery",
+    "ts_spectral_entropy",
 ]
 
 _seen: set[str] = set()
