@@ -1276,3 +1276,163 @@ def ts_spectral_entropy(spark, sf_dir):
         F.round(tot, 4).alias("total_power"),
         F.round(h / math.log(len(_PG_PERIODS)), 6)
         .alias("spectral_entropy_norm"))
+
+
+# ------------------------------------------- bot regularity score
+
+_BOT_MIN_EVENTS = 20
+_BOT_CV = 0.1
+
+
+@register(
+    "events_bot_regularity_score",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      FROM events WHERE user_id IS NOT NULL),
+    gv AS (SELECT user_id, gap FROM g WHERE gap IS NOT NULL),
+    med AS (
+      SELECT user_id, gap AS med_gap FROM (
+        SELECT user_id, gap,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY gap, gap) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n
+        FROM gv)
+      WHERE rn = (n + 1) // 2),
+    mad AS (
+      SELECT user_id, dev AS mad_gap FROM (
+        SELECT gv.user_id, abs(gv.gap - med.med_gap) AS dev,
+               row_number() OVER (PARTITION BY gv.user_id
+                                  ORDER BY abs(gv.gap - med.med_gap),
+                                           gv.gap) AS rn,
+               count(*) OVER (PARTITION BY gv.user_id) AS n
+        FROM gv JOIN med ON med.user_id = gv.user_id)
+      WHERE rn = (n + 1) // 2),
+    s AS (
+      SELECT gv.user_id, CAST(count(*) + 1 AS BIGINT) AS n_events,
+             CAST(max(med.med_gap) AS BIGINT) AS med_gap_us,
+             CAST(max(mad.mad_gap) AS BIGINT) AS mad_gap_us
+      FROM gv
+      JOIN med ON med.user_id = gv.user_id
+      JOIN mad ON mad.user_id = gv.user_id
+      GROUP BY gv.user_id)
+    SELECT user_id, n_events, med_gap_us, mad_gap_us,
+           round(CAST(mad_gap_us AS DOUBLE)
+                 / greatest(med_gap_us, 1), 6) AS gap_cv,
+           n_events >= {_BOT_MIN_EVENTS}
+             AND round(CAST(mad_gap_us AS DOUBLE)
+                       / greatest(med_gap_us, 1), 6) < {_BOT_CV}
+             AS is_bot_like
+    FROM s
+    """,
+    tags=("analytics", "events"),
+)
+def events_bot_regularity_score(spark, sf_dir):
+    """Bot-likeness by inter-event REGULARITY: real users are bursty
+    (`events_burstiness_fano` measures it); schedulers fire on a
+    clock. Per user: median inter-event gap, MAD of gaps (both exact
+    integer-microsecond order statistics — the robust pair that one
+    crazy outlier can't move), and the robust CV = MAD/median; flagged
+    when a user has ≥ {_BOT_MIN_EVENTS} events and CV < {_BOT_CV}.
+    The abuse-filtering gate a training-data pipeline runs before
+    user-generated text enters the corpus. Scale: one user-keyed
+    window for gaps, two per-user rank windows for the order
+    statistics — all user-partitioned, no global state."""
+    e = table(spark, sf_dir, "events")
+    wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = (e.filter(F.col("user_id").isNotNull())
+         .select("user_id",
+                 (F.unix_micros("ts")
+                  - F.lag(F.unix_micros("ts")).over(wl)).alias("gap"))
+         .filter(F.col("gap").isNotNull()))
+
+    def lower_median(df, val, out):
+        w = Window.partitionBy("user_id").orderBy(val, "gap")
+        wn = Window.partitionBy("user_id")
+        return (df.withColumn("rn", F.row_number().over(w))
+                .withColumn("n", F.count("*").over(wn))
+                .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+                .select("user_id", F.col(val).alias(out)))
+
+    med = lower_median(g, "gap", "med_gap")
+    mad = lower_median(
+        g.join(med, "user_id")
+        .withColumn("dev", F.abs(F.col("gap") - F.col("med_gap"))),
+        "dev", "mad_gap")
+    s = (g.join(med, "user_id").join(mad, "user_id")
+         .groupBy("user_id")
+         .agg((F.count("*") + 1).cast("long").alias("n_events"),
+              F.max("med_gap").cast("long").alias("med_gap_us"),
+              F.max("mad_gap").cast("long").alias("mad_gap_us")))
+    cv = F.round(F.col("mad_gap_us").cast("double")
+                 / F.greatest(F.col("med_gap_us"), F.lit(1)), 6)
+    return s.select("user_id", "n_events", "med_gap_us", "mad_gap_us",
+                    cv.alias("gap_cv"),
+                    ((F.col("n_events") >= _BOT_MIN_EVENTS)
+                     & (cv < _BOT_CV)).alias("is_bot_like"))
+
+
+# --------------------------------------- Freeman degree centralization
+
+@register(
+    "graph_degree_centralization",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    adj AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(max(d) AS BIGINT) AS dmax,
+             CAST(sum(d) AS BIGINT) AS dsum
+      FROM deg)
+    SELECT n, dmax,
+           round(CAST(dsum AS DOUBLE) / n, 4) AS mean_degree,
+           round(CAST(n * dmax - dsum AS DOUBLE)
+                 / (CAST(n - 1 AS DOUBLE) * (n - 2)), 6)
+             AS centralization
+    FROM s
+    """,
+    tags=("graph", "stats"),
+)
+def graph_degree_centralization(spark, sf_dir):
+    """Freeman degree centralization of the part co-purchase graph:
+    Σ(d_max − d_i) / ((n−1)(n−2)) — 0 for a regular/ring structure,
+    1 for a perfect star. The one-number hub-dominance summary beside
+    the distributional views (`graph_degree_powerlaw_fit` fits the
+    tail, `graph_degree_assortativity` its mixing; this says how much
+    ONE hub dominates) — the same edge definition as the LPA/
+    modularity pair so all graph summaries describe the same graph.
+    Exact integer degree sums (Σ(dmax−d) = n·dmax − Σd); one terminal
+    fixed-arity float, 6dp. Scale: edge build is the shared
+    order-keyed aggregate; everything after is |nodes| rows → 1."""
+    li = (table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    a, b = li.alias("a"), li.alias("b")
+    e = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+         .groupBy(F.col("a.l_partkey").alias("u"),
+                  F.col("b.l_partkey").alias("v"))
+         .agg(F.count("*").alias("w"))
+         .filter(F.col("w") >= 2)
+         .select("u", "v"))
+    adj = e.unionAll(e.select(F.col("v").alias("u"),
+                              F.col("u").alias("v")))
+    deg = adj.groupBy("u").agg(F.count("*").cast("long").alias("d"))
+    s = deg.agg(F.count("*").cast("long").alias("n"),
+                F.max("d").cast("long").alias("dmax"),
+                F.sum("d").cast("long").alias("dsum"))
+    return s.select(
+        "n", "dmax",
+        F.round(F.col("dsum").cast("double") / F.col("n"), 4)
+        .alias("mean_degree"),
+        F.round((F.col("n") * F.col("dmax") - F.col("dsum"))
+                .cast("double")
+                / ((F.col("n") - 1).cast("double") * (F.col("n") - 2)),
+                6).alias("centralization"))

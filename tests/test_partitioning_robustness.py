@@ -128,6 +128,7 @@ _KEEPERS = [
     "stat_capture_recapture",
     "decontaminate_minhash", "text_stopword_discovery",
     "ts_spectral_entropy",
+    "events_bot_regularity_score", "graph_degree_centralization",
 ]
 
 _seen: set[str] = set()
