@@ -1436,3 +1436,138 @@ def graph_degree_centralization(spark, sf_dir):
                 .cast("double")
                 / ((F.col("n") - 1).cast("double") * (F.col("n") - 2)),
                 6).alias("centralization"))
+
+
+# ------------------------------------------------ peak detection
+
+_PK_W = 2          # neighbors each side for the local-max test
+_PK_PROM = 20      # minimum prominence, % of the global median day
+
+
+@register(
+    "ts_peak_detection",
+    oracle=f"""
+    WITH d AS (
+      SELECT epoch_us(ts) // {86_400_000_000} AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1),
+    md AS (
+      SELECT cents AS med FROM (
+        SELECT cents, row_number() OVER (ORDER BY cents, day) AS rn,
+               count(*) OVER () AS n
+        FROM d)
+      WHERE rn = (n + 1) // 2),
+    w AS (
+      SELECT day, cents,
+             max(cents) OVER (ORDER BY day
+               ROWS BETWEEN {_PK_W} PRECEDING AND 1 PRECEDING) AS lmax,
+             max(cents) OVER (ORDER BY day
+               ROWS BETWEEN 1 FOLLOWING AND {_PK_W} FOLLOWING) AS rmax,
+             min(cents) OVER (ORDER BY day
+               ROWS BETWEEN {_PK_W} PRECEDING AND 1 PRECEDING) AS lmin,
+             min(cents) OVER (ORDER BY day
+               ROWS BETWEEN 1 FOLLOWING AND {_PK_W} FOLLOWING) AS rmin
+      FROM d)
+    SELECT w.day, round(w.cents / 100.0, 2) AS value,
+           round(greatest(w.cents - greatest(w.lmin, w.rmin), 0)
+                 / 100.0, 2) AS prominence
+    FROM w CROSS JOIN md
+    WHERE w.lmax IS NOT NULL AND w.rmax IS NOT NULL
+      AND w.cents > w.lmax AND w.cents > w.rmax
+      AND (w.cents - greatest(w.lmin, w.rmin)) * 100
+          >= {_PK_PROM} * md.med
+    """,
+    tags=("timeseries", "stat"),
+)
+def ts_peak_detection(spark, sf_dir):
+    """Peak detection on the daily revenue series: a day is a peak
+    when it strictly exceeds every day in a ±{_PK_W}-day window AND
+    its prominence (height above the higher of the two windowed
+    minima) clears {_PK_PROM}% of the median day — the
+    promotions/incidents detector that `events_cusum_changepoint`
+    (level shifts) and `events_outliers_mad` (point outliers, no
+    neighborhood) don't express: a peak is a LOCAL shape, not a
+    global deviation. Everything is exact integer cents through four
+    bounded ROWS-frame windows and one median order statistic;
+    boundary days (incomplete windows) are excluded rather than
+    half-tested. Scale: runs on the day-grain aggregate (bounded by
+    calendar span), single ordered window partition."""
+    e = table(spark, sf_dir, "events")
+    d = (e.groupBy((F.unix_micros("ts") / 86_400_000_000).cast("long")
+                   .alias("day"))
+         .agg(F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+              .cast("long").alias("cents")))
+    wmed = Window.orderBy("cents", "day")
+    md = (d.withColumn("rn", F.row_number().over(wmed))
+          .withColumn("n", F.count("*").over(Window.partitionBy()))
+          .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+          .select(F.col("cents").alias("med")))
+    wd = Window.orderBy("day")
+    w = d.select(
+        "day", "cents",
+        F.max("cents").over(wd.rowsBetween(-_PK_W, -1)).alias("lmax"),
+        F.max("cents").over(wd.rowsBetween(1, _PK_W)).alias("rmax"),
+        F.min("cents").over(wd.rowsBetween(-_PK_W, -1)).alias("lmin"),
+        F.min("cents").over(wd.rowsBetween(1, _PK_W)).alias("rmin"))
+    prom = F.col("cents") - F.greatest("lmin", "rmin")
+    return (w.crossJoin(F.broadcast(md))
+            .filter(F.col("lmax").isNotNull() & F.col("rmax").isNotNull()
+                    & (F.col("cents") > F.col("lmax"))
+                    & (F.col("cents") > F.col("rmax"))
+                    & (prom * 100 >= _PK_PROM * F.col("med")))
+            .select("day",
+                    F.round(F.col("cents") / 100.0, 2).alias("value"),
+                    F.round(F.greatest(prom, F.lit(0)) / 100.0, 2)
+                    .alias("prominence")))
+
+
+# --------------------------------------- log-log price elasticity
+
+@register(
+    "orders_price_elasticity_loglog",
+    oracle="""
+    WITH d AS (
+      SELECT round(ln(l_quantity), 6) AS y,
+             round(ln(l_extendedprice / l_quantity), 6) AS x
+      FROM lineitem
+      WHERE l_quantity > 0 AND l_extendedprice > 0),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM d)
+    SELECT n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+             AS elasticity,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                 / n, 4) AS intercept_ln_qty
+    FROM s
+    """,
+    tags=("analytics", "stats"),
+)
+def orders_price_elasticity_loglog(spark, sf_dir):
+    """Own-price elasticity of demand by the log-log regression
+    ε = d ln(qty)/d ln(unit price) — the econometric readout
+    (`rolling_ols_slope_30d` fits levels over time; elasticity needs
+    the log-log form so the slope IS the percentage response). Unit
+    price is extendedprice/quantity; both logs rounded 6dp per row
+    BEFORE the OLS sums so the (large) float accumulations start from
+    engine-identical operands, outputs rounded 6/4dp. Scale: one
+    map-side moment aggregate over the scan — no shuffle beyond the
+    partial merge."""
+    li = table(spark, sf_dir, "lineitem")
+    d = (li.filter((F.col("l_quantity") > 0)
+                   & (F.col("l_extendedprice") > 0))
+         .select(F.round(F.log("l_quantity"), 6).alias("y"),
+                 F.round(F.log(F.col("l_extendedprice")
+                               / F.col("l_quantity")), 6).alias("x")))
+    s = d.agg(F.count("*").cast("long").alias("n"),
+              F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+              F.sum(F.col("x") * F.col("y")).alias("sxy"),
+              F.sum(F.col("x") * F.col("x")).alias("sxx"))
+    slope = ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+             / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")))
+    return s.select(
+        "n", F.round(slope, 6).alias("elasticity"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4)
+        .alias("intercept_ln_qty"))

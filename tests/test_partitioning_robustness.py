@@ -129,6 +129,7 @@ _KEEPERS = [
     "decontaminate_minhash", "text_stopword_discovery",
     "ts_spectral_entropy",
     "events_bot_regularity_score", "graph_degree_centralization",
+    "ts_peak_detection", "orders_price_elasticity_loglog",
 ]
 
 _seen: set[str] = set()
