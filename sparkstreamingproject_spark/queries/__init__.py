@@ -393,10 +393,50 @@ _ROUND11_WINDOW = [
     "text_fingerprint",
 ]
 
+# Round-12 driver window (VERDICT r11 §next 1):
+#  - 0-29: the 30 round-11 additions — the only registered queries
+#    without a driver CORRECTNESS row (registered after the r11 window
+#    was pinned; all parity-green in the r11 close gate AND in the
+#    judge's independent 30/30 run). Certifying them closes the ledger
+#    at 451/451 driver-certified for the first time.
+#  - 30-49: staleness re-checks, oldest `last driver check` first —
+#    the 5 remaining r01-certified rows not re-checked in r11, then
+#    the first 15 of the r02 cohort in registry order.
+# Pre-flight: parity at sf0.001/0.01/0.1 under TZ=America/New_York +
+# hostile partitioning (tests/test_partitioning_robustness.py).
+_ROUND12_WINDOW = [
+    # 0-29: round-11 additions, never driver-checked (registry order)
+    "sketch_kll_quantiles", "sketch_kll_quantiles_by_priority",
+    "dedup_semantic_cells", "text_readability_fk", "text_gtest_keyness",
+    "text_sumbasic_extract", "dedup_soft_weight", "text_hapax_ratio",
+    "stat_fisher_exact", "stat_benjamini_hochberg_fdr",
+    "stat_tost_equivalence", "ts_holt_winters_additive",
+    "privacy_exponential_mechanism", "survival_weibull_fit",
+    "stat_negbin_overdispersion", "graph_modularity_score",
+    "stat_conformal_interval", "stat_deming_regression",
+    "privacy_dp_median_em", "stat_mantel_haenszel_or",
+    "stat_capture_recapture", "ts_spectral_entropy",
+    "events_bot_regularity_score", "graph_degree_centralization",
+    "ts_peak_detection", "orders_price_elasticity_loglog",
+    "sim_rp_tree_recall", "text_rocchio_prf", "decontaminate_minhash",
+    "text_stopword_discovery",
+    # 30-34: the last r01-certified rows (oldest, registry order)
+    "dedup_minhash_signatures", "dedup_simhash", "sim_topk_bruteforce",
+    "sim_ann_lsh_bucket", "text_token_count",
+    # 35-49: oldest r02-certified rows, registry order
+    "source_file_batch", "text_quality_score", "text_lang_id",
+    "text_word_freq", "multimodal_meta", "text_search_match",
+    "dedup_connected_components", "sim_ann_lsh_or_pairs",
+    "curation_pipeline", "multimodal_frame_sample",
+    "multimodal_payload_b64", "explode_with_position",
+    "sim_ann_ivf_cells", "q7_volume_between_nations",
+    "q10_returned_items",
+]
+
 # Round-agnostic alias — scripts/gen_ledger.py and any other tooling
 # read THIS name so a window rename can never silently zero the ledger
 # (ADVICE r09 item 2).
-_CURRENT_WINDOW = _ROUND11_WINDOW
+_CURRENT_WINDOW = _ROUND12_WINDOW
 
 
 def _reorder() -> None:
