@@ -110,8 +110,16 @@ def build_sf1(spark, rebuild: bool = False) -> None:
                 # per replica) is bit-preserved, while cross-replica
                 # cosines decorrelate — same disjoint-universe reasoning
                 # as the word-tagged documents above
+                # signs from an md5 bit per (k, j): the old
+                # (k*31 + j*7) % 3 pattern collapsed to (k+j) % 3
+                # (31≡7≡1 mod 3), making replicas with equal k mod 3
+                # bit-identical — which contaminated the semantic-cells
+                # scale measurement (ADVICE r11). A hash bit has no
+                # period, so all REPLICAS genuinely decorrelate.
+                import hashlib
                 signs = F.array(*[
-                    F.lit(1.0 if (k * 31 + j * 7) % 3 else -1.0)
+                    F.lit(1.0 if hashlib.md5(
+                        f"{k}-{j}".encode()).digest()[0] & 1 else -1.0)
                     for j in range(dim)])
                 r = r.withColumn(
                     "embedding",

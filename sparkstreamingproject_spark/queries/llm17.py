@@ -179,10 +179,15 @@ def sim_rp_tree_recall(spark, sf_dir):
            .withColumn("rank", F.row_number().over(wq))
            .filter(F.col("rank") <= _RP_K)
            .select("query_id", F.col("vec_id").alias("cand_id")))
-    cn = (qk.join(lv.select(F.col("vec_id").alias("cand_id"), "leaf"),
-                  "leaf", "left")
-          .filter(F.col("cand_id").isNull()
-                  | (F.col("cand_id") != F.col("query_id")))
+    # self-exclusion lives IN the join condition (not a post-filter):
+    # a singleton leaf must null-extend to n_candidates=0, matching the
+    # oracle's `LEFT JOIN .. ON c.leaf = q.leaf AND c.vec_id != q.vec_id`
+    # (a post-join filter would delete the group entirely).
+    cand_lv = lv.select(F.col("vec_id").alias("cand_id"),
+                        F.col("leaf").alias("c_leaf"))
+    cn = (qk.join(cand_lv,
+                  (F.col("c_leaf") == F.col("leaf"))
+                  & (F.col("cand_id") != F.col("query_id")), "left")
           .groupBy("query_id", "leaf")
           .agg(F.count("cand_id").alias("n_candidates")))
     hits = (gt.join(ann.withColumn("hit", F.lit(1)),

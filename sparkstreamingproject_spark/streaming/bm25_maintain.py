@@ -95,4 +95,10 @@ def search_bm25_index(spark, index_dir: str, terms: list[str],
     tf = (tf.dropDuplicates([id_col, "word"])
           .filter(F.col("word").isin(*terms)))
     dl = dl.dropDuplicates([id_col])
+    # the dl row is the commit signal: restrict postings to committed
+    # docs so a crash that landed tf without dl can't inflate df/idf
+    # (bm25_rank derives df from the tf relation itself). No-op in the
+    # healthy state; makes the docstring's consistent-absence claim
+    # hold for the statistics, not just the score join. (ADVICE r11.)
+    tf = tf.join(dl.select(id_col), id_col, "left_semi")
     return bm25_rank(tf, dl, id_col=id_col, k1=k1, b=b, digits=digits)

@@ -26,9 +26,16 @@ Replay safety: the same ``ingest_batch=<id>`` overwrite discipline as
 overwrites its own partitions; meta is written AFTER sample so an
 incomplete fold never looks committed (a sample partition without its
 meta row only means a few extra superset rows until the retry
-overwrites both). Reads drop duplicate (cents, h) rows defensively in
-case the same ORDER is re-delivered in a later batch — exact, not
-lossy, because h is the item's own content hash.
+overwrites both). The exactness guarantee is for BATCH-ID-KEYED
+replays (the Structured Streaming model: a retried epoch re-delivers
+under the same batch id and overwrites its own partitions). Reads
+additionally drop duplicate (cents, h) rows defensively in case the
+same ORDER is re-delivered under a DIFFERENT batch id, but that is a
+mitigation, not exactness: the duplicate's rows still count in both
+batches' meta ``batch_n``, so total n (and hence the read level and
+quantile ranks) carries the duplicated fraction as bias. Sources
+that can re-deliver across batch ids need an upstream keyed dedup
+(``ts_dedup`` / dropDuplicates-withWatermark) before this fold.
 
 At 100 TB: per batch, the thinning predicate runs map-side on the
 micro-batch scan; only ~batch_n/2^level rows are written, the read

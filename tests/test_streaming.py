@@ -2331,3 +2331,21 @@ def test_bm25_index_stream_equals_batch_and_replay(spark, tmp_path,
     got4 = sorted(map(tuple,
                       search_bm25_index(spark, idx2, BM25_TERMS).collect()))
     assert got4 == exp
+
+    # drill 3 (ADVICE r11): consistent absence IN the crashed state —
+    # batch 2's postings land but its length rows do not; the search
+    # must score exactly as if batch 2 never arrived (orphaned
+    # postings must not inflate per-term df/idf for committed docs)
+    from sparkstreamingproject_spark.llm.textstats import bm25_rank
+    idx3 = str(tmp_path / "bm25_idx3")
+    for i in (0, 1):
+        fold_bm25_index(thirds[i], idx3, batch_id=i)
+    tf2, _dl2 = doc_index_rows(thirds[2])
+    _write(tf2, f"{idx3}/tf", 2)               # crash: tf landed, dl did not
+    committed = thirds[0].unionByName(thirds[1])
+    ctf, cdl = doc_index_rows(committed)
+    exp5 = sorted(map(tuple, bm25_rank(
+        ctf.filter(F.col("word").isin(*BM25_TERMS)), cdl).collect()))
+    got5 = sorted(map(tuple,
+                      search_bm25_index(spark, idx3, BM25_TERMS).collect()))
+    assert got5 == exp5 and len(exp5) > 0
