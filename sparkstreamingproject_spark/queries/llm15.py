@@ -34,11 +34,18 @@ SEM_THRESHOLD = 0.3
 
 
 def _semantic_cells_oracle(k: int = SEM_K, n_iter: int = SEM_ITER,
-                           threshold: float = SEM_THRESHOLD) -> str:
+                           threshold: float = SEM_THRESHOLD,
+                           k_sql: str | None = None,
+                           pre_cte: str = "") -> str:
     """Unrolled Lloyd's + per-cell pairs + recursive components.
     Same 6dp centroid rounding / 6dp-sim/cell-id tie-break as the Spark
     kmeans (llm/similarity.py), same 4dp pair rounding as the near-dup
-    kernels, so every stage is engine-independent."""
+    kernels, so every stage is engine-independent.
+
+    ``k_sql``/``pre_cte`` parameterize the unroll for the dynamic-k
+    (k ∝ n) variant: the Lloyd CTEs are k-agnostic, so only the c0
+    init predicate needs the k expression (a scalar subquery against a
+    ``pre_cte``-provided relation works — DuckDB folds it)."""
     def assign(cn: str, an: str) -> str:
         return f"""
     {an} AS (
@@ -70,10 +77,10 @@ def _semantic_cells_oracle(k: int = SEM_K, n_iter: int = SEM_ITER,
     return f"""
     WITH RECURSIVE pts AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    c0 AS (
+    {pre_cte}c0 AS (
       SELECT vec_id AS cell,
              list_transform(v, x -> round(x, 6)) AS cv
-      FROM pts WHERE vec_id < {k}),
+      FROM pts WHERE vec_id < {k_sql if k_sql is not None else k}),
     {chain},
     final AS (
       SELECT vec_id, v, cell, sim AS centroid_sim FROM (
@@ -130,6 +137,50 @@ def semantic_cell_pairs(assigned, threshold: float = SEM_THRESHOLD):
             .filter(F.col("cosine") >= threshold))
 
 
+def semantic_dedup(emb, k: int):
+    """The SemDeDup pipeline over an embeddings relation with k cells
+    — the shared core of `dedup_semantic_cells` (pinned k, oracle
+    anchor), `dedup_semantic_cells_scaled` (k ∝ n, the 100 TB shape)
+    and the fold-#14 batch comparator. Returns (vec_id, cell,
+    component, centroid_sim, is_kept)."""
+    from ..llm.similarity import (cosine_similarity, kmeans_assign,
+                                  kmeans_centroids)
+    pts = emb.select("vec_id",
+                     F.col("embedding").cast("array<double>").alias("v"))
+    cents = kmeans_centroids(emb, k=k, n_iter=SEM_ITER)
+    assigned = kmeans_assign(pts, cents)
+    csim = (assigned.join(F.broadcast(cents), "cell")
+            .select("vec_id", "v", "cell",
+                    F.round(cosine_similarity("v", "cv"), 6)
+                    .alias("centroid_sim")))
+    # one lineage cut: csim feeds BOTH the pair stage (whose component
+    # loop materializes it via connected_components' localCheckpoint)
+    # and the final labeling scan — without the cut the 2-iteration
+    # Lloyd chain re-executes per branch (measured ~1.7× the kernel
+    # wall at sf0.1)
+    csim = csim.localCheckpoint()
+    pairs = semantic_cell_pairs(csim.select("vec_id", "v", "cell"))
+    return semantic_keep_labels(csim, pairs)
+
+
+def semantic_keep_labels(csim, pairs):
+    """Final SemDeDup stage: connected components over the near-dup
+    edges, then keep-farthest-from-centroid per component (ties to the
+    smallest vec_id). Shared by the batch queries and the fold-#14
+    read path (`streaming/semantic_maintain.py`)."""
+    cc = D.connected_components(pairs)
+    labeled = (csim
+               .join(cc.withColumnRenamed("u", "vec_id"), "vec_id", "left")
+               .withColumn("component",
+                           F.coalesce("label", "vec_id")))
+    rn = F.row_number().over(
+        Window.partitionBy("component")
+        .orderBy(F.asc("centroid_sim"), "vec_id"))
+    return (labeled.withColumn("rn", rn)
+            .select("vec_id", "cell", "component", "centroid_sim",
+                    (F.col("rn") == 1).alias("is_kept")))
+
+
 @register(
     "dedup_semantic_cells",
     oracle=_semantic_cells_oracle(),
@@ -155,33 +206,56 @@ def dedup_semantic_cells(spark, sf_dir):
     Scale shape: centroids are k rows (broadcast); assignment is one
     corpus scan per Lloyd iteration; the pair stage shuffles on cell;
     components run on the (tiny) near-dup edge set only.
+
+    Scale caveat (VERDICT r11): the PINNED k keeps the oracle's c0
+    init literal but makes the per-cell stage (n/8)² — quadratic at
+    100×. `dedup_semantic_cells_scaled` below is the production shape
+    (k ∝ n, mean cell size held at SEM_TARGET); this query stays as
+    the fixed-k oracle anchor.
     """
-    from ..llm.similarity import (cosine_similarity, kmeans_assign,
-                                  kmeans_centroids)
     emb = table(spark, sf_dir, "embeddings")
-    pts = emb.select("vec_id",
-                     F.col("embedding").cast("array<double>").alias("v"))
-    cents = kmeans_centroids(emb, k=SEM_K, n_iter=SEM_ITER)
-    assigned = kmeans_assign(pts, cents)
-    csim = (assigned.join(F.broadcast(cents), "cell")
-            .select("vec_id", "v", "cell",
-                    F.round(cosine_similarity("v", "cv"), 6)
-                    .alias("centroid_sim")))
-    # one lineage cut: csim feeds BOTH the pair stage (whose component
-    # loop materializes it via connected_components' localCheckpoint)
-    # and the final labeling scan — without the cut the 2-iteration
-    # Lloyd chain re-executes per branch (measured ~1.7× the kernel
-    # wall at sf0.1)
-    csim = csim.localCheckpoint()
-    pairs = semantic_cell_pairs(csim.select("vec_id", "v", "cell"))
-    cc = D.connected_components(pairs)
-    labeled = (csim
-               .join(cc.withColumnRenamed("u", "vec_id"), "vec_id", "left")
-               .withColumn("component",
-                           F.coalesce("label", "vec_id")))
-    rn = F.row_number().over(
-        Window.partitionBy("component")
-        .orderBy(F.asc("centroid_sim"), "vec_id"))
-    return (labeled.withColumn("rn", rn)
-            .select("vec_id", "cell", "component", "centroid_sim",
-                    (F.col("rn") == 1).alias("is_kept")))
+    return semantic_dedup(emb, SEM_K)
+
+
+# Mean cell size the scaled variant holds constant: k = ⌈n/TARGET⌉
+# (floored at SEM_K so tiny corpora keep a non-trivial clustering).
+# 50 exercises the dynamic path at every driver SF (n=500 → k=10).
+SEM_TARGET = 50
+
+
+@register(
+    "dedup_semantic_cells_scaled",
+    oracle=_semantic_cells_oracle(
+        k_sql="(SELECT k FROM kp)",
+        pre_cte=(f"kp AS (SELECT greatest({SEM_K}, CAST(ceil("
+                 f"count(*) / {float(SEM_TARGET)!r}) AS BIGINT)) AS k "
+                 "FROM pts),\n    ")),
+    tags=("llm", "dedup", "similarity", "scale"),
+)
+def dedup_semantic_cells_scaled(spark, sf_dir):
+    """SemDeDup at the 100 TB shape: k GROWS WITH n so the mean cell
+    size stays at SEM_TARGET — the per-cell quadratic becomes
+    Σ|cell|² ≈ n·TARGET, i.e. LINEAR in corpus size, which is how the
+    paper runs it (k ∝ n; Abbas et al. 2023 §3 use 11k clusters for
+    LAION-440M). Same pipeline as `dedup_semantic_cells` (shared
+    `semantic_dedup` core), only k differs: max(SEM_K, ⌈n/TARGET⌉).
+
+    The count() that sizes k is one scalar driver read of a
+    parquet-metadata count — the same pattern as the size-guarded
+    kernels (`llm/similarity.py:340`); at 100 TB it comes from table
+    stats. The oracle parameterizes the same unroll with a scalar
+    subquery k (`kp` CTE), so the dynamic-k path itself — not just
+    the fixed-k machinery — is hash-verified.
+
+    Residual super-linearity is the ASSIGN stage (n·k cosine per Lloyd
+    iteration once k ∝ n): the standard mitigations are a two-level
+    centroid hierarchy (assign to √k coarse cells, then refine —
+    n·2√k) or sampled Lloyd training with full-corpus assignment only
+    at the end. Documented in SCALE.md §semdedup-scaling; the pair
+    stage — the part VERDICT r11 flagged — is linear here by
+    construction and curve-measured in scripts/scale_bench.py.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    k = max(SEM_K, -(-n // SEM_TARGET))
+    return semantic_dedup(emb, int(k))

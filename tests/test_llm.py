@@ -953,3 +953,40 @@ def test_semantic_cells_within_cell_recall_and_keep_rule(spark, sf_dir):
         assert len(keepers) == 1, comp
         best = min(members, key=lambda m: (m.centroid_sim, m.vec_id))
         assert keepers[0].vec_id == best.vec_id, comp
+
+
+def test_semantic_cells_scaled_bounds_cell_quadratic(spark, sf_dir):
+    """The k ∝ n variant (VERDICT r11 §next 2) must hold the MEAN cell
+    size at SEM_TARGET: k = max(SEM_K, ⌈n/TARGET⌉) distinct-cells-wise,
+    so Σ|cell|² — the pair-stage work — stays ~n·TARGET (linear in n),
+    not (n/8)² like the pinned-k oracle anchor. Keep-rule invariants
+    carry over unchanged from the shared core."""
+    from sparkstreamingproject_spark.queries.llm15 import (
+        SEM_K, SEM_TARGET, dedup_semantic_cells_scaled,
+    )
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    k_exp = max(SEM_K, -(-n // SEM_TARGET))
+    rows = dedup_semantic_cells_scaled(spark, sf_dir).collect()
+    assert len(rows) == n
+    cells: dict = {}
+    for r in rows:
+        cells[r.cell] = cells.get(r.cell, 0) + 1
+    # Lloyd can empty a cell but never invent one; with dense ids the
+    # init seeds exactly k_exp cells
+    assert 0 < len(cells) <= k_exp
+    assert n / len(cells) <= 4 * SEM_TARGET, (
+        "mean cell size must stay near TARGET — the linearity claim")
+    # pair-stage work actually bounded: sum of squared cell sizes must
+    # be far under the pinned-k quadratic (n/SEM_K)²·SEM_K at this n
+    work = sum(c * c for c in cells.values())
+    assert work < (n * n) / SEM_K, (work, n)
+    # one keeper per component, farthest-from-centroid rule
+    by_comp: dict = {}
+    for r in rows:
+        by_comp.setdefault(r.component, []).append(r)
+    for comp, members in by_comp.items():
+        keepers = [m for m in members if m.is_kept]
+        assert len(keepers) == 1, comp
+        best = min(members, key=lambda m: (m.centroid_sim, m.vec_id))
+        assert keepers[0].vec_id == best.vec_id, comp
