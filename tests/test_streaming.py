@@ -2349,3 +2349,84 @@ def test_bm25_index_stream_equals_batch_and_replay(spark, tmp_path,
     got5 = sorted(map(tuple,
                       search_bm25_index(spark, idx3, BM25_TERMS).collect()))
     assert got5 == exp5 and len(exp5) > 0
+
+
+def test_semantic_cells_stream_equals_batch_and_replay(spark, tmp_path,
+                                                       sf_dir):
+    """Maintained SemDeDup fold (#14): with centroids trained on the
+    full corpus and frozen, streaming the corpus through the fold and
+    reading keep labels off the state must equal the batch
+    `dedup_semantic_cells` EXACTLY — assignment against frozen
+    centroids is append-stable and the edge set accumulates to the
+    batch pair set (new×prior + new×new per batch, least/greatest
+    normalized). Drills on a manually folded twin: double replay of a
+    batch; a crash that lands pairs without assigned rows (the commit
+    signal) must leave the batch CONSISTENTLY invisible — in
+    particular no phantom component merge through the uncommitted
+    vector — then converge on retry."""
+    from sparkstreamingproject_spark.queries import REGISTRY
+    from sparkstreamingproject_spark.queries.llm15 import SEM_K
+    from sparkstreamingproject_spark.sources.streams import file_stream
+    from sparkstreamingproject_spark.streaming.dedup_ingest import _write
+    from sparkstreamingproject_spark.streaming.semantic_maintain import (
+        fold_semantic_cells, init_semantic_state,
+        semantic_cells_stream, semantic_dedup_from_state)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    land = str(tmp_path / "emb_land")
+    emb.repartition(3).write.parquet(land)
+
+    st = str(tmp_path / "sem_state")
+    init_semantic_state(emb, st, k=SEM_K)
+    q = semantic_cells_stream(
+        file_stream(spark, land, emb.schema, max_files_per_trigger=1),
+        st, str(tmp_path / "ck_sem"))
+    assert q.awaitTermination(300), "availableNow stream must terminate"
+
+    exp = sorted(map(tuple, REGISTRY["dedup_semantic_cells"]
+                     .fn(spark, sf_dir).collect()))
+    got = sorted(map(tuple,
+                     semantic_dedup_from_state(spark, st).collect()))
+    assert got == exp and len(exp) > 0
+
+    # manually folded twin with explicit batch ids for the drills
+    st2 = str(tmp_path / "sem_state2")
+    init_semantic_state(emb, st2, k=SEM_K)
+    thirds = [emb.filter(F.col("vec_id") % 3 == r).localCheckpoint()
+              for r in range(3)]
+    for i, part in enumerate(thirds):
+        fold_semantic_cells(part, st2, batch_id=i)
+    got2 = sorted(map(tuple,
+                      semantic_dedup_from_state(spark, st2).collect()))
+    assert got2 == exp
+
+    # drill 1: double replay of batch 1 (overwrite partitions absorb)
+    fold_semantic_cells(thirds[1], st2, batch_id=1)
+    fold_semantic_cells(thirds[1], st2, batch_id=1)
+    got3 = sorted(map(tuple,
+                      semantic_dedup_from_state(spark, st2).collect()))
+    assert got3 == exp
+
+    # drill 2: crash INSIDE the commit window — batch 2's pairs land,
+    # its assigned rows (the commit signal) do not. The read must
+    # behave as if batch 2 never arrived: committed-endpoint semi-join
+    # drops the orphaned edges, so no phantom merges and no missing
+    # keepers among committed vectors.
+    st3 = str(tmp_path / "sem_state3")
+    init_semantic_state(emb, st3, k=SEM_K)
+    for i in (0, 1):
+        fold_semantic_cells(thirds[i], st3, batch_id=i)
+    pre_crash = sorted(map(tuple,
+                           semantic_dedup_from_state(spark, st3).collect()))
+    # replicate the fold's pair stage for batch 2, write pairs ONLY
+    import shutil
+    fold_semantic_cells(thirds[2], st3, batch_id=2)
+    shutil.rmtree(f"{st3}/assigned/ingest_batch=2")
+    in_crash = sorted(map(tuple,
+                          semantic_dedup_from_state(spark, st3).collect()))
+    assert in_crash == pre_crash, "crashed batch must be invisible"
+    fold_semantic_cells(thirds[2], st3, batch_id=2)  # retry converges
+    got4 = sorted(map(tuple,
+                      semantic_dedup_from_state(spark, st3).collect()))
+    assert got4 == exp
