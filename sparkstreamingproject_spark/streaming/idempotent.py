@@ -15,6 +15,14 @@ attempt. Parquet appends are directory-additive, so replays can leave
 orphan files from the failed attempt; production table formats
 (Delta/Iceberg) make the data+marker commit atomic — this wrapper is
 the parquet-only approximation and documents the gap honestly.
+
+For single-table ADDITIVE state (where a replay against post-commit
+state double-counts), ``manifest_commit.py`` closes the window
+entirely with plain parquet: immutable state versions + one atomic
+manifest rename carrying both the version pointer and the batch-id
+watermark. The DSIR fold uses it; this wrapper remains for sinks
+whose output is not one swappable table (e.g. appending partitioned
+sinks), where per-batch markers are still the right shape.
 """
 
 from __future__ import annotations

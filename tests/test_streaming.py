@@ -2102,12 +2102,13 @@ def test_dsir_stats_stream_equals_batch_and_scoring(spark, tmp_path,
 
     stream = file_stream(spark, land, docs.schema, max_files_per_trigger=1)
     tbl = str(tmp_path / "dsir_stats")
-    q = dsir_stats_stream(stream, tbl, str(tmp_path / "ck_dsir"),
-                          str(tmp_path / "mk_dsir"))
+    q = dsir_stats_stream(stream, tbl, str(tmp_path / "ck_dsir"))
     q.awaitTermination(180)
 
+    from sparkstreamingproject_spark.streaming.manifest_commit import (
+        read_state)
     got = {r.bucket: (r.c_raw, r.c_tgt)
-           for r in spark.read.parquet(tbl).collect()}
+           for r in read_state(spark, tbl).collect()}
     exp = {r.bucket: (r.c_raw, r.c_tgt)
            for r in dsir_bucket_stats(dsir_doc_buckets(docs)).collect()}
     assert got == exp and len(got) > 0  # counters exactly additive
@@ -2120,39 +2121,76 @@ def test_dsir_stats_stream_equals_batch_and_scoring(spark, tmp_path,
     assert scored == batch
 
 
-def test_dsir_stats_replay_is_skipped_by_marker(spark, tmp_path):
-    """Additive fold + idempotence marker: re-delivering a batch id
-    whose marker committed must NOT double-count. Residual window
-    (parquet-approximation gap, idempotent.py module docstring): a
-    crash AFTER swap_in completes but BEFORE the marker rename lands
-    replays the additive fold against the post-swap state and
-    double-counts that one batch — Delta/Iceberg's atomic data+marker
-    commit is the production fix; this test pins the marker-committed
-    path only."""
+def test_dsir_stats_replay_and_crash_inside_old_residual_window(
+        spark, tmp_path):
+    """Manifest-last commit (VERDICT r11 §next 4): the additive fold
+    must be exact under (a) replay of a committed batch id — skipped
+    by the watermark — and (b) a crash INSIDE the old marker
+    protocol's residual window: new state version fully written but
+    the commit (manifest replace) never landed. Under the marker
+    protocol that crash double-counted the batch (data swapped in,
+    marker missing → replay re-merged post-swap state); under the
+    manifest protocol the replay re-merges the PRE-merge version the
+    manifest still names, so the result is exact."""
     from sparkstreamingproject_spark.queries.llm14 import (
         dsir_bucket_stats, dsir_doc_buckets)
+    from sparkstreamingproject_spark.streaming import manifest_commit
     from sparkstreamingproject_spark.streaming.dsir_maintain import (
         merge_dsir_stats)
-    from sparkstreamingproject_spark.streaming.idempotent import (
-        idempotent_foreach_batch)
+    from sparkstreamingproject_spark.streaming.manifest_commit import (
+        manifest_foreach_batch, manifest_info, read_state)
 
     sch = "doc_id long, lang string, text string"
     b1 = spark.createDataFrame(
         [(1, "en", "a b c a b"), (2, "de", "x y z")], sch)
     b2 = spark.createDataFrame([(3, "en", "a b q r")], sch)
+    b3 = spark.createDataFrame([(4, "en", "q r s t")], sch)
     tbl = str(tmp_path / "stats")
-    write = idempotent_foreach_batch(
-        lambda b, _id: merge_dsir_stats(b, tbl),
-        str(tmp_path / "markers"))
+    write = manifest_foreach_batch(
+        lambda b, i: merge_dsir_stats(b, tbl, i), tbl)
     write(b1, 0)
     write(b2, 1)
-    write(b2, 1)  # replayed batch id — must be skipped
+    write(b2, 1)  # replay of a committed batch id — watermark skips it
     got = {r.bucket: (r.c_raw, r.c_tgt)
-           for r in spark.read.parquet(tbl).collect()}
+           for r in read_state(spark, tbl).collect()}
     exp = {r.bucket: (r.c_raw, r.c_tgt)
            for r in dsir_bucket_stats(
                dsir_doc_buckets(b1.unionByName(b2))).collect()}
     assert got == exp
+
+    # crash drill INSIDE the old residual window: batch 2's merged
+    # version dir lands completely, but the process dies before the
+    # manifest replace — simulated by failing os.replace exactly once
+    orig_replace = manifest_commit.os.replace
+    calls = {"n": 0}
+
+    def crashing_replace(src, dst):
+        calls["n"] += 1
+        raise OSError("simulated crash before manifest commit")
+
+    manifest_commit.os.replace = crashing_replace
+    try:
+        try:
+            write(b3, 2)
+            raise AssertionError("crash injection did not fire")
+        except OSError:
+            pass
+    finally:
+        manifest_commit.os.replace = orig_replace
+    assert calls["n"] == 1
+    # state unchanged: manifest still names the pre-merge version
+    assert manifest_info(tbl)[1] == 1
+    mid = {r.bucket: (r.c_raw, r.c_tgt)
+           for r in read_state(spark, tbl).collect()}
+    assert mid == exp, "crashed commit must be invisible"
+
+    write(b3, 2)  # the replay — re-merges the PRE-merge state, exact
+    got2 = {r.bucket: (r.c_raw, r.c_tgt)
+            for r in read_state(spark, tbl).collect()}
+    exp2 = {r.bucket: (r.c_raw, r.c_tgt)
+            for r in dsir_bucket_stats(dsir_doc_buckets(
+                b1.unionByName(b2).unionByName(b3))).collect()}
+    assert got2 == exp2, "no double-count after in-window crash"
 
 
 @pytest.mark.slow
