@@ -59,6 +59,12 @@ KERNELS = [
     # the oracle stays checkable). Embeddings replicate by sign-flip
     # isometry (see build_sf1).
     "dedup_semantic_cells",
+    # r12 (VERDICT r11 §next 2/6): the k ∝ n variant — its curve is
+    # the evidence the pair stage went linear — plus the two heaviest
+    # not-yet-curved kernels from the sidecar set.
+    "dedup_semantic_cells_scaled",
+    "dedup_minhash_containment_estimate",
+    "sim_binary_pool_recall_sweep",
 ]
 
 SFS = [("0.01", "/root/testdata/sf0.01"),

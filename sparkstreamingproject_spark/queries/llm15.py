@@ -33,19 +33,10 @@ SEM_ITER = 2
 SEM_THRESHOLD = 0.3
 
 
-def _semantic_cells_oracle(k: int = SEM_K, n_iter: int = SEM_ITER,
-                           threshold: float = SEM_THRESHOLD,
-                           k_sql: str | None = None,
-                           pre_cte: str = "") -> str:
-    """Unrolled Lloyd's + per-cell pairs + recursive components.
-    Same 6dp centroid rounding / 6dp-sim/cell-id tie-break as the Spark
-    kmeans (llm/similarity.py), same 4dp pair rounding as the near-dup
-    kernels, so every stage is engine-independent.
-
-    ``k_sql``/``pre_cte`` parameterize the unroll for the dynamic-k
-    (k ∝ n) variant: the Lloyd CTEs are k-agnostic, so only the c0
-    init predicate needs the k expression (a scalar subquery against a
-    ``pre_cte``-provided relation works — DuckDB folds it)."""
+def _lloyd_chain(n_iter: int) -> tuple[str, str]:
+    """(CTE chain SQL, final-centroid CTE name) for the unrolled Lloyd
+    iterations — k-agnostic (k only enters via the c0 init), shared by
+    every semantic-cells oracle."""
     def assign(cn: str, an: str) -> str:
         return f"""
     {an} AS (
@@ -73,7 +64,23 @@ def _semantic_cells_oracle(k: int = SEM_K, n_iter: int = SEM_ITER,
         steps.append(assign(prev, f"a{i}"))
         steps.append(means(f"a{i}", f"c{i}"))
         prev = f"c{i}"
-    chain = ",".join(steps)
+    return ",".join(steps), prev
+
+
+def _semantic_cells_oracle(k: int = SEM_K, n_iter: int = SEM_ITER,
+                           threshold: float = SEM_THRESHOLD,
+                           k_sql: str | None = None,
+                           pre_cte: str = "") -> str:
+    """Unrolled Lloyd's + per-cell pairs + recursive components.
+    Same 6dp centroid rounding / 6dp-sim/cell-id tie-break as the Spark
+    kmeans (llm/similarity.py), same 4dp pair rounding as the near-dup
+    kernels, so every stage is engine-independent.
+
+    ``k_sql``/``pre_cte`` parameterize the unroll for the dynamic-k
+    (k ∝ n) variant: the Lloyd CTEs are k-agnostic, so only the c0
+    init predicate needs the k expression (a scalar subquery against a
+    ``pre_cte``-provided relation works — DuckDB folds it)."""
+    chain, prev = _lloyd_chain(n_iter)
     return f"""
     WITH RECURSIVE pts AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -1,0 +1,269 @@
+"""Round-12 LLM wave: closing the SemDeDup recall envelope
+(multi-probe boundary recovery) and its assignment-cost ceiling
+(two-level hierarchical cells).
+
+`dedup_semantic_cells` documents two honest limits:
+
+1. pairs whose members land in DIFFERENT cells are missed by design
+   (the cell trade). `dedup_semantic_multiprobe` buys back the
+   boundary misses the standard way — each vector joins its TOP-2
+   cells (IVF multi-probe, `sim_ann_multiprobe`'s trick applied to
+   the pair stage), so any pair whose members share either primary or
+   runner-up cell is found, for a bounded 2× posting volume.
+2. once k ∝ n (the `dedup_semantic_cells_scaled` contract) the ASSIGN
+   stage is n·k cosine per Lloyd round. `sim_ann_hierarchical_cells`
+   is the standard mitigation: a two-level centroid tree — route each
+   vector through k1 coarse cells, then k2 sub-cells INSIDE its
+   coarse cell — makes assignment n·(k1+k2) ≈ n·2√(k·cells) while
+   keeping k1·k2 leaf cells; the IVF-HNSW/IMI shape, oracle-unrolled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .base import register, table
+from .llm15 import SEM_ITER, SEM_K, SEM_THRESHOLD, _lloyd_chain
+
+# ------------------------------------- multi-probe boundary recovery
+
+
+def _multiprobe_oracle(k: int = SEM_K, n_iter: int = SEM_ITER,
+                       threshold: float = SEM_THRESHOLD) -> str:
+    chain, prev = _lloyd_chain(n_iter)
+    return f"""
+    WITH pts AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c0 AS (
+      SELECT vec_id AS cell,
+             list_transform(v, x -> round(x, 6)) AS cv
+      FROM pts WHERE vec_id < {k}),
+    {chain},
+    top2 AS (
+      SELECT vec_id, v, cell, rn FROM (
+        SELECT p.vec_id, p.v, c.cell,
+               row_number() OVER (
+                 PARTITION BY p.vec_id
+                 ORDER BY round(list_cosine_similarity(p.v, c.cv), 6) DESC,
+                          c.cell) AS rn
+        FROM pts p CROSS JOIN {prev} c) WHERE rn <= 2),
+    prim AS (SELECT vec_id, cell AS pcell FROM top2 WHERE rn = 1),
+    pr AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+      FROM top2 a JOIN top2 b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 4) >= {threshold})
+    SELECT pr.id_a, pr.id_b, pr.cosine,
+           pa.pcell != pb.pcell AS cross_cell
+    FROM pr
+    JOIN prim pa ON pa.vec_id = pr.id_a
+    JOIN prim pb ON pb.vec_id = pr.id_b
+    """
+
+
+@register(
+    "dedup_semantic_multiprobe",
+    oracle=_multiprobe_oracle(),
+    tags=("llm", "dedup", "similarity"),
+)
+def dedup_semantic_multiprobe(spark, sf_dir):
+    """SemDeDup pair stage with TOP-2 cell multi-probe: every vector
+    posts into its best AND second-best cell, so a near-dup pair is
+    found whenever the two members share either — recovering the
+    boundary pairs the single-assignment stage misses by design
+    (`dedup_semantic_cells`' documented envelope; `cross_cell` marks
+    the recovered ones, i.e. pairs whose PRIMARY cells differ).
+
+    Scale shape: posting volume is exactly 2n rows (double, not
+    quadratic — the same OR-amplification accounting as
+    `sim_ann_lsh_or_pairs`); the pair stage is still cell-keyed
+    self-join, Σ over cells of (2-probe occupancy)², ~4× the
+    single-probe work with bounded cells. Candidate pairs sharing
+    both cells are generated twice and collapsed by an exact
+    DISTINCT on the pair key — cosine is a deterministic 4dp value,
+    so the collapse is lossless."""
+    from ..llm.similarity import cosine_similarity, kmeans_centroids
+    emb = table(spark, sf_dir, "embeddings")
+    pts = emb.select("vec_id",
+                     F.col("embedding").cast("array<double>").alias("v"))
+    cents = kmeans_centroids(emb, k=SEM_K, n_iter=SEM_ITER)
+    scored = (pts.crossJoin(F.broadcast(cents))
+              .select("vec_id", "v", "cell",
+                      F.round(cosine_similarity("v", "cv"), 6)
+                      .alias("sim")))
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), "cell")
+    top2 = (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 2)
+            .select("vec_id", "v", "cell", "rn")
+            .localCheckpoint())  # feeds pairs twice + primary map
+    prim = (top2.filter(F.col("rn") == 1)
+            .select("vec_id", F.col("cell").alias("pcell")))
+    a = top2.select(F.col("vec_id").alias("id_a"),
+                    F.col("v").alias("va"), "cell")
+    b = top2.select(F.col("vec_id").alias("id_b"),
+                    F.col("v").alias("vb"), "cell")
+    pairs = (a.join(b, "cell")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b",
+                     F.round(cosine_similarity("va", "vb"), 4)
+                     .alias("cosine"))
+             .filter(F.col("cosine") >= SEM_THRESHOLD)
+             .dropDuplicates(["id_a", "id_b"]))
+    return (pairs
+            .join(prim.withColumnRenamed("vec_id", "id_a")
+                  .withColumnRenamed("pcell", "pcell_a"), "id_a")
+            .join(prim.withColumnRenamed("vec_id", "id_b")
+                  .withColumnRenamed("pcell", "pcell_b"), "id_b")
+            .select("id_a", "id_b", "cosine",
+                    (F.col("pcell_a") != F.col("pcell_b"))
+                    .alias("cross_cell")))
+
+
+# ------------------------------------- two-level hierarchical cells
+
+_H_K1 = 4       # coarse cells
+_H_K2 = 4       # sub-cells per coarse cell (k1·k2 = 16 leaves)
+
+
+def _hierarchical_oracle(k1: int = _H_K1, k2: int = _H_K2,
+                         n_iter: int = SEM_ITER) -> str:
+    chain, prev = _lloyd_chain(n_iter)
+
+    def sub_assign(cn: str, an: str, with_sim: bool = False) -> str:
+        sim = ",\n               sim AS centroid_sim" if with_sim else ""
+        cols = f"vec_id, v, g, sub{sim}" if not with_sim else \
+            "vec_id, g, sub, sim AS centroid_sim"
+        return f"""
+    {an} AS (
+      SELECT {cols} FROM (
+        SELECT p.vec_id, p.v, p.g, c.sub,
+               round(list_cosine_similarity(p.v, c.cv), 6) AS sim,
+               row_number() OVER (
+                 PARTITION BY p.vec_id
+                 ORDER BY round(list_cosine_similarity(p.v, c.cv), 6) DESC,
+                          c.sub) AS rn
+        FROM ga p JOIN {cn} c ON c.g = p.g) WHERE rn = 1)"""
+
+    def sub_means(an: str, cn: str) -> str:
+        return f"""
+    {cn} AS (
+      SELECT g, sub, list(round(m, 6) ORDER BY pos) AS cv FROM (
+        SELECT g, sub, pos, avg(val) AS m FROM (
+          SELECT g, sub, unnest(v) AS val,
+                 generate_subscripts(v, 1) AS pos
+          FROM {an})
+        GROUP BY g, sub, pos)
+      GROUP BY g, sub)"""
+
+    steps = []
+    sprev = "s0"
+    for i in range(1, n_iter + 1):
+        steps.append(sub_assign(sprev, f"sa{i}"))
+        steps.append(sub_means(f"sa{i}", f"s{i}"))
+        sprev = f"s{i}"
+    sub_chain = ",".join(steps)
+    return f"""
+    WITH pts AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c0 AS (
+      SELECT vec_id AS cell,
+             list_transform(v, x -> round(x, 6)) AS cv
+      FROM pts WHERE vec_id < {k1}),
+    {chain},
+    ga AS (
+      SELECT vec_id, v, cell AS g FROM (
+        SELECT p.vec_id, p.v, c.cell,
+               row_number() OVER (
+                 PARTITION BY p.vec_id
+                 ORDER BY round(list_cosine_similarity(p.v, c.cv), 6) DESC,
+                          c.cell) AS rn
+        FROM pts p CROSS JOIN {prev} c) WHERE rn = 1),
+    s0 AS (
+      SELECT g, sub, list_transform(v, x -> round(x, 6)) AS cv FROM (
+        SELECT g, vec_id AS sub, v,
+               row_number() OVER (PARTITION BY g ORDER BY vec_id) AS rn
+        FROM ga) WHERE rn <= {k2}),
+    {sub_chain},
+    fin AS (
+      SELECT vec_id, g, sub, sim FROM (
+        SELECT p.vec_id, p.g, c.sub,
+               round(list_cosine_similarity(p.v, c.cv), 6) AS sim,
+               row_number() OVER (
+                 PARTITION BY p.vec_id
+                 ORDER BY round(list_cosine_similarity(p.v, c.cv), 6) DESC,
+                          c.sub) AS rn
+        FROM ga p JOIN {sprev} c ON c.g = p.g) WHERE rn = 1)
+    SELECT vec_id, g AS coarse_cell, sub AS sub_cell,
+           sim AS centroid_sim
+    FROM fin
+    """
+
+
+@register(
+    "sim_ann_hierarchical_cells",
+    oracle=_hierarchical_oracle(),
+    tags=("llm", "similarity", "scale"),
+)
+def sim_ann_hierarchical_cells(spark, sf_dir):
+    """Two-level centroid hierarchy (IVF-IMI shape): Lloyd k-means to
+    k1 COARSE cells over the corpus, then an independent Lloyd k-means
+    to k2 SUB-cells INSIDE each coarse cell (init: first-k2 members by
+    id per cell — the same documented stand-in as the flat kernel's
+    first-k init). Output is the leaf assignment
+    (vec_id, coarse_cell, sub_cell, centroid_sim).
+
+    Why it exists (SCALE.md §round-12): once cell count k ∝ n (the
+    `dedup_semantic_cells_scaled` contract), FLAT assignment costs n·k
+    cosine per Lloyd round — the scale ceiling moves from the pair
+    stage to assignment. Routing through the tree costs n·(k1+k2)
+    with k1·k2 leaves: for the same leaf count k, n·2√k instead of
+    n·k. Every stage is the flat kernel's shape — broadcast centroids
+    (level 2's relation is k1·k2 rows, joined on the coarse key),
+    argmax windows, (key, pos)-keyed mean aggregates — so the plan
+    scales exactly like `kmeans_centroids` does, per level.
+
+    cites: reference has no ANN surface; this extends the mandated
+    similarity-search family (SURVEY.md §2 extension list).
+    """
+    from ..llm.similarity import (cosine_similarity, kmeans_assign,
+                                  kmeans_centroids)
+    emb = table(spark, sf_dir, "embeddings")
+    pts = emb.select("vec_id",
+                     F.col("embedding").cast("array<double>").alias("v"))
+    coarse = kmeans_centroids(emb, k=_H_K1, n_iter=SEM_ITER)
+    ga = (kmeans_assign(pts, coarse)
+          .withColumnRenamed("cell", "g")
+          .localCheckpoint())  # coarse Lloyd runs once, feeds 2·n_iter+2 scans
+
+    w_init = Window.partitionBy("g").orderBy("vec_id")
+    scents = (ga.withColumn("rn", F.row_number().over(w_init))
+              .filter(F.col("rn") <= _H_K2)
+              .select("g", F.col("vec_id").alias("sub"),
+                      F.transform("v", lambda x: F.round(x, 6)).alias("cv")))
+
+    def sub_assign(cents):
+        scored = (ga.join(F.broadcast(cents), "g")
+                  .select("vec_id", "v", "g", "sub",
+                          F.round(cosine_similarity("v", "cv"), 6)
+                          .alias("sim")))
+        w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(),
+                                                 "sub")
+        return (scored.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1))
+
+    for _ in range(SEM_ITER):
+        scents = (sub_assign(scents)
+                  .select("g", "sub", F.posexplode("v").alias("pos", "val"))
+                  .groupBy("g", "sub", "pos").agg(F.avg("val").alias("m"))
+                  .groupBy("g", "sub")
+                  .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
+                       .alias("pm"))
+                  .select("g", "sub",
+                          F.transform("pm", lambda s: F.round(s["m"], 6))
+                          .alias("cv")))
+    return (sub_assign(scents)
+            .select("vec_id", F.col("g").alias("coarse_cell"),
+                    F.col("sub").alias("sub_cell"),
+                    F.col("sim").alias("centroid_sim")))
