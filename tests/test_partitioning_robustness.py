@@ -130,6 +130,9 @@ _KEEPERS = [
     "ts_spectral_entropy",
     "events_bot_regularity_score", "graph_degree_centralization",
     "ts_peak_detection", "orders_price_elasticity_loglog",
+    # round-12 additions (r13 window candidates)
+    "dedup_semantic_cells_scaled", "dedup_semantic_multiprobe",
+    "sim_ann_hierarchical_cells",
 ]
 
 _seen: set[str] = set()
