@@ -990,3 +990,38 @@ def test_semantic_cells_scaled_bounds_cell_quadratic(spark, sf_dir):
         assert len(keepers) == 1, comp
         best = min(members, key=lambda m: (m.centroid_sim, m.vec_id))
         assert keepers[0].vec_id == best.vec_id, comp
+
+
+def test_semantic_multiprobe_recovers_boundary_pairs(spark, sf_dir):
+    """Multi-probe envelope: the top-2-cell pair set must (a) contain
+    every single-assignment pair (probing only ADDS cells), (b) mark
+    as cross_cell exactly the pairs whose primary cells differ — the
+    ones `dedup_semantic_cells`' pair stage misses by design — and
+    (c) stay within the global truth (probing never invents a pair:
+    every emitted cosine is exact and ≥ threshold)."""
+    from sparkstreamingproject_spark.llm.similarity import (
+        embedding_near_dup_pairs, kmeans_assign, kmeans_centroids,
+    )
+    from sparkstreamingproject_spark.queries.llm15 import (
+        SEM_THRESHOLD, semantic_cell_pairs,
+    )
+    from sparkstreamingproject_spark.queries.llm19 import (
+        dedup_semantic_multiprobe,
+    )
+    emb = _emb(spark, sf_dir)
+    pts = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cents = kmeans_centroids(emb, n_iter=2)
+    assigned = kmeans_assign(pts, cents)
+    single = {(r.id_a, r.id_b)
+              for r in semantic_cell_pairs(assigned).collect()}
+    rows = dedup_semantic_multiprobe(spark, sf_dir).collect()
+    probed = {(r.id_a, r.id_b) for r in rows}
+    cross = {(r.id_a, r.id_b) for r in rows if r.cross_cell}
+    truth = {(r.id_a, r.id_b)
+             for r in embedding_near_dup_pairs(
+                 emb, threshold=SEM_THRESHOLD).collect()}
+    assert single <= probed, "probing must never lose a pair"
+    assert probed <= truth, "probing must never invent a pair"
+    assert cross == probed - single, (
+        "cross_cell must mark exactly the recovered boundary pairs")
