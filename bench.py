@@ -91,6 +91,11 @@ SIDECAR = [
     "dedup_containment_lsh_ensemble",
     # round-11 heavy addition (floor: SIDECAR_R11)
     "dedup_semantic_cells",
+    # round-12 heavy additions (floors: SIDECAR_R12, pinned from the
+    # r12 quiet artifact)
+    "dedup_semantic_cells_scaled",
+    "dedup_semantic_multiprobe",
+    "sim_ann_hierarchical_cells",
 ]
 
 # sidecar comparison floor: first measurements (BENCH_r05, sf=0.1,
@@ -148,6 +153,16 @@ SIDECAR_R10 = {
 # min-label components over 2000 vectors).
 SIDECAR_R11 = {
     "dedup_semantic_cells": 9.99,
+}
+
+# floors for the round-12 sidecar additions: quietest r12 in-bench
+# measurements (sf=0.1, local[32], warmed session, drained slot).
+# multiprobe is the heaviest by design: it pays the Lloyd chain PLUS
+# a ~4× pair stage (2 postings/vector → squared occupancy).
+SIDECAR_R12 = {
+    "dedup_semantic_cells_scaled": 10.7,
+    "dedup_semantic_multiprobe": 16.9,
+    "sim_ann_hierarchical_cells": 3.6,
 }
 
 def main() -> None:
@@ -235,6 +250,9 @@ def main() -> None:
         "sidecar_vs_r11": {
             n: round(t / SIDECAR_R11[n], 2)
             for n, t in sidecar.items() if n in SIDECAR_R11},
+        "sidecar_vs_r12": {
+            n: round(t / SIDECAR_R12[n], 2)
+            for n, t in sidecar.items() if n in SIDECAR_R12},
         "cosine_kernel": dict(_sim.last_kernel_decision),
     }))
     spark.stop()
