@@ -2468,3 +2468,33 @@ def test_semantic_cells_stream_equals_batch_and_replay(spark, tmp_path,
     got4 = sorted(map(tuple,
                       semantic_dedup_from_state(spark, st3).collect()))
     assert got4 == exp
+
+
+def test_semantic_cells_stream_equals_batch_at_scaled_k(spark, tmp_path,
+                                                        sf_dir):
+    """Fold #14 × the k ∝ n contract: with centroids trained at the
+    `dedup_semantic_cells_scaled` cell count (k = max(8, ⌈n/50⌉)) and
+    frozen, the manually-folded state must read back EXACTLY the
+    scaled batch query's output — the fold is k-agnostic, so the
+    production pairing (bounded cells at ingest) inherits the same
+    stream≡batch guarantee as the pinned-k drill."""
+    from sparkstreamingproject_spark.queries import REGISTRY
+    from sparkstreamingproject_spark.queries.llm15 import SEM_K, SEM_TARGET
+    from sparkstreamingproject_spark.streaming.semantic_maintain import (
+        fold_semantic_cells, init_semantic_state,
+        semantic_dedup_from_state)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    k = max(SEM_K, -(-emb.count() // SEM_TARGET))
+    st = str(tmp_path / "sem_scaled_state")
+    init_semantic_state(emb, st, k=int(k))
+    thirds = [emb.filter(F.col("vec_id") % 3 == r).localCheckpoint()
+              for r in range(3)]
+    for i, part in enumerate(thirds):
+        fold_semantic_cells(part, st, batch_id=i)
+    exp = sorted(map(tuple, REGISTRY["dedup_semantic_cells_scaled"]
+                     .fn(spark, sf_dir).collect()))
+    got = sorted(map(tuple,
+                     semantic_dedup_from_state(spark, st).collect()))
+    assert got == exp and len(exp) > 0
