@@ -267,3 +267,80 @@ def sim_ann_hierarchical_cells(spark, sf_dir):
             .select("vec_id", F.col("g").alias("coarse_cell"),
                     F.col("sub").alias("sub_cell"),
                     F.col("sim").alias("centroid_sim")))
+
+
+# ------------------------------------- tokenizer fertility by lang
+
+def _fertility_oracle() -> str:
+    from .llm4 import _BPE_ITERS, _bpe_oracle_chain
+    return f"""
+    {_bpe_oracle_chain()},
+    dw AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS w
+      FROM documents),
+    enc AS (
+      SELECT d.lang,
+             len(string_split(trim(s.s, '·'), '·')) AS n_tok,
+             length(d.w) AS n_chars
+      FROM dw d JOIN seg{_BPE_ITERS} s ON d.w = s.w
+      WHERE d.w <> ''),
+    per AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens,
+             round(CAST(sum(n_tok) AS DOUBLE) / count(*), 4)
+               AS tokens_per_word,
+             round(CAST(sum(n_chars) AS DOUBLE) / sum(n_tok), 4)
+               AS chars_per_token
+      FROM enc GROUP BY lang),
+    best AS (SELECT min(tokens_per_word) AS b FROM per)
+    SELECT lang, n_words, n_bpe_tokens, tokens_per_word, chars_per_token,
+           round(tokens_per_word / b, 4) AS fertility_premium
+    FROM per CROSS JOIN best
+    """
+
+
+@register(
+    "text_tokenizer_fertility_by_lang",
+    oracle=_fertility_oracle(),
+    tags=("llm", "tokenize", "text"),
+)
+def text_tokenizer_fertility_by_lang(spark, sf_dir):
+    """Tokenizer fertility disparity across languages — the standard
+    tokenizer-fairness eval (tokens/word per language, and each
+    language's premium over the best-served one). A tokenizer trained
+    on a skewed mix over-fragments under-represented languages; the
+    premium column is the number multilingual-pipeline reports quote
+    (e.g. NLLB/XLM-R report 2-4× fertility for low-resource scripts).
+
+    Composes the certified BPE train/apply pair: `_bpe_run`'s K-round
+    merge loop (vocab-sized state, winner broadcast back) and
+    `bpe_encode_apply`'s broadcast word→segmentation join, aggregated
+    by the documents' lang column instead of doc_id — one corpus scan
+    for the word explode, vocab-sized everything else, then a
+    #langs-row relation; the premium is a broadcast scalar join.
+    Determinism: integer token/char counts; the two ratios divide
+    4dp-rounded doubles and re-round (both engines see bit-identical
+    inputs)."""
+    from .llm4 import _bpe_run
+    docs = table(spark, sf_dir, "documents")
+    _, seg = _bpe_run(spark, sf_dir)
+    seg_tok = seg.select(
+        "w", F.expr("size(split(trim(BOTH '·' FROM s), '·'))").alias("n_tok"))
+    dw = (docs.select("lang", F.explode(F.split("text", " ")).alias("w"))
+          .filter(F.col("w") != ""))
+    enc = (dw.join(F.broadcast(seg_tok), "w")
+           .select("lang", "n_tok", F.length("w").alias("n_chars")))
+    per = (enc.groupBy("lang")
+           .agg(F.count("*").cast("long").alias("n_words"),
+                F.sum("n_tok").cast("long").alias("n_bpe_tokens"),
+                F.round(F.sum("n_tok").cast("double") / F.count("*"), 4)
+                .alias("tokens_per_word"),
+                F.round(F.sum("n_chars").cast("double") / F.sum("n_tok"), 4)
+                .alias("chars_per_token")))
+    best = per.agg(F.min("tokens_per_word").alias("b"))
+    return (per.crossJoin(F.broadcast(best))
+            .select("lang", "n_words", "n_bpe_tokens", "tokens_per_word",
+                    "chars_per_token",
+                    F.round(F.col("tokens_per_word") / F.col("b"), 4)
+                    .alias("fertility_premium")))

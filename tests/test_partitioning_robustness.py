@@ -132,7 +132,7 @@ _KEEPERS = [
     "ts_peak_detection", "orders_price_elasticity_loglog",
     # round-12 additions (r13 window candidates)
     "dedup_semantic_cells_scaled", "dedup_semantic_multiprobe",
-    "sim_ann_hierarchical_cells",
+    "sim_ann_hierarchical_cells", "text_tokenizer_fertility_by_lang",
 ]
 
 _seen: set[str] = set()
