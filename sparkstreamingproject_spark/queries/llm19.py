@@ -344,3 +344,120 @@ def text_tokenizer_fertility_by_lang(spark, sf_dir):
                     "chars_per_token",
                     F.round(F.col("tokens_per_word") / F.col("b"), 4)
                     .alias("fertility_premium")))
+
+
+# ------------------------------------- margin-based bitext mining
+
+_BM_SRC, _BM_TGT = "es", "en"
+_BM_K = 4
+
+
+def _bitext_oracle(k: int = _BM_K) -> str:
+    return f"""
+    WITH d AS (SELECT doc_id, lang FROM documents),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+    xs AS (SELECT e.vec_id AS sid, v FROM e
+           JOIN d ON d.doc_id = e.vec_id WHERE d.lang = '{_BM_SRC}'),
+    ys AS (SELECT e.vec_id AS tid, v FROM e
+           JOIN d ON d.doc_id = e.vec_id WHERE d.lang = '{_BM_TGT}'),
+    p AS (
+      SELECT sid, tid,
+             CAST(round(round(list_cosine_similarity(x.v, y.v), 6)
+                        * 1000000, 0) AS BIGINT) AS c6
+      FROM xs x CROSS JOIN ys y),
+    fwd AS (
+      SELECT sid, CAST(sum(c6) AS BIGINT) AS sf,
+             CAST(count(*) AS BIGINT) AS kf
+      FROM (SELECT sid, c6,
+                   row_number() OVER (PARTITION BY sid
+                                      ORDER BY c6 DESC, tid) AS rn
+            FROM p) WHERE rn <= {k} GROUP BY sid),
+    bwd AS (
+      SELECT tid, CAST(sum(c6) AS BIGINT) AS sb,
+             CAST(count(*) AS BIGINT) AS kb
+      FROM (SELECT tid, c6,
+                   row_number() OVER (PARTITION BY tid
+                                      ORDER BY c6 DESC, sid) AS rn
+            FROM p) WHERE rn <= {k} GROUP BY tid),
+    m AS (
+      SELECT p.sid, p.tid,
+             round(p.c6 / 1000000.0, 6) AS cosine,
+             round(p.c6 / ((CAST(f.sf AS DOUBLE) / f.kf
+                            + CAST(b.sb AS DOUBLE) / b.kb) / 2), 4)
+               AS margin
+      FROM p JOIN fwd f ON f.sid = p.sid
+             JOIN bwd b ON b.tid = p.tid)
+    SELECT sid AS src_id, tid AS tgt_id, cosine, margin FROM (
+      SELECT sid, tid, cosine, margin,
+             row_number() OVER (PARTITION BY sid
+                                ORDER BY margin DESC, tid) AS rn
+      FROM m) WHERE rn = 1
+    """
+
+
+@register(
+    "text_bitext_mining_margin",
+    oracle=_bitext_oracle(),
+    tags=("llm", "similarity", "text"),
+)
+def text_bitext_mining_margin(spark, sf_dir):
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, the
+    LASER/CCMatrix parallel-corpus recipe): for every source-language
+    document, the target-language document maximizing the RATIO margin
+    cos(x,y) / ((avg of x's k-NN cosines + avg of y's k-NN cosines)/2)
+    — the margin denominator penalizes "hub" vectors that are close to
+    everything, which raw cosine mining mis-pairs.
+
+    Determinism: cosines are 6dp-rounded then held as exact integers
+    (×10⁶, BIGINT), so the k-NN sums are order-free integer aggregates
+    and the margin is one IEEE double expression over integers —
+    bit-identical across engines and partitionings. Tie-breaks:
+    (c6 DESC, id) in the k-NN windows, (margin DESC, tgt_id) at the
+    final argmax.
+
+    Scale shape: the pair stage here is exact brute force over the two
+    lang slices (broadcast nested loop, the `sim_topk_bruteforce`
+    pattern — fine at the corpus sizes the oracle checks); at 100 TB
+    the pair generation swaps to the family's ANN candidates (LSH
+    bands / IVF cells / `sim_binary_hamming_index`) with margin
+    statistics computed over each point's candidate k-NN — the
+    CCMatrix deployment shape — leaving the margin arithmetic and
+    argmax unchanged."""
+    from ..llm.similarity import cosine_similarity
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    emb = table(spark, sf_dir, "embeddings")
+    pts = (emb.join(docs, emb.vec_id == docs.doc_id)
+           .select("vec_id", "lang",
+                   F.col("embedding").cast("array<double>").alias("v")))
+    xs = pts.filter(F.col("lang") == _BM_SRC) \
+        .select(F.col("vec_id").alias("sid"), F.col("v").alias("xv"))
+    ys = pts.filter(F.col("lang") == _BM_TGT) \
+        .select(F.col("vec_id").alias("tid"), F.col("v").alias("yv"))
+    p = (xs.crossJoin(F.broadcast(ys))
+         .select("sid", "tid",
+                 F.round(F.round(cosine_similarity("xv", "yv"), 6)
+                         * 1000000, 0).cast("long").alias("c6"))
+         .localCheckpoint())  # feeds fwd + bwd windows and the final join
+    wf = Window.partitionBy("sid").orderBy(F.col("c6").desc(), "tid")
+    fwd = (p.withColumn("rn", F.row_number().over(wf))
+           .filter(F.col("rn") <= _BM_K)
+           .groupBy("sid").agg(F.sum("c6").cast("long").alias("sf"),
+                               F.count("*").cast("long").alias("kf")))
+    wb = Window.partitionBy("tid").orderBy(F.col("c6").desc(), "sid")
+    bwd = (p.withColumn("rn", F.row_number().over(wb))
+           .filter(F.col("rn") <= _BM_K)
+           .groupBy("tid").agg(F.sum("c6").cast("long").alias("sb"),
+                               F.count("*").cast("long").alias("kb")))
+    m = (p.join(fwd, "sid").join(bwd, "tid")
+         .select("sid", "tid",
+                 F.round(F.col("c6") / 1000000.0, 6).alias("cosine"),
+                 F.round(F.col("c6")
+                         / ((F.col("sf").cast("double") / F.col("kf")
+                             + F.col("sb").cast("double") / F.col("kb"))
+                            / 2), 4).alias("margin")))
+    wm = Window.partitionBy("sid").orderBy(F.col("margin").desc(), "tid")
+    return (m.withColumn("rn", F.row_number().over(wm))
+            .filter(F.col("rn") == 1)
+            .select(F.col("sid").alias("src_id"),
+                    F.col("tid").alias("tgt_id"), "cosine", "margin"))
