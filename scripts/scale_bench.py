@@ -65,6 +65,9 @@ KERNELS = [
     "dedup_semantic_cells_scaled",
     "dedup_minhash_containment_estimate",
     "sim_binary_pool_recall_sweep",
+    # r12 wave 2: the two-level assignment tree — its curve is the
+    # n·(k1+k2) assignment claim measured.
+    "sim_ann_hierarchical_cells",
 ]
 
 SFS = [("0.01", "/root/testdata/sf0.01"),
