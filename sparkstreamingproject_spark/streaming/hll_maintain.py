@@ -25,7 +25,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..queries.sketches import _HLL_M as HLL_M  # one register-count constant
-from .rollup_maintain import _swap_in, _table_exists
+# max-merge is replay-idempotent, so the plain swap protocol suffices
+# (rollup_maintain moved to manifest_commit in r12 — no re-export left)
+from .statestore import swap_in as _swap_in
+from .statestore import table_exists as _table_exists
 
 
 def day_user_registers(events: DataFrame) -> DataFrame:

@@ -6,15 +6,17 @@ history.
 
 Contrast with `dim_upsert.upsert_dim_parquet` (LWW — newest row wins):
 a rollup merge is ADDITIVE (sum/count combine), which is only correct
-under exactly-once micro-batch semantics — Structured Streaming's
-checkpoint guarantees each batch folds in once (a replayed batch after
-a crash is re-executed with the same batchId; the idempotence marker
-pattern from `streaming/idempotent.py` guards the at-least-once sinks).
+under exactly-once batch delivery. Since r12 the fold commits through
+the MANIFEST-LAST protocol (``streaming/manifest_commit.py``): the
+state version and the batch-id watermark move in ONE atomic rename,
+so a replay either re-merges the pre-merge version or is skipped by
+the watermark — the old marker protocol's residual window (swap
+committed, marker not → double-fold) no longer exists.
 
 At scale the state side is a date-partitioned rollup table and the
 batch touches a handful of recent partitions — MERGE with partition
-pruning on a lakehouse format; here the container-friendly parquet
-swap rewrites the (dimension-sized) rollup atomically.
+pruning on a lakehouse format; here the container-friendly versioned
+parquet + manifest pointer plays that role.
 """
 
 from __future__ import annotations
@@ -22,11 +24,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .statestore import swap_in as _swap_in
-from .statestore import table_exists as _table_exists
+from .manifest_commit import (commit_state, manifest_foreach_batch,
+                              read_state)
 
 
-def merge_rollup(batch: DataFrame, table_dir: str) -> None:
+def merge_rollup(batch: DataFrame, table_dir: str,
+                 batch_id: int = 0) -> None:
     """Fold one micro-batch of orders into the daily rollup: partial
     aggregate the batch (integer cents — order-free), then combine
     with the persisted state by key. Additive, so state ⊕ batch₁ ⊕
@@ -38,15 +41,15 @@ def merge_rollup(batch: DataFrame, table_dir: str) -> None:
                 "CAST(round(o_totalprice * 100) AS BIGINT)"))
                 .alias("cents"),
                 F.count("*").alias("n")))
-    if _table_exists(table_dir):
-        base = spark.read.parquet(table_dir)
+    base = read_state(spark, table_dir)
+    if base is not None:
         merged = (base.unionByName(part)
                   .groupBy("day")
                   .agg(F.sum("cents").alias("cents"),
                        F.sum("n").alias("n")))
     else:
         merged = part
-    _swap_in(merged, table_dir)
+    commit_state(merged, table_dir, batch_id)
 
 
 def maintain_rollup_stream(orders_stream: DataFrame, table_dir: str,
@@ -54,18 +57,12 @@ def maintain_rollup_stream(orders_stream: DataFrame, table_dir: str,
                            trigger_seconds: int | None = None):
     """writeStream.foreachBatch wrapper: every micro-batch folds into
     the rollup. Unlike the LWW/SCD2/HLL-max sinks, the additive fold
-    is NOT naturally idempotent — a crash after the swap completes but
-    before the checkpoint commits would re-fold the batch on replay —
-    so the fold runs under the per-batch-id marker from
-    ``idempotent.idempotent_foreach_batch``: a fully-committed batch id
-    is skipped on replay. (The marker itself commits via atomic rename
-    AFTER the swap; the residual crash window between swap and marker
-    is the parquet-level approximation that a lakehouse MERGE commit
-    closes — documented in ``idempotent.py``.)"""
-    from .idempotent import idempotent_foreach_batch
-    fold = idempotent_foreach_batch(
-        lambda b, _id: merge_rollup(b, table_dir),
-        marker_dir=f"{checkpoint_dir}/_rollup_markers")
+    is NOT naturally idempotent — a replay after a crash would re-fold
+    the batch — so committed batch ids are skipped against the
+    manifest's watermark, and the commit itself is the single atomic
+    manifest rename (no data-vs-marker window at all)."""
+    fold = manifest_foreach_batch(
+        lambda b, i: merge_rollup(b, table_dir, i), table_dir)
     writer = (orders_stream.writeStream
               .foreachBatch(fold)
               .option("checkpointLocation", checkpoint_dir))

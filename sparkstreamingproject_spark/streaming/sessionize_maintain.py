@@ -12,9 +12,10 @@ interesting one:
 - THIS                  — SESSION-MERGE fold: the batch's first
   session may coalesce with the state's open session, interior batch
   sessions close immediately, and the batch's last session becomes
-  the new open one. Not additive, not idempotent — it runs under the
-  per-batch-id markers from ``idempotent.py`` and the crash-safe
-  ``statestore.swap_in``.
+  the new open one. Not additive, not idempotent — since r12 it
+  commits through the manifest-last protocol (``manifest_commit.py``):
+  committed batch ids skip against the watermark and state + watermark
+  move in one atomic rename.
 
 Ordering contract: micro-batches must arrive in event-time order PER
 USER (the standard incremental-sessionization assumption — a
@@ -46,8 +47,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .statestore import swap_in as _swap_in
-from .statestore import table_exists as _table_exists
+from .manifest_commit import (commit_state, manifest_foreach_batch,
+                              read_state)
 
 #: session gap — 30 minutes in microseconds (events_gap_sessionize's
 #: 1800000000; a NEW session starts when the gap is strictly greater)
@@ -98,7 +99,7 @@ def _batch_session_summary(batch: DataFrame, gap_us: int) -> DataFrame:
 
 
 def merge_sessions(batch: DataFrame, table_dir: str,
-                   gap_us: int = GAP_US) -> None:
+                   gap_us: int = GAP_US, batch_id: int = 0) -> None:
     """Fold one micro-batch (user_id, event_id, us BIGINT) into the
     session state table. Per user:
 
@@ -111,13 +112,11 @@ def merge_sessions(batch: DataFrame, table_dir: str,
       has a single session) becomes the new open session."""
     spark = batch.sparkSession
     b = _batch_session_summary(batch, gap_us)
-    if _table_exists(table_dir):
-        st = spark.read.parquet(table_dir)
-    else:
-        st = spark.createDataFrame(
-            [], "user_id long, n_closed long, closed_events long, "
-                "max_closed long, open_start_us long, open_last_us long, "
-                "open_n long")
+    st = read_state(
+        spark, table_dir,
+        "user_id long, n_closed long, closed_events long, "
+        "max_closed long, open_start_us long, open_last_us long, "
+        "open_n long")
 
     j = st.alias("s").join(b.alias("b"), "user_id", "full_outer")
     has_s = F.col("s.open_n").isNotNull()
@@ -164,7 +163,7 @@ def merge_sessions(batch: DataFrame, table_dir: str,
         .when(multi, F.col("b.last_n"))
         .otherwise(first_total).alias("open_n"),
     ).select(*[F.col(c).cast("long").alias(c) for c in _STATE_COLS])
-    _swap_in(out, table_dir)
+    commit_state(out, table_dir, batch_id)
 
 
 def session_summary(state: DataFrame) -> DataFrame:
@@ -183,13 +182,13 @@ def maintain_sessions_stream(events_stream: DataFrame, table_dir: str,
                              gap_us: int = GAP_US,
                              trigger_seconds: int | None = None):
     """writeStream.foreachBatch wrapper. The session-merge fold is not
-    idempotent (re-closing a session double-counts), so it runs under
-    the per-batch-id markers — a fully-committed batch id is skipped
-    on replay. Expects columns (user_id, event_id, us)."""
-    from .idempotent import idempotent_foreach_batch
-    fold = idempotent_foreach_batch(
-        lambda bdf, _id: merge_sessions(bdf, table_dir, gap_us),
-        marker_dir=f"{checkpoint_dir}/_sess_markers")
+    idempotent (re-closing a session double-counts), so committed
+    batch ids skip against the manifest watermark and the commit is
+    the single atomic manifest rename (``manifest_commit.py``).
+    Expects columns (user_id, event_id, us)."""
+    fold = manifest_foreach_batch(
+        lambda bdf, i: merge_sessions(bdf, table_dir, gap_us, i),
+        table_dir)
     writer = (events_stream.writeStream
               .foreachBatch(fold)
               .option("checkpointLocation", checkpoint_dir))

@@ -26,12 +26,13 @@ Every crash point now leaves a recoverable layout, adopted by
   merge against it;
 - crash between (3) and (4): table is the NEW state, ``.old-*`` is a
   completed-swap leftover → deleted. The replayed batch re-merges an
-  already-merged batch — a no-op for LWW/SCD2/HLL-max merges; for the
-  ADDITIVE rollup this is the generic uncommitted-replay double-fold
-  (it exists even without any swap crash, whenever the process dies
-  after foreachBatch returns but before the checkpoint commits) and is
-  what ``idempotent.idempotent_foreach_batch``'s batch-id markers
-  guard.
+  already-merged batch — a no-op for LWW/SCD2/HLL-max merges, which is
+  why those folds stay on this swap. Replay-SENSITIVE single-table
+  folds (additive rollup/histogram, min/max-by OHLC, decayed trending,
+  session merge, DSIR) moved to ``manifest_commit.py`` in r12, whose
+  single atomic rename carries state + batch watermark together;
+  ``idempotent.idempotent_foreach_batch``'s per-batch markers remain
+  for multi-directory sinks (CDC router).
 
 Single-writer assumption: Structured Streaming serializes foreachBatch
 invocations per query, so recovery never races an in-flight swap. On a

@@ -10,10 +10,11 @@ exponential-decay "trending now" summary every event platform keeps.
 State is one row per live key — bounded by the decay horizon (a key
 untouched for ~63 batches of any size decays out of int64 range 1),
 while the stream it summarizes is unbounded. Halving-then-adding is
-NOT idempotent under an uncommitted-batch replay, so the fold runs
-under the per-batch-id marker (``idempotent_foreach_batch``) with the
-crash-safe rename-aside swap (``statestore``) — the same contract as
-the additive rollup.
+NOT idempotent under an uncommitted-batch replay, so since r12 the
+fold commits through the manifest-last protocol
+(``manifest_commit.py``): committed batch ids skip against the
+watermark, state + watermark move in one atomic rename — the same
+contract as the additive rollup.
 
 Reference context: the DStream apps keep raw per-key counters in Redis
 (DwsTrafficApp's daily counts); the decayed fold is the bounded-state
@@ -25,8 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .idempotent import idempotent_foreach_batch
-from .statestore import swap_in, table_exists
+from .manifest_commit import (commit_state, manifest_foreach_batch,
+                              read_state)
 
 
 def batch_counts(batch: DataFrame, key_col: str = "event_type") -> DataFrame:
@@ -36,38 +37,38 @@ def batch_counts(batch: DataFrame, key_col: str = "event_type") -> DataFrame:
 
 
 def merge_trending(batch: DataFrame, table_dir: str,
-                   key_col: str = "event_type") -> None:
+                   key_col: str = "event_type",
+                   batch_id: int = 0) -> None:
     """Fold one micro-batch: persisted weights halve (exact integer
     floor division), batch counts add, zero-weight keys drop. After
     batches B1..Bn the state is exactly Σ_i counts(B_i) >> (n-i) —
     the invariant the stream≡batch test replays."""
     spark = batch.sparkSession
     part = batch_counts(batch, key_col)
-    if table_exists(table_dir):
-        base = (spark.read.parquet(table_dir)
-                .select("k", F.expr("w div 2").cast("long").alias("w")))
+    base = read_state(spark, table_dir)
+    if base is not None:
+        base = base.select("k", F.expr("w div 2").cast("long").alias("w"))
         merged = (base.unionByName(part)
                   .groupBy("k").agg(F.sum("w").cast("long").alias("w"))
                   .filter(F.col("w") > 0))
     else:
         merged = part
-    swap_in(merged.coalesce(1), table_dir)
+    commit_state(merged.coalesce(1), table_dir, batch_id)
 
 
 def read_trending_topk(spark, table_dir: str, k: int = 10) -> DataFrame:
     """Top-k keys by decayed weight (heap TakeOrdered — no global
     sort), deterministic tie-break on the key."""
-    return (spark.read.parquet(table_dir)
+    return (read_state(spark, table_dir)
             .orderBy(F.desc("w"), "k").limit(k))
 
 
 def trending_stream(events_stream: DataFrame, table_dir: str,
                     checkpoint_dir: str, key_col: str = "event_type"):
-    """Wire an event stream into the marker-guarded decayed fold
+    """Wire an event stream into the manifest-committed decayed fold
     (availableNow)."""
-    fold = idempotent_foreach_batch(
-        lambda b, _id: merge_trending(b, table_dir, key_col),
-        marker_dir=f"{checkpoint_dir}/_trend_markers")
+    fold = manifest_foreach_batch(
+        lambda b, i: merge_trending(b, table_dir, key_col, i), table_dir)
     return (events_stream.writeStream
             .foreachBatch(fold)
             .option("checkpointLocation", checkpoint_dir)

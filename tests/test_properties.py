@@ -71,6 +71,8 @@ def test_sessionize_fold_matches_pure_python(spark, tmp_path_factory,
     not just the fixed examples the unit tests pin. Chunks are split
     on global event-time cuts (the module's per-user ordering
     contract); empty chunks are legal micro-batches."""
+    from sparkstreamingproject_spark.streaming.manifest_commit import (
+        read_state)
     from sparkstreamingproject_spark.streaming.sessionize_maintain import (
         GAP_US, merge_sessions, session_summary)
 
@@ -94,7 +96,7 @@ def test_sessionize_fold_matches_pure_python(spark, tmp_path_factory,
 
     got = {r.user_id: (r.n_sessions, r.n_events, r.max_session_events)
            for r in session_summary(
-               spark.read.parquet(state)).collect()}
+               read_state(spark, state)).collect()}
 
     exp = {}
     for u in {u for u, _ in events}:

@@ -487,8 +487,10 @@ def test_rollup_maintenance_stream_equals_batch(spark, tmp_path, sf_dir):
                                str(tmp_path / "ck_rollup"))
     q.awaitTermination(180)
 
+    from sparkstreamingproject_spark.streaming.manifest_commit import (
+        read_state)
     got = {r.day: (r.cents, r.n)
-           for r in spark.read.parquet(rollup).collect()}
+           for r in read_state(spark, rollup).collect()}
     exp = {r.day: (r.cents, r.n)
            for r in orders.groupBy(F.to_date("o_orderdate").alias("day"))
            .agg(F.sum(F.expr(
@@ -631,18 +633,21 @@ def test_dedup_ingest_stream_index_equals_batch_over_three_batches(
     assert {1, 2, 12, 21} <= ids
 
 
-def test_swap_in_crash_between_renames_preserves_rollup_state(
+def test_manifest_crash_before_commit_preserves_rollup_state(
         spark, tmp_path, monkeypatch):
-    """VERDICT r06 §wrong: the old swap (write tmp → rmtree(table) →
-    rename) had a window where NO table exists; a foreachBatch replay
-    then saw an empty table and silently dropped every prior batch's
-    rollup state. The rename-aside swap + recovery must survive a
-    crash injected exactly between the two renames: prior state is
-    restored on the next read and the replayed batch re-folds onto it.
-    """
+    """The r12 manifest-last upgrade of the r06 swap-crash drill: the
+    new state VERSION is fully written but the process dies before the
+    manifest replace (the exact window where the old marker protocol
+    double-counted). The manifest still names the pre-merge version,
+    so the crashed merge is INVISIBLE (asserted, not just survivable),
+    the replayed batch re-folds the pre-merge state exactly once, and
+    the only debris — the orphan version dir — is GC'd by the retry's
+    commit."""
     import os as _os
 
-    from sparkstreamingproject_spark.streaming import statestore
+    from sparkstreamingproject_spark.streaming import manifest_commit
+    from sparkstreamingproject_spark.streaming.manifest_commit import (
+        read_state)
     from sparkstreamingproject_spark.streaming.rollup_maintain import merge_rollup
 
     table = str(tmp_path / "rollup")
@@ -650,35 +655,39 @@ def test_swap_in_crash_between_renames_preserves_rollup_state(
     b1 = spark.createDataFrame(
         [("1995-01-01", 10.0), ("1995-01-02", 5.0)], sch)
     b2 = spark.createDataFrame([("1995-01-01", 2.5)], sch)
-    merge_rollup(b1, table)
+    merge_rollup(b1, table, batch_id=0)
 
-    real_rename = _os.rename
+    real_replace = _os.replace
     calls = {"n": 0}
 
-    def flaky(src, dst):
+    def crashing(src, dst):
         calls["n"] += 1
-        if calls["n"] == 2:  # aside succeeded; crash before rename-in
-            raise OSError("injected crash between rename-aside and rename-in")
-        real_rename(src, dst)
+        raise OSError("injected crash before manifest commit")
 
-    monkeypatch.setattr(statestore.os, "rename", flaky)
+    monkeypatch.setattr(manifest_commit.os, "replace", crashing)
     with pytest.raises(OSError, match="injected"):
-        merge_rollup(b2, table)
-    monkeypatch.setattr(statestore.os, "rename", real_rename)
+        merge_rollup(b2, table, batch_id=1)
+    monkeypatch.setattr(manifest_commit.os, "replace", real_replace)
+    assert calls["n"] == 1
 
-    # the table directory itself is gone — the exact layout the old
-    # rmtree-based swap turned into total state loss
-    assert not _os.path.isdir(table)
+    # the crashed merge must be invisible: watermark and state are
+    # exactly the pre-merge commit
+    assert manifest_commit.manifest_info(table)[1] == 0
+    got = {str(r.day): (r.cents, r.n)
+           for r in read_state(spark, table).collect()}
+    assert got == {"1995-01-01": (1000, 1), "1995-01-02": (500, 1)}
 
     # foreachBatch replay of the uncommitted batch (same data)
-    merge_rollup(b2, table)
+    merge_rollup(b2, table, batch_id=1)
     got = {str(r.day): (r.cents, r.n)
-           for r in spark.read.parquet(table).collect()}
+           for r in read_state(spark, table).collect()}
     assert got == {"1995-01-01": (1250, 2), "1995-01-02": (500, 1)}
-    # no swap debris survives recovery
-    left = [d for d in _os.listdir(str(tmp_path))
-            if d.startswith("rollup.")]
-    assert left == [], left
+    # exactly one live version dir + the manifest remain — the orphan
+    # from the crashed attempt was GC'd by the retry's commit
+    left = sorted(d for d in _os.listdir(str(tmp_path))
+                  if d.startswith("rollup."))
+    assert len([d for d in left if ".v-" in d]) == 1, left
+    assert "rollup.manifest" in left, left
 
 
 def test_swap_in_recovery_adopts_orphans_for_dim_upsert(
@@ -843,26 +852,25 @@ def test_swap_in_crash_recovery_hll_and_scd2(spark, tmp_path, monkeypatch):
 def test_rollup_stream_fold_is_batchid_idempotent(spark, tmp_path):
     """The additive rollup fold must not double-count a replayed
     micro-batch: maintain_rollup_stream wraps merge_rollup in the
-    per-batch-id marker, so re-invoking the fold with an
+    manifest watermark, so re-invoking the fold with an
     already-committed batch id is a no-op (the crash-after-checkpoint
     -uncommitted replay scenario)."""
-    from sparkstreamingproject_spark.streaming.idempotent import (
-        idempotent_foreach_batch)
+    from sparkstreamingproject_spark.streaming.manifest_commit import (
+        manifest_foreach_batch, read_state)
     from sparkstreamingproject_spark.streaming.rollup_maintain import (
         merge_rollup)
 
     table = str(tmp_path / "rollup")
-    fold = idempotent_foreach_batch(
-        lambda b, _id: merge_rollup(b, table),
-        marker_dir=str(tmp_path / "ck" / "_rollup_markers"))
+    fold = manifest_foreach_batch(
+        lambda b, i: merge_rollup(b, table, i), table)
     b = spark.createDataFrame([("1995-01-01", 10.0)],
                               "o_orderdate string, o_totalprice double")
     fold(b, 0)
     fold(b, 0)  # replay of a fully-committed batch: skipped
-    rows = spark.read.parquet(table).collect()
+    rows = read_state(spark, table).collect()
     assert len(rows) == 1 and (rows[0].cents, rows[0].n) == (1000, 1)
     fold(b, 1)  # a NEW batch id still folds
-    rows = spark.read.parquet(table).collect()
+    rows = read_state(spark, table).collect()
     assert (rows[0].cents, rows[0].n) == (2000, 2)
 
 
@@ -915,8 +923,8 @@ def test_histogram_rollup_stream_equals_batch(spark, tmp_path, sf_dir):
     from sparkstreamingproject_spark.sources.streams import file_stream
     from sparkstreamingproject_spark.streaming.histogram_maintain import (
         histogram_rollup_stream, merge_histogram)
-    from sparkstreamingproject_spark.streaming.idempotent import (
-        idempotent_foreach_batch)
+    from sparkstreamingproject_spark.streaming.manifest_commit import (
+        manifest_foreach_batch, read_state)
 
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     land = str(tmp_path / "land")
@@ -928,19 +936,18 @@ def test_histogram_rollup_stream_equals_batch(spark, tmp_path, sf_dir):
         table, str(tmp_path / "ck"))
     q.awaitTermination(180)
 
-    got = {(r.bin): r.n for r in spark.read.parquet(table).collect()}
+    got = {(r.bin): r.n for r in read_state(spark, table).collect()}
     exp = {(r.bin): r.n for r in value_bins(events).collect()}
     assert got == exp  # maintained sketch byte-equal to batch recompute
 
-    # replayed batch id is a no-op
-    fold = idempotent_foreach_batch(
-        lambda b, _id: merge_histogram(b, table),
-        marker_dir=str(tmp_path / "ck2" / "_hist_markers"))
-    fold(events.limit(10), 0)
-    snap = {(r.bin): r.n for r in spark.read.parquet(table).collect()}
-    fold(events.limit(10), 0)  # replay: skipped
+    # replayed batch id is a no-op (watermark after the stream is 2)
+    fold = manifest_foreach_batch(
+        lambda b, i: merge_histogram(b, table, i), table)
+    fold(events.limit(10), 3)
+    snap = {(r.bin): r.n for r in read_state(spark, table).collect()}
+    fold(events.limit(10), 3)  # replay: skipped
     assert {(r.bin): r.n
-            for r in spark.read.parquet(table).collect()} == snap
+            for r in read_state(spark, table).collect()} == snap
 
 
 @pytest.mark.slow
@@ -1049,8 +1056,10 @@ def test_sessionize_stream_equals_batch(spark, tmp_path, sf_dir):
         state, str(tmp_path / "ck_sess"))
     q.awaitTermination(180)
 
+    from sparkstreamingproject_spark.streaming.manifest_commit import (
+        read_state)
     got = {r.user_id: (r.n_sessions, r.n_events, r.max_session_events)
-           for r in session_summary(spark.read.parquet(state)).collect()}
+           for r in session_summary(read_state(spark, state)).collect()}
     exp = {r.user_id: (r.n_sessions, r.n_events, r.max_session_events)
            for r in REGISTRY["events_gap_sessionize"]
            .fn(spark, sf_dir).collect()}
@@ -1062,6 +1071,8 @@ def test_sessionize_merge_semantics(spark, tmp_path):
     coalesce at EXACTLY the gap (strict-> split rule), close past the
     gap, interior batch sessions close immediately, and a
     multi-session batch whose first session absorbs the open one."""
+    from sparkstreamingproject_spark.streaming.manifest_commit import (
+        read_state)
     from sparkstreamingproject_spark.streaming.sessionize_maintain import (
         merge_sessions, session_summary)
 
@@ -1076,7 +1087,7 @@ def test_sessionize_merge_semantics(spark, tmp_path):
         return {r.user_id: (r.n_sessions, r.n_events,
                             r.max_session_events)
                 for r in session_summary(
-                    spark.read.parquet(state)).collect()}
+                    read_state(spark, state)).collect()}
 
     # batch 1 — u1: two in-batch sessions (gap 31 min); u2: one session
     fold([(1, 1, 0), (1, 2, 10 * MIN), (1, 3, 41 * MIN),
@@ -1099,35 +1110,37 @@ def test_sessionize_merge_semantics(spark, tmp_path):
 
 def test_sessionize_fold_is_batchid_idempotent(spark, tmp_path):
     """A replayed fully-committed micro-batch must not re-close or
-    re-count sessions: the fold runs under the per-batch-id marker."""
-    from sparkstreamingproject_spark.streaming.idempotent import (
-        idempotent_foreach_batch)
+    re-count sessions: committed batch ids skip against the manifest
+    watermark."""
+    from sparkstreamingproject_spark.streaming.manifest_commit import (
+        manifest_foreach_batch, read_state)
     from sparkstreamingproject_spark.streaming.sessionize_maintain import (
         merge_sessions, session_summary)
 
     MIN = 60_000_000
     table = str(tmp_path / "sess_idem")
-    fold = idempotent_foreach_batch(
-        lambda b, _id: merge_sessions(b, table),
-        marker_dir=str(tmp_path / "ck" / "_sess_markers"))
+    fold = manifest_foreach_batch(
+        lambda b, i: merge_sessions(b, table, batch_id=i), table)
     b = spark.createDataFrame([(1, 1, 0), (1, 2, 10 * MIN)],
                               "user_id long, event_id long, us long")
     fold(b, 0)
     fold(b, 0)  # replay of a committed batch id: skipped
     got = {r.user_id: (r.n_sessions, r.n_events, r.max_session_events)
-           for r in session_summary(spark.read.parquet(table)).collect()}
+           for r in session_summary(read_state(spark, table)).collect()}
     assert got == {1: (1, 2, 2)}
     # a NEW batch id past the gap closes the open session
     fold(spark.createDataFrame([(1, 3, 100 * MIN)],
                                "user_id long, event_id long, us long"), 1)
     got = {r.user_id: (r.n_sessions, r.n_events, r.max_session_events)
-           for r in session_summary(spark.read.parquet(table)).collect()}
+           for r in session_summary(read_state(spark, table)).collect()}
     assert got == {1: (2, 3, 2)}
 
 
 def test_sessionize_fold_empty_batch_is_noop(spark, tmp_path):
     """Empty micro-batches are routine (trigger with no new files);
     the session fold must leave state untouched."""
+    from sparkstreamingproject_spark.streaming.manifest_commit import (
+        read_state)
     from sparkstreamingproject_spark.streaming.sessionize_maintain import (
         merge_sessions, session_summary)
 
@@ -1136,12 +1149,12 @@ def test_sessionize_fold_empty_batch_is_noop(spark, tmp_path):
     schema = "user_id long, event_id long, us long"
     merge_sessions(spark.createDataFrame(
         [(1, 1, 0), (1, 2, 50 * MIN)], schema), table)
-    before = sorted(map(tuple, spark.read.parquet(table).collect()))
+    before = sorted(map(tuple, read_state(spark, table).collect()))
     merge_sessions(spark.createDataFrame([], schema), table)
-    after = sorted(map(tuple, spark.read.parquet(table).collect()))
+    after = sorted(map(tuple, read_state(spark, table).collect()))
     assert before == after
     got = {r.user_id: (r.n_sessions, r.n_events, r.max_session_events)
-           for r in session_summary(spark.read.parquet(table)).collect()}
+           for r in session_summary(read_state(spark, table)).collect()}
     assert got == {1: (2, 2, 1)}
 
 
@@ -1354,8 +1367,8 @@ def test_ohlc_stream_equals_batch_bars(spark, tmp_path, sf_dir):
     )
     from sparkstreamingproject_spark.queries import REGISTRY
     from sparkstreamingproject_spark.sources.streams import file_stream
-    from sparkstreamingproject_spark.streaming.idempotent import (
-        idempotent_foreach_batch,
+    from sparkstreamingproject_spark.streaming.manifest_commit import (
+        manifest_foreach_batch,
     )
     from sparkstreamingproject_spark.streaming.ohlc_maintain import (
         merge_ohlc, ohlc_stream, read_bars,
@@ -1383,14 +1396,14 @@ def test_ohlc_stream_equals_batch_bars(spark, tmp_path, sf_dir):
            for r in REGISTRY["ts_ohlc_bars"].fn(spark, sf_dir).collect()}
     assert got == exp
 
-    # replayed batch id is a no-op (volume/n_ticks are additive)
-    fold = idempotent_foreach_batch(
-        lambda b, _id: merge_ohlc(b, table),
-        marker_dir=str(tmp_path / "ck2" / "_ohlc_markers"))
+    # replayed batch id is a no-op (volume/n_ticks are additive);
+    # the stream left the watermark at 2, so use a fresh higher id
+    fold = manifest_foreach_batch(
+        lambda b, i: merge_ohlc(b, table, i), table)
     extra = ticks.limit(20)
-    fold(extra, 0)
+    fold(extra, 3)
     snap = sorted(map(tuple, read_bars(spark, table).collect()))
-    fold(extra, 0)  # replay: skipped by the marker
+    fold(extra, 3)  # replay: skipped by the watermark
     assert sorted(map(tuple, read_bars(spark, table).collect())) == snap
 
 
@@ -1500,18 +1513,17 @@ def test_swap_in_crash_recovery_kmv(spark, tmp_path, monkeypatch):
     assert got == exp
 
 
-def test_swap_in_crash_recovery_ohlc(spark, tmp_path, monkeypatch):
-    """The OHLC bar fold must survive a crash between the two swap
-    renames (VERDICT r07 §next 5): state recovered from the .old-*
-    aside, the replayed batch re-merges, and the final bars equal the
-    batch-recomputed bars of all ticks — the min/max-by fold joins the
-    rollup/HLL/SCD2/KMV folds under the same crash protocol."""
+def test_manifest_crash_recovery_ohlc(spark, tmp_path, monkeypatch):
+    """The OHLC bar fold must survive a crash INSIDE the commit (new
+    version written, manifest replace fails): the crashed merge is
+    invisible, the replayed batch re-merges the pre-merge state, and
+    the final bars equal the batch-recomputed bars of all ticks."""
     import datetime as _dt
     import os as _os
 
     from sparkstreamingproject_spark.queries.analytics27 import (
         finalize_bars, tick_bars)
-    from sparkstreamingproject_spark.streaming import statestore
+    from sparkstreamingproject_spark.streaming import manifest_commit
     from sparkstreamingproject_spark.streaming.ohlc_maintain import (
         merge_ohlc, read_bars)
 
@@ -1527,24 +1539,22 @@ def test_swap_in_crash_recovery_ohlc(spark, tmp_path, monkeypatch):
          ("B2", 1, 1500, 7, (d(1995, 1, 10), 5, 1)),
          ("B3", 2, 700, 4, (d(1995, 1, 20), 6, 1))], sch)
     table = str(tmp_path / "ohlc")
-    merge_ohlc(b1, table)
+    merge_ohlc(b1, table, batch_id=0)
 
-    real = _os.rename
-    calls = {"n": 0}
+    real = _os.replace
 
-    def flaky(src, dst):
-        calls["n"] += 1
-        if calls["n"] == 2:
-            raise OSError("injected")
-        real(src, dst)
+    def crashing(src, dst):
+        raise OSError("injected")
 
-    monkeypatch.setattr(statestore.os, "rename", flaky)
+    monkeypatch.setattr(manifest_commit.os, "replace", crashing)
     with pytest.raises(OSError, match="injected"):
-        merge_ohlc(b2, table)
-    monkeypatch.setattr(statestore.os, "rename", real)
-    assert not _os.path.isdir(table)  # mid-swap layout, not a live table
+        merge_ohlc(b2, table, batch_id=1)
+    monkeypatch.setattr(manifest_commit.os, "replace", real)
+    # the crashed merge is invisible: state still equals batch-1 bars
+    assert sorted(map(tuple, read_bars(spark, table).collect())) == \
+        sorted(map(tuple, finalize_bars(tick_bars(b1)).collect()))
 
-    merge_ohlc(b2, table)  # replay
+    merge_ohlc(b2, table, batch_id=1)  # replay
     got = sorted(map(tuple, read_bars(spark, table).collect()))
     exp = sorted(map(tuple, finalize_bars(
         tick_bars(b1.unionByName(b2))).collect()))
@@ -1555,16 +1565,20 @@ def test_swap_in_crash_recovery_ohlc(spark, tmp_path, monkeypatch):
     assert (b1bar[2], b1bar[3]) == (1000, 800)
 
 
-def test_swap_in_crash_recovery_histogram(spark, tmp_path, monkeypatch):
-    """The additive histogram fold must survive a crash between the two
-    swap renames: recovery adopts the .old-* state, the replayed batch
-    re-adds exactly once, and bin counts equal the batch histogram."""
+def test_manifest_crash_recovery_histogram(spark, tmp_path, monkeypatch):
+    """The additive histogram fold must survive a crash INSIDE the
+    commit: the crashed merge is invisible (bin counts still equal
+    batch 1 alone — the exact state the old marker protocol would
+    have double-counted from), the replayed batch re-adds exactly
+    once, and the final counts equal the batch histogram."""
     import os as _os
 
     from sparkstreamingproject_spark.queries.sketches2 import value_bins
-    from sparkstreamingproject_spark.streaming import statestore
+    from sparkstreamingproject_spark.streaming import manifest_commit
     from sparkstreamingproject_spark.streaming.histogram_maintain import (
         merge_histogram)
+    from sparkstreamingproject_spark.streaming.manifest_commit import (
+        read_state)
 
     sch = "value double"
     b1 = spark.createDataFrame([(float(v),) for v in range(0, 300, 10)],
@@ -1572,38 +1586,39 @@ def test_swap_in_crash_recovery_histogram(spark, tmp_path, monkeypatch):
     b2 = spark.createDataFrame([(float(v),) for v in range(5, 500, 7)],
                                sch)
     table = str(tmp_path / "hist")
-    merge_histogram(b1, table)
+    merge_histogram(b1, table, batch_id=0)
 
-    real = _os.rename
-    calls = {"n": 0}
+    real = _os.replace
 
-    def flaky(src, dst):
-        calls["n"] += 1
-        if calls["n"] == 2:
-            raise OSError("injected")
-        real(src, dst)
+    def crashing(src, dst):
+        raise OSError("injected")
 
-    monkeypatch.setattr(statestore.os, "rename", flaky)
+    monkeypatch.setattr(manifest_commit.os, "replace", crashing)
     with pytest.raises(OSError, match="injected"):
-        merge_histogram(b2, table)
-    monkeypatch.setattr(statestore.os, "rename", real)
-    assert not _os.path.isdir(table)
+        merge_histogram(b2, table, batch_id=1)
+    monkeypatch.setattr(manifest_commit.os, "replace", real)
+    # invisible: state is exactly the batch-1 histogram
+    got = {(r.bin, r.n) for r in read_state(spark, table).collect()}
+    assert got == {(r.bin, r.n) for r in value_bins(b1).collect()}
 
-    merge_histogram(b2, table)  # replay
-    got = {(r.bin, r.n) for r in spark.read.parquet(table).collect()}
+    merge_histogram(b2, table, batch_id=1)  # replay
+    got = {(r.bin, r.n) for r in read_state(spark, table).collect()}
     exp = {(r.bin, r.n)
            for r in value_bins(b1.unionByName(b2)).collect()}
     assert got == exp
 
 
-def test_swap_in_crash_recovery_sessionize(spark, tmp_path, monkeypatch):
-    """The session-coalescing fold must survive a crash between the two
-    swap renames: the open-session state is recovered from the .old-*
-    aside and the replayed batch coalesces/closes exactly as an
-    uninterrupted control run does."""
+def test_manifest_crash_recovery_sessionize(spark, tmp_path, monkeypatch):
+    """The session-coalescing fold must survive a crash INSIDE the
+    commit: the crashed merge is invisible and the replayed batch
+    coalesces/closes exactly as an uninterrupted control run does —
+    re-closing a session (the old protocol's double-count mode) cannot
+    happen because the watermark and the state move together."""
     import os as _os
 
-    from sparkstreamingproject_spark.streaming import statestore
+    from sparkstreamingproject_spark.streaming import manifest_commit
+    from sparkstreamingproject_spark.streaming.manifest_commit import (
+        read_state)
     from sparkstreamingproject_spark.streaming.sessionize_maintain import (
         merge_sessions, session_summary)
 
@@ -1620,35 +1635,32 @@ def test_swap_in_crash_recovery_sessionize(spark, tmp_path, monkeypatch):
 
     table = str(tmp_path / "sess_crash")
     control = str(tmp_path / "sess_control")
-    merge_sessions(b1, table)
-    merge_sessions(b1, control)
-    merge_sessions(b2, control)
+    merge_sessions(b1, table, batch_id=0)
+    merge_sessions(b1, control, batch_id=0)
+    merge_sessions(b2, control, batch_id=1)
 
-    real = _os.rename
-    calls = {"n": 0}
+    real = _os.replace
 
-    def flaky(src, dst):
-        calls["n"] += 1
-        if calls["n"] == 2:
-            raise OSError("injected")
-        real(src, dst)
-
-    monkeypatch.setattr(statestore.os, "rename", flaky)
-    with pytest.raises(OSError, match="injected"):
-        merge_sessions(b2, table)
-    monkeypatch.setattr(statestore.os, "rename", real)
-    assert not _os.path.isdir(table)
-
-    merge_sessions(b2, table)  # replay
+    def crashing(src, dst):
+        raise OSError("injected")
 
     def summ(path):
         return {r.user_id: tuple(r)[1:] for r in session_summary(
-            spark.read.parquet(path)).collect()}
+            read_state(spark, path)).collect()}
+
+    pre = summ(table)
+    monkeypatch.setattr(manifest_commit.os, "replace", crashing)
+    with pytest.raises(OSError, match="injected"):
+        merge_sessions(b2, table, batch_id=1)
+    monkeypatch.setattr(manifest_commit.os, "replace", real)
+    assert summ(table) == pre  # crashed merge invisible
+
+    merge_sessions(b2, table, batch_id=1)  # replay
 
     assert summ(table) == summ(control)
     # and the coalesce-at-exactly-the-gap semantics held across the
     # crash: u1 still has 2 sessions, 4 events
-    s1 = session_summary(spark.read.parquet(table)).filter(
+    s1 = session_summary(read_state(spark, table)).filter(
         F.col("user_id") == 1).collect()[0]
     assert (s1.n_sessions, s1.n_events) == (2, 4)
 
@@ -1666,11 +1678,13 @@ def test_trending_fold_matches_decay_formula(spark, tmp_path):
         [("a",)] * 1 + [("c",)] * 4,
         [("b",)] * 5,
     ]
+    from sparkstreamingproject_spark.streaming.manifest_commit import (
+        read_state)
     table = str(tmp_path / "trend")
     for rows in batches:
         merge_trending(spark.createDataFrame(rows, sch), table)
 
-    got = {r.k: r.w for r in spark.read.parquet(table).collect()}
+    got = {r.k: r.w for r in read_state(spark, table).collect()}
     # replay the formula in python: state = state//2 + counts
     exp: dict = {}
     for rows in batches:
@@ -1688,6 +1702,8 @@ def test_trending_fold_matches_decay_formula(spark, tmp_path):
 def test_trending_fold_decays_stale_keys_out(spark, tmp_path):
     """A key untouched for enough batches decays to zero and leaves
     the state entirely — the bounded-state property."""
+    from sparkstreamingproject_spark.streaming.manifest_commit import (
+        read_state)
     from sparkstreamingproject_spark.streaming.trending_maintain import (
         merge_trending)
 
@@ -1696,17 +1712,21 @@ def test_trending_fold_decays_stale_keys_out(spark, tmp_path):
     merge_trending(spark.createDataFrame([("old",)] * 3, sch), table)
     for _ in range(3):  # 3 >> 1 -> 1 -> 0: gone after three halvings
         merge_trending(spark.createDataFrame([("new",)], sch), table)
-    keys = {r.k for r in spark.read.parquet(table).collect()}
+    keys = {r.k for r in read_state(spark, table).collect()}
     assert keys == {"new"}
 
 
-def test_swap_in_crash_recovery_trending(spark, tmp_path, monkeypatch):
-    """The decayed fold survives a crash between the two swap renames:
-    state recovered from the .old-* aside, the replayed batch re-folds
-    exactly once (same protocol as the other six maintained folds)."""
+def test_manifest_crash_recovery_trending(spark, tmp_path, monkeypatch):
+    """The decayed fold survives a crash INSIDE the commit: the
+    crashed merge (which would have HALVED every weight — the most
+    dangerous replay mode, since re-halving is lossy) is invisible,
+    and the replayed batch re-folds exactly once, matching an
+    uninterrupted control run."""
     import os as _os
 
-    from sparkstreamingproject_spark.streaming import statestore
+    from sparkstreamingproject_spark.streaming import manifest_commit
+    from sparkstreamingproject_spark.streaming.manifest_commit import (
+        read_state)
     from sparkstreamingproject_spark.streaming.trending_maintain import (
         merge_trending)
 
@@ -1715,28 +1735,26 @@ def test_swap_in_crash_recovery_trending(spark, tmp_path, monkeypatch):
     b2 = [("a",)] * 2 + [("c",)] * 3
     table = str(tmp_path / "trend_crash")
     control = str(tmp_path / "trend_ctrl")
-    merge_trending(spark.createDataFrame(b1, sch), table)
-    merge_trending(spark.createDataFrame(b1, sch), control)
-    merge_trending(spark.createDataFrame(b2, sch), control)
+    merge_trending(spark.createDataFrame(b1, sch), table, batch_id=0)
+    merge_trending(spark.createDataFrame(b1, sch), control, batch_id=0)
+    merge_trending(spark.createDataFrame(b2, sch), control, batch_id=1)
 
-    real = _os.rename
-    calls = {"n": 0}
+    real = _os.replace
 
-    def flaky(src, dst):
-        calls["n"] += 1
-        if calls["n"] == 2:
-            raise OSError("injected")
-        real(src, dst)
+    def crashing(src, dst):
+        raise OSError("injected")
 
-    monkeypatch.setattr(statestore.os, "rename", flaky)
+    pre = {r.k: r.w for r in read_state(spark, table).collect()}
+    monkeypatch.setattr(manifest_commit.os, "replace", crashing)
     with pytest.raises(OSError, match="injected"):
-        merge_trending(spark.createDataFrame(b2, sch), table)
-    monkeypatch.setattr(statestore.os, "rename", real)
-    assert not _os.path.isdir(table)
+        merge_trending(spark.createDataFrame(b2, sch), table, batch_id=1)
+    monkeypatch.setattr(manifest_commit.os, "replace", real)
+    assert {r.k: r.w for r in read_state(spark, table).collect()} == pre
 
-    merge_trending(spark.createDataFrame(b2, sch), table)  # replay
-    got = {r.k: r.w for r in spark.read.parquet(table).collect()}
-    exp = {r.k: r.w for r in spark.read.parquet(control).collect()}
+    merge_trending(spark.createDataFrame(b2, sch), table,
+                   batch_id=1)  # replay
+    got = {r.k: r.w for r in read_state(spark, table).collect()}
+    exp = {r.k: r.w for r in read_state(spark, control).collect()}
     assert got == exp
 
 
@@ -1776,8 +1794,10 @@ def test_trending_stream_equals_batched_folds(spark, tmp_path):
     for rows in chunks:
         merge_trending(spark.createDataFrame(rows, "event_type string"),
                        control)
-    got = {r.k: r.w for r in spark.read.parquet(table).collect()}
-    exp = {r.k: r.w for r in spark.read.parquet(control).collect()}
+    from sparkstreamingproject_spark.streaming.manifest_commit import (
+        read_state)
+    got = {r.k: r.w for r in read_state(spark, table).collect()}
+    exp = {r.k: r.w for r in read_state(spark, control).collect()}
     assert got == exp
 
 
