@@ -461,3 +461,140 @@ def text_bitext_mining_margin(spark, sf_dir):
             .filter(F.col("rn") == 1)
             .select(F.col("sid").alias("src_id"),
                     F.col("tid").alias("tgt_id"), "cosine", "margin"))
+
+
+# ------------------------------------- LSH banding S-curve tuning
+
+_BT_CONFIGS = [(8, 1), (4, 2), (2, 4), (1, 8)]  # (bands, rows/band)
+_BT_MIN_J = 0.2
+# theoretical detection probability at each Jaccard-bucket midpoint,
+# computed ONCE here so both engines consume identical double literals
+_BT_THEORY = [
+    (b, r, k, round(1.0 - (1.0 - ((k + 0.5) / 5.0) ** r) ** b, 6))
+    for (b, r) in _BT_CONFIGS for k in range(1, 5)
+]
+
+
+def _band_tuning_oracle() -> str:
+    from .llm import MINHASH_CTE
+    from ..llm import dedup as DD
+    parts = [f"WITH {MINHASH_CTE},"]
+    parts.append("""
+    capped AS (
+      SELECT shingle FROM shingles GROUP BY shingle HAVING count(*) <= 50),
+    sh2 AS (SELECT s.doc_id, s.shingle FROM shingles s
+            JOIN capped USING (shingle)),
+    cnt AS (SELECT doc_id, count(*) AS c FROM sh2 GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh2 a JOIN sh2 b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    jp AS (
+      SELECT id_a, id_b,
+             CAST(least(floor(round(i * 1.0 / (ca.c + cb.c - i), 6) * 5),
+                        4) AS INT) AS j_bucket
+      FROM inter
+      JOIN cnt ca ON ca.doc_id = id_a
+      JOIN cnt cb ON cb.doc_id = id_b
+      WHERE round(i * 1.0 / (ca.c + cb.c - i), 6) >= """
+                 + f"{_BT_MIN_J}),")
+    cfg_selects = []
+    for b, r in _BT_CONFIGS:
+        keys = "\n      UNION ALL\n".join(
+            f"      SELECT doc_id, {i} AS band, "
+            + " || ".join(f"h{i * r + j}" for j in range(r))
+            + " AS key FROM sig"
+            for i in range(b))
+        parts.append(f"""
+    k{b} AS (
+{keys}),
+    d{b} AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b, 1 AS hit
+      FROM k{b} x JOIN k{b} y
+        ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),""")
+        cfg_selects.append(
+            f"""    SELECT {b} AS bands, {r} AS rows_per_band, jp.j_bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(d.hit) AS BIGINT) AS n_detected
+    FROM jp LEFT JOIN d{b} d
+      ON d.id_a = jp.id_a AND d.id_b = jp.id_b
+    GROUP BY 3""")
+    theory_rows = ", ".join(f"({b}, {r}, {k}, {v!r})"
+                            for b, r, k, v in _BT_THEORY)
+    parts.append(f"""
+    cfg AS (
+{" UNION ALL ".join(cfg_selects)}),
+    tv(bands, rows_per_band, j_bucket, theory_rate) AS (
+      VALUES {theory_rows})
+    SELECT c.bands, c.rows_per_band, c.j_bucket, c.n_pairs, c.n_detected,
+           round(c.n_detected * 1.0 / c.n_pairs, 4) AS detect_rate,
+           t.theory_rate
+    FROM cfg c JOIN tv t
+      ON t.bands = c.bands AND t.j_bucket = c.j_bucket""")
+    assert DD.N_MINHASH == 8  # the config set enumerates 8's divisors
+    return "".join(parts)
+
+
+@register(
+    "dedup_lsh_band_tuning",
+    oracle=_band_tuning_oracle(),
+    tags=("llm", "dedup", "eval"),
+)
+def dedup_lsh_band_tuning(spark, sf_dir):
+    """The LSH (bands, rows) S-curve, measured on the corpus itself —
+    THE tuning analysis run before deploying MinHash dedup at scale:
+    for every banding of the 8-hash signature ((8,1) (4,2) (2,4)
+    (1,8)), the empirical detection rate of true pairs per Jaccard
+    bucket, next to the theoretical 1-(1-s^r)^b at the bucket
+    midpoint. More bands = catch lower similarities (left-shifted
+    S-curve) at the cost of more false candidates; the table makes
+    the trade measurable instead of folklore.
+
+    Truth pairs come from the capped exact-Jaccard kernel (the
+    `dedup_ngram_jaccard` discipline — stop-shingles dropped before
+    pair generation); detection pairs from the standard uncapped
+    signature index, exactly what `dedup_minhash_lsh` deploys, so the
+    measured rate is the production pipeline's real recall. One
+    signature pass feeds all four configs (band keys are column
+    concatenations of the same 8 mins); per config the candidate set
+    is posting-list pairs — one shuffle each, never all-pairs.
+    Integer counts make every rate a ratio of longs; the theory
+    column is a shared Python-computed literal."""
+    from ..llm import dedup as DD
+    docs = table(spark, sf_dir, "documents")
+    truth = (DD.jaccard_pairs(docs, threshold=_BT_MIN_J, max_postings=50)
+             .select("id_a", "id_b",
+                     F.least(F.floor(F.col("jaccard") * 5), F.lit(4))
+                     .cast("int").alias("j_bucket"))
+             .localCheckpoint())  # feeds all four config joins
+    sig = DD.minhash_signatures(docs).localCheckpoint()
+    out = None
+    for b, r in _BT_CONFIGS:
+        band_structs = F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.concat(*[F.col(f"h{i * r + j}") for j in range(r)])
+                     .alias("key"))
+            for i in range(b)])
+        keys = (sig.select("doc_id", F.explode(band_structs).alias("bk"))
+                .select("doc_id", "bk.band", "bk.key"))
+        det = (DD.pairs_from_postings(keys, ["band", "key"], "doc_id")
+               .distinct().withColumn("hit", F.lit(1)))
+        agg = (truth.join(det, ["id_a", "id_b"], "left")
+               .groupBy("j_bucket")
+               .agg(F.count("*").cast("long").alias("n_pairs"),
+                    F.count("hit").cast("long").alias("n_detected"))
+               .select(F.lit(b).cast("int").alias("bands"),
+                       F.lit(r).cast("int").alias("rows_per_band"),
+                       "j_bucket", "n_pairs", "n_detected"))
+        out = agg if out is None else out.unionByName(agg)
+    theory = spark.createDataFrame(
+        _BT_THEORY, "bands int, rows_per_band int, j_bucket int, "
+                    "theory_rate double")
+    return (out.join(F.broadcast(theory),
+                     ["bands", "rows_per_band", "j_bucket"])
+            .select("bands", "rows_per_band", "j_bucket", "n_pairs",
+                    "n_detected",
+                    F.round(F.col("n_detected") / F.col("n_pairs"), 4)
+                    .alias("detect_rate"),
+                    "theory_rate"))

@@ -133,7 +133,7 @@ _KEEPERS = [
     # round-12 additions (r13 window candidates)
     "dedup_semantic_cells_scaled", "dedup_semantic_multiprobe",
     "sim_ann_hierarchical_cells", "text_tokenizer_fertility_by_lang",
-    "text_bitext_mining_margin",
+    "text_bitext_mining_margin", "dedup_lsh_band_tuning",
 ]
 
 _seen: set[str] = set()
