@@ -1,8 +1,10 @@
 """Crash-safe atomic swap for parquet-backed state tables.
 
-``dim_upsert`` / ``rollup_maintain`` / ``hll_maintain`` keep small
-state relations (dim versions, daily rollups, HLL registers) as plain
-parquet directories and replace them wholesale per micro-batch. The
+``dim_upsert`` / ``hll_maintain`` / ``kmv_maintain`` /
+``retention_maintain`` keep small state relations (dim versions, HLL
+registers, bottom-k samples, bitmaps — all replay-idempotent merges)
+as plain parquet directories and replace them wholesale per
+micro-batch. The
 naive swap — write tmp, ``rmtree(table_dir)``, ``rename(tmp,
 table_dir)`` — has a crash window between the rmtree and the rename
 where NO table exists: on foreachBatch replay (the batch never
