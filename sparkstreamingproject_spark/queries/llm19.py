@@ -598,3 +598,96 @@ def dedup_lsh_band_tuning(spark, sf_dir):
                     F.round(F.col("n_detected") / F.col("n_pairs"), 4)
                     .alias("detect_rate"),
                     "theory_rate"))
+
+
+# ------------------------------------- in-batch negative sampling
+
+_NEG_MOD = 20   # every 20th doc is an anchor
+_NEG_K = 4      # negatives per anchor
+
+
+def _negatives_oracle() -> str:
+    from .llm import MINHASH_CTE, _BAND_SELECTS
+    return f"""
+    WITH {MINHASH_CTE},
+    bands AS (
+{_BAND_SELECTS}),
+    near AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    anchors AS (
+      SELECT doc_id AS query_id, md5(text) AS qh FROM documents
+      WHERE doc_id % {_NEG_MOD} = 0),
+    pool AS (SELECT doc_id AS neg_id, md5(text) AS nh FROM documents),
+    cand AS (
+      SELECT a.query_id, p.neg_id,
+             md5(CAST(a.query_id AS VARCHAR) || '-'
+                 || CAST(p.neg_id AS VARCHAR)) AS draw
+      FROM anchors a CROSS JOIN pool p
+      WHERE p.neg_id != a.query_id AND p.nh != a.qh
+        AND NOT EXISTS (
+          SELECT 1 FROM near n
+          WHERE (n.id_a = least(a.query_id, p.neg_id)
+                 AND n.id_b = greatest(a.query_id, p.neg_id))))
+    SELECT query_id, neg_id, CAST(rn AS INT) AS rank FROM (
+      SELECT query_id, neg_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY draw, neg_id) AS rn
+      FROM cand) WHERE rn <= {_NEG_K}
+    """
+
+
+@register(
+    "sample_inbatch_negatives",
+    oracle=_negatives_oracle(),
+    tags=("llm", "sample", "similarity"),
+)
+def sample_inbatch_negatives(spark, sf_dir):
+    """Deterministic negative sampling for contrastive training
+    (DPR/CLIP-style): every anchor document draws K pseudo-random
+    negatives from the corpus, EXCLUDING itself, exact duplicates
+    (same content hash), and LSH near-dup candidates — the standard
+    false-negative guard (a paraphrase of the anchor must never be
+    labeled negative, or the contrastive loss pushes apart true
+    positives). The draw is md5(query_id ‖ '-' ‖ neg_id): a
+    deterministic per-pair coin, so the sample is reproducible across
+    engines, runs, and partitionings — no RNG state anywhere.
+
+    Scale shape: the anchor set is a modulus slice (1/{mod} of the
+    corpus); the candidate stage here is anchors × corpus (broadcast
+    nested loop over the bench corpus — the exact anchor); at 100 TB
+    the draw's uniformity lets the cross join collapse to a
+    hash-bucket equi-join (precompute bucket = first hex of draw per
+    (anchor-salt, doc) and probe only the first few buckets per
+    anchor — each holds 1/16 of the corpus, and the K smallest draws
+    land in the smallest non-empty buckets with overwhelming
+    probability). The near-dup exclusion reuses the deployed LSH band
+    index (`dedup_minhash_lsh`) as an anti-join — no extra index.
+    cites: SURVEY.md §2 extension list (similarity/curation family).
+    """
+    from ..llm import dedup as DD
+    docs = table(spark, sf_dir, "documents")
+    near = (DD.lsh_candidate_pairs(docs)
+            .select("id_a", "id_b"))
+    anchors = (docs.filter(F.col("doc_id") % _NEG_MOD == 0)
+               .select(F.col("doc_id").alias("query_id"),
+                       F.md5("text").alias("qh")))
+    pool = docs.select(F.col("doc_id").alias("neg_id"),
+                       F.md5("text").alias("nh"))
+    cand = (pool.crossJoin(F.broadcast(anchors))
+            .filter((F.col("neg_id") != F.col("query_id"))
+                    & (F.col("nh") != F.col("qh")))
+            .select("query_id", "neg_id",
+                    F.md5(F.concat(F.col("query_id").cast("string"),
+                                   F.lit("-"),
+                                   F.col("neg_id").cast("string")))
+                    .alias("draw"),
+                    F.least("query_id", "neg_id").alias("id_a"),
+                    F.greatest("query_id", "neg_id").alias("id_b")))
+    cand = cand.join(near, ["id_a", "id_b"], "left_anti")
+    w = Window.partitionBy("query_id").orderBy("draw", "neg_id")
+    return (cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _NEG_K)
+            .select("query_id", "neg_id",
+                    F.col("rn").cast("int").alias("rank")))

@@ -134,6 +134,7 @@ _KEEPERS = [
     "dedup_semantic_cells_scaled", "dedup_semantic_multiprobe",
     "sim_ann_hierarchical_cells", "text_tokenizer_fertility_by_lang",
     "text_bitext_mining_margin", "dedup_lsh_band_tuning",
+    "sample_inbatch_negatives",
 ]
 
 _seen: set[str] = set()
