@@ -5,6 +5,16 @@ on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 
 Each query is collected (or counted, for large results) so the full
 plan executes; per-query wall time includes planning + execution.
+
+Quiet-artifact protocol (VERDICT r12 §next 5): the shared host's ±40%
+wall-clock band dominates single-pass cross-round comparisons, so the
+per-round QUIET artifact (scripts/bench_rNN_quiet.json) is recorded
+with ``SPARK_GRAFT_BENCH_REPEATS=3`` — each query timed three times,
+the MIN kept (the noise floor; min is the standard pick for
+throughput floors since interference is strictly additive). The
+driver's per-round run keeps the default single pass so BENCH_rNN
+stays protocol-identical to the frozen r01 pin; regression judgments
+follow BASELINE.md's rule (quiet runs only, min-of-3).
 """
 
 from __future__ import annotations
@@ -188,14 +198,18 @@ def main() -> None:
     (spark.range(n_cores * 4, numPartitions=n_cores * 4)
      .mapInPandas(_warm, "id long").count())
 
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1")))
+
+    def _timed(fn) -> float:
+        t0 = time.perf_counter()
+        rows = fn(spark, SF_DIR).collect()  # full execution to driver
+        assert rows is not None
+        return round(time.perf_counter() - t0, 3)
+
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        rows = df.collect()  # one full execution, result to driver
-        assert rows is not None
-        times[name] = round(time.perf_counter() - t0, 3)
+        times[name] = min(_timed(fn) for _ in range(repeats))
 
     # non-gating sidecar: the newest heavy operator families, timed so
     # a scale regression is visible BEFORE one ever enters a headline
@@ -210,13 +224,14 @@ def main() -> None:
     from sparkstreamingproject_spark.session import drain_cleaner
     sidecar: dict[str, float] = {}
     for name in SIDECAR:
-        drain_cleaner(spark, wait_s=float(
-            os.environ.get("SPARK_GRAFT_SIDECAR_DRAIN_S", "5")))
         fn = REGISTRY[name].fn
-        t0 = time.perf_counter()
-        rows = fn(spark, SF_DIR).collect()
-        assert rows is not None
-        sidecar[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(repeats):
+            drain_cleaner(spark, wait_s=float(
+                os.environ.get("SPARK_GRAFT_SIDECAR_DRAIN_S", "5")))
+            t = _timed(fn)
+            best = t if best is None else min(best, t)
+        sidecar[name] = best
 
     total = round(sum(times.values()), 3)
     # kernel-decision record for the embedding near-dup size guard
@@ -256,13 +271,16 @@ def main() -> None:
         "cosine_kernel": dict(_sim.last_kernel_decision),
     }))
     spark.stop()
-    print(json.dumps({
+    final = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    if repeats > 1:  # quiet-artifact protocol marker (min-of-N)
+        final["repeats"] = repeats
+    print(json.dumps(final))
 
 
 if __name__ == "__main__":

@@ -68,6 +68,14 @@ KERNELS = [
     # r12 wave 2: the two-level assignment tree — its curve is the
     # n·(k1+k2) assignment claim measured.
     "sim_ann_hierarchical_cells",
+    # r13 (VERDICT r12 §next 4): the heaviest sidecar. The registered
+    # anchor pins k=SEM_K, so its pair stage is ~4× the pinned-cells
+    # (n/8)² quadratic — measured to DOCUMENT the anchor's curve; the
+    # `_scaled` variant (k ∝ n, same contract as semantic_cells_scaled)
+    # is the production shape whose curve should read ≈2× the
+    # single-probe `_scaled` row.
+    "dedup_semantic_multiprobe",
+    "dedup_semantic_multiprobe_scaled",
 ]
 
 SFS = [("0.01", "/root/testdata/sf0.01"),

@@ -434,10 +434,50 @@ _ROUND12_WINDOW = [
     "q10_returned_items",
 ]
 
+# Round-13 driver window (VERDICT r12 §next 1):
+#  - 0-6: the 7 round-12 additions — the only registered queries with
+#    no driver CORRECTNESS row (registered after the r12 window was
+#    pinned; all parity-green in the r12 close gate AND in the judge's
+#    independent 7/7 run). Certifying them closes the ledger at
+#    458/458 driver-certified — the first 100% round.
+#  - 7-49: staleness re-checks, oldest `last driver check` first —
+#    the 21 remaining r02-certified rows, then the first 22 of the
+#    r03 cohort in registry order.
+# Pre-flight: parity at sf0.001/0.01/0.1 under TZ=America/New_York +
+# hostile partitioning (tests/test_partitioning_robustness.py).
+_ROUND13_WINDOW = [
+    # 0-6: round-12 additions, never driver-checked (registry order)
+    "dedup_semantic_cells_scaled", "dedup_semantic_multiprobe",
+    "sim_ann_hierarchical_cells", "text_tokenizer_fertility_by_lang",
+    "text_bitext_mining_margin", "dedup_lsh_band_tuning",
+    "sample_inbatch_negatives",
+    # 7-27: the last r02-certified rows (oldest, registry order)
+    "q14_promo_share", "q18_large_volume_customers",
+    "q19_disjunctive_predicates", "q6_forecast_revenue",
+    "q2_best_supplier_per_part", "q8_market_share",
+    "q11_important_stock_value", "q12_priority_by_status",
+    "q13_customer_order_distribution", "q15_top_supplier",
+    "q16_supplier_count_by_part", "q17_small_quantity_revenue",
+    "q20_excess_shippers", "q22_idle_rich_customers",
+    "sketch_kmv_distinct", "sample_hash_bernoulli",
+    "sample_stratified_hash", "split_train_val_test",
+    "text_chunk_windows", "zorder_layout_key", "sketch_cms_frequency",
+    # 28-49: oldest r03-certified rows, registry order
+    "json_parse_corrupt_routing", "ts_resample_ffill",
+    "ts_multi_grain_rollup", "sql_entrypoint_correlated",
+    "scalar_subquery_filter", "window_percent_ntile",
+    "agg_grouping_sets", "agg_filtered_conditional", "string_functions",
+    "date_functions", "agg_median_percentiles", "agg_pivot",
+    "null_functions", "q4_order_priority_exists", "sketch_hll_per_group",
+    "sample_weighted_systematic", "string_levenshtein_pairs",
+    "window_range_30d_revenue", "window_first_last_nth",
+    "join_salted_skew", "unpivot_measures", "gaps_islands_orderkeys",
+]
+
 # Round-agnostic alias — scripts/gen_ledger.py and any other tooling
 # read THIS name so a window rename can never silently zero the ledger
 # (ADVICE r09 item 2).
-_CURRENT_WINDOW = _ROUND12_WINDOW
+_CURRENT_WINDOW = _ROUND13_WINDOW
 
 
 def _reorder() -> None:

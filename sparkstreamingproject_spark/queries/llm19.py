@@ -24,21 +24,24 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .base import register, table
-from .llm15 import SEM_ITER, SEM_K, SEM_THRESHOLD, _lloyd_chain
+from .llm15 import (SEM_ITER, SEM_K, SEM_TARGET, SEM_THRESHOLD,
+                    _lloyd_chain)
 
 # ------------------------------------- multi-probe boundary recovery
 
 
 def _multiprobe_oracle(k: int = SEM_K, n_iter: int = SEM_ITER,
-                       threshold: float = SEM_THRESHOLD) -> str:
+                       threshold: float = SEM_THRESHOLD,
+                       k_sql: str | None = None,
+                       pre_cte: str = "") -> str:
     chain, prev = _lloyd_chain(n_iter)
     return f"""
     WITH pts AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    c0 AS (
+    {pre_cte}c0 AS (
       SELECT vec_id AS cell,
              list_transform(v, x -> round(x, 6)) AS cv
-      FROM pts WHERE vec_id < {k}),
+      FROM pts WHERE vec_id < {k_sql if k_sql is not None else k}),
     {chain},
     top2 AS (
       SELECT vec_id, v, cell, rn FROM (
@@ -83,12 +86,20 @@ def dedup_semantic_multiprobe(spark, sf_dir):
     single-probe work with bounded cells. Candidate pairs sharing
     both cells are generated twice and collapsed by an exact
     DISTINCT on the pair key — cosine is a deterministic 4dp value,
-    so the collapse is lossless."""
+    so the collapse is lossless.
+
+    Like `dedup_semantic_cells`, this PINNED-k registration is the
+    oracle anchor; `dedup_semantic_multiprobe_scaled` below is the
+    production (k ∝ n) shape whose pair stage stays ~4×-of-linear."""
+    return _multiprobe(spark, sf_dir, SEM_K)
+
+
+def _multiprobe(spark, sf_dir, k: int):
     from ..llm.similarity import cosine_similarity, kmeans_centroids
     emb = table(spark, sf_dir, "embeddings")
     pts = emb.select("vec_id",
                      F.col("embedding").cast("array<double>").alias("v"))
-    cents = kmeans_centroids(emb, k=SEM_K, n_iter=SEM_ITER)
+    cents = kmeans_centroids(emb, k=k, n_iter=SEM_ITER)
     scored = (pts.crossJoin(F.broadcast(cents))
               .select("vec_id", "v", "cell",
                       F.round(cosine_similarity("v", "cv"), 6)
@@ -121,6 +132,33 @@ def dedup_semantic_multiprobe(spark, sf_dir):
                     .alias("cross_cell")))
 
 
+@register(
+    "dedup_semantic_multiprobe_scaled",
+    oracle=_multiprobe_oracle(
+        k_sql="(SELECT k FROM kp)",
+        pre_cte=(f"kp AS (SELECT greatest({SEM_K}, CAST(ceil("
+                 f"count(*) / {float(SEM_TARGET)!r}) AS BIGINT)) AS k "
+                 "FROM pts),\n    ")),
+    tags=("llm", "dedup", "similarity", "scale"),
+)
+def dedup_semantic_multiprobe_scaled(spark, sf_dir):
+    """Multi-probe boundary recovery at the 100 TB shape: the SAME
+    k ∝ n contract as `dedup_semantic_cells_scaled` (k = max(SEM_K,
+    ⌈n/SEM_TARGET⌉) holds mean cell size constant), so the 2-probe
+    pair stage is Σ(2-probe occupancy)² ≈ 4·n·TARGET — LINEAR in
+    corpus size at a fixed 4× premium over single-probe, instead of
+    the pinned anchor's (n/8)² quadratic. This is the variant the
+    scale curve in scripts/scale_bench.py measures alongside the
+    anchor (VERDICT r12 §next 4: "bound the probe-2 pair stage the
+    same way TARGET bounds cells"). The oracle parameterizes the same
+    unroll with a scalar-subquery k, so the dynamic-k multi-probe
+    path itself is hash-verified."""
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    k = max(SEM_K, -(-n // SEM_TARGET))
+    return _multiprobe(spark, sf_dir, int(k))
+
+
 # ------------------------------------- two-level hierarchical cells
 
 _H_K1 = 4       # coarse cells
@@ -131,10 +169,8 @@ def _hierarchical_oracle(k1: int = _H_K1, k2: int = _H_K2,
                          n_iter: int = SEM_ITER) -> str:
     chain, prev = _lloyd_chain(n_iter)
 
-    def sub_assign(cn: str, an: str, with_sim: bool = False) -> str:
-        sim = ",\n               sim AS centroid_sim" if with_sim else ""
-        cols = f"vec_id, v, g, sub{sim}" if not with_sim else \
-            "vec_id, g, sub, sim AS centroid_sim"
+    def sub_assign(cn: str, an: str) -> str:
+        cols = "vec_id, v, g, sub"
         return f"""
     {an} AS (
       SELECT {cols} FROM (

@@ -20,9 +20,13 @@ For single-table ADDITIVE state (where a replay against post-commit
 state double-counts), ``manifest_commit.py`` closes the window
 entirely with plain parquet: immutable state versions + one atomic
 manifest rename carrying both the version pointer and the batch-id
-watermark. The DSIR fold uses it; this wrapper remains for sinks
-whose output is not one swappable table (e.g. appending partitioned
-sinks), where per-batch markers are still the right shape.
+watermark. The DSIR fold uses it. Since r13 the multi-directory CDC
+router also commits through one manifest
+(``manifest_commit.cdc_commit`` — every per-topic fact partition and
+dim snapshot of a batch becomes visible in one rename), so this
+wrapper no longer guards any in-tree sink; it remains as the
+documented baseline protocol for external appending sinks where a
+manifest-reading client is not an option.
 """
 
 from __future__ import annotations

@@ -35,14 +35,42 @@ protocol lacked.
 
 Single-writer assumption (same as ``statestore``): Structured
 Streaming serializes foreachBatch per query. GC of superseded version
-dirs runs inside the committing writer; a production multi-reader
-deployment would delay GC by a retention window (as Delta's VACUUM
-does) — noted here because this module's readers re-resolve the
-manifest per read.
+dirs runs inside the committing writer and RETAINS the immediately
+previous COMMITTED version (the manifest records its predecessor
+token, so crashed-attempt orphans are still collected immediately):
+``read_state`` hands out a
+LAZY DataFrame bound to the resolved version path, so an action
+executed after one subsequent commit would otherwise hit
+FileNotFoundException — retention gives same-process lazy readers a
+one-commit grace window. A production multi-reader deployment would
+widen this to a time-based retention window (as Delta's VACUUM does).
+Readers that must survive arbitrarily many later commits should
+eagerly materialize (``.cache()`` + an action, or ``.collect()``).
 
 Batch-id watermark, not per-id markers: foreachBatch epoch ids are
 monotonically increasing, so `batch_id <= watermark` ⇔ already
 committed — one integer replaces the marker directory.
+
+TABLE↔CHECKPOINT COUPLING: the batch-id sequence is scoped to the
+streaming CHECKPOINT, but the watermark persists with the state TABLE.
+They must be paired for life. Re-pointing a stream at an existing
+table with a FRESH checkpoint restarts batch ids at 0 while the
+table's watermark stays high — naively every new batch would be
+"skipped as a replay" and silently dropped. ``manifest_foreach_batch``
+detects the signature of that mistake (incoming id more than one
+below the watermark — a genuine Structured Streaming replay only
+re-delivers the tail batch) and raises instead of silently skipping.
+
+LEGACY LAYOUT ADOPTION: folds that predate this module kept their
+state as a plain parquet directory at ``table_dir`` itself (the
+``statestore.swap_in`` layout). If no manifest exists but ``table_dir``
+is such a directory, the first ``manifest_info``/``read_state``/
+``commit_state`` call ADOPTS it: the directory is renamed to a
+version dir and a manifest is written pointing at it (batch_id −1 —
+the legacy watermark lived in per-id marker files under the
+checkpoint, which still guard replays of old batches through their
+own wrapper). Without adoption an upgrade would silently reset
+accumulated state to empty while the old data sat orphaned.
 """
 
 from __future__ import annotations
@@ -59,11 +87,37 @@ def _manifest_path(table_dir: str) -> str:
     return os.path.abspath(table_dir) + ".manifest"
 
 
+def _adopt_legacy(table_dir: str) -> tuple[str, int] | None:
+    """Adopt a pre-manifest ``statestore.swap_in`` state directory
+    sitting at ``table_dir`` itself: rename it to a version dir and
+    commit a manifest naming it (see module docstring). Returns the
+    new (token, batch_id) or None if there is nothing to adopt."""
+    table_dir = os.path.abspath(table_dir)
+    if not os.path.isdir(table_dir):
+        return None
+    if not any(f.endswith(".parquet") or f == "_SUCCESS"
+               for f in os.listdir(table_dir)):
+        return None  # not a parquet state dir — leave it alone
+    token = "legacy-" + uuid.uuid4().hex[:8]
+    os.rename(table_dir, f"{table_dir}.v-{token}")
+    tmp = f"{table_dir}.manifest.tmp-{token}"
+    with open(tmp, "w") as f:
+        json.dump({"version": token, "batch_id": -1}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, _manifest_path(table_dir))
+    return token, -1
+
+
 def manifest_info(table_dir: str) -> tuple[str | None, int]:
     """(current version token, last committed batch id); (None, -1)
-    before the first commit."""
+    before the first commit. A legacy plain-parquet directory at
+    ``table_dir`` is adopted as the initial version on first touch."""
     p = _manifest_path(table_dir)
     if not os.path.exists(p):
+        adopted = _adopt_legacy(table_dir)
+        if adopted is not None:
+            return adopted
         return None, -1
     with open(p) as f:
         m = json.load(f)
@@ -94,38 +148,210 @@ def commit_state(merged: DataFrame, table_dir: str, batch_id: int) -> None:
     and committed."""
     table_dir = os.path.abspath(table_dir)
     token = uuid.uuid4().hex[:8]
+    manifest_info(table_dir)  # adopt a legacy layout before writing
     merged.write.mode("overwrite").parquet(f"{table_dir}.v-{token}")
+    commit_version(table_dir, token, batch_id)
+
+
+def commit_version(table_dir: str, token: str, batch_id: int) -> None:
+    """Atomically repoint the manifest at an ALREADY-WRITTEN version
+    ``{table_dir}.v-{token}`` — split from ``commit_state`` so states
+    that are directory TREES (e.g. the semantic-dedup fold's
+    centroids/assigned/pairs, ``semantic_maintain.py``) can assemble
+    the version themselves and still get the one-rename commit + GC
+    discipline."""
+    table_dir = os.path.abspath(table_dir)
+    prev, _ = manifest_info(table_dir)
     tmp = f"{table_dir}.manifest.tmp-{token}"
     with open(tmp, "w") as f:
-        json.dump({"version": token, "batch_id": int(batch_id)}, f)
+        json.dump({"version": token, "batch_id": int(batch_id),
+                   "prev": prev}, f)
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, _manifest_path(table_dir))  # THE commit point
-    _gc(table_dir, keep=token)
+    _gc(table_dir, keep={token, prev})
 
 
-def _gc(table_dir: str, keep: str) -> None:
-    """Remove superseded version dirs and stale manifest tmps — debris
-    from completed or crashed earlier attempts. Never touches the
-    version the manifest names."""
+def _gc(table_dir: str, keep: set[str | None]) -> None:
+    """Remove version dirs not in ``keep`` and stale manifest tmps —
+    debris from completed or crashed earlier attempts. ``keep`` is the
+    committed version plus its manifest-recorded predecessor, so lazy
+    DataFrames bound to the PREVIOUS committed version survive one
+    more commit (module docstring) while orphans from crashed attempts
+    are collected immediately."""
     parent, name = os.path.split(table_dir)
     parent = parent or "."
+    live = {f"{name}.v-{t}" for t in keep if t}
     for d in os.listdir(parent):
         full = os.path.join(parent, d)
-        if d.startswith(name + ".v-") and d != f"{name}.v-{keep}":
+        if d.startswith(name + ".v-") and d not in live:
             shutil.rmtree(full, ignore_errors=True)
         elif d.startswith(name + ".manifest.tmp-"):
             os.remove(full)
 
 
+# ------------------------------------------------- multi-directory
+# One atomic manifest rename naming ALL directories a micro-batch
+# produced (VERDICT r12 §next 2) — the multi-sink generalization of
+# the single-table protocol above, built for the CDC router's batch
+# shape (``cdc_router.py``): per-batch APPEND-ONCE fact partitions
+# (never superseded) plus per-table REPLACED dim snapshots. The
+# reference gets the same per-key atomicity from Redis SET
+# (``OdsBaseDbApp.scala:160-164``); here the whole batch — every
+# per-topic fact partition AND every dim snapshot — becomes visible
+# in one ``os.replace``, so a crash between topic-directory writes
+# leaves the batch entirely invisible and the replay converges.
+#
+# Layout under ``root``:
+#   facts/commit=<token>/topic=<T>/part-*.parquet   (k=v dir names so
+#       Spark partition discovery works across committed roots)
+#   dim/<table>/commit=<token>/part-*.parquet
+#   .cdc.manifest    {"batch_id": N,
+#                     "facts": {batch_id: token, ...},     append log
+#                     "dims": {table: token, ...},         current
+#                     "dim_prev": {table: token|null}}     GC grace
+#
+# The facts map grows one entry per batch — a JSON line per commit; a
+# production deployment would periodically compact old entries into a
+# consolidated fact partition (exactly Delta/Iceberg's checkpointing
+# of their commit logs). Dim GC keeps each table's previous committed
+# snapshot (same lazy-reader grace window as ``_gc`` above).
+
+_CDC_MANIFEST = ".cdc.manifest"
+
+
+def cdc_manifest_info(root: str) -> dict:
+    """The committed multi-directory manifest; an empty pre-first-
+    commit shape (batch_id -1) when none exists."""
+    p = os.path.join(os.path.abspath(root), _CDC_MANIFEST)
+    if not os.path.exists(p):
+        return {"batch_id": -1, "facts": {}, "dims": {}, "dim_prev": {}}
+    with open(p) as f:
+        return json.load(f)
+
+
+def cdc_commit(root: str, batch_id: int, fact_token: str | None,
+               dim_tokens: dict[str, str]) -> None:
+    """THE commit point for one router batch: fold the batch's fact
+    partition (if any) and replaced dim snapshots into the manifest
+    and atomically rename it over the old one, then GC everything the
+    new manifest does not name (crashed-attempt orphans, dim versions
+    older than the per-table predecessor)."""
+    root = os.path.abspath(root)
+    m = cdc_manifest_info(root)
+    new = {"batch_id": int(batch_id),
+           "facts": dict(m["facts"]),
+           "dims": dict(m["dims"]),
+           "dim_prev": dict(m.get("dim_prev", {}))}
+    if fact_token is not None:
+        new["facts"][str(batch_id)] = fact_token
+    for table, token in dim_tokens.items():
+        new["dim_prev"][table] = new["dims"].get(table)
+        new["dims"][table] = token
+    tmp = os.path.join(root, f"{_CDC_MANIFEST}.tmp-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        json.dump(new, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(root, _CDC_MANIFEST))  # commit point
+    _cdc_gc(root, new)
+
+
+def _cdc_gc(root: str, manifest: dict) -> None:
+    """Remove commit= dirs the manifest does not name — fact/dim debris
+    from crashed attempts and dim snapshots older than the per-table
+    predecessor. Runs inside the committing writer (single-writer)."""
+    facts_root = os.path.join(root, "facts")
+    live = {f"commit={t}" for t in manifest["facts"].values()}
+    if os.path.isdir(facts_root):
+        for d in os.listdir(facts_root):
+            if d.startswith("commit=") and d not in live:
+                shutil.rmtree(os.path.join(facts_root, d),
+                              ignore_errors=True)
+    dim_root = os.path.join(root, "dim")
+    if os.path.isdir(dim_root):
+        for table in os.listdir(dim_root):
+            keep = {manifest["dims"].get(table),
+                    manifest.get("dim_prev", {}).get(table)}
+            live = {f"commit={t}" for t in keep if t}
+            tdir = os.path.join(dim_root, table)
+            for d in os.listdir(tdir):
+                if d.startswith("commit=") and d not in live:
+                    shutil.rmtree(os.path.join(tdir, d),
+                                  ignore_errors=True)
+    for d in os.listdir(root):
+        if d.startswith(_CDC_MANIFEST + ".tmp-"):
+            os.remove(os.path.join(root, d))
+
+
+def read_cdc_facts(spark, root: str):
+    """All COMMITTED fact rows (topic, value, batch_id) — uncommitted
+    commit= dirs are invisible because only manifest-named paths are
+    enumerated. Empty typed relation before the first fact commit."""
+    root = os.path.abspath(root)
+    tokens = sorted(set(cdc_manifest_info(root)["facts"].values()))
+    if not tokens:
+        return spark.createDataFrame(
+            [], "topic string, value string, batch_id long")
+    paths = [os.path.join(root, "facts", f"commit={t}") for t in tokens]
+    return (spark.read.option("basePath", os.path.join(root, "facts"))
+            .parquet(*paths).drop("commit"))
+
+
+def read_cdc_dim(spark, root: str, table: str, schema: str | None = None):
+    """The committed snapshot of one dim table, or an empty relation
+    of ``schema`` (None → Python None) before its first commit."""
+    root = os.path.abspath(root)
+    token = cdc_manifest_info(root)["dims"].get(table)
+    if token is None:
+        return None if schema is None else spark.createDataFrame([], schema)
+    return spark.read.parquet(
+        os.path.join(root, "dim", table, f"commit={token}"))
+
+
+def cdc_foreach_batch(route_fn, root: str):
+    """Watermark wrapper for the router: committed batch ids skip; a
+    deep gap (fresh checkpoint against an existing output — see
+    TABLE↔CHECKPOINT COUPLING above) raises instead of silently
+    dropping data."""
+    def wrapped(batch_df, batch_id: int) -> None:
+        watermark = cdc_manifest_info(root)["batch_id"]
+        if int(batch_id) < watermark:
+            raise RuntimeError(
+                f"batch_id {batch_id} is more than one below the "
+                f"committed watermark {watermark} for {root!r}: this "
+                "stream's checkpoint does not belong to this output "
+                "directory. Pair them, or start a new output dir.")
+        if int(batch_id) == watermark:
+            return  # replay of the committed tail batch
+        route_fn(batch_df, batch_id)
+
+    return wrapped
+
+
 def manifest_foreach_batch(merge_fn, table_dir: str):
     """Wrap a ``(batch_df, batch_id) -> None`` merge (which must end
     in ``commit_state(..., batch_id)``) so batch ids at or below the
-    committed watermark are skipped."""
+    committed watermark are skipped.
+
+    Raises instead of skipping when the incoming id is MORE than one
+    below the watermark: a genuine Structured Streaming replay only
+    re-delivers the tail (uncommitted) batch, so a deep gap means a
+    fresh checkpoint was pointed at an existing state table — silent
+    skipping there drops genuinely new data (module docstring,
+    TABLE↔CHECKPOINT COUPLING)."""
     def wrapped(batch_df, batch_id: int) -> None:
         _, watermark = manifest_info(table_dir)
-        if int(batch_id) <= watermark:
-            return  # replay of a committed batch
+        if int(batch_id) < watermark:
+            raise RuntimeError(
+                f"batch_id {batch_id} is more than one below the "
+                f"committed watermark {watermark} for {table_dir!r}: "
+                "this stream's checkpoint does not belong to this state "
+                "table (a fresh checkpoint restarts ids at 0, and "
+                "skipping would silently drop new data). Pair the table "
+                "with its original checkpoint, or start a new table.")
+        if int(batch_id) == watermark:
+            return  # replay of the committed tail batch
         merge_fn(batch_df, batch_id)
 
     return wrapped

@@ -40,10 +40,21 @@ def merge_ohlc(batch_ticks: DataFrame, table_dir: str,
     commit_state(merged.coalesce(1), table_dir, batch_id)
 
 
+# Committed-state schema (tick_bars output): passed to read_state so a
+# pre-first-commit read returns an empty TYPED relation instead of
+# None → AttributeError (ADVICE r12).
+_TICK = "struct<d: timestamp, ok: bigint, ln: int>"
+_BARS_SCHEMA = (
+    "brand string, bar int, "
+    f"o struct<tick: {_TICK}, cents: bigint>, "
+    f"c struct<tick: {_TICK}, cents: bigint>, "
+    "high_cents bigint, low_cents bigint, volume bigint, n_ticks bigint")
+
+
 def read_bars(spark, table_dir: str) -> DataFrame:
     """The user-facing OHLC schema off the maintained state (drops the
-    tie-break keys)."""
-    return finalize_bars(read_state(spark, table_dir))
+    tie-break keys); empty typed relation before the first commit."""
+    return finalize_bars(read_state(spark, table_dir, _BARS_SCHEMA))
 
 
 def ohlc_stream(tick_stream: DataFrame, table_dir: str,

@@ -25,9 +25,18 @@ stream≡batch by shared code.
 
 Centroids are trained once (`init_semantic_state`, the shared Lloyd
 `kmeans_centroids`) and FROZEN — the production SemDeDup deployment
-shape (train the clustering on a sample, assign forever after);
-periodic re-train + full re-assign is the compaction analog, exactly
-like the containment fold re-checks its bucket cap at read time.
+shape (train the clustering on a sample, assign forever after).
+Periodic re-train + full re-assign is the compaction analog
+(`refresh_semantic_state`): it re-trains at the `_scaled` k ∝ n
+contract over ALL committed vectors, recomputes assignment and the
+full pair set, and publishes centroids+assigned+pairs as ONE new
+state version behind an atomic manifest rename
+(`manifest_commit.commit_version`) — a crash anywhere inside the
+refresh leaves readers on the pre-refresh state, and the retry
+converges. Run it in a compaction window (stream stopped): the fold
+and the refresh share the single-writer assumption. All readers and
+the fold resolve the live version through the manifest (`_resolve`);
+a never-refreshed state dir is its own version (legacy layout).
 
 Replay safety: `ingest_batch=<id>` overwrite discipline. Pairs are
 written BEFORE assigned rows, so the assigned row is the commit
@@ -51,25 +60,53 @@ comparisons, linear per batch; components and keep labels run on the
 
 from __future__ import annotations
 
+import os
+import uuid
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..llm.similarity import (cosine_similarity, kmeans_assign,
                               kmeans_centroids)
-from ..queries.llm15 import (SEM_ITER, SEM_THRESHOLD, semantic_keep_labels)
+from ..queries.llm15 import (SEM_ITER, SEM_K, SEM_TARGET, SEM_THRESHOLD,
+                             semantic_keep_labels)
 from .dedup_ingest import _maybe_read, _write
+from .manifest_commit import commit_version, state_path
 
 _ASSIGNED_SCHEMA = ("vec_id long, v array<double>, cell long, "
                     "centroid_sim double")
 _PAIRS_SCHEMA = "id_a long, id_b long, cosine double"
 
+# refresh_semantic_state consolidates the full re-assignment under
+# this ingest_batch partition: foreachBatch epoch ids are >= 0, so no
+# post-refresh replay can ever overwrite the consolidated state.
+_REFRESH_BATCH = -1
+
+
+def _resolve(state_dir: str) -> str:
+    """The LIVE state tree: the manifest-named version dir after a
+    refresh, the raw ``state_dir`` before one (legacy layout)."""
+    p = state_path(state_dir)
+    return p if p is not None else state_dir
+
 
 def init_semantic_state(train: DataFrame, state_dir: str, k: int,
                         n_iter: int = SEM_ITER) -> None:
     """Train and freeze the cell centroids (shared Lloyd kernel) —
-    run once before streaming; re-running is the re-train compaction."""
+    run once before streaming; ``refresh_semantic_state`` is the
+    re-train compaction."""
     cents = kmeans_centroids(train, k=k, n_iter=n_iter)
-    cents.write.mode("overwrite").parquet(f"{state_dir}/centroids")
+    cents.write.mode("overwrite").parquet(f"{_resolve(state_dir)}/centroids")
+
+
+def _assign_sim(pts: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, v, cell, centroid_sim) against frozen centroids — the
+    shared assignment kernel of the fold and the refresh."""
+    return (kmeans_assign(pts, cents)
+            .join(F.broadcast(cents), "cell")
+            .select("vec_id", "v", "cell",
+                    F.round(cosine_similarity("v", "cv"), 6)
+                    .alias("centroid_sim")))
 
 
 def fold_semantic_cells(batch: DataFrame, state_dir: str,
@@ -79,15 +116,12 @@ def fold_semantic_cells(batch: DataFrame, state_dir: str,
     centroids, emit its new near-dup edges, then its assigned rows
     (the commit signal)."""
     spark = batch.sparkSession
+    state_dir = _resolve(state_dir)
     cents = spark.read.parquet(f"{state_dir}/centroids")
     pts = batch.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    csim = (kmeans_assign(pts, cents)
-            .join(F.broadcast(cents), "cell")
-            .select("vec_id", "v", "cell",
-                    F.round(cosine_similarity("v", "cv"), 6)
-                    .alias("centroid_sim"))
-            .localCheckpoint())  # feeds two pair branches + the write
+    csim = _assign_sim(pts, cents) \
+        .localCheckpoint()  # feeds two pair branches + the write
     prior = (_maybe_read(spark, f"{state_dir}/assigned", _ASSIGNED_SCHEMA,
                          exclude_batch=batch_id)
              .drop("ingest_batch").dropDuplicates(["vec_id"]))
@@ -128,11 +162,54 @@ def semantic_cells_stream(emb_stream: DataFrame, state_dir: str,
             .start())
 
 
+def refresh_semantic_state(spark, state_dir: str,
+                           threshold: float = SEM_THRESHOLD,
+                           n_iter: int = SEM_ITER) -> None:
+    """The re-train compaction: re-train centroids over ALL committed
+    vectors at the `dedup_semantic_cells_scaled` k ∝ n contract
+    (k = max(SEM_K, ⌈n/SEM_TARGET⌉)), fully re-assign, recompute the
+    complete near-dup pair set, and publish the new
+    centroids/assigned/pairs tree as ONE manifest-named version
+    (atomic rename — `manifest_commit.commit_version`). Crash anywhere
+    before the rename: readers stay on the pre-refresh state and the
+    orphan version dir is GC'd by the retry's commit. Single-writer:
+    run with the ingest stream stopped (compaction window).
+
+    Consolidation lands under ``ingest_batch=-1`` so no foreachBatch
+    replay (epoch ids >= 0) can overwrite it; post-refresh batches
+    append exactly as before against the new frozen centroids."""
+    cur = _resolve(state_dir)
+    assigned = (_maybe_read(spark, f"{cur}/assigned", _ASSIGNED_SCHEMA)
+                .drop("ingest_batch").dropDuplicates(["vec_id"]))
+    pts = assigned.select("vec_id", "v").localCheckpoint()
+    n = pts.count()
+    k = max(SEM_K, -(-n // SEM_TARGET))
+    cents = kmeans_centroids(pts, emb_col="v", k=int(k), n_iter=n_iter) \
+        .localCheckpoint()
+    token = uuid.uuid4().hex[:8]
+    vdir = f"{os.path.abspath(state_dir)}.v-{token}"
+    cents.write.mode("overwrite").parquet(f"{vdir}/centroids")
+    csim = _assign_sim(pts, cents).localCheckpoint()
+    a = csim.select(F.col("vec_id").alias("id_a"),
+                    F.col("v").alias("va"), "cell")
+    b = csim.select(F.col("vec_id").alias("id_b"),
+                    F.col("v").alias("vb"), "cell")
+    pairs = (a.join(b, "cell").filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b",
+                     F.round(cosine_similarity("va", "vb"), 4)
+                     .alias("cosine"))
+             .filter(F.col("cosine") >= threshold))
+    _write(pairs, f"{vdir}/pairs", _REFRESH_BATCH)
+    _write(csim, f"{vdir}/assigned", _REFRESH_BATCH)
+    commit_version(state_dir, token, batch_id=_REFRESH_BATCH)
+
+
 def semantic_dedup_from_state(spark, state_dir: str) -> DataFrame:
     """Read the dedup decision off the maintained state: committed
     assignments + committed-endpoint edges → the SHARED
     `semantic_keep_labels` (components + keep-farthest-from-centroid)
     — the same code path as the batch queries."""
+    state_dir = _resolve(state_dir)
     assigned = (_maybe_read(spark, f"{state_dir}/assigned",
                             _ASSIGNED_SCHEMA)
                 .drop("ingest_batch").dropDuplicates(["vec_id"]))

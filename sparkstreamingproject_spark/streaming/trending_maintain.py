@@ -58,8 +58,9 @@ def merge_trending(batch: DataFrame, table_dir: str,
 
 def read_trending_topk(spark, table_dir: str, k: int = 10) -> DataFrame:
     """Top-k keys by decayed weight (heap TakeOrdered — no global
-    sort), deterministic tie-break on the key."""
-    return (read_state(spark, table_dir)
+    sort), deterministic tie-break on the key; empty typed relation
+    before the first commit (ADVICE r12)."""
+    return (read_state(spark, table_dir, "k string, w long")
             .orderBy(F.desc("w"), "k").limit(k))
 
 

@@ -48,7 +48,9 @@ def test_ods_base_db_app(spark, tmp_path):
          "--routing-config", str(cfg), "--once"])
     q = ods_base_db.run(args, spark)
     q.awaitTermination(120)
-    facts = spark.read.parquet(f"{out}/facts")
+    from sparkstreamingproject_spark.streaming.manifest_commit import (
+        read_cdc_dim, read_cdc_facts)
+    facts = read_cdc_facts(spark, out)
     assert facts.count() > 0
-    dim = spark.read.parquet(f"{out}/dim/user_info")
+    dim = read_cdc_dim(spark, out, "user_info")
     assert dim.groupBy("id").count().filter("count > 1").count() == 0

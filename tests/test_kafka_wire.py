@@ -188,7 +188,10 @@ def test_cdc_wire_roundtrip_dynamic_topic_routing(spark, tmp_path):
     q = route_cdc_stream(wire, out, ck, str(cfg), trigger_seconds=None)
     q.awaitTermination(120)
 
-    facts = spark.read.parquet(f"{out}/facts")
+    from sparkstreamingproject_spark.streaming.manifest_commit import (
+        read_cdc_dim, read_cdc_facts)
+
+    facts = read_cdc_facts(spark, out)
     topics = {r["topic"] for r in facts.select("topic").distinct().collect()}
     assert topics, "no fact topics routed"
     # dynamic topic = upper(table) + "_" + optype (I/U/D single-letter
@@ -203,7 +206,7 @@ def test_cdc_wire_roundtrip_dynamic_topic_routing(spark, tmp_path):
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
     # dims upserted last-write-wins
-    dim = spark.read.parquet(f"{out}/dim/user_info")
+    dim = read_cdc_dim(spark, out, "user_info")
     assert dim.count() == dim.select("id").distinct().count()
 
 

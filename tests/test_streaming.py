@@ -155,9 +155,12 @@ def test_cdc_router_facts_and_dims(spark, tmp_path):
     stream = file_stream(spark, src, CDC_ENVELOPE_SCHEMA)
     route_cdc_stream(stream, out, ck, str(cfg), trigger_seconds=None).awaitTermination(120)
 
+    from sparkstreamingproject_spark.streaming.manifest_commit import (
+        read_cdc_dim, read_cdc_facts)
+
     batch = spark.read.parquet(src)
     kept = batch.filter(F.col("type").isin("insert", "update", "bootstrap-insert"))
-    facts = spark.read.parquet(f"{out}/facts")
+    facts = read_cdc_facts(spark, out)
     exp_facts = kept.filter(F.col("table").isin("order_info", "order_detail")).count()
     assert facts.count() == exp_facts
     # dynamic topic names: UPPER(table)_op
@@ -165,7 +168,7 @@ def test_cdc_router_facts_and_dims(spark, tmp_path):
     assert topics <= {"ORDER_INFO_I", "ORDER_INFO_U", "ORDER_DETAIL_I", "ORDER_DETAIL_U"}
 
     # dim store holds exactly one (latest) row per id
-    dim = spark.read.parquet(f"{out}/dim/user_info")
+    dim = read_cdc_dim(spark, out, "user_info")
     assert dim.groupBy("id").count().filter(F.col("count") > 1).count() == 0
     # last-write-wins: the stored ts is the max ts per id
     src_latest = (kept.filter(F.col("table") == "user_info")
@@ -682,11 +685,18 @@ def test_manifest_crash_before_commit_preserves_rollup_state(
     got = {str(r.day): (r.cents, r.n)
            for r in read_state(spark, table).collect()}
     assert got == {"1995-01-01": (1250, 2), "1995-01-02": (500, 1)}
-    # exactly one live version dir + the manifest remain — the orphan
-    # from the crashed attempt was GC'd by the retry's commit
+    # exactly the committed version + its manifest-recorded PREDECESSOR
+    # remain (the one-commit grace window for lazy readers, ADVICE
+    # r12) — the orphan from the crashed attempt was GC'd by the
+    # retry's commit
+    import json as _json
+    with open(str(tmp_path / "rollup.manifest")) as f:
+        m = _json.load(f)
     left = sorted(d for d in _os.listdir(str(tmp_path))
                   if d.startswith("rollup."))
-    assert len([d for d in left if ".v-" in d]) == 1, left
+    vdirs = sorted(d for d in left if ".v-" in d)
+    assert vdirs == sorted([f"rollup.v-{m['version']}",
+                            f"rollup.v-{m['prev']}"]), left
     assert "rollup.manifest" in left, left
 
 
@@ -1808,14 +1818,19 @@ def test_cdc_end_to_end_effectively_once(spark, tmp_path, monkeypatch):
     crash + engine replay: facts are already on disk and the first dim
     table already upserted when the second dim upsert dies, the query
     fails, and the restarted query replays the same micro-batch.
-    Effectively-once must hold across BOTH sinks: fact rows exactly
-    once (per-batch overwrite absorbs the partial attempt), dim state
-    last-write-wins with one row per key (LWW re-upsert is a no-op),
-    and a third run from the drained checkpoint changes nothing."""
+    Since r13 the router publishes through ONE atomic manifest rename
+    (``manifest_commit.cdc_commit``), so the drill asserts strict
+    IN-WINDOW INVISIBILITY — after the mid-batch crash the committed
+    view shows NOTHING of the batch, not merely a replay-safe partial —
+    then convergence: fact rows exactly once, dim state last-write-wins
+    with one row per key, and a third run from the drained checkpoint
+    changes nothing."""
     from sparkstreamingproject_spark.apps.ods_base_db import (
         build_parser, run,
     )
     from sparkstreamingproject_spark.streaming import cdc_router
+    from sparkstreamingproject_spark.streaming.manifest_commit import (
+        cdc_manifest_info, read_cdc_dim, read_cdc_facts)
 
     src = str(tmp_path / "cdc_land")
     cdc_df(spark, n=120).coalesce(1).write.parquet(src)
@@ -1829,25 +1844,33 @@ def test_cdc_end_to_end_effectively_once(spark, tmp_path, monkeypatch):
         ["--source", src, "--out", out, "--checkpoint", ck,
          "--routing-config", str(cfg), "--once"])
 
-    real_upsert = cdc_router.upsert_dim_parquet
+    real_merge = cdc_router.merge_dim_version
     calls = {"n": 0}
 
-    def flaky(one, table_dir, key_cols, version_col):
+    def flaky(one, current, out_path, key_cols, version_col):
         calls["n"] += 1
         if calls["n"] == 2:  # facts + first dim table already written
             raise RuntimeError("injected mid-batch crash")
-        return real_upsert(one, table_dir, key_cols=key_cols,
-                           version_col=version_col)
+        return real_merge(one, current, out_path, key_cols=key_cols,
+                          version_col=version_col)
 
-    monkeypatch.setattr(cdc_router, "upsert_dim_parquet", flaky)
+    monkeypatch.setattr(cdc_router, "merge_dim_version", flaky)
     q = run(args, spark=spark)
     with pytest.raises(Exception, match="injected mid-batch crash"):
         q.awaitTermination(120)
     assert calls["n"] == 2  # the crash really was mid-batch
 
-    # recover: restore the real upsert, restart from the checkpoint —
+    # IN-WINDOW INVISIBILITY: the fact partition and one dim snapshot
+    # are physically on disk, but the manifest was never renamed — the
+    # committed view shows nothing of the crashed batch
+    assert cdc_manifest_info(out)["batch_id"] == -1
+    assert read_cdc_facts(spark, out).count() == 0
+    for t in ("user_info", "base_province"):
+        assert read_cdc_dim(spark, out, t) is None
+
+    # recover: restore the real merge, restart from the checkpoint —
     # the engine replays the failed batch (its offsets never committed)
-    monkeypatch.setattr(cdc_router, "upsert_dim_parquet", real_upsert)
+    monkeypatch.setattr(cdc_router, "merge_dim_version", real_merge)
     run(args, spark=spark).awaitTermination(120)
 
     batch = spark.read.parquet(src)
@@ -1856,7 +1879,7 @@ def test_cdc_end_to_end_effectively_once(spark, tmp_path, monkeypatch):
 
     # fact path: exactly-once — counts match the batch computation
     # per topic, no replay double-write
-    facts = spark.read.parquet(f"{out}/facts")
+    facts = read_cdc_facts(spark, out)
     exp = (kept.filter(F.col("table").isin("order_info", "order_detail"))
            .groupBy(F.concat(F.upper("table"), F.lit("_"),
                              F.when(F.col("type") == "update", "U")
@@ -1867,9 +1890,9 @@ def test_cdc_end_to_end_effectively_once(spark, tmp_path, monkeypatch):
         {(r["topic"], r["count"]) for r in exp.collect()}
 
     # dim path: one row per key, LWW ts, across BOTH dim tables —
-    # including the one whose first-attempt upsert already committed
+    # including the one whose first-attempt merge already hit disk
     for t in ("user_info", "base_province"):
-        dim = spark.read.parquet(f"{out}/dim/{t}")
+        dim = read_cdc_dim(spark, out, t)
         assert dim.groupBy("id").count() \
             .filter(F.col("count") > 1).count() == 0
         src_latest = (kept.filter(F.col("table") == t)
@@ -1878,12 +1901,18 @@ def test_cdc_end_to_end_effectively_once(spark, tmp_path, monkeypatch):
         assert dim.join(src_latest, "id") \
             .filter(F.col("ts") != F.col("max_ts")).count() == 0
 
+    # the crashed attempt's staging dirs were GC'd by the retry commit
+    import os as _os
+    staging = [d for d in _os.listdir(f"{out}/facts")
+               if d.startswith("commit=")]
+    assert len(staging) == len(cdc_manifest_info(out)["facts"])
+
     # third run from the drained checkpoint: nothing changes
     fact_rows = facts.count()
-    dim_rows_n = spark.read.parquet(f"{out}/dim/user_info").count()
+    dim_rows_n = read_cdc_dim(spark, out, "user_info").count()
     run(args, spark=spark).awaitTermination(120)
-    assert spark.read.parquet(f"{out}/facts").count() == fact_rows
-    assert spark.read.parquet(f"{out}/dim/user_info").count() == dim_rows_n
+    assert read_cdc_facts(spark, out).count() == fact_rows
+    assert read_cdc_dim(spark, out, "user_info").count() == dim_rows_n
 
 
 def test_progress_recorder_flushes_on_terminate_and_bounds_pending(
@@ -2518,3 +2547,206 @@ def test_semantic_cells_stream_equals_batch_at_scaled_k(spark, tmp_path,
     got = sorted(map(tuple,
                      semantic_dedup_from_state(spark, st).collect()))
     assert got == exp and len(exp) > 0
+
+
+# --------------------------------------------------------------- r13:
+# manifest_commit hardening drills (ADVICE r12 items 1-4)
+
+
+def test_manifest_adopts_legacy_swap_in_layout(spark, tmp_path):
+    """Upgrading a fold from the swap_in layout (state parquet at
+    table_dir itself) to manifest-last must ADOPT the legacy state as
+    the initial version, not silently reset to empty while the old
+    data sits orphaned (ADVICE r12 item 1)."""
+    from sparkstreamingproject_spark.streaming import manifest_commit
+    from sparkstreamingproject_spark.streaming.rollup_maintain import (
+        merge_rollup)
+
+    table = str(tmp_path / "rollup")
+    sch = "o_orderdate string, o_totalprice double"
+    legacy = spark.createDataFrame(
+        [("1995-01-01", 1000, 1), ("1995-01-02", 500, 1)],
+        "day string, cents long, n long")
+    legacy.coalesce(1).write.parquet(table)  # the old layout
+
+    # first touch adopts: manifest names the legacy data, watermark -1
+    token, wm = manifest_commit.manifest_info(table)
+    assert token and token.startswith("legacy-") and wm == -1
+    got = {str(r.day): (r.cents, r.n)
+           for r in manifest_commit.read_state(spark, table).collect()}
+    assert got == {"1995-01-01": (1000, 1), "1995-01-02": (500, 1)}
+
+    # a post-upgrade merge folds ON TOP of the adopted state
+    merge_rollup(spark.createDataFrame([("1995-01-01", 2.5)], sch),
+                 table, batch_id=0)
+    got = {str(r.day): (r.cents, r.n)
+           for r in manifest_commit.read_state(spark, table).collect()}
+    assert got == {"1995-01-01": (1250, 2), "1995-01-02": (500, 1)}
+
+
+def test_manifest_raises_on_foreign_checkpoint_gap(spark, tmp_path):
+    """A fresh checkpoint pointed at an existing state table restarts
+    batch ids at 0 while the table watermark is high; the fold must
+    RAISE, not silently skip the 'replays' (ADVICE r12 item 2). The
+    committed tail batch (id == watermark) still skips silently —
+    that's a genuine replay."""
+    from sparkstreamingproject_spark.streaming.manifest_commit import (
+        manifest_foreach_batch)
+    from sparkstreamingproject_spark.streaming.rollup_maintain import (
+        merge_rollup)
+
+    table = str(tmp_path / "rollup")
+    sch = "o_orderdate string, o_totalprice double"
+    b = spark.createDataFrame([("1995-01-01", 10.0)], sch)
+    fold = manifest_foreach_batch(
+        lambda df, i: merge_rollup(df, table, batch_id=i), table)
+    fold(b, 0)
+    fold(b, 1)
+    fold(b, 2)
+    calls = {"n": 0}
+    counting = manifest_foreach_batch(
+        lambda df, i: calls.__setitem__("n", calls["n"] + 1), table)
+    counting(b, 2)          # genuine tail replay: silent skip
+    assert calls["n"] == 0
+    with pytest.raises(RuntimeError, match="checkpoint"):
+        counting(b, 0)      # fresh-checkpoint signature: refuse
+
+
+def test_manifest_gc_retains_previous_committed_version(spark, tmp_path):
+    """A lazy DataFrame bound to the pre-commit version must survive
+    ONE subsequent commit (the manifest records its predecessor and GC
+    keeps it — ADVICE r12 item 3), and be collected by the commit
+    after that."""
+    from sparkstreamingproject_spark.streaming.manifest_commit import (
+        read_state)
+    from sparkstreamingproject_spark.streaming.rollup_maintain import (
+        merge_rollup)
+
+    table = str(tmp_path / "rollup")
+    sch = "o_orderdate string, o_totalprice double"
+    merge_rollup(spark.createDataFrame([("1995-01-01", 10.0)], sch),
+                 table, batch_id=0)
+    lazy = read_state(spark, table)  # bound to v0's path, no action yet
+    merge_rollup(spark.createDataFrame([("1995-01-02", 5.0)], sch),
+                 table, batch_id=1)
+    # one commit later: the lazy reader still resolves
+    assert {str(r.day) for r in lazy.collect()} == {"1995-01-01"}
+    stale = read_state(spark, table)
+    merge_rollup(spark.createDataFrame([("1995-01-03", 1.0)], sch),
+                 table, batch_id=2)
+    merge_rollup(spark.createDataFrame([("1995-01-04", 1.0)], sch),
+                 table, batch_id=3)
+    # two commits later the old version is gone — documented hazard
+    with pytest.raises(Exception):
+        lazy.collect()
+    del stale
+
+
+def test_maintain_readers_empty_before_first_commit(spark, tmp_path):
+    """read_trending_topk / read_bars on a never-committed table
+    return an empty TYPED relation, not an AttributeError on None
+    (ADVICE r12 item 4)."""
+    from sparkstreamingproject_spark.streaming.ohlc_maintain import (
+        read_bars)
+    from sparkstreamingproject_spark.streaming.trending_maintain import (
+        read_trending_topk)
+
+    topk = read_trending_topk(spark, str(tmp_path / "none_t"))
+    assert topk.columns == ["k", "w"] and topk.count() == 0
+    bars = read_bars(spark, str(tmp_path / "none_b"))
+    assert bars.columns == ["brand", "bar", "open_cents", "close_cents",
+                            "high_cents", "low_cents", "volume",
+                            "n_ticks"]
+    assert bars.count() == 0
+
+
+def test_semantic_refresh_retrain_equals_scaled_batch(spark, tmp_path,
+                                                      sf_dir):
+    """Fold #14 centroid-refresh drill (VERDICT r12 §next 3): ingest N
+    batches on frozen PINNED-k centroids, run `refresh_semantic_state`
+    (re-train at the k ∝ n contract + full re-assign), and the
+    post-refresh state must equal `dedup_semantic_cells_scaled`
+    batch-recomputed on the same rows. Post-refresh ingest keeps
+    working against the new frozen centroids."""
+    from sparkstreamingproject_spark.queries import REGISTRY
+    from sparkstreamingproject_spark.queries.llm15 import SEM_K
+    from sparkstreamingproject_spark.streaming.semantic_maintain import (
+        fold_semantic_cells, init_semantic_state, refresh_semantic_state,
+        semantic_dedup_from_state)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    st = str(tmp_path / "sem_refresh_state")
+    init_semantic_state(emb, st, k=SEM_K)  # pinned-k anchor centroids
+    thirds = [emb.filter(F.col("vec_id") % 3 == r).localCheckpoint()
+              for r in range(3)]
+    for i, part in enumerate(thirds):
+        fold_semantic_cells(part, st, batch_id=i)
+
+    refresh_semantic_state(spark, st)
+
+    exp = sorted(map(tuple, REGISTRY["dedup_semantic_cells_scaled"]
+                     .fn(spark, sf_dir).collect()))
+    got = sorted(map(tuple,
+                     semantic_dedup_from_state(spark, st).collect()))
+    assert got == exp and len(exp) > 0
+
+    # the fold keeps working against the refreshed (resolved) state:
+    # re-ingesting existing rows is a no-op by content determinism
+    fold_semantic_cells(thirds[0], st, batch_id=3)
+    again = sorted(map(tuple,
+                       semantic_dedup_from_state(spark, st).collect()))
+    assert again == exp
+
+
+def test_semantic_refresh_crash_drill_manifest_last(spark, tmp_path,
+                                                    sf_dir, monkeypatch):
+    """Crash drill across the refresh swap (VERDICT r12 §next 3): the
+    refreshed tree is fully written but the process dies before the
+    manifest rename — readers must stay EXACTLY on the pre-refresh
+    state; the retried refresh converges and GCs the orphan version."""
+    import os as _os
+
+    from sparkstreamingproject_spark.streaming import manifest_commit
+    from sparkstreamingproject_spark.streaming.semantic_maintain import (
+        fold_semantic_cells, init_semantic_state, refresh_semantic_state,
+        semantic_dedup_from_state)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    st = str(tmp_path / "sem_crash_state")
+    init_semantic_state(emb, st, k=8)
+    halves = [emb.filter(F.col("vec_id") % 2 == r).localCheckpoint()
+              for r in range(2)]
+    for i, part in enumerate(halves):
+        fold_semantic_cells(part, st, batch_id=i)
+    pre = sorted(map(tuple,
+                     semantic_dedup_from_state(spark, st).collect()))
+
+    real_replace = _os.replace
+
+    def crashing(src, dst):
+        raise OSError("injected crash before refresh manifest rename")
+
+    monkeypatch.setattr(manifest_commit.os, "replace", crashing)
+    with pytest.raises(OSError, match="injected"):
+        refresh_semantic_state(spark, st)
+    monkeypatch.setattr(manifest_commit.os, "replace", real_replace)
+
+    # in-window invisibility: the fully-written refresh tree is there,
+    # but readers resolve to the pre-refresh state
+    orphans = [d for d in _os.listdir(str(tmp_path))
+               if d.startswith("sem_crash_state.v-")]
+    assert len(orphans) == 1
+    in_crash = sorted(map(tuple,
+                          semantic_dedup_from_state(spark, st).collect()))
+    assert in_crash == pre
+
+    # retry converges and the orphan version dir is GC'd by its commit
+    refresh_semantic_state(spark, st)
+    left = [d for d in _os.listdir(str(tmp_path))
+            if d.startswith("sem_crash_state.v-")]
+    assert len(left) == 1 and left[0] not in orphans
+    post = sorted(map(tuple,
+                      semantic_dedup_from_state(spark, st).collect()))
+    assert {t[0] for t in post} == {t[0] for t in pre}  # same vec_ids
