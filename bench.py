@@ -106,6 +106,9 @@ SIDECAR = [
     "dedup_semantic_cells_scaled",
     "dedup_semantic_multiprobe",
     "sim_ann_hierarchical_cells",
+    # round-13 heavy addition (floor: SIDECAR_R13, pinned from the
+    # r13 quiet artifact)
+    "dedup_semantic_multiprobe_scaled",
 ]
 
 # sidecar comparison floor: first measurements (BENCH_r05, sf=0.1,
@@ -173,6 +176,14 @@ SIDECAR_R12 = {
     "dedup_semantic_cells_scaled": 10.7,
     "dedup_semantic_multiprobe": 16.9,
     "sim_ann_hierarchical_cells": 3.6,
+}
+
+# floor for the round-13 sidecar addition: quietest r13 in-bench
+# measurement (sf=0.1, local[32], min-of-3 quiet artifact; the
+# isolated scale_bench slot read 9.43 s the same day). The k ∝ n
+# multi-probe — pair stage 4·n·TARGET by construction, SCALE.md r13.
+SIDECAR_R13 = {
+    "dedup_semantic_multiprobe_scaled": 8.163,
 }
 
 def main() -> None:
@@ -268,6 +279,9 @@ def main() -> None:
         "sidecar_vs_r12": {
             n: round(t / SIDECAR_R12[n], 2)
             for n, t in sidecar.items() if n in SIDECAR_R12},
+        "sidecar_vs_r13": {
+            n: round(t / SIDECAR_R13[n], 2)
+            for n, t in sidecar.items() if n in SIDECAR_R13},
         "cosine_kernel": dict(_sim.last_kernel_decision),
     }))
     spark.stop()

@@ -16,10 +16,16 @@ to idempotent ones — the same guarantee the reference builds by hand
 
 from .cdc_router import route_cdc_stream
 from .dim_upsert import scd2_stream, upsert_dim_parquet, upsert_scd2_parquet
+from .joins import joined_stream_to_table
+from .manifest_commit import read_cdc_dim, read_cdc_facts
 from .split import split_log_stream_to_sinks, tagged_split_writer
 
 __all__ = [
     "split_log_stream_to_sinks", "tagged_split_writer",
     "route_cdc_stream", "upsert_dim_parquet",
     "upsert_scd2_parquet", "scd2_stream",
+    # manifest-committed readers (r13): the CDC router and the
+    # stream-stream join fold publish through one atomic rename —
+    # read their outputs through these, not raw directory listings
+    "read_cdc_facts", "read_cdc_dim", "joined_stream_to_table",
 ]

@@ -220,11 +220,74 @@ def _gc(table_dir: str, keep: set[str | None]) -> None:
 _CDC_MANIFEST = ".cdc.manifest"
 
 
+def _cdc_adopt_legacy(root: str) -> dict | None:
+    """Adopt a pre-manifest CDC output (the r12 marker-protocol
+    layout: ``facts/batch_id=N/topic=T`` partitions + ``dim/<t>``
+    swap_in tables) on first touch — same rationale as
+    ``_adopt_legacy`` above: without adoption the new readers would
+    silently show an empty output and the dim merge would reset LWW
+    state while the old data sat orphaned. Fact dirs rename to
+    ``commit=legacy-N`` (their files lack the batch_id data column;
+    it reads as NULL for adopted rows), dim tables move under a
+    ``commit=legacy-*`` version; the watermark adopts the highest
+    adopted batch id. Only COMPLETE fact dirs (``_SUCCESS`` marker)
+    adopt — a partial dir from a mid-write crash stays un-adopted and
+    below the watermark, so the engine's replay of that batch re-runs
+    it fresh (the old protocol's own recovery path). Returns the
+    adopted manifest, or None if there is nothing legacy-shaped to
+    adopt."""
+    root = os.path.abspath(root)
+    facts_root = os.path.join(root, "facts")
+    dim_root = os.path.join(root, "dim")
+    legacy_facts = sorted(
+        d for d in (os.listdir(facts_root) if os.path.isdir(facts_root)
+                    else [])
+        if d.startswith("batch_id=")
+        and os.path.exists(os.path.join(facts_root, d, "_SUCCESS")))
+    legacy_dims = sorted(
+        t for t in (os.listdir(dim_root) if os.path.isdir(dim_root)
+                    else [])
+        if os.path.isdir(os.path.join(dim_root, t))
+        and any(f.endswith(".parquet") or f == "_SUCCESS"
+                for f in os.listdir(os.path.join(dim_root, t))))
+    if not legacy_facts and not legacy_dims:
+        return None
+    m = {"batch_id": -1, "facts": {}, "dims": {}, "dim_prev": {}}
+    for d in legacy_facts:
+        n = int(d.split("=", 1)[1])
+        token = f"legacy-{n}"
+        os.rename(os.path.join(facts_root, d),
+                  os.path.join(facts_root, f"commit={token}"))
+        m["facts"][str(n)] = token
+        m["batch_id"] = max(m["batch_id"], n)
+    for t in legacy_dims:
+        token = "legacy-" + uuid.uuid4().hex[:8]
+        tdir = os.path.join(dim_root, t)
+        vdir = os.path.join(tdir, f"commit={token}")
+        staged = tdir + f".adopt-{token}"
+        os.rename(tdir, staged)
+        os.makedirs(tdir)
+        os.rename(staged, vdir)
+        m["dims"][t] = token
+        m["dim_prev"][t] = None
+    tmp = os.path.join(root, f"{_CDC_MANIFEST}.tmp-adopt")
+    with open(tmp, "w") as f:
+        json.dump(m, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(root, _CDC_MANIFEST))
+    return m
+
+
 def cdc_manifest_info(root: str) -> dict:
-    """The committed multi-directory manifest; an empty pre-first-
-    commit shape (batch_id -1) when none exists."""
+    """The committed multi-directory manifest; adopts a legacy
+    (pre-manifest) CDC layout on first touch; an empty pre-first-
+    commit shape (batch_id -1) when neither exists."""
     p = os.path.join(os.path.abspath(root), _CDC_MANIFEST)
     if not os.path.exists(p):
+        adopted = _cdc_adopt_legacy(root)
+        if adopted is not None:
+            return adopted
         return {"batch_id": -1, "facts": {}, "dims": {}, "dim_prev": {}}
     with open(p) as f:
         return json.load(f)
@@ -284,15 +347,18 @@ def _cdc_gc(root: str, manifest: dict) -> None:
             os.remove(os.path.join(root, d))
 
 
-def read_cdc_facts(spark, root: str):
-    """All COMMITTED fact rows (topic, value, batch_id) — uncommitted
-    commit= dirs are invisible because only manifest-named paths are
-    enumerated. Empty typed relation before the first fact commit."""
+def read_cdc_facts(spark, root: str,
+                   schema: str = "topic string, value string, "
+                                 "batch_id long"):
+    """All COMMITTED fact rows — uncommitted commit= dirs are
+    invisible because only manifest-named paths are enumerated.
+    Empty relation of ``schema`` before the first fact commit (the
+    default is the CDC router's payload shape; append-log reuses like
+    the stream-stream join sink pass their own)."""
     root = os.path.abspath(root)
     tokens = sorted(set(cdc_manifest_info(root)["facts"].values()))
     if not tokens:
-        return spark.createDataFrame(
-            [], "topic string, value string, batch_id long")
+        return spark.createDataFrame([], schema)
     paths = [os.path.join(root, "facts", f"commit={t}") for t in tokens]
     return (spark.read.option("basePath", os.path.join(root, "facts"))
             .parquet(*paths).drop("commit"))

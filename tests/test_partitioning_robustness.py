@@ -135,6 +135,8 @@ _KEEPERS = [
     "sim_ann_hierarchical_cells", "text_tokenizer_fertility_by_lang",
     "text_bitext_mining_margin", "dedup_lsh_band_tuning",
     "sample_inbatch_negatives",
+    # round-13 additions (r14 window candidates)
+    "dedup_semantic_multiprobe_scaled",
 ]
 
 _seen: set[str] = set()

@@ -375,3 +375,128 @@ def test_analyze_table_records_catalog_statistics(spark, sf_dir,
         f"DESCRIBE EXTENDED {bucketed_db}.nation_s n_nationkey").collect()}
     assert cdesc.get("distinct_count") == str(n_rows)
     assert cdesc.get("min") == "0" and cdesc.get("max") == str(n_rows - 1)
+
+
+@pytest.mark.slow
+def test_joined_stream_to_table_stream_equals_batch(spark, tmp_path):
+    """Fold #15 (VERDICT r12 §next 6): the stream-stream join result
+    maintained as a manifest-committed table across MULTIPLE
+    micro-batches equals the batch join of the same data."""
+    from sparkstreamingproject_spark.streaming.joins import (
+        joined_stream_to_table)
+    from sparkstreamingproject_spark.streaming.manifest_commit import (
+        read_cdc_facts)
+
+    views, clicks = _clicks_views(spark)
+    vsrc, csrc = str(tmp_path / "v"), str(tmp_path / "c")
+    # several files per side -> several micro-batches at 1 file/trigger
+    for r in range(3):
+        views.filter(F.col("event_id") % 3 == r).coalesce(1) \
+            .write.mode("append").parquet(vsrc)
+        clicks.filter(F.col("event_id") % 3 == r).coalesce(1) \
+            .write.mode("append").parquet(csrc)
+
+    vs = file_stream(spark, vsrc, views.schema,
+                     max_files_per_trigger=1).select(
+        F.col("event_id").alias("view_id"), "ts", "user_id")
+    cs = file_stream(spark, csrc, clicks.schema,
+                     max_files_per_trigger=1).select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"), "user_id")
+    joined = stream_stream_join(vs, cs, "ts", "cts",
+                                key="user_id", within="5 minutes")
+    out, ck = str(tmp_path / "jout"), str(tmp_path / "jck")
+    q = joined_stream_to_table(joined.select("view_id", "click_id"),
+                               out, ck)
+    q.awaitTermination(180)
+
+    got = sorted((r.view_id, r.click_id) for r in read_cdc_facts(
+        spark, out, "view_id long, click_id long, batch_id long")
+        .select("view_id", "click_id").collect())
+    vb = views.select(F.col("event_id").alias("view_id"), "ts", "user_id")
+    cb = clicks.select(F.col("event_id").alias("click_id"),
+                       F.col("ts").alias("cts"), "user_id")
+    exp = sorted((r.view_id, r.click_id) for r in vb.join(
+        cb, (vb.user_id == cb.user_id) & (cb.cts >= vb.ts)
+        & (cb.cts <= vb.ts + F.expr("INTERVAL 5 MINUTES")))
+        .select("view_id", "click_id").collect())
+    assert got == exp and len(exp) > 0
+
+
+@pytest.mark.slow
+def test_joined_stream_crash_drill_manifest_last(spark, tmp_path,
+                                                 monkeypatch):
+    """Fold #15 crash drill: the manifest rename dies on a LATER
+    micro-batch commit — readers must stay exactly on the previously
+    committed output (in-window invisibility), and the restarted query
+    (join state + offsets replay from the checkpoint) converges to the
+    batch answer."""
+    import os as _os
+
+    from sparkstreamingproject_spark.streaming import manifest_commit
+    from sparkstreamingproject_spark.streaming.joins import (
+        joined_stream_to_table)
+    from sparkstreamingproject_spark.streaming.manifest_commit import (
+        read_cdc_facts)
+
+    views, clicks = _clicks_views(spark)
+    vsrc, csrc = str(tmp_path / "v"), str(tmp_path / "c")
+    for r in range(3):
+        views.filter(F.col("event_id") % 3 == r).coalesce(1) \
+            .write.mode("append").parquet(vsrc)
+        clicks.filter(F.col("event_id") % 3 == r).coalesce(1) \
+            .write.mode("append").parquet(csrc)
+
+    def _streams():
+        vs = file_stream(spark, vsrc, views.schema,
+                         max_files_per_trigger=1).select(
+            F.col("event_id").alias("view_id"), "ts", "user_id")
+        cs = file_stream(spark, csrc, clicks.schema,
+                         max_files_per_trigger=1).select(
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("cts"), "user_id")
+        return stream_stream_join(vs, cs, "ts", "cts", key="user_id",
+                                  within="5 minutes") \
+            .select("view_id", "click_id")
+
+    out, ck = str(tmp_path / "jout"), str(tmp_path / "jck")
+    real_replace = _os.replace
+    calls = {"n": 0}
+
+    def crash_on_second(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("injected crash before join manifest rename")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(manifest_commit.os, "replace", crash_on_second)
+    q = joined_stream_to_table(_streams(), out, ck)
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(180)
+
+    # in-window invisibility: only the FIRST committed batch is
+    # visible; the crashed batch's staging dir is on disk but unnamed
+    sch = "view_id long, click_id long, batch_id long"
+    mid = read_cdc_facts(spark, out, sch)
+    committed = manifest_commit.cdc_manifest_info(out)
+    assert len(committed["facts"]) <= 1
+    assert mid.select("batch_id").distinct().count() <= 1
+    staged = [d for d in _os.listdir(f"{out}/facts")
+              if d.startswith("commit=")]
+    assert len(staged) > len(committed["facts"])
+
+    # restart from the checkpoint: the engine replays the crashed
+    # micro-batch (same join state, same offsets) and converges
+    monkeypatch.setattr(manifest_commit.os, "replace", real_replace)
+    joined_stream_to_table(_streams(), out, ck).awaitTermination(180)
+
+    got = sorted((r.view_id, r.click_id) for r in read_cdc_facts(
+        spark, out, sch).select("view_id", "click_id").collect())
+    vb = views.select(F.col("event_id").alias("view_id"), "ts", "user_id")
+    cb = clicks.select(F.col("event_id").alias("click_id"),
+                       F.col("ts").alias("cts"), "user_id")
+    exp = sorted((r.view_id, r.click_id) for r in vb.join(
+        cb, (vb.user_id == cb.user_id) & (cb.cts >= vb.ts)
+        & (cb.cts <= vb.ts + F.expr("INTERVAL 5 MINUTES")))
+        .select("view_id", "click_id").collect())
+    assert got == exp and len(exp) > 0

@@ -2750,3 +2750,131 @@ def test_semantic_refresh_crash_drill_manifest_last(spark, tmp_path,
     post = sorted(map(tuple,
                       semantic_dedup_from_state(spark, st).collect()))
     assert {t[0] for t in post} == {t[0] for t in pre}  # same vec_ids
+
+
+def test_cdc_manifest_adopts_legacy_marker_layout(spark, tmp_path):
+    """Upgrading a CDC output from the r12 marker layout
+    (facts/batch_id=N partitions + dim/<t> swap_in tables) to the
+    manifest protocol must ADOPT the legacy data: readers see it, the
+    watermark resumes after the highest complete legacy batch, and
+    the next dim merge folds ON TOP of the adopted snapshot."""
+    from sparkstreamingproject_spark.streaming.cdc_router import (
+        route_cdc_batch)
+    from sparkstreamingproject_spark.streaming.manifest_commit import (
+        cdc_manifest_info, read_cdc_dim, read_cdc_facts)
+
+    out = str(tmp_path / "routed")
+    # legacy facts: one complete per-batch dir, topic-partitioned
+    legacy_facts = spark.createDataFrame(
+        [("ORDER_INFO_I", '{"id":"1"}'), ("ORDER_INFO_U", '{"id":"2"}')],
+        "topic string, value string")
+    (legacy_facts.write.mode("overwrite").partitionBy("topic")
+     .parquet(f"{out}/facts/batch_id=0"))
+    # legacy dim: swap_in layout — parquet directly at dim/<t>, in the
+    # router's dim_rows shape (key, table, id, value, ts)
+    legacy_dim = spark.createDataFrame(
+        [("DIM:USER_INFO:u1", "user_info", "u1", '{"name":"alice"}', 100)],
+        "key string, table string, id string, value string, ts long")
+    legacy_dim.coalesce(1).write.parquet(f"{out}/dim/user_info")
+
+    m = cdc_manifest_info(out)  # first touch adopts
+    assert m["batch_id"] == 0 and m["facts"] == {"0": "legacy-0"}
+    facts = read_cdc_facts(spark, out)
+    assert facts.count() == 2
+    assert {r.topic for r in facts.collect()} == \
+        {"ORDER_INFO_I", "ORDER_INFO_U"}
+    dim = read_cdc_dim(spark, out, "user_info")
+    assert [(r.id, r.value, r.ts) for r in dim.collect()] == \
+        [("u1", '{"name":"alice"}', 100)]
+
+    # a post-upgrade batch merges on top of the adopted dim snapshot
+    cfg = tmp_path / "routing.json"
+    cfg.write_text(json.dumps({"fact_tables": ["order_info"],
+                               "dim_tables": ["user_info"]}))
+    batch = cdc_df(spark, n=20)
+    route_cdc_batch(batch, 1, out, str(cfg))
+    dim2 = read_cdc_dim(spark, out, "user_info")
+    got = {r.id: r.value for r in dim2.collect()}
+    assert got.get("u1") == '{"name":"alice"}'  # adopted row survived
+    assert len(got) > 1              # plus the new batch's dim rows
+
+
+@pytest.mark.slow
+def test_cdc_manifest_crash_point_sweep_converges(spark, tmp_path,
+                                                  monkeypatch):
+    """Property-style sweep of the multi-directory commit: crash the
+    manifest rename at EVERY commit point of a 3-batch run (not just
+    the one the targeted drill picks). Invariants at each point:
+    (a) in-window invisibility — the committed view equals the view
+    after the last SUCCESSFUL commit; (b) replaying the crashed batch
+    (what the engine does from its checkpoint) converges; (c) the
+    final state equals a crash-free run of the same batches."""
+    import os as _os
+
+    from sparkstreamingproject_spark.streaming import manifest_commit
+    from sparkstreamingproject_spark.streaming.cdc_router import (
+        route_cdc_batch)
+    from sparkstreamingproject_spark.streaming.manifest_commit import (
+        cdc_foreach_batch, read_cdc_dim, read_cdc_facts)
+
+    cfg = tmp_path / "routing.json"
+    cfg.write_text(json.dumps({"fact_tables": ["order_info"],
+                               "dim_tables": ["user_info"]}))
+    batches = [cdc_df(spark, n=30, seed=s).localCheckpoint()
+               for s in (11, 13, 17)]
+
+    def run_batches(out, crash_at: int | None):
+        """Drive the fold; crash the crash_at-th os.replace (1-based).
+        Returns the number of replaces attempted."""
+        calls = {"n": 0}
+        real_replace = _os.replace
+
+        def maybe_crash(src, dst):
+            calls["n"] += 1
+            if crash_at is not None and calls["n"] == crash_at:
+                raise OSError("swept crash")
+            return real_replace(src, dst)
+
+        fold = cdc_foreach_batch(
+            lambda b, i: route_cdc_batch(b, i, out, str(cfg)), root=out)
+        monkeypatch.setattr(manifest_commit.os, "replace", maybe_crash)
+        try:
+            for i, b in enumerate(batches):
+                try:
+                    fold(b, i)
+                except OSError:
+                    # in-window invisibility: view == last good commit
+                    snap_facts = read_cdc_facts(spark, out).count()
+                    wm = manifest_commit.cdc_manifest_info(out)["batch_id"]
+                    exp_facts = read_cdc_facts(spark, ref_out).filter(
+                        F.col("batch_id") <= wm).count()
+                    assert snap_facts == exp_facts
+                    # engine replay of the crashed batch: converge
+                    monkeypatch.setattr(manifest_commit.os, "replace",
+                                        real_replace)
+                    fold(b, i)
+                    monkeypatch.setattr(manifest_commit.os, "replace",
+                                        maybe_crash)
+        finally:
+            monkeypatch.setattr(manifest_commit.os, "replace",
+                                real_replace)
+        return calls["n"]
+
+    # crash-free reference run
+    ref_out = str(tmp_path / "ref")
+    n_replaces = run_batches(ref_out, crash_at=None)
+    ref_facts = sorted((r.topic, r.value, r.batch_id)
+                       for r in read_cdc_facts(spark, ref_out).collect())
+    ref_dim = sorted((r.id, r.value, r.ts) for r in read_cdc_dim(
+        spark, ref_out, "user_info").collect())
+    assert n_replaces == 3 and len(ref_facts) > 0
+
+    for point in range(1, n_replaces + 1):
+        out = str(tmp_path / f"crash{point}")
+        run_batches(out, crash_at=point)
+        got_facts = sorted((r.topic, r.value, r.batch_id)
+                           for r in read_cdc_facts(spark, out).collect())
+        got_dim = sorted((r.id, r.value, r.ts) for r in read_cdc_dim(
+            spark, out, "user_info").collect())
+        assert got_facts == ref_facts, f"facts diverged at point {point}"
+        assert got_dim == ref_dim, f"dim diverged at point {point}"
