@@ -57,9 +57,11 @@ They must be paired for life. Re-pointing a stream at an existing
 table with a FRESH checkpoint restarts batch ids at 0 while the
 table's watermark stays high — naively every new batch would be
 "skipped as a replay" and silently dropped. ``manifest_foreach_batch``
-detects the signature of that mistake (incoming id more than one
-below the watermark — a genuine Structured Streaming replay only
-re-delivers the tail batch) and raises instead of silently skipping.
+detects the signature of that mistake (incoming id strictly below
+the watermark — a genuine Structured Streaming replay only ever
+re-delivers the tail batch, id == watermark, because the engine
+commits epoch N-1 before starting N) and raises instead of silently
+skipping.
 
 LEGACY LAYOUT ADOPTION: folds that predate this module kept their
 state as a plain parquet directory at ``table_dir`` itself (the
@@ -91,15 +93,29 @@ def _adopt_legacy(table_dir: str) -> tuple[str, int] | None:
     """Adopt a pre-manifest ``statestore.swap_in`` state directory
     sitting at ``table_dir`` itself: rename it to a version dir and
     commit a manifest naming it (see module docstring). Returns the
-    new (token, batch_id) or None if there is nothing to adopt."""
+    new (token, batch_id) or None if there is nothing to adopt.
+
+    Crash-resumable: a crash between the rename and the manifest
+    write leaves an orphan ``.v-legacy-*`` dir with no manifest — the
+    next touch finds it and finishes the manifest write instead of
+    reporting empty state (the very bug class adoption exists to
+    prevent)."""
     table_dir = os.path.abspath(table_dir)
-    if not os.path.isdir(table_dir):
+    token = None
+    if os.path.isdir(table_dir) and any(
+            f.endswith(".parquet") or f == "_SUCCESS"
+            for f in os.listdir(table_dir)):
+        token = "legacy-" + uuid.uuid4().hex[:8]
+        os.rename(table_dir, f"{table_dir}.v-{token}")
+    else:
+        # resume a crashed adoption: orphan legacy version, no manifest
+        parent, name = os.path.split(table_dir)
+        orphans = sorted(d for d in os.listdir(parent or ".")
+                         if d.startswith(f"{name}.v-legacy-"))
+        if orphans:
+            token = orphans[-1].split(".v-", 1)[1]
+    if token is None:
         return None
-    if not any(f.endswith(".parquet") or f == "_SUCCESS"
-               for f in os.listdir(table_dir)):
-        return None  # not a parquet state dir — leave it alone
-    token = "legacy-" + uuid.uuid4().hex[:8]
-    os.rename(table_dir, f"{table_dir}.v-{token}")
     tmp = f"{table_dir}.manifest.tmp-{token}"
     with open(tmp, "w") as f:
         json.dump({"version": token, "batch_id": -1}, f)
@@ -239,6 +255,16 @@ def _cdc_adopt_legacy(root: str) -> dict | None:
     root = os.path.abspath(root)
     facts_root = os.path.join(root, "facts")
     dim_root = os.path.join(root, "dim")
+    # resume a crashed dim adoption first: data parked at
+    # <t>.adopt-<token> with dim/<t> renamed away — move it back into
+    # place as the version dir before the normal scan re-adopts it
+    for d in (os.listdir(dim_root) if os.path.isdir(dim_root) else []):
+        if ".adopt-" in d:
+            t, token = d.split(".adopt-", 1)
+            tdir = os.path.join(dim_root, t)
+            os.makedirs(tdir, exist_ok=True)
+            os.rename(os.path.join(dim_root, d),
+                      os.path.join(tdir, f"commit={token}"))
     legacy_facts = sorted(
         d for d in (os.listdir(facts_root) if os.path.isdir(facts_root)
                     else [])
@@ -248,8 +274,10 @@ def _cdc_adopt_legacy(root: str) -> dict | None:
         t for t in (os.listdir(dim_root) if os.path.isdir(dim_root)
                     else [])
         if os.path.isdir(os.path.join(dim_root, t))
-        and any(f.endswith(".parquet") or f == "_SUCCESS"
-                for f in os.listdir(os.path.join(dim_root, t))))
+        and (any(f.endswith(".parquet") or f == "_SUCCESS"
+                 for f in os.listdir(os.path.join(dim_root, t)))
+             or any(f.startswith("commit=legacy-")
+                    for f in os.listdir(os.path.join(dim_root, t)))))
     if not legacy_facts and not legacy_dims:
         return None
     m = {"batch_id": -1, "facts": {}, "dims": {}, "dim_prev": {}}
@@ -261,13 +289,18 @@ def _cdc_adopt_legacy(root: str) -> dict | None:
         m["facts"][str(n)] = token
         m["batch_id"] = max(m["batch_id"], n)
     for t in legacy_dims:
-        token = "legacy-" + uuid.uuid4().hex[:8]
         tdir = os.path.join(dim_root, t)
-        vdir = os.path.join(tdir, f"commit={token}")
-        staged = tdir + f".adopt-{token}"
-        os.rename(tdir, staged)
-        os.makedirs(tdir)
-        os.rename(staged, vdir)
+        resumed = sorted(f for f in os.listdir(tdir)
+                         if f.startswith("commit=legacy-"))
+        if resumed:  # already version-shaped by the resume pass above
+            token = resumed[-1].split("=", 1)[1]
+        else:
+            token = "legacy-" + uuid.uuid4().hex[:8]
+            vdir = os.path.join(tdir, f"commit={token}")
+            staged = tdir + f".adopt-{token}"
+            os.rename(tdir, staged)
+            os.makedirs(tdir)
+            os.rename(staged, vdir)
         m["dims"][t] = token
         m["dim_prev"][t] = None
     tmp = os.path.join(root, f"{_CDC_MANIFEST}.tmp-adopt")
@@ -384,7 +417,7 @@ def cdc_foreach_batch(route_fn, root: str):
         watermark = cdc_manifest_info(root)["batch_id"]
         if int(batch_id) < watermark:
             raise RuntimeError(
-                f"batch_id {batch_id} is more than one below the "
+                f"batch_id {batch_id} is below the "
                 f"committed watermark {watermark} for {root!r}: this "
                 "stream's checkpoint does not belong to this output "
                 "directory. Pair them, or start a new output dir.")
@@ -400,17 +433,17 @@ def manifest_foreach_batch(merge_fn, table_dir: str):
     in ``commit_state(..., batch_id)``) so batch ids at or below the
     committed watermark are skipped.
 
-    Raises instead of skipping when the incoming id is MORE than one
-    below the watermark: a genuine Structured Streaming replay only
-    re-delivers the tail (uncommitted) batch, so a deep gap means a
-    fresh checkpoint was pointed at an existing state table — silent
-    skipping there drops genuinely new data (module docstring,
-    TABLE↔CHECKPOINT COUPLING)."""
+    Raises instead of skipping when the incoming id is STRICTLY below
+    the watermark: a genuine Structured Streaming replay only
+    re-delivers the tail (uncommitted) batch (id == watermark), so any
+    lower id means a fresh checkpoint was pointed at an existing state
+    table — silent skipping there drops genuinely new data (module
+    docstring, TABLE↔CHECKPOINT COUPLING)."""
     def wrapped(batch_df, batch_id: int) -> None:
         _, watermark = manifest_info(table_dir)
         if int(batch_id) < watermark:
             raise RuntimeError(
-                f"batch_id {batch_id} is more than one below the "
+                f"batch_id {batch_id} is below the "
                 f"committed watermark {watermark} for {table_dir!r}: "
                 "this stream's checkpoint does not belong to this state "
                 "table (a fresh checkpoint restarts ids at 0, and "

@@ -2878,3 +2878,36 @@ def test_cdc_manifest_crash_point_sweep_converges(spark, tmp_path,
             spark, out, "user_info").collect())
         assert got_facts == ref_facts, f"facts diverged at point {point}"
         assert got_dim == ref_dim, f"dim diverged at point {point}"
+
+
+def test_adoption_resume_after_crash_windows(spark, tmp_path):
+    """The adoption paths are themselves crash-resumable: (a) a
+    single-table adoption that crashed between the rename and the
+    manifest write (orphan .v-legacy-* dir, no manifest) is finished
+    on the next touch instead of reporting empty state; (b) a CDC dim
+    adoption that crashed after parking the table at <t>.adopt-<token>
+    is moved into version shape and adopted."""
+    from sparkstreamingproject_spark.streaming import manifest_commit
+    from sparkstreamingproject_spark.streaming.manifest_commit import (
+        cdc_manifest_info, read_cdc_dim, read_state)
+
+    # (a) single-table: only the orphan version dir exists
+    table = str(tmp_path / "rollup")
+    spark.createDataFrame([("d", 1)], "day string, n long") \
+        .coalesce(1).write.parquet(f"{table}.v-legacy-deadbeef")
+    token, wm = manifest_commit.manifest_info(table)
+    assert token == "legacy-deadbeef" and wm == -1
+    assert [(r.day, r.n) for r in read_state(spark, table).collect()] \
+        == [("d", 1)]
+
+    # (b) CDC dim: data parked at the adopt staging name
+    out = str(tmp_path / "routed")
+    staged = f"{out}/dim/user_info.adopt-legacy-cafe1234"
+    spark.createDataFrame(
+        [("DIM:USER_INFO:u9", "user_info", "u9", '{"x":1}', 5)],
+        "key string, table string, id string, value string, ts long") \
+        .coalesce(1).write.parquet(staged)
+    m = cdc_manifest_info(out)
+    assert m["dims"] == {"user_info": "legacy-cafe1234"}
+    dim = read_cdc_dim(spark, out, "user_info")
+    assert [(r.id, r.ts) for r in dim.collect()] == [("u9", 5)]
