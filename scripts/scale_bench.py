@@ -76,6 +76,10 @@ KERNELS = [
     # single-probe `_scaled` row.
     "dedup_semantic_multiprobe",
     "dedup_semantic_multiprobe_scaled",
+    # r13 wave 2: sub-document dedup + reconstruction — no pairwise
+    # stage at all (window over md5(chunk) + groupBy(doc_id)), so the
+    # curve should read ~linear-with-overhead.
+    "dedup_paragraph_reconstruct",
 ]
 
 SFS = [("0.01", "/root/testdata/sf0.01"),

@@ -69,6 +69,7 @@ from . import analytics31  # noqa: E402,F401
 from . import llm17  # noqa: E402,F401
 from . import llm18  # noqa: E402,F401
 from . import llm19  # noqa: E402,F401
+from . import llm20  # noqa: E402,F401
 
 # --- driver-window ordering --------------------------------------------------
 # The verify driver checks the FIRST 50 registry entries per round

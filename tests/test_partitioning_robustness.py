@@ -136,7 +136,7 @@ _KEEPERS = [
     "text_bitext_mining_margin", "dedup_lsh_band_tuning",
     "sample_inbatch_negatives",
     # round-13 additions (r14 window candidates)
-    "dedup_semantic_multiprobe_scaled",
+    "dedup_semantic_multiprobe_scaled", "dedup_paragraph_reconstruct",
 ]
 
 _seen: set[str] = set()
