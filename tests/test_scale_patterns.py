@@ -500,3 +500,60 @@ def test_joined_stream_crash_drill_manifest_last(spark, tmp_path,
         & (cb.cts <= vb.ts + F.expr("INTERVAL 5 MINUTES")))
         .select("view_id", "click_id").collect())
     assert got == exp and len(exp) > 0
+
+
+@pytest.mark.slow
+def test_joined_stream_left_outer_to_table_nulls_delayed(spark, tmp_path):
+    """Fold #15 × LEFT OUTER: the watermark-delayed null semantics
+    survive the manifest sink — matched pairs commit in early batches,
+    unmatched left rows commit with a NULL right side only in LATER
+    batches (once the watermark proves no match can arrive), and the
+    per-row batch_id column the sink stamps makes that ordering
+    directly assertable."""
+    from sparkstreamingproject_spark.streaming.joins import (
+        joined_stream_to_table)
+    from sparkstreamingproject_spark.streaming.manifest_commit import (
+        read_cdc_facts)
+
+    T = 1_700_000_000_000_000
+    H3 = 10_800_000_000  # 3 hours in µs
+    mk = lambda rows: (spark.createDataFrame(
+        rows, "event_id long, ts_us long, user_id long")
+        .select("event_id", F.timestamp_micros("ts_us").alias("ts"),
+                "user_id"))
+    vsrc, csrc = str(tmp_path / "vo"), str(tmp_path / "co")
+    mk([(i, T + i * 1_000_000, i) for i in range(5)]
+       ).coalesce(1).write.parquet(vsrc)
+    mk([(998, T + H3, 98)]).coalesce(1).write.mode("append").parquet(vsrc)
+    mk([(100, T + 120_000_000, 0), (101, T + 120_000_000, 1)]
+       ).coalesce(1).write.mode("append").parquet(csrc)
+    mk([(999, T + H3, 99)]).coalesce(1).write.mode("append").parquet(csrc)
+    mk([(997, T + H3 + 60_000_000, 99)]
+       ).coalesce(1).write.mode("append").parquet(csrc)
+
+    schema = spark.read.parquet(vsrc).schema
+    vs = file_stream(spark, vsrc, schema, max_files_per_trigger=1).select(
+        F.col("event_id").alias("view_id"), "ts", "user_id")
+    cs = file_stream(spark, csrc, schema, max_files_per_trigger=1).select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("cts"),
+        "user_id")
+    joined = stream_stream_left_join(
+        vs, cs, "ts", "cts", key="user_id",
+        left_watermark="10 minutes", right_watermark="10 minutes",
+        within="5 minutes")
+    out, ck = str(tmp_path / "louto"), str(tmp_path / "lcko")
+    q = joined_stream_to_table(joined.select("view_id", "click_id"),
+                               out, ck)
+    q.awaitTermination(180)
+
+    rows = read_cdc_facts(
+        spark, out, "view_id long, click_id long, batch_id long").collect()
+    got = sorted((r.view_id, r.click_id) for r in rows
+                 if r.view_id != 998)  # flush row may still be buffered
+    assert got == [(0, 100), (1, 101), (2, None), (3, None), (4, None)]
+    matched_batches = {r.batch_id for r in rows
+                       if r.click_id is not None and r.view_id < 5}
+    null_batches = {r.batch_id for r in rows if r.click_id is None}
+    # eviction output is produced only after the watermark advances —
+    # strictly later micro-batches than the matches
+    assert null_batches and min(null_batches) > max(matched_batches)
