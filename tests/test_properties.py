@@ -109,3 +109,65 @@ def test_sessionize_fold_matches_pure_python(spark, tmp_path_factory,
                 counts[-1] += 1
         exp[u] = (len(counts), sum(counts), max(counts))
     assert got == exp
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vals=st.lists(st.tuples(st.sampled_from(["a", "b", "c"]),
+                            st.integers(1, 50)),
+                  min_size=1, max_size=12),
+    cuts=st.lists(st.integers(0, 11), min_size=0, max_size=3),
+    crash_round=st.integers(0, 3),
+)
+def test_manifest_fold_random_chunks_and_crashes_converge(
+        spark, tmp_path_factory, vals, cuts, crash_round):
+    """Property: folding ANY chunking of ANY value set through the
+    manifest-committed rollup, with a crash injected at ANY commit
+    point (manifest rename dies, batch replays — exactly the engine's
+    at-least-once contract), converges to the crash-free batch answer.
+    Generalizes the fixed-point crash drills the same way the
+    sessionize property generalizes its unit tests."""
+    from sparkstreamingproject_spark.streaming import manifest_commit
+    from sparkstreamingproject_spark.streaming.manifest_commit import (
+        manifest_foreach_batch, read_state)
+    from sparkstreamingproject_spark.streaming.rollup_maintain import (
+        merge_rollup)
+
+    sch = "o_orderdate string, o_totalprice double"
+    rows = [(f"1995-01-{ord(d) - 96:02d}", float(v)) for d, v in vals]
+    bounds = sorted({c for c in cuts if c < len(rows)})
+    chunks, lo = [], 0
+    for b in bounds + [len(rows)]:
+        chunks.append(rows[lo:b])
+        lo = b
+    chunks = [c for c in chunks if c] or [rows]
+
+    table = str(tmp_path_factory.mktemp("mprop") / "rollup")
+    fold = manifest_foreach_batch(
+        lambda df, i: merge_rollup(df, table, batch_id=i), table)
+    # patch by hand (not the monkeypatch fixture — function-scoped
+    # fixtures don't reset between hypothesis examples)
+    real_replace = manifest_commit.os.replace
+    try:
+        for i, chunk in enumerate(chunks):
+            df = spark.createDataFrame(chunk, sch)
+            if i == crash_round % len(chunks):
+                def crashing(src, dst):
+                    raise OSError("property crash")
+                manifest_commit.os.replace = crashing
+                try:
+                    fold(df, i)
+                except OSError:
+                    pass
+                manifest_commit.os.replace = real_replace
+            fold(df, i)  # the engine's replay (or first delivery)
+    finally:
+        manifest_commit.os.replace = real_replace
+
+    got = {str(r.day): (r.cents, r.n)
+           for r in read_state(spark, table).collect()}
+    exp: dict[str, tuple[int, int]] = {}
+    for day, v in rows:
+        cents, n = exp.get(day, (0, 0))
+        exp[day] = (cents + round(v * 100), n + 1)
+    assert got == exp
