@@ -53,6 +53,46 @@ def _para_oracle(w: int = PARA_W) -> str:
     """
 
 
+def chunk_relation(docs, w: int = PARA_W):
+    """(doc_id, cidx, chunk) — every document's fixed-width word
+    chunks, built by in-row slicing (narrow; no word-level explode).
+    Shared by the batch query below and the streaming ingest fold
+    (`streaming/paragraph_maintain.py`)."""
+    words = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    return (words
+            .select("doc_id",
+                    F.expr(f"""
+        transform(sequence(0, CAST(ceil(size(ws) / {float(w)!r}) AS INT) - 1),
+                  i -> struct(i AS cidx,
+                              array_join(slice(ws, i*{w} + 1, {w}), ' ')
+                                  AS chunk))
+                    """).alias("cs"))
+            .select("doc_id", F.explode("cs").alias("c"))
+            .select("doc_id", F.col("c.cidx").alias("cidx"),
+                    F.col("c.chunk").alias("chunk")))
+
+
+def reconstruct_docs(ranked):
+    """(doc_id, n_chunks, n_kept, dedup_text) off a (doc_id, cidx,
+    chunk, rn) relation where rn == 1 marks surviving chunks. The
+    struct array_sort keeps the aggregation order-insensitive to
+    partitioning."""
+    return (ranked
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_chunks"),
+                 F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+                 .cast("long").alias("n_kept"),
+                 F.coalesce(
+                     F.array_join(
+                         F.transform(
+                             F.array_sort(F.collect_list(
+                                 F.when(F.col("rn") == 1,
+                                        F.struct("cidx", "chunk")))),
+                             lambda s: s["chunk"]),
+                         " "),
+                     F.lit("")).alias("dedup_text")))
+
+
 @register(
     "dedup_paragraph_reconstruct",
     oracle=_para_oracle(),
@@ -81,34 +121,8 @@ def dedup_paragraph_reconstruct(spark, sf_dir):
     array_sort — order-insensitive to partitioning (the struct sort
     is the determinism discipline, not collect order)."""
     docs = table(spark, sf_dir, "documents")
-    w = PARA_W
-    words = docs.select("doc_id", F.split("text", " ").alias("ws"))
-    chunks = (words
-              .select("doc_id",
-                      F.expr(f"""
-        transform(sequence(0, CAST(ceil(size(ws) / {float(w)!r}) AS INT) - 1),
-                  i -> struct(i AS cidx,
-                              array_join(slice(ws, i*{w} + 1, {w}), ' ')
-                                  AS chunk))
-                      """).alias("cs"))
-              .select("doc_id", F.explode("cs").alias("c"))
-              .select("doc_id", F.col("c.cidx").alias("cidx"),
-                      F.col("c.chunk").alias("chunk")))
+    chunks = chunk_relation(docs)
     from pyspark.sql import Window
     rn = F.row_number().over(
         Window.partitionBy(F.md5("chunk")).orderBy("doc_id", "cidx"))
-    ranked = chunks.withColumn("rn", rn)
-    return (ranked
-            .groupBy("doc_id")
-            .agg(F.count("*").cast("long").alias("n_chunks"),
-                 F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
-                 .cast("long").alias("n_kept"),
-                 F.coalesce(
-                     F.array_join(
-                         F.transform(
-                             F.array_sort(F.collect_list(
-                                 F.when(F.col("rn") == 1,
-                                        F.struct("cidx", "chunk")))),
-                             lambda s: s["chunk"]),
-                         " "),
-                     F.lit("")).alias("dedup_text")))
+    return reconstruct_docs(chunks.withColumn("rn", rn))

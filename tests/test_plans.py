@@ -327,3 +327,21 @@ def test_round8_wave_query_plan_shapes(spark, sf_dir):
     assert "CartesianProduct" not in ah, ah
     assert re.search(r"(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin)",
                      ah), ah
+
+
+def test_round13_paragraph_dedup_plan_shape(spark, sf_dir):
+    """Pin dedup_paragraph_reconstruct's docstring claims: NO pairwise
+    stage (no join of any kind — the keep-first decision is a window,
+    not a self-join) and exactly the two promised shuffles (chunk-hash
+    window + doc_id reconstruction, modulo an AQE final coalesce)."""
+    import re
+
+    plan = explain_str(REGISTRY["dedup_paragraph_reconstruct"]
+                       .fn(spark, sf_dir))
+    assert "Join" not in plan, plan          # no pairwise stage at all
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
+    keys = {k.split("#")[0].strip() for k in
+            re.findall(r"hashpartitioning\(([^,]+)", plan)}
+    assert "doc_id" in keys and len(keys) == 2, (keys, plan)

@@ -2911,3 +2911,99 @@ def test_adoption_resume_after_crash_windows(spark, tmp_path):
     assert m["dims"] == {"user_info": "legacy-cafe1234"}
     dim = read_cdc_dim(spark, out, "user_info")
     assert [(r.id, r.ts) for r in dim.collect()] == [("u9", 5)]
+
+
+def test_paragraph_fold_stream_equals_batch(spark, tmp_path, sf_dir):
+    """Fold #16: ingesting the corpus in doc_id-ordered micro-batches
+    (the module's ordering contract) through the first-seen chunk
+    dedup reads back EXACTLY the batch query's output — keep rule,
+    totals, and reconstructed text all equal."""
+    from sparkstreamingproject_spark.queries import REGISTRY
+    from sparkstreamingproject_spark.streaming.paragraph_maintain import (
+        fold_paragraphs, paragraph_dedup_from_state)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    n = docs.count()
+    cut1, cut2 = n // 3, 2 * n // 3
+    st = str(tmp_path / "para_state")
+    batches = [docs.filter(F.col("doc_id") < cut1),
+               docs.filter((F.col("doc_id") >= cut1)
+                           & (F.col("doc_id") < cut2)),
+               docs.filter(F.col("doc_id") >= cut2)]
+    for i, b in enumerate(batches):
+        fold_paragraphs(b.localCheckpoint(), st, batch_id=i)
+
+    got = sorted(map(tuple,
+                     paragraph_dedup_from_state(spark, st).collect()))
+    exp = sorted(map(tuple, REGISTRY["dedup_paragraph_reconstruct"]
+                     .fn(spark, sf_dir).collect()))
+    assert got == exp and len(exp) > 0
+
+
+def test_paragraph_fold_crash_invisible_then_converges(spark, tmp_path,
+                                                       sf_dir):
+    """Fold #16 crash drill: chunks of the last batch are on disk but
+    the docs commit signal is not (crash between the two writes) —
+    the read must show EXACTLY the prior batches; the replayed fold
+    converges."""
+    import shutil
+
+    from sparkstreamingproject_spark.streaming.paragraph_maintain import (
+        fold_paragraphs, paragraph_dedup_from_state)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    n = docs.count()
+    st = str(tmp_path / "para_crash")
+    halves = [docs.filter(F.col("doc_id") < n // 2).localCheckpoint(),
+              docs.filter(F.col("doc_id") >= n // 2).localCheckpoint()]
+    fold_paragraphs(halves[0], st, batch_id=0)
+    pre = sorted(map(tuple,
+                     paragraph_dedup_from_state(spark, st).collect()))
+
+    fold_paragraphs(halves[1], st, batch_id=1)
+    post = sorted(map(tuple,
+                      paragraph_dedup_from_state(spark, st).collect()))
+    # simulate the crash window: docs (commit signal) missing
+    shutil.rmtree(f"{st}/docs/ingest_batch=1")
+    in_crash = sorted(map(tuple,
+                          paragraph_dedup_from_state(spark, st).collect()))
+    assert in_crash == pre, "crashed batch must be invisible"
+    fold_paragraphs(halves[1], st, batch_id=1)  # engine replay
+    again = sorted(map(tuple,
+                       paragraph_dedup_from_state(spark, st).collect()))
+    assert again == post
+
+
+@pytest.mark.slow
+def test_paragraph_stream_availablenow_equals_batch(spark, tmp_path,
+                                                    sf_dir):
+    """Fold #16 through the engine: a file stream of doc_id-ordered
+    files drained with availableNow reads back the batch answer."""
+    from sparkstreamingproject_spark.queries import REGISTRY
+    from sparkstreamingproject_spark.sources.streams import file_stream
+    from sparkstreamingproject_spark.streaming.paragraph_maintain import (
+        paragraph_dedup_from_state, paragraph_stream)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    n = docs.count()
+    land = str(tmp_path / "docs_land")
+    # one file per ordered range; 1 file/trigger + distinct modTimes
+    # (the source orders new files by timestamp) preserve the order
+    import time as _time
+    for i, (lo, hi) in enumerate([(0, n // 3), (n // 3, 2 * n // 3),
+                                  (2 * n // 3, n + 1)]):
+        (docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+         .coalesce(1).write.mode("append").parquet(land))
+        _time.sleep(1.2)
+    st, ck = str(tmp_path / "para_s"), str(tmp_path / "para_ck")
+    stream = file_stream(spark, land, docs.schema, max_files_per_trigger=1)
+    paragraph_stream(stream, st, ck).awaitTermination(120)
+
+    got = sorted(map(tuple,
+                     paragraph_dedup_from_state(spark, st).collect()))
+    exp = sorted(map(tuple, REGISTRY["dedup_paragraph_reconstruct"]
+                     .fn(spark, sf_dir).collect()))
+    assert got == exp and len(exp) > 0
