@@ -3007,3 +3007,106 @@ def test_paragraph_stream_availablenow_equals_batch(spark, tmp_path,
     exp = sorted(map(tuple, REGISTRY["dedup_paragraph_reconstruct"]
                      .fn(spark, sf_dir).collect()))
     assert got == exp and len(exp) > 0
+
+
+def test_paragraph_fold_crash_point_sweep_converges(spark, tmp_path,
+                                                    sf_dir):
+    """Fold #16 crash-point sweep: simulate the crash window (chunks
+    landed, docs commit signal missing) after EVERY batch of a 3-batch
+    ordered ingest, not just the last one the targeted drill picks.
+    After each crash: state == the view after the last committed
+    batch; after the replay: the run converges to the crash-free
+    state."""
+    import shutil
+
+    from sparkstreamingproject_spark.streaming.paragraph_maintain import (
+        fold_paragraphs, paragraph_dedup_from_state)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    n = docs.count()
+    cut1, cut2 = n // 3, 2 * n // 3
+    batches = [docs.filter(F.col("doc_id") < cut1).localCheckpoint(),
+               docs.filter((F.col("doc_id") >= cut1)
+                           & (F.col("doc_id") < cut2)).localCheckpoint(),
+               docs.filter(F.col("doc_id") >= cut2).localCheckpoint()]
+
+    # crash-free reference
+    ref = str(tmp_path / "ref")
+    for i, b in enumerate(batches):
+        fold_paragraphs(b, ref, batch_id=i)
+    ref_state = sorted(map(tuple,
+                           paragraph_dedup_from_state(spark, ref).collect()))
+
+    for crash_at in range(3):
+        st = str(tmp_path / f"crash{crash_at}")
+        snapshots = []
+        for i, b in enumerate(batches):
+            fold_paragraphs(b, st, batch_id=i)
+            if i == crash_at:
+                shutil.rmtree(f"{st}/docs/ingest_batch={i}")
+                in_crash = sorted(map(tuple, paragraph_dedup_from_state(
+                    spark, st).collect()))
+                assert in_crash == (snapshots[-1] if snapshots else []), \
+                    f"crashed batch {i} visible"
+                fold_paragraphs(b, st, batch_id=i)  # engine replay
+            snapshots.append(sorted(map(tuple, paragraph_dedup_from_state(
+                spark, st).collect())))
+        got = sorted(map(tuple,
+                         paragraph_dedup_from_state(spark, st).collect()))
+        assert got == ref_state, f"diverged after crash at batch {crash_at}"
+
+
+def test_joined_table_crash_point_sweep_converges(spark, tmp_path,
+                                                  monkeypatch):
+    """Fold #15 crash-point sweep (manual folds — the engine drill
+    lives in test_scale_patterns): crash the manifest rename at every
+    commit of a 3-batch run of the join-output sink; each crash is
+    invisible and the replay converges to the crash-free output."""
+    import os as _os
+
+    from sparkstreamingproject_spark.streaming import manifest_commit
+    from sparkstreamingproject_spark.streaming.joins import (
+        write_joined_batch)
+    from sparkstreamingproject_spark.streaming.manifest_commit import (
+        cdc_foreach_batch, read_cdc_facts)
+
+    sch = "view_id long, click_id long"
+    batches = [spark.createDataFrame(
+        [(i * 10 + j, i * 100 + j) for j in range(4)], sch)
+        .localCheckpoint() for i in range(3)]
+
+    def run(out, crash_at):
+        calls = {"n": 0}
+        real = _os.replace
+
+        def maybe(src, dst):
+            calls["n"] += 1
+            if crash_at is not None and calls["n"] == crash_at:
+                raise OSError("swept crash")
+            return real(src, dst)
+
+        fold = cdc_foreach_batch(
+            lambda b, i: write_joined_batch(b, i, out), root=out)
+        monkeypatch.setattr(manifest_commit.os, "replace", maybe)
+        try:
+            for i, b in enumerate(batches):
+                try:
+                    fold(b, i)
+                except OSError:
+                    wm = manifest_commit.cdc_manifest_info(out)["batch_id"]
+                    assert wm == i - 1  # crashed batch invisible
+                    monkeypatch.setattr(manifest_commit.os, "replace", real)
+                    fold(b, i)  # replay
+                    monkeypatch.setattr(manifest_commit.os, "replace", maybe)
+        finally:
+            monkeypatch.setattr(manifest_commit.os, "replace", real)
+        return sorted((r.view_id, r.click_id, r.batch_id)
+                      for r in read_cdc_facts(
+                          spark, out, sch + ", batch_id long").collect())
+
+    ref = run(str(tmp_path / "ref"), None)
+    assert len(ref) == 12
+    for point in range(1, 4):
+        got = run(str(tmp_path / f"c{point}"), point)
+        assert got == ref, f"diverged at crash point {point}"
