@@ -110,8 +110,10 @@ def _adopt_legacy(table_dir: str) -> tuple[str, int] | None:
     else:
         # resume a crashed adoption: orphan legacy version, no manifest
         parent, name = os.path.split(table_dir)
-        orphans = sorted(d for d in os.listdir(parent or ".")
-                         if d.startswith(f"{name}.v-legacy-"))
+        parent = parent or "."
+        orphans = sorted(d for d in os.listdir(parent)
+                         if d.startswith(f"{name}.v-legacy-")) \
+            if os.path.isdir(parent) else []
         if orphans:
             token = orphans[-1].split(".v-", 1)[1]
     if token is None:
@@ -249,9 +251,12 @@ def _cdc_adopt_legacy(root: str) -> dict | None:
     adopted batch id. Only COMPLETE fact dirs (``_SUCCESS`` marker)
     adopt — a partial dir from a mid-write crash stays un-adopted and
     below the watermark, so the engine's replay of that batch re-runs
-    it fresh (the old protocol's own recovery path). Returns the
-    adopted manifest, or None if there is nothing legacy-shaped to
-    adopt."""
+    it fresh (the old protocol's own recovery path). Crash-resumable
+    on BOTH sides: dims park at ``<t>.adopt-<token>`` (resumed below),
+    and fact dirs already renamed to ``commit=legacy-N`` by a crashed
+    attempt are re-discovered through the token's embedded batch id.
+    Returns the adopted manifest, or None if there is nothing
+    legacy-shaped to adopt."""
     root = os.path.abspath(root)
     facts_root = os.path.join(root, "facts")
     dim_root = os.path.join(root, "dim")
@@ -265,11 +270,19 @@ def _cdc_adopt_legacy(root: str) -> dict | None:
             os.makedirs(tdir, exist_ok=True)
             os.rename(os.path.join(dim_root, d),
                       os.path.join(tdir, f"commit={token}"))
-    legacy_facts = sorted(
-        d for d in (os.listdir(facts_root) if os.path.isdir(facts_root)
+    fact_entries = (os.listdir(facts_root) if os.path.isdir(facts_root)
                     else [])
+    legacy_facts = sorted(
+        d for d in fact_entries
         if d.startswith("batch_id=")
         and os.path.exists(os.path.join(facts_root, d, "_SUCCESS")))
+    # resume a crashed fact adoption: dirs an earlier attempt already
+    # renamed to commit=legacy-N before dying pre-manifest — the token
+    # deterministically encodes the batch id, so fold them back in
+    # (without this they would be invisible to readers and GC'd as
+    # orphans at the next cdc_commit: permanent data loss)
+    resumed_facts = sorted(
+        d for d in fact_entries if d.startswith("commit=legacy-"))
     legacy_dims = sorted(
         t for t in (os.listdir(dim_root) if os.path.isdir(dim_root)
                     else [])
@@ -278,9 +291,14 @@ def _cdc_adopt_legacy(root: str) -> dict | None:
                  for f in os.listdir(os.path.join(dim_root, t)))
              or any(f.startswith("commit=legacy-")
                     for f in os.listdir(os.path.join(dim_root, t)))))
-    if not legacy_facts and not legacy_dims:
+    if not legacy_facts and not legacy_dims and not resumed_facts:
         return None
     m = {"batch_id": -1, "facts": {}, "dims": {}, "dim_prev": {}}
+    for d in resumed_facts:
+        token = d.split("=", 1)[1]
+        n = int(token.split("legacy-", 1)[1])
+        m["facts"][str(n)] = token
+        m["batch_id"] = max(m["batch_id"], n)
     for d in legacy_facts:
         n = int(d.split("=", 1)[1])
         token = f"legacy-{n}"
@@ -387,13 +405,21 @@ def read_cdc_facts(spark, root: str,
     invisible because only manifest-named paths are enumerated.
     Empty relation of ``schema`` before the first fact commit (the
     default is the CDC router's payload shape; append-log reuses like
-    the stream-stream join sink pass their own)."""
+    the stream-stream join sink pass their own). ``schema`` is passed
+    to the reader EXPLICITLY: adopted ``commit=legacy-*`` files lack
+    the batch_id data column, and without a declared schema the
+    resolved one would depend on which parquet footer Spark samples —
+    batch_id could silently vanish for every row. With the explicit
+    schema, legacy rows read batch_id as NULL, new rows as written
+    (and the scan skips footer schema-merging entirely — the cheap
+    path at scale)."""
     root = os.path.abspath(root)
     tokens = sorted(set(cdc_manifest_info(root)["facts"].values()))
     if not tokens:
         return spark.createDataFrame([], schema)
     paths = [os.path.join(root, "facts", f"commit={t}") for t in tokens]
-    return (spark.read.option("basePath", os.path.join(root, "facts"))
+    return (spark.read.schema(schema)
+            .option("basePath", os.path.join(root, "facts"))
             .parquet(*paths).drop("commit"))
 
 

@@ -94,9 +94,17 @@ def init_semantic_state(train: DataFrame, state_dir: str, k: int,
                         n_iter: int = SEM_ITER) -> None:
     """Train and freeze the cell centroids (shared Lloyd kernel) —
     run once before streaming; ``refresh_semantic_state`` is the
-    re-train compaction."""
+    re-train compaction. Refuses to run once a manifest exists:
+    writing through ``_resolve`` then would mutate a committed
+    'immutable' version dir in place — re-training an existing state
+    is exactly what ``refresh_semantic_state`` is for."""
+    if state_path(state_dir) is not None:
+        raise RuntimeError(
+            f"semantic state at {state_dir!r} already has a committed "
+            "manifest version; init_semantic_state is one-time setup — "
+            "use refresh_semantic_state to re-train an existing state.")
     cents = kmeans_centroids(train, k=k, n_iter=n_iter)
-    cents.write.mode("overwrite").parquet(f"{_resolve(state_dir)}/centroids")
+    cents.write.mode("overwrite").parquet(f"{state_dir}/centroids")
 
 
 def _assign_sim(pts: DataFrame, cents: DataFrame) -> DataFrame:
@@ -177,7 +185,19 @@ def refresh_semantic_state(spark, state_dir: str,
 
     Consolidation lands under ``ingest_batch=-1`` so no foreachBatch
     replay (epoch ids >= 0) can overwrite it; post-refresh batches
-    append exactly as before against the new frozen centroids."""
+    append exactly as before against the new frozen centroids.
+
+    First refresh over a LEGACY (never-refreshed) raw ``state_dir``
+    additionally retires the superseded raw tree by renaming it to a
+    ``.v-legacy-*`` version dir just before the commit: the commit
+    adopts it as the manifest predecessor, so it gets the standard
+    one-commit GC grace window and is collected at the next commit —
+    left in place it would be orphaned forever (``_gc`` only matches
+    ``.v-*`` siblings). A crash between that rename and the manifest
+    write is the already-tested adoption-resume window: the next touch
+    adopts the orphan version and readers stay on the pre-refresh
+    state."""
+    raw_legacy = state_path(state_dir) is None
     cur = _resolve(state_dir)
     assigned = (_maybe_read(spark, f"{cur}/assigned", _ASSIGNED_SCHEMA)
                 .drop("ingest_batch").dropDuplicates(["vec_id"]))
@@ -201,6 +221,12 @@ def refresh_semantic_state(spark, state_dir: str,
              .filter(F.col("cosine") >= threshold))
     _write(pairs, f"{vdir}/pairs", _REFRESH_BATCH)
     _write(csim, f"{vdir}/assigned", _REFRESH_BATCH)
+    if raw_legacy and os.path.isdir(state_dir):
+        # everything read from the raw tree is materialized above
+        # (localCheckpoint), so retiring it here is safe; see docstring
+        os.rename(os.path.abspath(state_dir),
+                  f"{os.path.abspath(state_dir)}"
+                  f".v-legacy-{uuid.uuid4().hex[:8]}")
     commit_version(state_dir, token, batch_id=_REFRESH_BATCH)
 
 

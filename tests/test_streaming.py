@@ -2691,6 +2691,20 @@ def test_semantic_refresh_retrain_equals_scaled_batch(spark, tmp_path,
                      semantic_dedup_from_state(spark, st).collect()))
     assert got == exp and len(exp) > 0
 
+    # the superseded raw tree was retired into a .v-legacy-* version
+    # (the manifest predecessor), not leaked in place (ADVICE r13)
+    import os as _os
+    assert not _os.path.exists(st)
+    sibs = [d for d in _os.listdir(str(tmp_path))
+            if d.startswith("sem_refresh_state.v-")]
+    assert len(sibs) == 2 and \
+        len([d for d in sibs if ".v-legacy-" in d]) == 1
+
+    # init is one-time setup: once a manifest exists it must refuse
+    # rather than mutate the committed version dir in place
+    with pytest.raises(RuntimeError, match="refresh_semantic_state"):
+        init_semantic_state(emb, st, k=SEM_K)
+
     # the fold keeps working against the refreshed (resolved) state:
     # re-ingesting existing rows is a no-op by content determinism
     fold_semantic_cells(thirds[0], st, batch_id=3)
@@ -2733,23 +2747,38 @@ def test_semantic_refresh_crash_drill_manifest_last(spark, tmp_path,
         refresh_semantic_state(spark, st)
     monkeypatch.setattr(manifest_commit.os, "replace", real_replace)
 
-    # in-window invisibility: the fully-written refresh tree is there,
-    # but readers resolve to the pre-refresh state
+    # in-window invisibility: the fully-written refresh tree AND the
+    # retired raw tree (renamed to .v-legacy-* just before the commit)
+    # are both on disk, but readers adopt the legacy version and
+    # resolve to EXACTLY the pre-refresh state
     orphans = [d for d in _os.listdir(str(tmp_path))
                if d.startswith("sem_crash_state.v-")]
-    assert len(orphans) == 1
+    assert len(orphans) == 2
+    assert len([d for d in orphans if ".v-legacy-" in d]) == 1
+    assert not _os.path.exists(st)  # raw tree retired, not leaked
     in_crash = sorted(map(tuple,
                           semantic_dedup_from_state(spark, st).collect()))
     assert in_crash == pre
 
-    # retry converges and the orphan version dir is GC'd by its commit
+    # retry converges; the crashed-attempt version dir is GC'd by its
+    # commit while the adopted legacy version survives one commit as
+    # the manifest predecessor (the standard lazy-reader grace window)
     refresh_semantic_state(spark, st)
     left = [d for d in _os.listdir(str(tmp_path))
             if d.startswith("sem_crash_state.v-")]
-    assert len(left) == 1 and left[0] not in orphans
+    assert len(left) == 2
+    assert len([d for d in left if ".v-legacy-" in d]) == 1
+    assert all(d not in left for d in orphans if ".v-legacy-" not in d)
     post = sorted(map(tuple,
                       semantic_dedup_from_state(spark, st).collect()))
     assert {t[0] for t in post} == {t[0] for t in pre}  # same vec_ids
+
+    # one more commit collects the legacy predecessor: the pre-refresh
+    # raw state is gone for good — no unbounded orphan (ADVICE r13)
+    refresh_semantic_state(spark, st)
+    final = [d for d in _os.listdir(str(tmp_path))
+             if d.startswith("sem_crash_state.v-")]
+    assert len(final) == 2 and not any(".v-legacy-" in d for d in final)
 
 
 def test_cdc_manifest_adopts_legacy_marker_layout(spark, tmp_path):
@@ -2797,6 +2826,17 @@ def test_cdc_manifest_adopts_legacy_marker_layout(spark, tmp_path):
     got = {r.id: r.value for r in dim2.collect()}
     assert got.get("u1") == '{"name":"alice"}'  # adopted row survived
     assert len(got) > 1              # plus the new batch's dim rows
+
+    # mixed legacy/new fact read after the post-upgrade commit: the
+    # declared schema keeps batch_id stable regardless of which footer
+    # Spark would sample — adopted rows NULL, new rows as written
+    facts2 = read_cdc_facts(spark, out)
+    assert "batch_id" in facts2.columns
+    by_val = {r.value: r.batch_id for r in facts2.collect()}
+    assert by_val['{"id":"1"}'] is None and by_val['{"id":"2"}'] is None
+    new_ids = {v for k, v in by_val.items()
+               if k not in ('{"id":"1"}', '{"id":"2"}')}
+    assert new_ids == {1} and len(by_val) > 2
 
 
 @pytest.mark.slow
@@ -2886,10 +2926,14 @@ def test_adoption_resume_after_crash_windows(spark, tmp_path):
     manifest write (orphan .v-legacy-* dir, no manifest) is finished
     on the next touch instead of reporting empty state; (b) a CDC dim
     adoption that crashed after parking the table at <t>.adopt-<token>
-    is moved into version shape and adopted."""
+    is moved into version shape and adopted; (c) a CDC FACT adoption
+    that crashed after the batch_id=N -> commit=legacy-N renames but
+    before the manifest write is re-discovered through the token's
+    embedded batch id (ADVICE r13: those dirs were invisible to the
+    batch_id=* resume scan and permanently GC'd at the next commit)."""
     from sparkstreamingproject_spark.streaming import manifest_commit
     from sparkstreamingproject_spark.streaming.manifest_commit import (
-        cdc_manifest_info, read_cdc_dim, read_state)
+        cdc_manifest_info, read_cdc_dim, read_cdc_facts, read_state)
 
     # (a) single-table: only the orphan version dir exists
     table = str(tmp_path / "rollup")
@@ -2911,6 +2955,33 @@ def test_adoption_resume_after_crash_windows(spark, tmp_path):
     assert m["dims"] == {"user_info": "legacy-cafe1234"}
     dim = read_cdc_dim(spark, out, "user_info")
     assert [(r.id, r.ts) for r in dim.collect()] == [("u9", 5)]
+
+    # (c) CDC facts: a crashed adoption renamed batch_id={0,2} to
+    # commit=legacy-{0,2} and died pre-manifest, while batch_id=1
+    # was not yet renamed — the resume must fold BOTH shapes in and
+    # set the watermark to the highest adopted id
+    out2 = str(tmp_path / "routed_facts")
+    for n, shape in ((0, "commit=legacy-0"), (1, "batch_id=1"),
+                     (2, "commit=legacy-2")):
+        spark.createDataFrame([("T", f'{{"id":"{n}"}}')],
+                              "topic string, value string") \
+            .write.partitionBy("topic") \
+            .parquet(f"{out2}/facts/{shape}")
+    m2 = cdc_manifest_info(out2)
+    assert m2["facts"] == {"0": "legacy-0", "1": "legacy-1",
+                           "2": "legacy-2"}
+    assert m2["batch_id"] == 2
+    facts = read_cdc_facts(spark, out2)
+    assert sorted(r.value for r in facts.collect()) == \
+        ['{"id":"0"}', '{"id":"1"}', '{"id":"2"}']
+    # adopted rows carry no batch_id data column -> declared-schema NULL
+    assert [r.batch_id for r in facts.collect()] == [None] * 3
+
+    # (d) pre-first-commit info on a path whose PARENT directory does
+    # not exist must report empty state, not raise (ADVICE r13)
+    ghost = str(tmp_path / "no_such_parent" / "tbl")
+    assert manifest_commit.manifest_info(ghost) == (None, -1)
+    assert read_state(spark, ghost) is None
 
 
 def test_paragraph_fold_stream_equals_batch(spark, tmp_path, sf_dir):
