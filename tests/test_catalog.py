@@ -10,6 +10,8 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+pytestmark = pytest.mark.smoke  # ~5-min preflight tier (COVERAGE.md)
+
 
 @pytest.fixture()
 def catalog_db(spark):

@@ -16,6 +16,10 @@ from sparkstreamingproject_spark.schemas import (
 
 from .fixtures import log_envelope_df
 
+import pytest
+
+pytestmark = pytest.mark.smoke  # ~5-min preflight tier (COVERAGE.md)
+
 
 def test_page_log_schema_and_counts(spark):
     env = log_envelope_df(spark)

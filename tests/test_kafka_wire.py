@@ -21,6 +21,8 @@ import json
 import time
 
 import pytest
+
+pytestmark = pytest.mark.smoke  # ~5-min preflight tier (COVERAGE.md)
 from pyspark.sql import functions as F
 
 from sparkstreamingproject_spark.schemas import (

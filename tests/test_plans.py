@@ -17,6 +17,8 @@ from sparkstreamingproject_spark.plans.inspect import (
 )
 from sparkstreamingproject_spark.queries import REGISTRY
 
+pytestmark = pytest.mark.smoke  # ~5-min preflight tier (COVERAGE.md)
+
 
 def test_point_lookup_pushes_down(spark, sf_dir):
     df = REGISTRY["kv_get"].fn(spark, sf_dir)

@@ -636,6 +636,7 @@ def test_dedup_ingest_stream_index_equals_batch_over_three_batches(
     assert {1, 2, 12, 21} <= ids
 
 
+@pytest.mark.smoke
 def test_manifest_crash_before_commit_preserves_rollup_state(
         spark, tmp_path, monkeypatch):
     """The r12 manifest-last upgrade of the r06 swap-crash drill: the
@@ -2920,6 +2921,7 @@ def test_cdc_manifest_crash_point_sweep_converges(spark, tmp_path,
         assert got_dim == ref_dim, f"dim diverged at point {point}"
 
 
+@pytest.mark.smoke
 def test_adoption_resume_after_crash_windows(spark, tmp_path):
     """The adoption paths are themselves crash-resumable: (a) a
     single-table adoption that crashed between the rename and the
