@@ -70,6 +70,7 @@ from . import llm17  # noqa: E402,F401
 from . import llm18  # noqa: E402,F401
 from . import llm19  # noqa: E402,F401
 from . import llm20  # noqa: E402,F401
+from . import llm21  # noqa: E402,F401
 
 # --- driver-window ordering --------------------------------------------------
 # The verify driver checks the FIRST 50 registry entries per round
@@ -475,10 +476,47 @@ _ROUND13_WINDOW = [
     "join_salted_skew", "unpivot_measures", "gaps_islands_orderkeys",
 ]
 
+# Round-14 window (VERDICT r13 §next 1): the 2 never-driver-checked
+# r13-wave-2 additions + the 5 new r14 eval-report queries, then the
+# oldest re-checks (LEDGER last_round order: the 26 remaining
+# r03-certified rows, then the first 17 of the r04 cohort) to 50.
+# Certifying slots 0-1 closes every pre-r14 registration at
+# driver-green; slots 2-6 cover this round's additions.
+# Pre-flight: parity at sf0.001/0.01/0.1 under TZ=America/New_York +
+# hostile partitioning (tests/test_partitioning_robustness.py).
+_ROUND14_WINDOW = [
+    # 0-1: round-13 wave-2 additions, never driver-checked
+    "dedup_semantic_multiprobe_scaled", "dedup_paragraph_reconstruct",
+    # 2-6: round-14 eval-report wave (queries/llm21.py)
+    "report_contamination_by_source", "report_split_leakage_matrix",
+    "report_dedup_retention_funnel", "report_token_mix_by_quality",
+    "report_top_duplicated_chunks",
+    # 7-32: the 26 remaining r03-certified rows (oldest, registry order)
+    "agg_argmax_customer", "decontaminate_ngram", "text_repetition_stats",
+    "pii_scrub_redact", "dedup_incremental", "sim_ivf_kmeans_cells",
+    "seq_pack_contiguous", "text_char_entropy", "vocab_build_topk",
+    "profile_columns", "embedding_quantize_int8", "multimodal_image_tiles",
+    "lang_id_trigram", "text_bigram_lm_score", "dedup_lsh_verified",
+    "text_ngram_top", "scd2_user_history", "tokenize_with_vocab",
+    "sketch_hist_quantiles", "rfm_customer_segments",
+    "cohort_retention_matrix", "scd2_point_in_time_join",
+    "stat_linear_trend", "stat_corr_matrix", "stat_ttest_welch",
+    "stat_chi_square",
+    # 33-49: oldest r04-certified rows, registry order
+    "dedup_jaccard_capped", "asof_forward_next_purchase",
+    "sketch_hll_time_merge", "multimodal_audio_windows",
+    "event_path_transitions", "ts_anomaly_zscore", "events_dau_wau",
+    "dedup_normalized_exact", "embedding_norm_stats",
+    "stat_ab_proportion_ztest", "session_paths_top",
+    "funnel_3step_conversion", "events_hourly_seasonality",
+    "interval_join_session_overlap", "graph_pagerank_transitions",
+    "orders_ship_latency", "ts_moving_avg_pct_change",
+]
+
 # Round-agnostic alias — scripts/gen_ledger.py and any other tooling
 # read THIS name so a window rename can never silently zero the ledger
 # (ADVICE r09 item 2).
-_CURRENT_WINDOW = _ROUND13_WINDOW
+_CURRENT_WINDOW = _ROUND14_WINDOW
 
 
 def _reorder() -> None:

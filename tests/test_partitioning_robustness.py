@@ -137,6 +137,10 @@ _KEEPERS = [
     "sample_inbatch_negatives",
     # round-13 additions (r14 window candidates)
     "dedup_semantic_multiprobe_scaled", "dedup_paragraph_reconstruct",
+    # round-14 eval-report additions (r15 window candidates)
+    "report_contamination_by_source", "report_split_leakage_matrix",
+    "report_dedup_retention_funnel", "report_token_mix_by_quality",
+    "report_top_duplicated_chunks",
 ]
 
 _seen: set[str] = set()
