@@ -347,3 +347,36 @@ def test_round13_paragraph_dedup_plan_shape(spark, sf_dir):
     keys = {k.split("#")[0].strip() for k in
             re.findall(r"hashpartitioning\(([^,]+)", plan)}
     assert "doc_id" in keys and len(keys) == 2, (keys, plan)
+
+
+def test_round14_report_plan_shapes(spark, sf_dir):
+    """Pin the r14 eval-report queries' scale claims (queries/llm21.py):
+    the top-dup report is a heap top-k (TakeOrderedAndProject, never a
+    global sort), the leakage matrix broadcasts its <=3-row split
+    totals, the token-mix corpus total is a 1-row broadcast
+    (BroadcastNestedLoopJoin on an aggregate build side — not a
+    cartesian), and the retention funnel's only join key is doc_id
+    (no pairwise stage anywhere)."""
+    import re
+
+    td = explain_str(REGISTRY["report_top_duplicated_chunks"]
+                     .fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in td, td
+    assert "Exchange rangepartitioning" not in td, td
+
+    lm = explain_str(REGISTRY["report_split_leakage_matrix"]
+                     .fn(spark, sf_dir))
+    assert lm.count("BroadcastHashJoin") >= 2, lm
+    assert "CartesianProduct" not in lm, lm
+
+    tm = explain_str(REGISTRY["report_token_mix_by_quality"]
+                     .fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in tm, tm
+    assert "CartesianProduct" not in tm, tm
+
+    fu = explain_str(REGISTRY["report_dedup_retention_funnel"]
+                     .fn(spark, sf_dir))
+    keys = {m.split("#")[0] for m in re.findall(
+        r"(?:SortMergeJoin|ShuffledHashJoin) \[(\w+)#", fu)}
+    assert keys <= {"doc_id"}, (keys, fu)
+    assert "CartesianProduct" not in fu, fu

@@ -301,3 +301,64 @@ def test_cdc_commit_random_interleavings_and_crashes_converge(
 
     assert _cdc_observed(spark, out, dims_cfg) == \
         _cdc_expected(chunks, facts_cfg, dims_cfg)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    texts=st.lists(st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]),
+                            min_size=1, max_size=9),
+                   min_size=1, max_size=10),
+    assign=st.lists(st.integers(0, 2), min_size=10, max_size=10),
+)
+def test_paragraph_fold_out_of_order_is_valid_dedup(
+        spark, tmp_path_factory, texts, assign):
+    """Property for fold #16's docstring claim: OUT-OF-ORDER ingest
+    (docs scattered across batches with no doc_id ordering) still
+    yields a VALID first-seen dedup — every distinct chunk survives in
+    EXACTLY one (doc_id, cidx) position, per-doc chunk totals match
+    the chunking, each survivor is genuinely that document's chunk at
+    that position, and reconstruction concatenates survivors in
+    position order. Only WHICH copy survives may differ from the
+    batch keep-first rule (that equality is the ordered-ingest
+    drill)."""
+    from sparkstreamingproject_spark.streaming.paragraph_maintain import (
+        fold_paragraphs, paragraph_dedup_from_state)
+
+    W = 3
+    docs = [(i, " ".join(ws)) for i, ws in enumerate(texts)]
+    chunks = {}  # (doc_id, cidx) -> chunk string (pure-python oracle)
+    for i, ws in enumerate(texts):
+        for c in range((len(ws) + W - 1) // W):
+            chunks[(i, c)] = " ".join(ws[c * W:(c + 1) * W])
+
+    st_dir = str(tmp_path_factory.mktemp("para_ooo") / "state")
+    batches = [[d for j, d in enumerate(docs) if assign[j] == b]
+               for b in range(3)]
+    batches = [c for c in batches if c] or [docs]
+    for i, chunk in enumerate(batches):
+        fold_paragraphs(
+            spark.createDataFrame(chunk, "doc_id long, text string"),
+            st_dir, w=W, batch_id=i)
+
+    rows = paragraph_dedup_from_state(spark, st_dir).collect()
+    assert {r.doc_id for r in rows} == {d for d, _ in docs}
+    surv = spark.read.parquet(f"{st_dir}/chunks").collect()
+    # one survivor per distinct chunk content, and the full content set
+    by_content = {}
+    for r in surv:
+        by_content.setdefault(r.chunk, []).append((r.doc_id, r.cidx))
+    assert all(len(v) == 1 for v in by_content.values()), by_content
+    assert set(by_content) == set(chunks.values())
+    # every survivor is that document's chunk at that position
+    for chunk_text, [(d, c)] in by_content.items():
+        assert chunks[(d, c)] == chunk_text
+    # totals + reconstruction in position order
+    surv_by_doc = {}
+    for r in surv:
+        surv_by_doc.setdefault(r.doc_id, []).append((r.cidx, r.chunk))
+    for r in rows:
+        n_chunks = len([1 for (d, _) in chunks if d == r.doc_id])
+        assert r.n_chunks == n_chunks
+        mine = sorted(surv_by_doc.get(r.doc_id, []))
+        assert r.n_kept == len(mine)
+        assert r.dedup_text == " ".join(c for _, c in mine)
