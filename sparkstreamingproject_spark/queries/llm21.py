@@ -346,3 +346,175 @@ def report_top_duplicated_chunks(spark, sf_dir):
             .filter(F.col("n_occurrences") >= 2)
             .orderBy(F.col("n_occurrences").desc(), F.col("chunk").asc())
             .limit(20))
+
+
+# ------------------------------------------- wave 2 (r15 candidates)
+
+
+def _cluster_profile_oracle() -> str:
+    cc = REGISTRY["dedup_connected_components"].oracle
+    return f"""
+    WITH cc AS ({cc}),
+    sized AS (
+      SELECT cc.component,
+             CAST(count(*) AS BIGINT) AS cluster_size,
+             CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources
+      FROM cc JOIN documents d USING (doc_id)
+      GROUP BY cc.component)
+    SELECT cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(cluster_size) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_sources > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_cross_source
+    FROM sized GROUP BY cluster_size
+    """
+
+
+@register(
+    "report_near_dup_cluster_profile",
+    oracle=_cluster_profile_oracle(),
+    tags=("llm", "dedup", "report"),
+)
+def report_near_dup_cluster_profile(spark, sf_dir):
+    """Near-dup cluster profile: the MinHash-LSH candidate graph's
+    connected components (`dedup_connected_components`, composed as a
+    relation) sized and checked for source spread — per cluster size:
+    how many clusters, how many docs they hold, and how many span
+    MORE THAN ONE source (cross-source duplication means syndication /
+    scraping overlap; intra-source means boilerplate — they get
+    different fixes). The histogram a curation team reads before
+    picking a keep rule.
+
+    Scale: everything past the (certified, iterative) components
+    kernel is two groupBys; the component relation is bounded by docs
+    that appear in at least one candidate pair. The oracle composes
+    the CC recursive-CTE fixpoint as a nested WITH — the full
+    iterative pipeline stays hash-verified."""
+    d = table(spark, sf_dir, "documents")
+    cc = (D.connected_components(D.lsh_candidate_pairs(d))
+          .select(F.col("u").alias("doc_id"),
+                  F.col("label").alias("component")))
+    sized = (cc.join(d.select("doc_id", "source"), "doc_id")
+             .groupBy("component")
+             .agg(F.count("*").cast("long").alias("cluster_size"),
+                  F.countDistinct("source").cast("long")
+                  .alias("n_sources")))
+    return (sized.groupBy("cluster_size")
+            .agg(F.count("*").cast("long").alias("n_clusters"),
+                 F.sum("cluster_size").cast("long").alias("n_docs"),
+                 F.sum(F.when(F.col("n_sources") > 1, 1).otherwise(0))
+                 .cast("long").alias("n_cross_source")))
+
+
+def _eval_budget_oracle() -> str:
+    dc = REGISTRY["decontaminate_minhash"].oracle
+    return f"""
+    WITH dc AS ({dc}),
+    lab AS (
+      SELECT doc_id, {_SPLIT_SQL} AS split,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents),
+    dropped AS (SELECT test_id FROM dc WHERE is_contaminated)
+    SELECT lab.split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(lab.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(count(*) - count(dropped.test_id) AS BIGINT)
+               AS n_docs_clean,
+           CAST(sum(CASE WHEN dropped.test_id IS NULL
+                         THEN lab.n_tokens ELSE 0 END) AS BIGINT)
+               AS tokens_clean,
+           round(sum(CASE WHEN dropped.test_id IS NULL
+                          THEN lab.n_tokens ELSE 0 END)
+                 * 1.0 / sum(lab.n_tokens), 6) AS token_retention
+    FROM lab LEFT JOIN dropped ON dropped.test_id = lab.doc_id
+    GROUP BY lab.split
+    """
+
+
+@register(
+    "report_decontaminated_eval_budget",
+    oracle=_eval_budget_oracle(),
+    tags=("llm", "curation", "report"),
+)
+def report_decontaminated_eval_budget(spark, sf_dir):
+    """The eval budget AFTER decontamination: per split, docs and
+    tokens before and after dropping the test docs the fuzzy decon
+    flags (train/val are never dropped — contamination is defined
+    test-against-train). Answers "is my eval set still big enough
+    once I remove leakage" BEFORE a training run wastes the benchmark.
+
+    Scale: the decon relation (linear, certified) left-joined on
+    doc_id, one groupBy(split). Retention rounded 6dp; counts exact
+    integers."""
+    d = table(spark, sf_dir, "documents")
+    lab = d.select(
+        "doc_id", _split_col().alias("split"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
+    dropped = (decontaminate_minhash(spark, sf_dir)
+               .filter(F.col("is_contaminated"))
+               .select(F.col("test_id").alias("doc_id"),
+                       F.lit(1).alias("_drop")))
+    j = lab.join(dropped, "doc_id", "left")
+    clean_tokens = F.sum(F.when(F.col("_drop").isNull(),
+                                F.col("n_tokens")).otherwise(0))
+    return (j.groupBy("split")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("total_tokens"),
+                 (F.count("*") - F.count("_drop")).cast("long")
+                 .alias("n_docs_clean"),
+                 clean_tokens.cast("long").alias("tokens_clean"),
+                 F.round(clean_tokens / F.sum("n_tokens"), 6)
+                 .alias("token_retention")))
+
+
+@register(
+    "report_quality_by_split",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id,
+             round(len(list_filter(string_split(text, ' '),
+                                   w -> list_contains(['the', 'a'], w)))
+                   * 1.0 / len(string_split(text, ' ')), 6)
+                 AS stopword_ratio,
+             round(len(list_distinct(string_split(text, ' ')))
+                   * 1.0 / len(string_split(text, ' ')), 6)
+                 AS unique_ratio
+      FROM documents),
+    lab AS (
+      SELECT doc_id,
+             CASE WHEN unique_ratio < 0.3 THEN 'low_entropy'
+                  WHEN stopword_ratio > 0.2 THEN 'boilerplate'
+                  ELSE 'ok' END AS quality_label
+      FROM feat),
+    sp AS (SELECT doc_id, {_SPLIT_SQL} AS split FROM documents),
+    tot AS (SELECT split, CAST(count(*) AS BIGINT) AS n FROM sp
+            GROUP BY 1)
+    SELECT sp.split, lab.quality_label,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(count(*) * 1.0 / any_value(tot.n), 6) AS split_share
+    FROM sp
+    JOIN lab USING (doc_id)
+    JOIN tot ON tot.split = sp.split
+    GROUP BY sp.split, lab.quality_label
+    """,
+    tags=("llm", "text", "report"),
+)
+def report_quality_by_split(spark, sf_dir):
+    """Split stratification health check: the quality-label
+    distribution inside each hash split, with each cell's share of
+    its split — if the test split's label mix diverges from train's,
+    the hash split is confounded with quality and eval numbers will
+    mislead. Composes the certified quality kernel with the split
+    convention; two narrow passes + a 3-row broadcast of split
+    totals."""
+    d = table(spark, sf_dir, "documents")
+    lab = quality_score(d).select("doc_id", "quality_label")
+    sp = d.select("doc_id", _split_col().alias("split"))
+    tot = sp.groupBy("split").agg(F.count("*").cast("long").alias("_n"))
+    return (sp.join(lab, "doc_id")
+            .groupBy("split", "quality_label")
+            .agg(F.count("*").cast("long").alias("n_docs"))
+            .join(F.broadcast(tot), "split")
+            .select("split", "quality_label", "n_docs",
+                    F.round(F.col("n_docs") / F.col("_n"), 6)
+                    .alias("split_share")))

@@ -141,6 +141,9 @@ _KEEPERS = [
     "report_contamination_by_source", "report_split_leakage_matrix",
     "report_dedup_retention_funnel", "report_token_mix_by_quality",
     "report_top_duplicated_chunks",
+    # r14 wave-2 additions (r15 window candidates)
+    "report_near_dup_cluster_profile", "report_decontaminated_eval_budget",
+    "report_quality_by_split",
 ]
 
 _seen: set[str] = set()
