@@ -119,7 +119,12 @@ def main() -> None:
     import tempfile
     n_batches = 10
     if "--batches" in sys.argv:
-        n_batches = int(sys.argv[sys.argv.index("--batches") + 1])
+        idx = sys.argv.index("--batches") + 1
+        if idx >= len(sys.argv):
+            sys.exit("--batches requires a value")
+        n_batches = int(sys.argv[idx])
+    if n_batches < 1:
+        sys.exit("--batches must be >= 1")
     spark = get_spark("fold-scale-bench")
     build_sf1(spark)
     spark.read.parquet(f"{DST}/documents.parquet").count()  # warm JVM

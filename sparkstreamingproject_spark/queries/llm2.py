@@ -24,6 +24,19 @@ def _bucket_col():
                    16, 10).cast("long") % 100)
 
 
+# the canonical 80/10/10 split labels over the bucket — the same
+# thresholds as `split_train_val_test` (queries/sketches.py) and the
+# decontamination queries (test ≥ 90, train < 80); report queries
+# (llm21.py) import these so the convention lives in one place
+SPLIT_SQL = (f"CASE WHEN {_BUCKET_SQL} < 80 THEN 'train' "
+             f"WHEN {_BUCKET_SQL} < 90 THEN 'val' ELSE 'test' END")
+
+
+def split_col():
+    b = _bucket_col()
+    return F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+
+
 def _shingles_sql(src: str, prefix: str) -> str:
     """words+shingles CTE pair over CTE ``src`` (same shape as
     queries/llm.py:SHINGLES_CTE, parameterized by source)."""

@@ -27,16 +27,24 @@ from .base import register, table
 PARA_W = 10
 
 
-def _para_oracle(w: int = PARA_W) -> str:
-    return f"""
-    WITH words AS (
+def chunks_cte(w: int = PARA_W) -> str:
+    """``words`` + ``chunks`` oracle CTE pair (DuckDB) — the SQL twin
+    of ``chunk_relation``, shared by the paragraph-dedup oracle below
+    and the r14 report oracles (`llm21.py`) so the chunking convention
+    lives in exactly one place on each side."""
+    return f"""words AS (
       SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
     chunks AS (
       SELECT doc_id, i AS cidx,
              array_to_string(ws[(i*{w}+1):((i+1)*{w})], ' ') AS chunk
       FROM words,
            LATERAL unnest(generate_series(
-               0, CAST(ceil(len(ws) / {float(w)!r}) AS BIGINT) - 1)) t(i)),
+               0, CAST(ceil(len(ws) / {float(w)!r}) AS BIGINT) - 1)) t(i))"""
+
+
+def _para_oracle(w: int = PARA_W) -> str:
+    return f"""
+    WITH {chunks_cte(w)},
     ranked AS (
       SELECT doc_id, cidx, chunk,
              row_number() OVER (PARTITION BY md5(chunk)

@@ -33,18 +33,12 @@ from pyspark.sql import functions as F
 from ..llm import dedup as D
 from ..llm.textstats import quality_score
 from .base import REGISTRY, register, table
-from .llm import SHINGLES_CTE
+from .llm import SHINGLES_CTE, dedup_connected_components
 from .llm18 import decontaminate_minhash
+from .llm2 import SPLIT_SQL as _SPLIT_SQL
 from .llm2 import _BUCKET_SQL, _bucket_col
-from .llm20 import PARA_W, chunk_relation
-
-_SPLIT_SQL = (f"CASE WHEN {_BUCKET_SQL} < 80 THEN 'train' "
-              f"WHEN {_BUCKET_SQL} < 90 THEN 'val' ELSE 'test' END")
-
-
-def _split_col():
-    b = _bucket_col()
-    return (F.when(b < 80, "train").when(b < 90, "val").otherwise("test"))
+from .llm2 import split_col as _split_col
+from .llm20 import PARA_W, chunk_relation, chunks_cte
 
 
 def _contamination_oracle() -> str:
@@ -175,16 +169,7 @@ def report_split_leakage_matrix(spark, sf_dir):
              row_number() OVER (PARTITION BY md5(text)
                                 ORDER BY doc_id) AS rn
       FROM documents),
-    words AS (SELECT doc_id, string_split(text, ' ') AS ws
-              FROM documents),
-    chunks AS (
-      SELECT doc_id, i AS cidx,
-             array_to_string(ws[(i*{PARA_W}+1):((i+1)*{PARA_W})], ' ')
-                 AS chunk
-      FROM words,
-           LATERAL unnest(generate_series(
-               0, CAST(ceil(len(ws) / {float(PARA_W)!r}) AS BIGINT) - 1))
-               t(i)),
+    {chunks_cte(PARA_W)},
     cr AS (
       SELECT doc_id,
              row_number() OVER (PARTITION BY md5(chunk)
@@ -305,16 +290,7 @@ def report_token_mix_by_quality(spark, sf_dir):
 @register(
     "report_top_duplicated_chunks",
     oracle=f"""
-    WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws
-                   FROM documents),
-    chunks AS (
-      SELECT doc_id, i AS cidx,
-             array_to_string(ws[(i*{PARA_W}+1):((i+1)*{PARA_W})], ' ')
-                 AS chunk
-      FROM words,
-           LATERAL unnest(generate_series(
-               0, CAST(ceil(len(ws) / {float(PARA_W)!r}) AS BIGINT) - 1))
-               t(i))
+    WITH {chunks_cte(PARA_W)}
     SELECT chunk,
            CAST(count(*) AS BIGINT) AS n_occurrences,
            CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
@@ -391,9 +367,7 @@ def report_near_dup_cluster_profile(spark, sf_dir):
     the CC recursive-CTE fixpoint as a nested WITH — the full
     iterative pipeline stays hash-verified."""
     d = table(spark, sf_dir, "documents")
-    cc = (D.connected_components(D.lsh_candidate_pairs(d))
-          .select(F.col("u").alias("doc_id"),
-                  F.col("label").alias("component")))
+    cc = dedup_connected_components(spark, sf_dir)
     sized = (cc.join(d.select("doc_id", "source"), "doc_id")
              .groupBy("component")
              .agg(F.count("*").cast("long").alias("cluster_size"),

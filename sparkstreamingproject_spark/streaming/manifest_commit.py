@@ -196,7 +196,18 @@ def _gc(table_dir: str, keep: set[str | None]) -> None:
     committed version plus its manifest-recorded predecessor, so lazy
     DataFrames bound to the PREVIOUS committed version survive one
     more commit (module docstring) while orphans from crashed attempts
-    are collected immediately."""
+    are collected immediately.
+
+    A residual directory at ``table_dir`` ITSELF is the pre-manifest
+    legacy layout of a directory-TREE state (e.g. the semantic fold's
+    centroids/assigned/pairs — tree states never trigger
+    ``_adopt_legacy``'s rename because they have no top-level parquet).
+    It is that state's implicit predecessor: retained while the
+    committing manifest records no named predecessor (None in keep ⇔
+    this is the first commit over the legacy layout — the standard
+    one-commit grace for lazy readers bound to the raw path), removed
+    at the NEXT commit — closing the unbounded-orphan leak (ADVICE
+    r13) without breaking the retention contract."""
     parent, name = os.path.split(table_dir)
     parent = parent or "."
     live = {f"{name}.v-{t}" for t in keep if t}
@@ -206,6 +217,8 @@ def _gc(table_dir: str, keep: set[str | None]) -> None:
             shutil.rmtree(full, ignore_errors=True)
         elif d.startswith(name + ".manifest.tmp-"):
             os.remove(full)
+    if None not in keep and os.path.isdir(table_dir):
+        shutil.rmtree(table_dir, ignore_errors=True)
 
 
 # ------------------------------------------------- multi-directory

@@ -187,17 +187,14 @@ def refresh_semantic_state(spark, state_dir: str,
     replay (epoch ids >= 0) can overwrite it; post-refresh batches
     append exactly as before against the new frozen centroids.
 
-    First refresh over a LEGACY (never-refreshed) raw ``state_dir``
-    additionally retires the superseded raw tree by renaming it to a
-    ``.v-legacy-*`` version dir just before the commit: the commit
-    adopts it as the manifest predecessor, so it gets the standard
-    one-commit GC grace window and is collected at the next commit —
-    left in place it would be orphaned forever (``_gc`` only matches
-    ``.v-*`` siblings). A crash between that rename and the manifest
-    write is the already-tested adoption-resume window: the next touch
-    adopts the orphan version and readers stay on the pre-refresh
-    state."""
-    raw_legacy = state_path(state_dir) is None
+    First refresh over a LEGACY (never-refreshed) raw ``state_dir``:
+    the raw tree is left IN PLACE through this commit — lazy readers
+    bound to the raw paths keep working, the standard one-commit
+    retention contract — and is garbage-collected by the NEXT commit's
+    ``manifest_commit._gc`` (it treats a residual dir at the table
+    path as the implicit predecessor of a tree state), closing the
+    unbounded-orphan leak (ADVICE r13) without shrinking the grace
+    window."""
     cur = _resolve(state_dir)
     assigned = (_maybe_read(spark, f"{cur}/assigned", _ASSIGNED_SCHEMA)
                 .drop("ingest_batch").dropDuplicates(["vec_id"]))
@@ -221,12 +218,6 @@ def refresh_semantic_state(spark, state_dir: str,
              .filter(F.col("cosine") >= threshold))
     _write(pairs, f"{vdir}/pairs", _REFRESH_BATCH)
     _write(csim, f"{vdir}/assigned", _REFRESH_BATCH)
-    if raw_legacy and os.path.isdir(state_dir):
-        # everything read from the raw tree is materialized above
-        # (localCheckpoint), so retiring it here is safe; see docstring
-        os.rename(os.path.abspath(state_dir),
-                  f"{os.path.abspath(state_dir)}"
-                  f".v-legacy-{uuid.uuid4().hex[:8]}")
     commit_version(state_dir, token, batch_id=_REFRESH_BATCH)
 
 

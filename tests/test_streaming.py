@@ -2683,6 +2683,12 @@ def test_semantic_refresh_retrain_equals_scaled_batch(spark, tmp_path,
               for r in range(3)]
     for i, part in enumerate(thirds):
         fold_semantic_cells(part, st, batch_id=i)
+    # lazy reader bound to the RAW (pre-refresh) state paths — must
+    # survive the refresh commit (one-commit retention contract);
+    # plain spark.read keeps it genuinely lazy (the dedup read-path
+    # materializes its component loop eagerly)
+    pre_reader = spark.read.parquet(f"{st}/assigned")
+    pre_rows = sorted(map(tuple, pre_reader.collect()))
 
     refresh_semantic_state(spark, st)
 
@@ -2692,14 +2698,16 @@ def test_semantic_refresh_retrain_equals_scaled_batch(spark, tmp_path,
                      semantic_dedup_from_state(spark, st).collect()))
     assert got == exp and len(exp) > 0
 
-    # the superseded raw tree was retired into a .v-legacy-* version
-    # (the manifest predecessor), not leaked in place (ADVICE r13)
+    # one-commit retention for the legacy raw tree (ADVICE r13, shaped
+    # by the r14 self-review): the raw state stays IN PLACE through
+    # the refresh commit — a lazy reader created BEFORE the refresh
+    # still works after it — and is GC'd by the NEXT commit
     import os as _os
-    assert not _os.path.exists(st)
+    assert _os.path.isdir(st)  # grace window, not an immediate delete
+    assert sorted(map(tuple, pre_reader.collect())) == pre_rows
     sibs = [d for d in _os.listdir(str(tmp_path))
             if d.startswith("sem_refresh_state.v-")]
-    assert len(sibs) == 2 and \
-        len([d for d in sibs if ".v-legacy-" in d]) == 1
+    assert len(sibs) == 1
 
     # init is one-time setup: once a manifest exists it must refuse
     # rather than mutate the committed version dir in place
@@ -2748,38 +2756,37 @@ def test_semantic_refresh_crash_drill_manifest_last(spark, tmp_path,
         refresh_semantic_state(spark, st)
     monkeypatch.setattr(manifest_commit.os, "replace", real_replace)
 
-    # in-window invisibility: the fully-written refresh tree AND the
-    # retired raw tree (renamed to .v-legacy-* just before the commit)
-    # are both on disk, but readers adopt the legacy version and
-    # resolve to EXACTLY the pre-refresh state
+    # in-window invisibility: the fully-written refresh tree is on
+    # disk, the raw tree is UNTOUCHED (no manifest landed), and
+    # readers resolve to EXACTLY the pre-refresh state
     orphans = [d for d in _os.listdir(str(tmp_path))
                if d.startswith("sem_crash_state.v-")]
-    assert len(orphans) == 2
-    assert len([d for d in orphans if ".v-legacy-" in d]) == 1
-    assert not _os.path.exists(st)  # raw tree retired, not leaked
+    assert len(orphans) == 1
+    assert _os.path.isdir(st)
     in_crash = sorted(map(tuple,
                           semantic_dedup_from_state(spark, st).collect()))
     assert in_crash == pre
 
     # retry converges; the crashed-attempt version dir is GC'd by its
-    # commit while the adopted legacy version survives one commit as
-    # the manifest predecessor (the standard lazy-reader grace window)
+    # commit while the raw tree survives THIS commit as the implicit
+    # predecessor (the standard lazy-reader grace window)
     refresh_semantic_state(spark, st)
     left = [d for d in _os.listdir(str(tmp_path))
             if d.startswith("sem_crash_state.v-")]
-    assert len(left) == 2
-    assert len([d for d in left if ".v-legacy-" in d]) == 1
-    assert all(d not in left for d in orphans if ".v-legacy-" not in d)
+    assert len(left) == 1 and left[0] not in orphans
+    assert _os.path.isdir(st)  # grace window
     post = sorted(map(tuple,
                       semantic_dedup_from_state(spark, st).collect()))
     assert {t[0] for t in post} == {t[0] for t in pre}  # same vec_ids
 
-    # one more commit collects the legacy predecessor: the pre-refresh
-    # raw state is gone for good — no unbounded orphan (ADVICE r13)
+    # the NEXT commit collects the raw predecessor: the pre-refresh
+    # state is gone for good — no unbounded orphan (ADVICE r13) —
+    # while the previous committed version gets the usual retention
     refresh_semantic_state(spark, st)
+    assert not _os.path.exists(st)
     final = [d for d in _os.listdir(str(tmp_path))
              if d.startswith("sem_crash_state.v-")]
-    assert len(final) == 2 and not any(".v-legacy-" in d for d in final)
+    assert len(final) == 2 and left[0] in final
 
 
 def test_cdc_manifest_adopts_legacy_marker_layout(spark, tmp_path):
