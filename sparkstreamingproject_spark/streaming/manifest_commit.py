@@ -109,8 +109,7 @@ def _adopt_legacy(table_dir: str) -> tuple[str, int] | None:
         os.rename(table_dir, f"{table_dir}.v-{token}")
     else:
         # resume a crashed adoption: orphan legacy version, no manifest
-        parent, name = os.path.split(table_dir)
-        parent = parent or "."
+        parent, name = os.path.split(table_dir)  # abspath'd: parent != ""
         orphans = sorted(d for d in os.listdir(parent)
                          if d.startswith(f"{name}.v-legacy-")) \
             if os.path.isdir(parent) else []
@@ -198,18 +197,14 @@ def _gc(table_dir: str, keep: set[str | None]) -> None:
     more commit (module docstring) while orphans from crashed attempts
     are collected immediately.
 
-    A residual directory at ``table_dir`` ITSELF is the pre-manifest
-    legacy layout of a directory-TREE state (e.g. the semantic fold's
-    centroids/assigned/pairs — tree states never trigger
-    ``_adopt_legacy``'s rename because they have no top-level parquet).
-    It is that state's implicit predecessor: retained while the
-    committing manifest records no named predecessor (None in keep ⇔
-    this is the first commit over the legacy layout — the standard
-    one-commit grace for lazy readers bound to the raw path), removed
-    at the NEXT commit — closing the unbounded-orphan leak (ADVICE
-    r13) without breaking the retention contract."""
-    parent, name = os.path.split(table_dir)
-    parent = parent or "."
+    A residual directory at ``table_dir`` ITSELF (the pre-manifest
+    legacy layout of a directory-TREE state) is deliberately NOT
+    touched here: this generic layer cannot tell a superseded tree
+    state from foreign data ``_adopt_legacy`` declined to adopt, and
+    deleting the latter would be unrecoverable. The module that owns
+    the tree layout retires its own raw dir once it has had a full
+    commit of grace (`semantic_maintain.refresh_semantic_state`)."""
+    parent, name = os.path.split(table_dir)  # abspath'd: parent != ""
     live = {f"{name}.v-{t}" for t in keep if t}
     for d in os.listdir(parent):
         full = os.path.join(parent, d)
@@ -217,8 +212,6 @@ def _gc(table_dir: str, keep: set[str | None]) -> None:
             shutil.rmtree(full, ignore_errors=True)
         elif d.startswith(name + ".manifest.tmp-"):
             os.remove(full)
-    if None not in keep and os.path.isdir(table_dir):
-        shutil.rmtree(table_dir, ignore_errors=True)
 
 
 # ------------------------------------------------- multi-directory
@@ -293,9 +286,17 @@ def _cdc_adopt_legacy(root: str) -> dict | None:
     # renamed to commit=legacy-N before dying pre-manifest — the token
     # deterministically encodes the batch id, so fold them back in
     # (without this they would be invisible to readers and GC'd as
-    # orphans at the next cdc_commit: permanent data loss)
+    # orphans at the next cdc_commit: permanent data loss). Guarded
+    # like the batch_id= scan above: a genuine resumed dir is a
+    # directory with a numeric id and the _SUCCESS marker the original
+    # complete batch dir carried through the rename; anything else at
+    # that name is debris and is left alone for manual inspection
+    # rather than wedging every cdc_manifest_info call on int().
     resumed_facts = sorted(
-        d for d in fact_entries if d.startswith("commit=legacy-"))
+        d for d in fact_entries
+        if d.startswith("commit=legacy-")
+        and d.split("legacy-", 1)[1].isdigit()
+        and os.path.exists(os.path.join(facts_root, d, "_SUCCESS")))
     legacy_dims = sorted(
         t for t in (os.listdir(dim_root) if os.path.isdir(dim_root)
                     else [])

@@ -61,6 +61,7 @@ comparisons, linear per batch; components and keep labels run on the
 from __future__ import annotations
 
 import os
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame
@@ -71,7 +72,7 @@ from ..llm.similarity import (cosine_similarity, kmeans_assign,
 from ..queries.llm15 import (SEM_ITER, SEM_K, SEM_TARGET, SEM_THRESHOLD,
                              semantic_keep_labels)
 from .dedup_ingest import _maybe_read, _write
-from .manifest_commit import commit_version, state_path
+from .manifest_commit import _manifest_path, commit_version, state_path
 
 _ASSIGNED_SCHEMA = ("vec_id long, v array<double>, cell long, "
                     "centroid_sim double")
@@ -97,12 +98,22 @@ def init_semantic_state(train: DataFrame, state_dir: str, k: int,
     re-train compaction. Refuses to run once a manifest exists:
     writing through ``_resolve`` then would mutate a committed
     'immutable' version dir in place — re-training an existing state
-    is exactly what ``refresh_semantic_state`` is for."""
-    if state_path(state_dir) is not None:
+    is exactly what ``refresh_semantic_state`` is for. The check reads
+    the manifest path directly (NOT ``state_path``, whose
+    ``manifest_info`` may ADOPT a legacy layout as a side effect — a
+    refusal guard must not mutate disk before refusing)."""
+    if os.path.exists(_manifest_path(state_dir)):
         raise RuntimeError(
             f"semantic state at {state_dir!r} already has a committed "
             "manifest version; init_semantic_state is one-time setup — "
             "use refresh_semantic_state to re-train an existing state.")
+    if os.path.isdir(state_dir) and any(
+            f.endswith(".parquet") or f == "_SUCCESS"
+            for f in os.listdir(state_dir)):
+        raise RuntimeError(
+            f"{state_dir!r} holds a plain parquet table, not a semantic "
+            "state tree; refusing to write centroids into it — point "
+            "init_semantic_state at a fresh state directory.")
     cents = kmeans_centroids(train, k=k, n_iter=n_iter)
     cents.write.mode("overwrite").parquet(f"{state_dir}/centroids")
 
@@ -188,13 +199,18 @@ def refresh_semantic_state(spark, state_dir: str,
     append exactly as before against the new frozen centroids.
 
     First refresh over a LEGACY (never-refreshed) raw ``state_dir``:
-    the raw tree is left IN PLACE through this commit — lazy readers
+    the raw tree is left IN PLACE through that commit — lazy readers
     bound to the raw paths keep working, the standard one-commit
-    retention contract — and is garbage-collected by the NEXT commit's
-    ``manifest_commit._gc`` (it treats a residual dir at the table
-    path as the implicit predecessor of a tree state), closing the
-    unbounded-orphan leak (ADVICE r13) without shrinking the grace
-    window."""
+    retention contract. The NEXT refresh retires it below (this
+    module owns the tree layout, so the cleanup lives here, not in
+    the generic ``manifest_commit._gc``, which cannot tell a
+    superseded tree state from foreign data adoption declined) —
+    closing the unbounded-orphan leak (ADVICE r13) without shrinking
+    the grace window."""
+    if state_path(state_dir) is not None and os.path.isdir(state_dir):
+        # a manifest exists, so an earlier refresh committed and the
+        # raw legacy tree has had >= one full commit of grace
+        shutil.rmtree(state_dir, ignore_errors=True)
     cur = _resolve(state_dir)
     assigned = (_maybe_read(spark, f"{cur}/assigned", _ASSIGNED_SCHEMA)
                 .drop("ingest_batch").dropDuplicates(["vec_id"]))

@@ -2714,6 +2714,19 @@ def test_semantic_refresh_retrain_equals_scaled_batch(spark, tmp_path,
     with pytest.raises(RuntimeError, match="refresh_semantic_state"):
         init_semantic_state(emb, st, k=SEM_K)
 
+    # ... and BOTH refusal checks are side-effect-free: pointing init
+    # at a plain parquet table refuses WITHOUT renaming it or writing
+    # a manifest (the old state_path-based guard adopted-then-raised,
+    # destructively relocating the user's data — r14 self-review)
+    flat = str(tmp_path / "some_flat_table")
+    spark.createDataFrame([(1, "x")], "id long, v string") \
+        .coalesce(1).write.parquet(flat)
+    before = sorted(_os.listdir(str(tmp_path)))
+    with pytest.raises(RuntimeError, match="plain parquet"):
+        init_semantic_state(emb, flat, k=SEM_K)
+    assert sorted(_os.listdir(str(tmp_path))) == before
+    assert _os.path.isdir(flat) and not _os.path.exists(flat + ".manifest")
+
     # the fold keeps working against the refreshed (resolved) state:
     # re-ingesting existing rows is a no-op by content determinism
     fold_semantic_cells(thirds[0], st, batch_id=3)
@@ -2991,6 +3004,36 @@ def test_adoption_resume_after_crash_windows(spark, tmp_path):
     ghost = str(tmp_path / "no_such_parent" / "tbl")
     assert manifest_commit.manifest_info(ghost) == (None, -1)
     assert read_state(spark, ghost) is None
+
+    # (e) stray facts/ entries that merely LOOK like resumed legacy
+    # commits (non-numeric id, or no _SUCCESS marker) must neither
+    # wedge cdc_manifest_info nor be adopted into the manifest —
+    # only a genuine renamed-complete-batch dir qualifies (r14
+    # self-review)
+    import os as _os
+    out3 = str(tmp_path / "routed_stray")
+    fr = f"{out3}/facts"
+    _os.makedirs(f"{fr}/commit=legacy-notanumber")
+    _os.makedirs(f"{fr}/commit=legacy-7")  # dir but NO _SUCCESS
+    spark.createDataFrame([("T", "v")], "topic string, value string") \
+        .write.partitionBy("topic").parquet(f"{fr}/commit=legacy-1")
+    m3 = cdc_manifest_info(out3)
+    assert m3["facts"] == {"1": "legacy-1"} and m3["batch_id"] == 1
+
+    # (f) a directory at a single-table state path that adoption
+    # DECLINED (no top-level parquet/_SUCCESS — e.g. a partitioned
+    # legacy layout) must survive commits untouched: generic GC never
+    # deletes data it cannot prove it owns (r14 self-review)
+    tbl2 = str(tmp_path / "rollup2")
+    _os.makedirs(f"{tbl2}/day=1")
+    with open(f"{tbl2}/day=1/part-0.parquet", "w") as f:
+        f.write("opaque")
+    for bid in (0, 1, 2):
+        manifest_commit.commit_state(
+            spark.createDataFrame([("d", bid)], "day string, n long"),
+            tbl2, batch_id=bid)
+    assert _os.path.isdir(f"{tbl2}/day=1")  # foreign data untouched
+    assert [r.n for r in read_state(spark, tbl2).collect()] == [2]
 
 
 def test_paragraph_fold_stream_equals_batch(spark, tmp_path, sf_dir):
