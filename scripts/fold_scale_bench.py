@@ -115,6 +115,52 @@ def run_semantic(spark, state_root: str, n_batches: int) -> dict:
     return {"walls": walls, "init_wall": init_wall, "read_wall": read_wall}
 
 
+def run_semantic_engine(spark, state_root: str, n_batches: int) -> dict:
+    """Fold #14 driven by the REAL Structured Streaming engine
+    (availableNow file source, maxFilesPerTrigger=1) at sf1.0* —
+    closes the 'the fold curves bypass the engine' gap. The semantic
+    fold is ingestion-ORDER-FREE (components/keepers recompute at
+    read time), so exact stream≡batch equality is assertable no
+    matter how the engine batches the files. Per-batch walls come
+    from the query's own progress events (triggerExecution ms)."""
+    from sparkstreamingproject_spark.sources.streams import file_stream
+    from sparkstreamingproject_spark.streaming.semantic_maintain import (
+        semantic_cells_stream)
+
+    emb = spark.read.parquet(f"{DST}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    n = emb.count()
+    k = max(SEM_K, -(-n // SEM_TARGET))
+    land = os.path.join(state_root, "emb_land")
+    emb.repartition(n_batches).write.parquet(land)
+    st = os.path.join(state_root, "sem_engine_state")
+    t0 = time.perf_counter()
+    init_semantic_state(emb, st, k=int(k), n_iter=SEM_ITER)
+    init_wall = round(time.perf_counter() - t0, 2)
+    print(f"  fold14-engine init (k={k}): {init_wall}s", flush=True)
+    drain_cleaner(spark, wait_s=5.0)
+    t0 = time.perf_counter()
+    q = semantic_cells_stream(
+        file_stream(spark, land, emb.schema, max_files_per_trigger=1),
+        st, os.path.join(state_root, "ck_sem_engine"))
+    assert q.awaitTermination(1800), "availableNow stream must terminate"
+    total_wall = round(time.perf_counter() - t0, 2)
+    progress = [p if isinstance(p, dict) else json.loads(p.json)
+                for p in q.recentProgress]
+    walls = [round(p["durationMs"]["triggerExecution"] / 1000.0, 2)
+             for p in progress if p.get("numInputRows", 0) > 0]
+    for i, w in enumerate(walls):
+        print(f"  fold14-engine batch {i}: {w}s", flush=True)
+    drain_cleaner(spark, wait_s=5.0)
+    t0 = time.perf_counter()
+    got = semantic_dedup_from_state(spark, st).localCheckpoint()
+    read_wall = round(time.perf_counter() - t0, 2)
+    exp = REGISTRY["dedup_semantic_cells_scaled"].fn(spark, DST)
+    _assert_equal(got, exp, "fold14-engine")
+    return {"walls": walls, "init_wall": init_wall,
+            "total_wall": total_wall, "read_wall": read_wall}
+
+
 def main() -> None:
     import tempfile
     n_batches = 10
@@ -134,6 +180,9 @@ def main() -> None:
         results["fold16_paragraph"] = run_paragraph(spark, root, n_batches)
         drain_cleaner(spark, wait_s=10.0)
         results["fold14_semantic"] = run_semantic(spark, root, n_batches)
+        drain_cleaner(spark, wait_s=10.0)
+        results["fold14_semantic_engine"] = run_semantic_engine(
+            spark, root, n_batches)
 
     lines = ["| fold | batches | first | median | last | last/median "
              "| read-time | stream≡batch |",
