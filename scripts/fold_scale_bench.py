@@ -187,8 +187,17 @@ def main() -> None:
     lines = ["| fold | batches | first | median | last | last/median "
              "| read-time | stream≡batch |",
              "|---|---|---|---|---|---|---|---|"]
+    # raw JSON first: the summary below indexes walls[0]/median, which
+    # would crash on an empty list (e.g. an engine run whose progress
+    # events all report numInputRows == 0) AFTER the expensive bench
+    # already ran (ADVICE r14 item 2)
+    print(json.dumps({"fold_scale": results}))
     for name, r in results.items():
         w = r["walls"]
+        if not w:
+            lines.append(f"| {name} | 0 (no data-bearing triggers) "
+                         "| — | — | — | — | — | — |")
+            continue
         med = statistics.median(w)
         lines.append(
             f"| {name} | {len(w)}×sf1.0*/{len(w)} | {w[0]} s | {med} s "
@@ -196,7 +205,6 @@ def main() -> None:
             f"| ✔ (exceptAll 0/0) |")
     block = "\n".join(lines)
     print(block)
-    print(json.dumps({"fold_scale": results}))
 
     path = os.path.join(ROOT, "SCALE.md")
     start, end = "<!-- scale:folds -->", "<!-- /scale:folds -->"

@@ -70,21 +70,34 @@ KERNELS = [
     "sim_ann_hierarchical_cells",
     # r13 (VERDICT r12 §next 4): the heaviest sidecar. The registered
     # anchor pins k=SEM_K, so its pair stage is ~4× the pinned-cells
-    # (n/8)² quadratic — measured to DOCUMENT the anchor's curve; the
-    # `_scaled` variant (k ∝ n, same contract as semantic_cells_scaled)
-    # is the production shape whose curve should read ≈2× the
-    # single-probe `_scaled` row.
+    # (n/8)² quadratic — its curve is documented through sf0.1 ONLY
+    # (SF_CAP below, VERDICT r14 §next 4): the anchor exists for
+    # fixed-k oracle checkability, carrying its (n/8)² shape to the
+    # sf1.0* tier re-measured a known quadratic for 384 s every round.
+    # The `_scaled` variant (k ∝ n, same contract as
+    # semantic_cells_scaled) is the production shape and the carried
+    # sf1.0* row.
     "dedup_semantic_multiprobe",
     "dedup_semantic_multiprobe_scaled",
     # r13 wave 2: sub-document dedup + reconstruction — no pairwise
     # stage at all (window over md5(chunk) + groupBy(doc_id)), so the
     # curve should read ~linear-with-overhead.
     "dedup_paragraph_reconstruct",
+    # r15 (VERDICT r14 §next 3): the blocked-Levenshtein production
+    # shape — prefix-filter candidates over word-tagged disjoint name
+    # universes (see build_sf1's part replica), so true-pair volume
+    # grows exactly linearly; the curve measures the candidate and
+    # verify stages' growth.
+    "string_levenshtein_blocked",
 ]
 
 SFS = [("0.01", "/root/testdata/sf0.01"),
        ("0.1", "/root/testdata/sf0.1"),
        ("1.0*", DST)]
+
+# Documented-quadratic oracle anchors are measured only up to this SF;
+# their production (`_scaled`) siblings carry the sf1.0* row.
+SF_CAP = {"dedup_semantic_multiprobe": "0.1"}
 
 
 def build_sf1(spark, rebuild: bool = False) -> None:
@@ -117,37 +130,67 @@ def build_sf1(spark, rebuild: bool = False) -> None:
                         lambda w: F.concat(w, tag)), " "))
             reps = r if reps is None else reps.unionByName(r)
         reps.repartition(32).write.mode("overwrite").parquet(doc_path)
-    emb_path = f"{DST}/embeddings.parquet"
-    if rebuild or not os.path.isdir(emb_path):
-        em = spark.read.parquet(f"{SRC}/embeddings.parquet")
-        stride = int(em.agg(F.max("vec_id")).first()[0]) + 1
-        dim = len(em.select("embedding").first()[0])
+    part_path = f"{DST}/part.parquet"
+    if rebuild or not os.path.isdir(part_path):
+        p = spark.read.parquet(f"{SRC}/part.parquet")
+        stride = int(p.agg(F.max("p_partkey")).first()[0]) + 1
         reps = None
         for k in range(REPLICAS):
-            r = em.withColumn("vec_id", F.col("vec_id") + F.lit(k * stride))
+            r = p.withColumn("p_partkey", F.col("p_partkey") + F.lit(k * stride))
             if k > 0:
-                # per-replica diagonal sign flip: an ISOMETRY, so every
-                # intra-replica cosine (and hence the near-dup structure
-                # per replica) is bit-preserved, while cross-replica
-                # cosines decorrelate — same disjoint-universe reasoning
-                # as the word-tagged documents above
-                # signs from an md5 bit per (k, j): the old
-                # (k*31 + j*7) % 3 pattern collapsed to (k+j) % 3
-                # (31≡7≡1 mod 3), making replicas with equal k mod 3
-                # bit-identical — which contaminated the semantic-cells
-                # scale measurement (ADVICE r11). A hash bit has no
-                # period, so all REPLICAS genuinely decorrelate.
-                import hashlib
-                signs = F.array(*[
-                    F.lit(1.0 if hashlib.md5(
-                        f"{k}-{j}".encode()).digest()[0] & 1 else -1.0)
-                    for j in range(dim)])
+                # word-tag every name token (same disjoint-universe
+                # reasoning as documents): cross-replica Levenshtein
+                # distance is >= one edit per word > the verify
+                # threshold, so true near-match pairs stay strictly
+                # intra-replica and scale linearly by construction
+                tag = F.lit(f"~{k}")
                 r = r.withColumn(
-                    "embedding",
-                    F.zip_with("embedding", signs,
-                               lambda x, s: (x * s).cast("float")))
+                    "p_name",
+                    F.array_join(F.transform(
+                        F.split("p_name", " "),
+                        lambda w: F.concat(w, tag)), " "))
             reps = r if reps is None else reps.unionByName(r)
-        reps.repartition(32).write.mode("overwrite").parquet(emb_path)
+        reps.repartition(8).write.mode("overwrite").parquet(part_path)
+    replicate_embeddings(spark, DST, REPLICAS, rebuild=rebuild)
+
+
+def replicate_embeddings(spark, dst: str, replicas: int,
+                         rebuild: bool = False) -> None:
+    """N-fold key-disjoint embedding replication (shared with the
+    SemDeDup decade bench, scripts/semdedup_decade_bench.py)."""
+    emb_path = f"{dst}/embeddings.parquet"
+    if not rebuild and os.path.isdir(emb_path):
+        return
+    os.makedirs(dst, exist_ok=True)
+    em = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    stride = int(em.agg(F.max("vec_id")).first()[0]) + 1
+    dim = len(em.select("embedding").first()[0])
+    reps = None
+    for k in range(replicas):
+        r = em.withColumn("vec_id", F.col("vec_id") + F.lit(k * stride))
+        if k > 0:
+            # per-replica diagonal sign flip: an ISOMETRY, so every
+            # intra-replica cosine (and hence the near-dup structure
+            # per replica) is bit-preserved, while cross-replica
+            # cosines decorrelate — same disjoint-universe reasoning
+            # as the word-tagged documents above
+            # signs from an md5 bit per (k, j): the old
+            # (k*31 + j*7) % 3 pattern collapsed to (k+j) % 3
+            # (31≡7≡1 mod 3), making replicas with equal k mod 3
+            # bit-identical — which contaminated the semantic-cells
+            # scale measurement (ADVICE r11). A hash bit has no
+            # period, so all REPLICAS genuinely decorrelate.
+            import hashlib
+            signs = F.array(*[
+                F.lit(1.0 if hashlib.md5(
+                    f"{k}-{j}".encode()).digest()[0] & 1 else -1.0)
+                for j in range(dim)])
+            r = r.withColumn(
+                "embedding",
+                F.zip_with("embedding", signs,
+                           lambda x, s: (x * s).cast("float")))
+        reps = r if reps is None else reps.unionByName(r)
+    reps.repartition(32).write.mode("overwrite").parquet(emb_path)
 
 
 def _isolate(spark) -> None:
@@ -175,8 +218,15 @@ def main() -> None:
         kernels = [k for k in KERNELS if k in only]
 
     results: dict[str, dict[str, float]] = {k: {} for k in kernels}
+    sf_order = [label for label, _ in SFS]
     for label, sf_dir in SFS:
         for name in kernels:
+            cap = SF_CAP.get(name)
+            if cap is not None and sf_order.index(label) > sf_order.index(cap):
+                print(f"  {name} @ sf{label}: skipped (anchor capped at "
+                      f"sf{cap}; the `_scaled` sibling carries this tier)",
+                      flush=True)
+                continue
             _isolate(spark)
             t0 = time.perf_counter()
             n = REGISTRY[name].fn(spark, sf_dir).count()
@@ -188,6 +238,10 @@ def main() -> None:
              "|---|---|---|---|---|"]
     for name in kernels:
         r = results[name]
+        if "1.0*" not in r:
+            lines.append(f"| {name} | {r['0.01']} s | {r['0.1']} s "
+                         f"| capped (sf0.1-only anchor) | — |")
+            continue
         ratio = round(r["1.0*"] / r["0.1"], 1) if r["0.1"] else float("inf")
         lines.append(f"| {name} | {r['0.01']} s | {r['0.1']} s "
                      f"| {r['1.0*']} s | {ratio}× |")

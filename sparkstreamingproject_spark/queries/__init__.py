@@ -513,10 +513,52 @@ _ROUND14_WINDOW = [
     "orders_ship_latency", "ts_moving_avg_pct_change",
 ]
 
+# Round-15 window (VERDICT r14 §next 1): the 3 r14 wave-2 report
+# queries — the ONLY registered entries without a driver CORRECTNESS
+# row (judge-verified green against the local oracle in r14); slot 3
+# is this round's new registration (the blocked-Levenshtein production
+# shape, VERDICT r14 §next 3); then staleness re-checks, oldest
+# `last driver check` first — the 28 remaining r04-certified rows,
+# then the first 18 of the r05 cohort in registry order. Certifying
+# slots 0-2 closes the ledger at 468/468 for the first time.
+# Pre-flight: parity at sf0.001/0.01/0.1 under TZ=America/New_York +
+# hostile partitioning (tests/test_partitioning_robustness.py).
+_ROUND15_WINDOW = [
+    # 0-2: r14 wave-2 report queries, never driver-checked
+    "report_decontaminated_eval_budget", "report_near_dup_cluster_profile",
+    "report_quality_by_split",
+    # 3: round-15 addition (blocked fuzzy-pairs production shape)
+    "string_levenshtein_blocked",
+    # 4-31: the 28 remaining r04-certified rows (oldest, registry order)
+    "pareto_top_parts", "customer_order_gap_stats", "supplier_part_hhi",
+    "events_value_outliers_iqr", "events_user_entropy",
+    "window_funnel_levels", "nation_trade_balance", "text_zipf_slope",
+    "events_burstiness_fano", "brand_revenue_share",
+    "domain_mix_rebalance", "sim_hard_negatives",
+    "multimodal_image_resize", "dedup_containment",
+    "dedup_minhash_estimate", "dedup_cluster_keep_best",
+    "embedding_label_centroids", "json_variant_extract",
+    "string_collation_ci_group", "ansi_try_arithmetic",
+    "doc_quality_rules_gate", "split_stratified_hash",
+    "embedding_centroid_classify", "agg_cube_status_priority",
+    "lateral_topk_suppliers", "events_gap_sessionize",
+    "events_outliers_mad", "bitmap_user_segments",
+    # 32-49: oldest r05-certified rows, registry order
+    "sketch_countmin_words", "sql_group_by_all",
+    "orders_yoy_revenue_growth", "part_price_histogram",
+    "text_keyword_in_context", "events_intergap_buckets",
+    "nation_yearly_rank_change", "ts_ewma_priority_revenue",
+    "corpus_boilerplate_shingles", "dq_expectations_report",
+    "agg_incremental_merge", "ts_seasonal_decompose",
+    "join_fuzzy_blocked", "orders_decile_lift", "bpe_learn_merges",
+    "bpe_encode_apply", "sample_poisson_bootstrap",
+    "multimodal_frame_dedup",
+]
+
 # Round-agnostic alias — scripts/gen_ledger.py and any other tooling
 # read THIS name so a window rename can never silently zero the ledger
 # (ADVICE r09 item 2).
-_CURRENT_WINDOW = _ROUND14_WINDOW
+_CURRENT_WINDOW = _ROUND15_WINDOW
 
 
 def _reorder() -> None:

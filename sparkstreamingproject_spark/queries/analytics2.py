@@ -124,6 +124,91 @@ def string_levenshtein_pairs(spark, sf_dir):
             .filter(F.col("dist") <= 3))
 
 
+# Blocked-pairs constants: edit distance <= LEV_K verified exactly;
+# one edit rewrites at most LEV_Q trigram positions, so two strings
+# within LEV_K edits share >= max(|Ga|,|Gb|) - LEV_K*LEV_Q distinct
+# trigrams, and (AllPairs prefix-filter theorem, global rarity order)
+# must then share a gram within each side's LEV_K*LEV_Q + 1 rarest
+# grams. Complete for names >= LEV_K*LEV_Q + 3 chars (TPC-H p_name
+# is 5 color words, >= 19 chars).
+LEV_K = 3                      # max edit distance (same as _pairs)
+LEV_Q = 3                      # trigram width
+LEV_PFX = LEV_K * LEV_Q + 1    # prefix size: 10 rarest grams
+
+
+@register(
+    "string_levenshtein_blocked",
+    oracle=f"""
+    WITH names AS (SELECT DISTINCT p_name FROM part
+                   WHERE length(p_name) >= {LEV_Q}),
+    grams AS (
+      SELECT DISTINCT p_name,
+             unnest(list_transform(range(1, length(p_name) - {LEV_Q - 2}),
+                    i -> substr(p_name, CAST(i AS INT), {LEV_Q}))) AS g
+      FROM names),
+    freq AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
+    pfx AS (
+      SELECT p_name, g FROM (
+        SELECT gr.p_name, gr.g,
+               row_number() OVER (PARTITION BY gr.p_name
+                                  ORDER BY f.c, gr.g) AS rk
+        FROM grams gr JOIN freq f USING (g))
+      WHERE rk <= {LEV_PFX}),
+    cand AS (
+      SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b
+      FROM pfx a JOIN pfx b
+        ON a.g = b.g AND a.p_name < b.p_name
+       AND abs(length(a.p_name) - length(b.p_name)) <= {LEV_K})
+    SELECT name_a, name_b, levenshtein(name_a, name_b) AS dist
+    FROM cand WHERE levenshtein(name_a, name_b) <= {LEV_K}
+    """,
+    tags=("llm", "text", "similarity", "scale"),
+)
+def string_levenshtein_blocked(spark, sf_dir):
+    """The production shape of `string_levenshtein_pairs` — same
+    result set (asserted in tests/test_scale_patterns.py), WITHOUT the
+    |vocab|² pair generation (SCALE.md §known-shortcuts' named
+    cluster form, VERDICT r14 §next 3).
+
+    Blocking is lossless by construction: (1) length band ±LEV_K
+    (an edit changes length by at most 1); (2) q-gram count bound —
+    each of the ≤LEV_K edits rewrites at most LEV_Q trigram
+    positions, so a true pair shares ≥ max(|Ga|,|Gb|) − LEV_K·LEV_Q
+    distinct trigrams; (3) the AllPairs prefix filter — order every
+    name's grams by GLOBAL frequency (rarest first, gram string
+    tie-break) and keep only the first LEV_PFX: any pair meeting the
+    count bound must collide inside these prefixes. Candidates =
+    prefix-gram collisions (rare grams → small blocks), then exact
+    `levenshtein` verify. Pair work scales with Σ|block|² over RARE
+    grams, never |vocab|² — the same blocking+verify contract as
+    `join_fuzzy_blocked` and `dedup_lsh_verified`."""
+    from pyspark.sql import Window
+
+    names = (table(spark, sf_dir, "part").select("p_name").distinct()
+             .filter(F.length("p_name") >= LEV_Q))
+    grams = (names.select(
+        "p_name",
+        F.explode(F.expr(
+            f"transform(sequence(1, length(p_name) - {LEV_Q - 1}), "
+            f"i -> substring(p_name, i, {LEV_Q}))")).alias("g"))
+        .distinct())
+    freq = grams.groupBy("g").agg(F.count("*").alias("c"))
+    pfx = (grams.join(freq, "g")
+           .withColumn("rk", F.row_number().over(
+               Window.partitionBy("p_name").orderBy("c", "g")))
+           .filter(F.col("rk") <= LEV_PFX)
+           .select("p_name", "g"))
+    a = pfx.select(F.col("p_name").alias("name_a"), "g")
+    b = pfx.select(F.col("p_name").alias("name_b"), "g")
+    cand = (a.join(b, "g")
+            .filter((F.col("name_a") < F.col("name_b"))
+                    & (F.abs(F.length("name_a") - F.length("name_b"))
+                       <= LEV_K))
+            .select("name_a", "name_b").distinct())
+    return (cand.withColumn("dist", F.levenshtein("name_a", "name_b"))
+            .filter(F.col("dist") <= LEV_K))
+
+
 # ------------------------------------------------ RANGE window frames
 
 @register(

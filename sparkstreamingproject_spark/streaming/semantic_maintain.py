@@ -63,6 +63,7 @@ from __future__ import annotations
 import os
 import shutil
 import uuid
+import warnings
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -114,6 +115,16 @@ def init_semantic_state(train: DataFrame, state_dir: str, k: int,
             f"{state_dir!r} holds a plain parquet table, not a semantic "
             "state tree; refusing to write centroids into it — point "
             "init_semantic_state at a fresh state directory.")
+    if os.path.isdir(state_dir) and any(
+            os.path.exists(os.path.join(state_dir, d))
+            for d in ("centroids", "assigned", "pairs")):
+        # pre-manifest legacy tree (never refreshed, so no manifest):
+        # overwriting the frozen centroids would silently invalidate
+        # every assignment already on disk (ADVICE r14 item 1)
+        raise RuntimeError(
+            f"{state_dir!r} already holds semantic state "
+            "(centroids/assigned/pairs); init_semantic_state is "
+            "one-time setup — use refresh_semantic_state to re-train.")
     cents = kmeans_centroids(train, k=k, n_iter=n_iter)
     cents.write.mode("overwrite").parquet(f"{state_dir}/centroids")
 
@@ -209,8 +220,21 @@ def refresh_semantic_state(spark, state_dir: str,
     the grace window."""
     if state_path(state_dir) is not None and os.path.isdir(state_dir):
         # a manifest exists, so an earlier refresh committed and the
-        # raw legacy tree has had >= one full commit of grace
-        shutil.rmtree(state_dir, ignore_errors=True)
+        # raw legacy tree has had >= one full commit of grace. Only
+        # delete what is provably THIS module's tree: a raw dir whose
+        # top level holds anything beyond centroids/assigned/pairs is
+        # foreign data that happens to sit beside a manifest — skip it
+        # rather than destroy it (ADVICE r14 item 3), and let rmtree
+        # failures surface instead of hiding partial deletes.
+        entries = set(os.listdir(state_dir))
+        if entries and entries <= {"centroids", "assigned", "pairs"}:
+            shutil.rmtree(state_dir)
+        elif entries:
+            warnings.warn(
+                f"refresh_semantic_state: {state_dir!r} contains "
+                f"non-semantic entries {sorted(entries - {'centroids', 'assigned', 'pairs'})!r}; "
+                "leaving the raw dir in place (foreign data is never "
+                "deleted by the compaction path).")
     cur = _resolve(state_dir)
     assigned = (_maybe_read(spark, f"{cur}/assigned", _ASSIGNED_SCHEMA)
                 .drop("ingest_batch").dropDuplicates(["vec_id"]))

@@ -144,6 +144,8 @@ _KEEPERS = [
     # r14 wave-2 additions (r15 window candidates)
     "report_near_dup_cluster_profile", "report_decontaminated_eval_budget",
     "report_quality_by_split",
+    # round-15 additions (r16 window candidates)
+    "string_levenshtein_blocked",
 ]
 
 _seen: set[str] = set()

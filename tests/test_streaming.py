@@ -2802,6 +2802,74 @@ def test_semantic_refresh_crash_drill_manifest_last(spark, tmp_path,
     assert len(final) == 2 and left[0] in final
 
 
+def test_semantic_state_guards_legacy_tree_and_foreign_data(
+        spark, tmp_path, sf_dir):
+    """ADVICE r14 items 1+3 drill: (a) `init_semantic_state` must
+    refuse a PRE-MANIFEST legacy tree that already holds
+    centroids/assigned data — a silent re-init there overwrites the
+    frozen centroids while assignments computed against the old
+    centroids stay on disk; (b) `refresh_semantic_state`'s raw-tree
+    GC must only delete a dir that is provably this module's tree —
+    foreign entries beside the manifest are skipped with a warning,
+    never rmtree'd."""
+    import os as _os
+    import warnings as _warnings
+
+    from sparkstreamingproject_spark.streaming.semantic_maintain import (
+        fold_semantic_cells, init_semantic_state, refresh_semantic_state,
+        semantic_dedup_from_state)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding") \
+        .filter(F.col("vec_id") % 4 == 0).localCheckpoint()
+
+    # (a) pre-manifest legacy tree: init once + one fold, NO refresh
+    # (so no manifest); a second init must refuse WITHOUT touching
+    # the tree — previously both guards passed (no manifest, no
+    # top-level parquet) and the centroids were silently overwritten
+    st = str(tmp_path / "sem_guard_state")
+    init_semantic_state(emb, st, k=4)
+    fold_semantic_cells(emb, st, batch_id=0)
+    before = sorted(map(tuple, spark.read.parquet(
+        f"{st}/centroids").collect()))
+    with pytest.raises(RuntimeError, match="already holds semantic"):
+        init_semantic_state(emb, st, k=4)
+    assert sorted(map(tuple, spark.read.parquet(
+        f"{st}/centroids").collect())) == before
+    # centroids-only tree (init ran, no fold yet) refuses too
+    st2 = str(tmp_path / "sem_guard_state2")
+    init_semantic_state(emb, st2, k=4)
+    with pytest.raises(RuntimeError, match="already holds semantic"):
+        init_semantic_state(emb, st2, k=4)
+
+    # (b) foreign data beside the manifest: first refresh commits and
+    # leaves the raw tree for its grace window; a user then lands
+    # unrelated data inside the raw dir — the SECOND refresh must
+    # skip the GC (with a warning) instead of deleting it
+    refresh_semantic_state(spark, st)
+    foreign = _os.path.join(st, "user_notes.txt")
+    with open(foreign, "w") as f:
+        f.write("not semantic state\n")
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        refresh_semantic_state(spark, st)
+    assert any("non-semantic entries" in str(w.message) for w in caught)
+    assert _os.path.exists(foreign)  # foreign data never deleted
+    # the refresh itself still committed: dedup read-path works
+    assert semantic_dedup_from_state(spark, st).count() > 0
+
+    # control: a clean raw tree (only centroids/assigned/pairs) IS
+    # collected by the second refresh — the guard narrows the delete,
+    # it does not disable the orphan GC (ADVICE r13 contract)
+    stc = str(tmp_path / "sem_guard_clean")
+    init_semantic_state(emb, stc, k=4)
+    fold_semantic_cells(emb, stc, batch_id=0)
+    refresh_semantic_state(spark, stc)
+    assert _os.path.isdir(stc)  # grace window after first refresh
+    refresh_semantic_state(spark, stc)
+    assert not _os.path.exists(stc)  # clean tree GC'd by next commit
+
+
 def test_cdc_manifest_adopts_legacy_marker_layout(spark, tmp_path):
     """Upgrading a CDC output from the r12 marker layout
     (facts/batch_id=N partitions + dim/<t> swap_in tables) to the
