@@ -71,6 +71,7 @@ from . import llm18  # noqa: E402,F401
 from . import llm19  # noqa: E402,F401
 from . import llm20  # noqa: E402,F401
 from . import llm21  # noqa: E402,F401
+from . import analytics32  # noqa: E402,F401
 
 # --- driver-window ordering --------------------------------------------------
 # The verify driver checks the FIRST 50 registry entries per round

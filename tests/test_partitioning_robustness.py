@@ -145,7 +145,7 @@ _KEEPERS = [
     "report_near_dup_cluster_profile", "report_decontaminated_eval_budget",
     "report_quality_by_split",
     # round-15 additions (r16 window candidates)
-    "string_levenshtein_blocked",
+    "string_levenshtein_blocked", "layout_file_compaction_plan",
 ]
 
 _seen: set[str] = set()
