@@ -97,6 +97,14 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     shuffle keyed on doc_id (``distinct=False``: min is idempotent
     over repeated shingles, so the shingle-dedup exchange is skipped;
     map-side partial mins reduce before the shuffle anyway).
+
+    (r15 note: aggregating the PARSED 32-bit slice — min(long), which
+    hash-aggregates — was measured and REJECTED: min over the hex
+    STRING is a SortAggregate, but its sort runs over nearly
+    doc-ordered Generate output and costs less than the 8-32 conv()
+    parses per shingle row; A/B min-of-4 read 2.54 s vs 3.26 s for
+    the 8-hash signature and 3.72 s vs 5.07 s for the 32-hash LSHE
+    signature at sf0.1. See OPTIMIZATION_r15.md §minhash.)
     """
     sh = word_shingles(df, id_col, text_col, distinct=False)
     aggs = [F.min(minhash_hex(j)).alias(f"h{j}") for j in range(n_hashes)]
@@ -173,8 +181,13 @@ def lsh_verified_pairs(df: DataFrame, id_col: str = "doc_id",
     ~|cands|·|doc shingles| rows, never the corpus cross product.
     """
     cands = lsh_candidate_pairs(df, id_col, text_col, n_hashes, bands)
-    sh = word_shingles(df, id_col, text_col, distinct=True)
-    counts = sh.groupBy(id_col).agg(F.count("*").alias("c"))
+    # r15: sh feeds the two verify joins AND the size counts — three
+    # consumers, and the distinct-shingle explode re-ran for each
+    # (ObjectHashAggregate canonicalization, same class as the
+    # jaccard_pairs fix). One cut = one corpus explode.
+    sh = word_shingles(df, id_col, text_col, distinct=True).localCheckpoint()
+    counts = (sh.groupBy(id_col).agg(F.count("*").alias("c"))
+              .localCheckpoint(eager=False))
     inter = (cands
              .join(sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
              .join(sh.select(F.col(id_col).alias("id_b"),
@@ -211,17 +224,24 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     """
     # distinct=False: collect_set dedups ids per shingle key anyway, so
     # the shingle-distinct exchange would be a second shuffle of the
-    # same relation for nothing. One grouping of shingles then feeds
-    # BOTH per-doc counts and pair generation — identical subtrees, so
-    # Spark reuses the shuffle (ReusedExchange) instead of re-scanning
-    # + re-exploding the corpus.
+    # same relation for nothing. One grouping of shingles feeds BOTH
+    # per-doc counts and pair generation — but the reuse must be an
+    # EXPLICIT localCheckpoint (r15): collect_set is a non-deterministic
+    # aggregate, so the three consumer subtrees canonicalize unequal
+    # and ReusedExchange never fires — the r14 plan re-scanned,
+    # re-exploded and re-aggregated the whole corpus once per consumer
+    # (3 parquet scans + 3 md5-shingle explodes in the audit plan;
+    # plans/r15/dedup_ngram_jaccard_before.txt).
     sh = word_shingles(df, id_col, text_col, distinct=False)
     lists = (sh.groupBy("shingle")
              .agg(F.sort_array(F.collect_set(id_col)).alias("ids")))
     if max_postings is not None:
         lists = lists.filter(F.size("ids") <= max_postings)
+    lists = lists.localCheckpoint()
+    # counts is consumed twice (ca/cb) — doc-cardinality, cut it too
     counts = (lists.select(F.explode("ids").alias(id_col))
-              .groupBy(id_col).agg(F.count("*").alias("c")))
+              .groupBy(id_col).agg(F.count("*").alias("c"))
+              .localCheckpoint(eager=False))
     pair_expr = F.expr(
         "flatten(transform(ids, (x, i) -> "
         "transform(slice(ids, i + 2, size(ids) - i - 1), "
@@ -261,8 +281,13 @@ def containment_pairs(df: DataFrame, id_col: str = "doc_id",
              .agg(F.sort_array(F.collect_set(id_col)).alias("ids")))
     if max_postings is not None:
         lists = lists.filter(F.size("ids") <= max_postings)
+    # same r15 reuse fix as jaccard_pairs: collect_set's
+    # non-determinism defeats ReusedExchange, so the corpus explode
+    # ran once per consumer without the explicit cut
+    lists = lists.localCheckpoint()
     counts = (lists.select(F.explode("ids").alias(id_col))
-              .groupBy(id_col).agg(F.count("*").alias("c")))
+              .groupBy(id_col).agg(F.count("*").alias("c"))
+              .localCheckpoint(eager=False))
     pair_expr = F.expr(
         "flatten(transform(ids, (x, i) -> "
         "transform(slice(ids, i + 2, size(ids) - i - 1), "
@@ -317,25 +342,34 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     few hops), so this beats the O(log n)-round large-star/small-star
     scheme in practice while using the same primitives — a self-join
     and a min-groupBy per round, both AQE-sized shuffles.
-    ``localCheckpoint`` cuts the lineage each round so the plan does
-    not grow exponentially; convergence is detected with an exact
-    changed-label count (one cheap action per round).
+    ``localCheckpoint(eager=False)`` cuts the lineage each round so the
+    plan does not grow exponentially; convergence is detected by
+    comparing Σlabel between rounds (labels only ever DECREASE under
+    min-propagation, so the sum is strictly monotone and equality ⟺
+    zero changed labels — the r15 rewrite of the old join+count check,
+    which cost a second job plus a node-keyed join every round; the
+    sum is the same single action that materializes the lazy
+    checkpoint, so each round is ONE job instead of two).
     """
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
     sym = sym.localCheckpoint()
-    labels = sym.select("u").distinct().withColumn("label", F.col("u"))
+    labels = (sym.select("u").distinct().withColumn("label", F.col("u"))
+              .localCheckpoint(eager=False))
+    # Σlabel as DECIMAL(38,0): exact at any node count / id magnitude
+    _sum = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    prev = labels.agg(_sum).first()["s"]
     for _ in range(max_iter):
         nbr = (sym.join(labels.withColumnRenamed("u", "v"), "v")
                .select("u", "label"))
         new = (nbr.union(labels)
                .groupBy("u").agg(F.min("label").alias("label"))
-               .localCheckpoint())
-        changed = (new.join(labels.withColumnRenamed("label", "old"), "u")
-                   .filter(F.col("label") < F.col("old")).count())
+               .localCheckpoint(eager=False))
+        cur = new.agg(_sum).first()["s"]
         labels = new
-        if changed == 0:
+        if cur == prev:
             break
+        prev = cur
     return labels
 
 
@@ -387,7 +421,9 @@ def lsh_ensemble_containment_pairs(
     shuffle, never a self-join); the exact verify joins touch candidate
     docs' shingles only. No cross join anywhere.
     """
-    sh = word_shingles(df, id_col, text_col, distinct=True)
+    # r15: sh feeds the signature build AND both exact-verify joins —
+    # one cut, one corpus explode (same reuse class as jaccard_pairs)
+    sh = word_shingles(df, id_col, text_col, distinct=True).localCheckpoint()
     counts, keys = lshe_doc_postings(sh, id_col, n_hashes, max_gap)
     return lshe_pairs_from_postings(keys, counts, sh, id_col=id_col,
                                     threshold=threshold,
@@ -410,6 +446,11 @@ def lshe_doc_postings(sh: DataFrame, id_col: str = "doc_id",
            .agg(F.count("*").alias("c"),
                 *[F.min(minhash_hex(j)).alias(f"h{j}")
                   for j in range(n_hashes)]))
+    # r15: sig feeds BOTH returns (counts and the posting keys) — one
+    # doc-cardinality cut instead of running the shingle explode + the
+    # 32-min aggregate once per consumer (batch query AND the
+    # streaming fold consume both halves every time)
+    sig = sig.localCheckpoint()
     sig = sig.withColumn("p", (F.length(F.bin("c")) - 1).cast("int"))
     key_structs = F.array(*[
         F.struct(F.lit(j).alias("j"), F.col(f"h{j}").alias("h"),

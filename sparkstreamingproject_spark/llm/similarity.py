@@ -226,18 +226,74 @@ def ivf_topk(candidates: DataFrame, queries: DataFrame, k: int = 5,
 BROADCAST_MAX_BYTES = 512 << 20  # dense f64 matrix cap for the exact kernel
 
 
+# 10^19 > any non-negative long id: the radix that packs (sim, cell)
+# into one DECIMAL for the hash-aggregated argmax below
+_ARGMAX_RADIX = "10000000000000000000"
+
+
+def argmax_cell(scored: DataFrame, id_col: str,
+                cell_col: str = "cell",
+                keep_sim: bool = False) -> DataFrame:
+    """(id, best cell [, winning sim]) from (id, cell, sim) scored rows
+    — argmax by (sim DESC, cell ASC), exactly row_number()==1 over that
+    ordering.
+
+    Shape (r15, guide §2.3 "aggregate before you shuffle"): the window
+    formulation shuffled and sorted ALL n·k scored rows; here the
+    argmax is a plain ``min()`` over ONE decimal that encodes
+    ``(1e6 - sim6) · 10^19 + cell`` — lexicographically (sim DESC,
+    cell ASC) — so the aggregate is hash-based (decimals are
+    fixed-width mutable buffer types; a struct-valued max falls back
+    to SortAggregate) and map-side partial aggregation reduces n·k
+    rows to n BEFORE the exchange. sim6 = round(sim·1e6) is exact:
+    sim is already 6dp-rounded, so sim6 is the integer the decimal
+    literally means; the winning sim is recovered from a sibling
+    ``max(sim6)`` (the max similarity IS the winner's similarity,
+    whatever cell broke the tie) and sim6/1e6 reproduces the 6dp
+    double bit-exactly (both are the nearest double to the same
+    decimal). Requires cell ids to be non-negative longs (< 10^19 —
+    every id in this engine)."""
+    s6 = F.round(F.col("sim") * 1e6).cast("long")
+    p = F.lit(_ARGMAX_RADIX).cast("decimal(20,0)")
+    enc = ((F.lit(1_000_000).cast("decimal(7,0)") - s6.cast("decimal(7,0)"))
+           * p + F.col(cell_col).cast("decimal(19,0)"))
+    best = (scored.groupBy(id_col)
+            .agg(F.min(enc).alias("_enc"), F.max(s6).alias("_s6")))
+    cols = [F.col(id_col),
+            F.pmod(F.col("_enc"), p).cast("long").alias(cell_col)]
+    if keep_sim:
+        cols.append((F.col("_s6").cast("double") / F.lit(1e6)).alias("sim"))
+    return best.select(*cols)
+
+
 def kmeans_assign(pts: DataFrame, cents: DataFrame,
-                  id_col: str = "vec_id") -> DataFrame:
+                  id_col: str = "vec_id",
+                  keep_sim: bool = False) -> DataFrame:
     """Assign each point to its most-cosine-similar centroid.
     Centroids broadcast (k rows); similarity rounded to 6dp before the
     argmax and ties broken by cell id, so assignment is reproducible
-    across engines and summation orders."""
+    across engines and summation orders.
+
+    The argmax is the hash-aggregated ``argmax_cell`` (r15): the
+    broadcast cross join emits n·k scored rows map-side and partial
+    aggregation reduces them to n rows before the exchange — the old
+    row_number window shuffled (and sorted) all n·k rows, each
+    carrying the d-element vector. The vector is kept OUT of the
+    scored relation entirely (guide §2.3 "project before the
+    exchange") and re-attached with one id-keyed join of n-row
+    relations.
+
+    ``keep_sim=True`` also returns the winning similarity (the value
+    the window version recomputed via a centroids re-join) as ``sim``.
+    """
     scored = (pts.crossJoin(F.broadcast(cents))
-              .select(id_col, "v", "cell",
+              .select(id_col, "cell",
                       F.round(cosine_similarity("v", "cv"), 6).alias("sim")))
-    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("cell"))
-    return (scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1).select(id_col, "v", "cell"))
+    best = argmax_cell(scored, id_col, keep_sim=keep_sim)
+    out_cols = [F.col(id_col), F.col("v"), F.col("cell")]
+    if keep_sim:
+        out_cols.append(F.col("sim"))
+    return best.join(pts, id_col).select(*out_cols)
 
 
 def kmeans_centroids(df: DataFrame, id_col: str = "vec_id",
@@ -247,13 +303,21 @@ def kmeans_centroids(df: DataFrame, id_col: str = "vec_id",
     production replacement for ``ivf_assign``'s first-N-ids stand-in.
 
     Each iteration: assign (k-row broadcast cross join, codegen cosine,
-    window argmax) then recompute means (posexplode to (cell, pos, val)
-    → avg per (cell, pos) → rebuild arrays). Both stages shuffle only
-    (cell/pos)-keyed aggregates — never point×point; cost per iteration
-    is one corpus scan, the same shape at 1000 executors. Centroid
-    components are rounded to 6dp after every mean so both engines (and
-    any summation order) see bit-identical centroid inputs — the same
+    hash-aggregated argmax — see ``kmeans_assign``) then recompute
+    means (posexplode to (cell, pos, val) → avg per (cell, pos) →
+    rebuild arrays). Both stages shuffle only (cell/pos)-keyed
+    aggregates — never point×point; cost per iteration is one corpus
+    scan, the same shape at 1000 executors. Centroid components are
+    rounded to 6dp after every mean so both engines (and any summation
+    order) see bit-identical centroid inputs — the same
     reproducibility discipline as the LSH hyperplanes.
+
+    (r15 note: a per-dimension ``avg(v[i])`` single-aggregate means —
+    one cell-keyed exchange instead of posexplode's two — was measured
+    and REJECTED at the bench SF: the d-wide aggregate pays ~1 s of
+    plan/codegen setup per iteration, a fixed cost that dominates
+    until the exploded relation is ≳10× this corpus; see
+    OPTIMIZATION_r15.md §kmeans.)
 
     Deterministic init: the first k vectors by id (documented stand-in
     for k-means|| sampling; the iteration structure is what matters).

@@ -40,6 +40,13 @@ def setsim_self_join(rel: DataFrame, key_col: str, item_col: str,
         F.transform("sorted_items", lambda s: s[item_col])
         .alias("items"),
         F.size("sorted_items").cast("bigint").alias("sz"))
+    # r15: sets feeds the prefix explode AND both verify sides — and
+    # collect_list is a non-deterministic aggregate, so the three
+    # consumer subtrees canonicalize unequal and ReusedExchange never
+    # fires: the r14 plan re-ran the distinct + freq join + sort
+    # groupBy chain (6 scans of the base relation) once per consumer.
+    # One key-cardinality cut = one build.
+    sets = sets.localCheckpoint()
     # prefix length for Jaccard t: |s| - ceil(t|s|) + 1
     t = threshold_pct
     prefix_len = (F.col("sz")

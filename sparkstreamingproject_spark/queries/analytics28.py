@@ -457,17 +457,26 @@ def graph_ppr_seeded(spark, sf_dir):
                                   F.col("u").alias("v")))
            .localCheckpoint())
     deg = adj.groupBy("u").agg(F.count("*").alias("d"))
+    # degree-annotated adjacency, materialized ONCE (r15, guide §2.4):
+    # the old loop joined `deg` (a fresh groupBy over the whole edge
+    # relation) into every round — 4 redundant edge aggregations +
+    # joins; deg(u) never changes, so it rides on the edge row.
+    adjd = adj.join(deg, "u").localCheckpoint()
     nodes = adj.select("u").distinct()
     seeds = nodes.orderBy("u").limit(_PPR_SEEDS)
-    seed_flag = nodes.join(
+    # seed flags are consumed by every round's damping mix AND the
+    # final projection — checkpoint them once (r15): lazily reused,
+    # the nodes-distinct + sort-limit subtree re-executed per round.
+    seed_flag = (nodes.join(
         seeds.withColumnRenamed("u", "su"),
         F.col("u") == F.col("su"), "left").select(
         "u", F.col("su").isNotNull().alias("is_seed"))
+        .localCheckpoint())
     r = seed_flag.select(
         "u", F.when(F.col("is_seed"), F.lit(_PPR_SEED_Q)).otherwise(0)
         .cast("long").alias("q"))
     for _ in range(_PPR_ROUNDS):
-        c = (adj.join(r, "u").join(deg, "u")
+        c = (adjd.join(r, "u")
              .select(F.col("v").alias("i"),
                      F.expr("q div d").alias("share"))
              .groupBy("i").agg(F.sum("share").cast("long").alias("m")))

@@ -123,20 +123,54 @@ def _semantic_cells_oracle(k: int = SEM_K, n_iter: int = SEM_ITER,
     """
 
 
-def semantic_cell_pairs(assigned, threshold: float = SEM_THRESHOLD):
+def _pair_salt(assigned, n_keys: int | None) -> int:
+    """Salt factor for a cell-keyed pair self-join: when the join has
+    fewer distinct keys than the session has shuffle partitions (the
+    PINNED-k anchors: k=8 keys on 32 cores → 24 cores idle through the
+    whole quadratic pair stage), split each cell's a-side ``s`` ways so
+    the per-cell work spreads across s·k tasks (guide §2.5 salting —
+    the b-side replicates s×, which is why s caps at what the key
+    deficit actually needs; k ∝ n corpora have plentiful keys and get
+    s=1, i.e. the plan is unchanged exactly where salting would only
+    add volume)."""
+    if not n_keys or n_keys <= 0:
+        return 1
+    sp = int(assigned.sparkSession.conf.get("spark.sql.shuffle.partitions",
+                                            "200"))
+    return max(1, min(32, -(-sp // n_keys)))
+
+
+def semantic_cell_pairs(assigned, threshold: float = SEM_THRESHOLD,
+                        n_keys: int | None = None):
     """Per-cell cosine near-dup pairs over a (vec_id, v, cell) relation
     — the SemDeDup candidate stage. A cell-keyed self-join: Spark
     shuffles both sides on ``cell`` (never a cartesian), so the
     quadratic is bounded by the largest cell, which at production k is
     held near n/k by the Lloyd refinement (and skew-split by AQE when
     it isn't). 4dp rounding before the threshold, like every cosine
-    kernel in llm/similarity.py."""
+    kernel in llm/similarity.py.
+
+    ``n_keys`` (the caller's k, when known) drives the r15 salting fix
+    for the pinned-k anchors: the a-side is split into ``s`` salt
+    buckets by pmod(id_a, s) and the b-side replicated to every
+    bucket, so the join key becomes (cell, salt) — s·k keys instead of
+    k — and every (a, b) pair still meets EXACTLY once (b is present
+    in every bucket; the id_a < id_b filter is unchanged), so the
+    result is identical for any s."""
     from ..llm.similarity import cosine_similarity
+    s = _pair_salt(assigned, n_keys)
     a = assigned.select(F.col("vec_id").alias("id_a"),
                         F.col("v").alias("va"), "cell")
     b = assigned.select(F.col("vec_id").alias("id_b"),
                         F.col("v").alias("vb"), "cell")
-    return (a.join(b, "cell")
+    if s > 1:
+        a = a.withColumn("salt", F.pmod(F.col("id_a"), F.lit(s)))
+        b = b.withColumn(
+            "salt", F.explode(F.array(*[F.lit(i) for i in range(s)])))
+        keys = ["cell", "salt"]
+    else:
+        keys = ["cell"]
+    return (a.join(b, keys)
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b",
                     F.round(cosine_similarity("va", "vb"), 4)
@@ -150,23 +184,23 @@ def semantic_dedup(emb, k: int):
     anchor), `dedup_semantic_cells_scaled` (k ∝ n, the 100 TB shape)
     and the fold-#14 batch comparator. Returns (vec_id, cell,
     component, centroid_sim, is_kept)."""
-    from ..llm.similarity import (cosine_similarity, kmeans_assign,
-                                  kmeans_centroids)
+    from ..llm.similarity import kmeans_assign, kmeans_centroids
     pts = emb.select("vec_id",
                      F.col("embedding").cast("array<double>").alias("v"))
     cents = kmeans_centroids(emb, k=k, n_iter=SEM_ITER)
-    assigned = kmeans_assign(pts, cents)
-    csim = (assigned.join(F.broadcast(cents), "cell")
-            .select("vec_id", "v", "cell",
-                    F.round(cosine_similarity("v", "cv"), 6)
-                    .alias("centroid_sim")))
+    # keep_sim: the assignment argmax already holds round(cos(v, cv), 6)
+    # for the winning cell — the centroids re-join that recomputed it
+    # (one broadcast join + n cosines) is gone (r15)
+    csim = (kmeans_assign(pts, cents, keep_sim=True)
+            .withColumnRenamed("sim", "centroid_sim"))
     # one lineage cut: csim feeds BOTH the pair stage (whose component
     # loop materializes it via connected_components' localCheckpoint)
     # and the final labeling scan — without the cut the 2-iteration
     # Lloyd chain re-executes per branch (measured ~1.7× the kernel
     # wall at sf0.1)
     csim = csim.localCheckpoint()
-    pairs = semantic_cell_pairs(csim.select("vec_id", "v", "cell"))
+    pairs = semantic_cell_pairs(csim.select("vec_id", "v", "cell"),
+                                n_keys=k)
     return semantic_keep_labels(csim, pairs)
 
 

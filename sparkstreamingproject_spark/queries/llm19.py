@@ -100,22 +100,41 @@ def _multiprobe(spark, sf_dir, k: int):
     pts = emb.select("vec_id",
                      F.col("embedding").cast("array<double>").alias("v"))
     cents = kmeans_centroids(emb, k=k, n_iter=SEM_ITER)
+    # top-2 probes: the row_number window shuffles the n·k scored rows
+    # — keep the d-element vector OUT of that exchange (score narrow
+    # (vec_id, cell, sim) rows, take the top-2, then re-attach v with
+    # one id-keyed join of 2n rows; r15, guide §2.3 "project before
+    # the exchange"). At k ∝ n the old shape shuffled n·k·d doubles.
     scored = (pts.crossJoin(F.broadcast(cents))
-              .select("vec_id", "v", "cell",
+              .select("vec_id", "cell",
                       F.round(cosine_similarity("v", "cv"), 6)
                       .alias("sim")))
     w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), "cell")
     top2 = (scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= 2)
+            .select("vec_id", "cell", "rn")
+            .join(pts, "vec_id")
             .select("vec_id", "v", "cell", "rn")
             .localCheckpoint())  # feeds pairs twice + primary map
     prim = (top2.filter(F.col("rn") == 1)
             .select("vec_id", F.col("cell").alias("pcell")))
+    # r15: same (cell, salt) split as semantic_cell_pairs — the
+    # pinned-k anchor's pair stage otherwise runs its quadratic on k
+    # tasks only (k=8 keys on 32 cores); result identical for any s
+    from .llm15 import _pair_salt
+    s = _pair_salt(top2, k)
     a = top2.select(F.col("vec_id").alias("id_a"),
                     F.col("v").alias("va"), "cell")
     b = top2.select(F.col("vec_id").alias("id_b"),
                     F.col("v").alias("vb"), "cell")
-    pairs = (a.join(b, "cell")
+    if s > 1:
+        a = a.withColumn("salt", F.pmod(F.col("id_a"), F.lit(s)))
+        b = b.withColumn(
+            "salt", F.explode(F.array(*[F.lit(i) for i in range(s)])))
+        keys = ["cell", "salt"]
+    else:
+        keys = ["cell"]
+    pairs = (a.join(b, keys)
              .filter(F.col("id_a") < F.col("id_b"))
              .select("id_a", "id_b",
                      F.round(cosine_similarity("va", "vb"), 4)
