@@ -27,10 +27,14 @@ from sparkstreamingproject_spark.queries import REGISTRY  # noqa: E402
 from sparkstreamingproject_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = os.path.join(ROOT, "plans", "r15")
+OUT_DIR = os.path.join(ROOT, "plans",
+                       os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r16"))
 
 
 def main() -> None:
+    if len(sys.argv) < 2:
+        print(__doc__)
+        sys.exit(1)
     tag = sys.argv[1]
     names = sys.argv[2:]
     if not names:

@@ -20,6 +20,21 @@ order-insensitive (min / sum / set):
 - embedding cosine: see ``similarity.embedding_near_dup_pairs``.
 
 Everything here is whole-stage-codegen'd built-ins — no Python UDFs.
+
+Storage/fault-tolerance note on the r15 reuse checkpoints (ADVICE r15):
+the eager ``localCheckpoint()`` calls below pin CORPUS-SCALE relations
+(the capped posting lists, the distinct-shingle explode, the LSHE
+signature) in executor block storage — unreplicated, so losing an
+executor mid-query is unrecoverable (the query re-runs from the source;
+correctness is unaffected) and the footprint grows with the corpus.
+The trade is deliberate: without the cut, ``collect_set``/
+``collect_list`` non-determinism defeats ReusedExchange and every
+consumer re-scans + re-explodes the corpus (3-6 scans in the r15 audit
+plans). On a cluster where mid-query executor loss is routine, swap
+for ``persist(StorageLevel.MEMORY_AND_DISK)`` (lineage kept, spillable)
+at the cost of keeping the lineage-replay plans alive. Never checkpoint
+an UNCAPPED explode (e.g. ``_quantized_elements``' n·d rows) without
+sizing it first — the cure would exceed the disease.
 """
 
 from __future__ import annotations
@@ -231,7 +246,8 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     # and ReusedExchange never fires — the r14 plan re-scanned,
     # re-exploded and re-aggregated the whole corpus once per consumer
     # (3 parquet scans + 3 md5-shingle explodes in the audit plan;
-    # plans/r15/dedup_ngram_jaccard_before.txt).
+    # plans/r15/dedup_ngram_jaccard_audit.txt; the post-fix single-scan
+    # plan is plans/r16/dedup_ngram_jaccard_after.txt).
     sh = word_shingles(df, id_col, text_col, distinct=False)
     lists = (sh.groupBy("shingle")
              .agg(F.sort_array(F.collect_set(id_col)).alias("ids")))

@@ -252,7 +252,19 @@ def argmax_cell(scored: DataFrame, id_col: str,
     whatever cell broke the tie) and sim6/1e6 reproduces the 6dp
     double bit-exactly (both are the nearest double to the same
     decimal). Requires cell ids to be non-negative longs (< 10^19 —
-    every id in this engine)."""
+    every id in this engine).
+
+    Two further input contracts (vs the window formulation, which this
+    replaced — ADVICE r15): ``sim`` must be non-null and FINITE — a
+    NaN/null sim becomes a null decimal and is silently dropped by
+    min/max, where row_number() would still have ranked the row (NaN
+    sorts AFTER every double in Spark, null depends on nulls-first/
+    last) — a zero-norm vector (null cosine) is the one way callers
+    could produce this, so feed only non-degenerate embeddings; and
+    ids must be UNIQUE per scored relation — ``kmeans_assign``
+    re-attaches the vector by an id-equi-join, so a duplicated id
+    would fan out into duplicate output rows where the window kept
+    per-row ranks."""
     s6 = F.round(F.col("sim") * 1e6).cast("long")
     p = F.lit(_ARGMAX_RADIX).cast("decimal(20,0)")
     enc = ((F.lit(1_000_000).cast("decimal(7,0)") - s6.cast("decimal(7,0)"))

@@ -556,10 +556,61 @@ _ROUND15_WINDOW = [
     "multimodal_frame_dedup",
 ]
 
+# Round-16 window (VERDICT r15 §next 3): certify the r15 optimization
+# rewrites ON the rewritten code — the r15 window was pinned before the
+# optimization work, so none of the queries whose kernels r15 rewrote
+# (argmax_cell/kmeans_assign, salted pair stage, Σlabel connected
+# components, posting-list checkpoints, PPR loop invariants, nprobe
+# sweep sharing) have a driver CORRECTNESS row on the new code.
+#  - 0: layout_file_compaction_plan — the ONE never-driver-certified
+#    registry entry (registered by the inherited r15 pre-round commit);
+#    certifying it closes the ledger at 470/470.
+#  - 1-14: the r15-rewritten benched paths + their CC/argmax consumers.
+#  - 15-18: the kernels THIS round's optimizations target (bm25/tfidf
+#    corpus-scan reuse, knn _quantized_elements reuse) so they certify
+#    on the r16 code in the same round.
+#  - 19-49: staleness re-checks, oldest driver check first: the 15
+#    remaining r05-certified rows, then the first 16 of the r06 cohort
+#    in registry order.
+# Pre-flight: parity at sf0.001/0.01/0.1 under TZ=America/New_York +
+# hostile partitioning (tests/test_partitioning_robustness.py).
+_ROUND16_WINDOW = [
+    # 0: never driver-certified (ledger closer, 470/470)
+    "layout_file_compaction_plan",
+    # 1-14: r15 optimization rewrites, certified on the new code
+    "dedup_semantic_cells", "dedup_semantic_cells_scaled",
+    "dedup_semantic_multiprobe", "dedup_semantic_multiprobe_scaled",
+    "sim_ann_nprobe_recall_sweep", "sim_ann_hierarchical_cells",
+    "sim_ivf_kmeans_cells", "graph_ppr_seeded",
+    "dedup_ngram_jaccard", "dedup_lsh_verified", "dedup_containment",
+    "dedup_basket_setsim", "dedup_containment_lsh_ensemble",
+    "dedup_cluster_keep_best",
+    # 15-18: r16 optimization targets (certify on r16 code)
+    "text_search_bm25", "text_tfidf_top_terms",
+    "embedding_knn_graph", "embedding_knn_descent_round",
+    # 19-33: the 15 remaining r05-certified rows (oldest driver check)
+    "sim_recall_at_k_eval", "events_attribution_last_touch",
+    "text_next_word_suggest", "orders_cohort_ltv",
+    "part_abc_classification", "orders_open_backlog_daily",
+    "events_new_vs_returning", "window_cume_dist_price",
+    "pii_pseudonymize_fk", "privacy_k_anonymity", "hof_array_pipeline",
+    "join_null_safe_eq", "stat_benford_first_digit",
+    "stat_anova_oneway", "text_rake_keywords",
+    # 34-49: first 16 of the r06 cohort, registry order
+    "privacy_dp_histogram", "rfm_migration_matrix",
+    "map_functions_surface", "ts_cross_correlation",
+    "embedding_pq_codebook", "cluster_dbscan_lsh",
+    "funnel_time_to_convert", "dedup_doc_edge_overlap",
+    "docs_ngram_novelty", "ts_changepoint_pettitt",
+    "privacy_l_diversity", "sim_matryoshka_eval", "stat_levene_test",
+    "stat_mann_kendall_trend", "stat_poisson_rate_test",
+    "events_markov_stationary",
+]
+
 # Round-agnostic alias — scripts/gen_ledger.py and any other tooling
 # read THIS name so a window rename can never silently zero the ledger
 # (ADVICE r09 item 2).
-_CURRENT_WINDOW = _ROUND15_WINDOW
+_CURRENT_WINDOW = _ROUND16_WINDOW
 
 
 def _reorder() -> None:
