@@ -195,7 +195,11 @@ def lsh_verified_pairs(df: DataFrame, id_col: str = "doc_id",
     the exact intersection touches candidate docs' shingles only,
     ~|cands|·|doc shingles| rows, never the corpus cross product.
     """
-    cands = lsh_candidate_pairs(df, id_col, text_col, n_hashes, bands)
+    # r16: cands gains a second consumer (the b-side prune below) —
+    # LAZY cut (caches on first materialization; the eager variant
+    # pays a separate candidate job, measured slower at sf0.1)
+    cands = (lsh_candidate_pairs(df, id_col, text_col, n_hashes, bands)
+             .localCheckpoint(eager=False))
     # r15: sh feeds the two verify joins AND the size counts — three
     # consumers, and the distinct-shingle explode re-ran for each
     # (ObjectHashAggregate canonicalization, same class as the
@@ -203,10 +207,18 @@ def lsh_verified_pairs(df: DataFrame, id_col: str = "doc_id",
     sh = word_shingles(df, id_col, text_col, distinct=True).localCheckpoint()
     counts = (sh.groupBy(id_col).agg(F.count("*").alias("c"))
               .localCheckpoint(eager=False))
+    # r16 verify-join restructure (guide §3.2, same shape as
+    # lshe_pairs_from_postings): the (id_b, shingle) leg exchanged the
+    # whole shingle relation once it outgrows the broadcast cap; the b
+    # leg is now pre-filtered to candidate docs (exact — non-candidate
+    # ids can never match the join key), candidate-bounded at any
+    # corpus size.
+    bids = cands.select(F.col("id_b").alias(id_col)).distinct()
+    sh_b = sh.join(bids, id_col)
     inter = (cands
              .join(sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
-             .join(sh.select(F.col(id_col).alias("id_b"),
-                             F.col("shingle").alias("shingle")),
+             .join(sh_b.select(F.col(id_col).alias("id_b"),
+                               F.col("shingle").alias("shingle")),
                    ["id_b", "shingle"])
              .groupBy("id_a", "id_b").agg(F.count("*").alias("i")))
     jac = F.round(
@@ -495,14 +507,32 @@ def lshe_pairs_from_postings(keys: DataFrame, counts: DataFrame,
         "transform(slice(ids, i + 2, size(ids) - i - 1), "
         "y -> struct(x AS id_a, y AS id_b))))")
     cands = (lists.select(F.explode(pair_expr).alias("pr"))
-             .select("pr.id_a", "pr.id_b").distinct())
+             .select("pr.id_a", "pr.id_b").distinct()
+             # r16: cands now has TWO consumers (the b-side prune below
+             # and the intersect join) — LAZY cut (the eager variant
+             # serialized a separate candidate-generation job ahead of
+             # the main job and measured +26% at sf0.1; lazy caches on
+             # first materialization, no extra job)
+             .localCheckpoint(eager=False))
     # per-doc sizes arrive from the signature aggregate (or the
     # persisted counts relation) — never a second full shingle scan
     # (r10 review finding; this is the heaviest sidecar)
+    #
+    # r16 verify-join restructure (guide §3.2; VERDICT r15 §next 6):
+    # the id_a leg streams sh against broadcast-able cands (no sh
+    # exchange at any scale), but the (id_b, shingle) leg exchanged
+    # the WHOLE shingle relation by (id, shingle) once sh outgrows the
+    # broadcast cap — a full corpus shuffle to verify a near-dup-
+    # bounded candidate set. Pre-filtering the b leg to candidate docs
+    # (inner join on the distinct id_b values — a semi-join in effect,
+    # exact because non-candidate ids can never match the join key)
+    # makes that leg candidate-bounded instead of corpus-bounded.
+    bids = cands.select(F.col("id_b").alias(id_col)).distinct()
+    sh_b = sh.join(bids, id_col)
     inter = (cands
              .join(sh.select(F.col(id_col).alias("id_a"), "shingle"),
                    "id_a")
-             .join(sh.select(F.col(id_col).alias("id_b"), "shingle"),
+             .join(sh_b.select(F.col(id_col).alias("id_b"), "shingle"),
                    ["id_b", "shingle"])
              .groupBy("id_a", "id_b").agg(F.count("*").alias("i")))
     cont = F.round(F.col("i") / F.least(F.col("ca"), F.col("cb")), 6)

@@ -131,13 +131,28 @@ def bm25_scores(df: DataFrame, terms: list[str], id_col: str = "doc_id",
     broadcast 1-row aggregate crossJoined into the plan, so the whole
     score is ONE job — no mid-pipeline ``count()``/``collect()``
     actions forking extra jobs for two numbers.
+
+    r16 corpus-scan reuse (guide §2.4; VERDICT r15 §next 5): ``tf``
+    feeds two consumers (dfreq and the scored join) and ``dl`` two
+    (the N/avgdl scalars and the per-doc length join) — and the
+    consumers prune DIFFERENT columns, so the subtrees canonicalize
+    unequal and ReusedExchange never fires: the r15 audit plan shows
+    FOUR corpus scans (two full word explodes, two length scans).
+    One ``localCheckpoint`` each cuts that to one explode + one
+    length scan. Size discipline: ``tf`` is term-filtered BEFORE the
+    aggregate (≤ |docs|·|terms| rows — query-bounded, tiny); ``dl``
+    is one (id, int) row per doc — both bounded, neither is an
+    uncapped explode (see llm/dedup.py module note on the storage
+    trade).
     """
     words = df.select(F.col(id_col),
                       F.explode(F.split(F.col(text_col), " ")).alias("word"))
     dl = df.select(F.col(id_col),
                    F.size(F.split(F.col(text_col), " ")).alias("dl"))
+    dl = dl.localCheckpoint()
     tf = (words.filter(F.col("word").isin(*terms))
           .groupBy(id_col, "word").agg(F.count("*").alias("tf")))
+    tf = tf.localCheckpoint()
     return bm25_rank(tf, dl, id_col=id_col, k1=k1, b=b, digits=digits)
 
 

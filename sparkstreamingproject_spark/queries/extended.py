@@ -213,11 +213,25 @@ def text_tfidf_top_terms(spark, sf_dir):
     """TF-IDF top-3 terms per document — built entirely from joins and
     window rank; document frequency broadcast (one row per term), the
     corpus size as a broadcast 1-row aggregate crossJoined in-plan (no
-    separate count() job for one scalar)."""
+    separate count() job for one scalar).
+
+    r16 corpus-scan reuse (guide §2.4; VERDICT r15 §next 5): the r15
+    audit plan ran the full word explode TWICE (tf and df prune
+    different columns, so the subtrees canonicalize unequal and
+    ReusedExchange never fires) plus a third scan for n_docs. Now
+    ``df`` derives FROM ``tf`` — tf has exactly one row per distinct
+    (doc_id, word), so ``count(*)`` per word over tf IS
+    ``countDistinct(doc_id)`` over words (value-identical, and it
+    drops the distinct-expand machinery) — and ``tf`` is
+    localCheckpointed at the junction: one explode feeds both
+    consumers. Storage note: tf pins the distinct (doc, word) relation
+    on executors — corpus-scale but strictly smaller than the words
+    explode it replaces re-running (see llm/dedup.py module note)."""
     docs = table(spark, sf_dir, "documents")
     words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
-    df = words.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    tf = tf.localCheckpoint()
+    df = tf.groupBy("word").agg(F.count("*").alias("df"))
     n_docs = docs.agg(F.count("*").cast("double").alias("n_docs"))
     scored = (tf.join(F.broadcast(df), "word")
               .crossJoin(F.broadcast(n_docs))

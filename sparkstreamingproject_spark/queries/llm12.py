@@ -219,7 +219,10 @@ def _quantized_elements(emb):
 
 def _exact_d2(pairs, el):
     """Exact integer squared L2 for each (src, dst) pair via two keyed
-    joins against the element relation — cost |pairs|·d, never N²."""
+    joins against the element relation — cost |pairs|·d, never N².
+    Used by the greedy-search queries, which checkpoint ``el`` once
+    and probe it across iterations; the one-shot seed/descent passes
+    use ``_exact_d2_arrays`` below instead (r16)."""
     return (pairs
             .join(el.select(F.col("vec_id").alias("src"), "pos",
                             F.col("x").alias("xa")), "src")
@@ -229,6 +232,42 @@ def _exact_d2(pairs, el):
             .groupBy("src", "dst")
             .agg(F.sum((F.col("xa") - F.col("xb"))
                        * (F.col("xa") - F.col("xb"))).alias("d2")))
+
+
+def _quantized_pts(emb):
+    """(vec_id, qv array<bigint>): embeddings once-quantized to
+    integers but kept as ARRAYS — the r16 rerank relation (n rows
+    instead of the element explode's n·d)."""
+    return emb.select(
+        "vec_id",
+        F.expr("transform(embedding, v -> "
+               "CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT))"
+               ).alias("qv"))
+
+
+def _exact_d2_arrays(pairs, ptsq):
+    """Exact integer squared L2 per (src, dst) pair via two id-keyed
+    joins of the n-row quantized-ARRAY relation + one zip_with fold
+    (the ``dbscan_lsh`` idiom; exact same integer sum as the
+    element-join formulation — a fold over d longs, order-fixed,
+    no float).
+
+    r16 (guide §2.3/§2.4; VERDICT r15 §next 7): ``_exact_d2`` joined
+    the n·d element explode on BOTH legs — the explode subtree ran
+    twice (the two legs prune/alias differently, so no reuse), the
+    (dst, pos) leg exchanged n·d rows, and the intersect aggregate
+    hashed |pairs|·d rows. Here the vectors move as single array rows
+    (n rows per leg, |pairs| rows through the fold) and the per-pair
+    aggregate disappears into a JVM HOF — the d-factor leaves every
+    exchange and the GROUP BY entirely."""
+    from ..llm.similarity import _sq_l2_int
+    return (pairs
+            .join(ptsq.select(F.col("vec_id").alias("src"),
+                              F.col("qv").alias("qa")), "src")
+            .join(ptsq.select(F.col("vec_id").alias("dst"),
+                              F.col("qv").alias("qb")), "dst")
+            .select("src", "dst",
+                    _sq_l2_int(F.col("qa"), F.col("qb")).alias("d2")))
 
 
 def _topk_per_src(d2, k=_KNN_K):
@@ -247,7 +286,7 @@ def _knn_seed_edges(emb):
                        F.col("id_b").alias("dst"))
            .unionByName(cand.select(F.col("id_b").alias("src"),
                                     F.col("id_a").alias("dst"))))
-    return _topk_per_src(_exact_d2(sym, _quantized_elements(emb)))
+    return _topk_per_src(_exact_d2_arrays(sym, _quantized_pts(emb)))
 
 
 def _format_knn(ranked):
@@ -296,7 +335,7 @@ def embedding_knn_descent_round(spark, sf_dir):
     cand2 = (non.unionByName(gsym.select(F.col("a").alias("src"),
                                          F.col("b").alias("dst")))
              .distinct())
-    d2 = _exact_d2(cand2, _quantized_elements(emb))
+    d2 = _exact_d2_arrays(cand2, _quantized_pts(emb))
     return _format_knn(_topk_per_src(d2))
 
 
