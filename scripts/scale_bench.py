@@ -83,6 +83,10 @@ KERNELS = [
     # stage at all (window over md5(chunk) + groupBy(doc_id)), so the
     # curve should read ~linear-with-overhead.
     "dedup_paragraph_reconstruct",
+    # r16 (VERDICT r15 §next 8): the LSH-seeded kNN build — its sf1.0*
+    # row measures the r16 array-fold rerank (zip_with over n-row
+    # quantized arrays instead of the n·d element-join) at 10× volume.
+    "embedding_knn_graph",
     # r15 (VERDICT r14 §next 3): the blocked-Levenshtein production
     # shape — prefix-filter candidates over word-tagged disjoint name
     # universes (see build_sf1's part replica), so true-pair volume

@@ -329,7 +329,14 @@ def kmeans_centroids(df: DataFrame, id_col: str = "vec_id",
     and REJECTED at the bench SF: the d-wide aggregate pays ~1 s of
     plan/codegen setup per iteration, a fixed cost that dominates
     until the exploded relation is ≳10× this corpus; see
-    OPTIMIZATION_r15.md §kmeans.)
+    OPTIMIZATION_r15.md §kmeans. r16 re-measured the predicted
+    crossover at sf1.0* — it does not exist there either: interleaved
+    A/B min-of-3, posexplode 12.25 s vs avg-columns 14.33 s at the
+    production k=400, 3.13 vs 3.70 s at k=40, every rep pair in
+    posexplode's favor (scripts/ab_r16_means_sf1.py). The d-wide
+    aggregate's per-row update cost scales WITH the data, so the
+    setup-cost story was incomplete — posexplode is simply the faster
+    shape for d=64 at any measured size; revisit only for d ≳ 512.)
 
     Deterministic init: the first k vectors by id (documented stand-in
     for k-means|| sampling; the iteration structure is what matters).
